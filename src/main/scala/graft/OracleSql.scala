@@ -1,0 +1,330 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per SQL-expressible query in SparkEntry.
+  *
+  * Written for value-parity with the Spark plans (see SURVEY.md §4):
+  * decimal-exact sums cast to double, epoch seconds instead of raw
+  * timestamps (events.ts is ns in DuckDB but µs in Spark), identical
+  * aliases and ORDER BY.
+  */
+object OracleSql {
+
+  /** events.ts normalized to µs, matching Spark's read. */
+  private val tsUs = "CAST(ts AS TIMESTAMP)"
+  private val epoch1970 = "TIMESTAMP '1970-01-01'"
+  private def sec(e: String) =
+    s"date_diff('second', $epoch1970, date_trunc('second', $e))"
+  private def decSum(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private val discPrice =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  // Text helpers mirroring graft.text.TextOps / graft.dedup.Dedup
+  private val normText =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val padded = s"(' ' || $normText || ' ')"
+  private def occ(c: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    s"CAST((length($c) - length(replace($c, '$esc', ''))) / ${pat.length} AS BIGINT)"
+  }
+  private def langScore(lang: String): String =
+    graft.text.TextOps.profiles.toMap.apply(lang)
+      .map(p => occ(padded, p)).mkString("(", " + ", ")")
+
+  private def dotD(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (s, x) -> s + x)"
+  private def cosD(a: String, b: String) =
+    s"(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})))"
+
+  val all: Map[String, String] = Map(
+    "q01_summary_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${decSum("l_quantity")} AS sum_qty,
+         ${decSum("l_extendedprice")} AS sum_base_price,
+         $discPrice AS sum_disc_price,
+         ${decSum("l_quantity")} / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+         ORDER BY o_orderkey""",
+
+    "q03_hierarchy_join" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+         $discPrice AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+
+    "q04_children_closure" ->
+      """SELECT 'customer' AS object_type, CAST(c_custkey AS VARCHAR) AS id,
+           '' AS parent_id
+         FROM customer WHERE c_custkey IN (21, 22, 23)
+         UNION ALL
+         SELECT 'orders', CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR)
+         FROM orders WHERE o_custkey IN (21, 22, 23)
+         UNION ALL
+         SELECT 'lineitem',
+           CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR),
+           CAST(l_orderkey AS VARCHAR)
+         FROM lineitem WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_custkey IN (21, 22, 23))
+         ORDER BY object_type, id""",
+
+    "q05_parents_closure" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey IN (1,2,3,4,5)),
+         c AS (SELECT * FROM customer
+               WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         n AS (SELECT * FROM nation
+               WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
+         r AS (SELECT * FROM region
+               WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+         SELECT 'orders' AS object_type, CAST(o_orderkey AS VARCHAR) AS id
+           FROM o
+         UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+         UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+         UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r
+         ORDER BY object_type, id""",
+
+    "q06_load_upsert_merge" ->
+      s"""SELECT DISTINCT user_id, event_type,
+         last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+           OVER w AS v,
+         last_value(props IGNORE NULLS) OVER w AS props
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, event_type
+                      ORDER BY $tsUs, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_type""",
+
+    "q07_merge_datasets" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value FROM (
+           SELECT event_id, user_id, event_type, value FROM events
+             WHERE user_id < 20
+           UNION ALL
+           SELECT event_id, user_id, event_type, value FROM events
+             WHERE user_id >= 10 AND user_id < 30
+         ) ORDER BY event_id""",
+
+    "q08_count_objects" ->
+      graft.sources.Tables.names
+        .map(n => s"SELECT '$n' AS object_type, COUNT(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY object_type"),
+
+    "q09_dump_window" ->
+      s"""SELECT event_id, user_id, event_type, value,
+         ${sec(tsUs)} AS ts_sec
+         FROM events
+         WHERE $tsUs > TIMESTAMP '2024-01-10'
+           AND $tsUs <= TIMESTAMP '2024-01-20'
+         ORDER BY event_id""",
+
+    "q10_purge_before" ->
+      s"""SELECT event_type, COUNT(*) AS n, MIN(${sec(tsUs)}) AS min_ts_sec
+         FROM events WHERE $tsUs >= TIMESTAMP '2024-01-15'
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q11_first_last_modified" ->
+      s"""SELECT event_type, MIN(${sec(tsUs)}) AS first_sec,
+         MAX(${sec(tsUs)}) AS last_sec, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q12_latest_version" ->
+      s"""SELECT user_id, event_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY $tsUs DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    "q13_status_rollup" ->
+      s"""SELECT COALESCE(r_name, '(all)') AS region_name,
+         COALESCE(n_name, '(all)') AS nation_name,
+         ${decSum("c_acctbal")} AS total_bal, COUNT(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""",
+
+    "q14_status_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q15_worst_status" ->
+      """SELECT l_orderkey,
+         CASE MIN(CASE l_returnflag WHEN 'R' THEN 0 WHEN 'A' THEN 1
+                  WHEN 'N' THEN 2 END)
+           WHEN 0 THEN 'R' WHEN 1 THEN 'A' WHEN 2 THEN 'N' END
+           AS worst_status
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q16_pattern_query" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_custkey IN (21, 22, 23))
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q17_branch_tips" ->
+      s"""SELECT n_name, c_mktsegment, COUNT(*) AS n,
+         ${decSum("c_acctbal")} AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, c_mktsegment
+         ORDER BY n DESC, n_name ASC, c_mktsegment ASC""",
+
+    "q18_validate" ->
+      """SELECT 'customer_negative_acctbal' AS check_name,
+           COUNT(*) AS violations FROM customer WHERE c_acctbal < 0
+         UNION ALL
+         SELECT 'lineitem_orphan_order', COUNT(*) FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'orders_orphan_customer', COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+         ORDER BY check_name""",
+
+    "q19_star_join_agg" ->
+      s"""SELECT n_name, $discPrice AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+
+    "q20_semi_anti" ->
+      """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'without_orders', COUNT(*) FROM customer
+           WHERE NOT EXISTS
+             (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY kind""",
+
+    "q21_topk" ->
+      s"""SELECT c_custkey, c_name, ${decSum("o_totalprice")} AS total_spend,
+         COUNT(*) AS n_orders
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY total_spend DESC, c_custkey ASC
+         LIMIT 20""",
+
+    "d01_dedup_exact" ->
+      s"""SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5($normText)) AS n_unique,
+         COUNT(*) - COUNT(DISTINCT md5($normText)) AS n_dup_docs
+         FROM documents""",
+
+    "d05_embed_neardup" ->
+      s"""WITH p AS (SELECT vec_id AS id_a, embedding AS v_a
+                     FROM embeddings WHERE vec_id % 20 = 0),
+         c AS (SELECT vec_id AS id_b, embedding AS v_b FROM embeddings)
+         SELECT id_a, id_b FROM p JOIN c ON id_a < id_b
+         WHERE ${cosD("v_a", "v_b")} >= 0.25
+         ORDER BY id_a, id_b""",
+
+    "s01_knn_brute" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p
+                     FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS v_c
+               FROM embeddings)
+         SELECT probe_id, neighbor_id,
+           CAST(row_number() OVER w AS INTEGER) AS rank
+         FROM p JOIN c ON probe_id <> neighbor_id
+         WINDOW w AS (PARTITION BY probe_id
+                      ORDER BY ${cosD("v_p", "v_c")} DESC, neighbor_id ASC)
+         QUALIFY row_number() OVER w <= 3
+         ORDER BY probe_id, rank""",
+
+    "t01_langid" -> {
+      val scoreCols = graft.text.TextOps.profiles
+        .map { case (l, _) => s"${langScore(l)} AS s_$l" }.mkString(",\n")
+      val langs = graft.text.TextOps.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseExpr = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents)
+         SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+           $caseExpr AS lang_pred
+         FROM scored ORDER BY doc_id"""
+    },
+
+    "t02_quality" -> {
+      val chars = "CAST(length(text) AS DOUBLE)"
+      val words = s"CAST(${wordCountSql} AS DOUBLE)"
+      val avgWordLen = s"($chars / $words)"
+      val stopRatio = s"(CAST(${langScore("en")} AS DOUBLE) / $words)"
+      val lengthTerm =
+        s"""(CASE WHEN $chars >= 200 AND $chars <= 2000 THEN 1.0
+            WHEN $chars < 200 THEN $chars / 200.0
+            ELSE 2000.0 / $chars END)"""
+      val wordLenTerm =
+        s"""(CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0
+            THEN 1.0 ELSE 0.5 END)"""
+      s"""SELECT doc_id,
+         $lengthTerm * 0.5 + $wordLenTerm * 0.3 +
+           least($stopRatio * 2.0, 1.0) * 0.2 AS quality
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "t03_tokens" ->
+      s"""SELECT doc_id, $wordCountSql AS ws_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+         FROM documents ORDER BY doc_id""",
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, md5($normText) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+         CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
+         md5(text) AS checksum
+         FROM documents ORDER BY doc_id""",
+
+    "st01_stream_window" ->
+      s"""SELECT date_diff('second', $epoch1970,
+           date_trunc('hour', $tsUs)) AS hour_sec,
+         event_type, COUNT(*) AS n,
+         ${decSum("value")} AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""",
+
+    "st02_monitor" ->
+      s"""SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
+         FROM events WHERE event_type = 'error'
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY $tsUs ASC, event_id ASC) = 1
+         ORDER BY user_id"""
+  )
+
+  /** Whitespace token count over normalized text (mirrors
+    * TextOps.wordCount): spaces + 1 via length arithmetic. */
+  private lazy val wordCountSql: String =
+    s"CAST((length($normText) - " +
+      s"length(replace($normText, ' ', '')) + 1) AS BIGINT)"
+}

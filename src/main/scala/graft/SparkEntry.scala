@@ -1,13 +1,386 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.model.TestCatalog
+import graft.ingest.Loader
+import graft.operators.Rollups
+import graft.query.PatternQuery
+import graft.dedup.Dedup
+import graft.sim.Knn
+import graft.text.TextOps
+import graft.multimodal.Binary
+import graft.streaming.Streams
+import graft.util._
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2, with
+  * a DuckDB-equivalent `oracleSql` for every SQL-expressible one.
+  *
+  * Determinism rules (see SURVEY.md §4): decimal-exact sums surfaced as
+  * doubles, no raw timestamps in outputs, explicit ORDER BY everywhere,
+  * aliases identical between Spark and SQL.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_summary_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- core --
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val roots = Seq(21L, 22L, 23L).toDF("c_custkey")
+    val m = TestCatalog.catalog.childrenClosure(s, dir,
+      Map("customer" -> roots))
+    val cust = m("customer").select(
+      lit("customer").as("object_type"),
+      col("c_custkey").cast("string").as("id"),
+      lit("").as("parent_id"))
+    val ords = m("orders").select(
+      lit("orders").as("object_type"),
+      col("o_orderkey").cast("string").as("id"),
+      col("o_custkey").cast("string").as("parent_id"))
+    val lis = m("lineitem").select(
+      lit("lineitem").as("object_type"),
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string")).as("id"),
+      col("l_orderkey").cast("string").as("parent_id"))
+    cust.union(ords).union(lis).orderBy("object_type", "id")
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val roots = Seq(1L, 2L, 3L, 4L, 5L).toDF("o_orderkey")
+    val m = TestCatalog.catalog.parentsClosure(s, dir, Map("orders" -> roots))
+    def part(tn: String, id: Column): DataFrame =
+      m(tn).select(lit(tn).as("object_type"), id.cast("string").as("id"))
+    part("orders", col("o_orderkey"))
+      .union(part("customer", col("c_custkey")))
+      .union(part("nation", col("n_nationkey")))
+      .union(part("region", col("r_regionkey")))
+      .orderBy("object_type", "id")
+  }
+
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val log = ev(s, dir)
+      .withColumn("v", when(col("value") >= 50, col("value")))
+    Loader.upsertMerge(log, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")), Seq("v", "props"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select("event_id", "user_id", "event_type", "value")
+    val a = e.filter(col("user_id") < 20)
+    val b = e.filter(col("user_id") >= 10 && col("user_id") < 30)
+    Loader.mergeDatasets(Seq(a, b)).orderBy("event_id")
+  }
+
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Tables.names.map { n =>
+      t(s, dir, n).groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(n).as("object_type"), col("n"))
+    }.reduce(_ union _).orderBy("object_type")
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Loader.dumpWindow(ev(s, dir), col("ts"),
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochSec(col("ts")).as("ts_sec"))
+      .orderBy("event_id")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Loader.purge(ev(s, dir), col("ts"),
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(epochSec(col("ts"))).as("min_ts_sec"))
+      .orderBy("event_type")
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy("event_type")
+      .agg(min(epochSec(col("ts"))).as("first_sec"),
+        max(epochSec(col("ts"))).as("last_sec"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Rollups.latestPerKey(ev(s, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+    c.rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("c_acctbal")).as("total_bal"),
+        count(lit(1)).as("n_cust"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region_name"),
+        coalesce(col("n_name"), lit("(all)")).as("nation_name"),
+        col("total_bal"), col("n_cust"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_f"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("n_o"),
+        count(when(col("o_orderstatus") === "P", lit(1))).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Rollups.worstStatus(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        col("l_returnflag"), Seq("R" -> 0, "A" -> 1, "N" -> 2))
+      .orderBy("l_orderkey")
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    PatternQuery.run(s, dir, TestCatalog.catalog,
+        ">customer[21;22;23]>orders>lineitem#")("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("n").desc, col("n_name").asc, col("c_mktsegment").asc)
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    check("lineitem_orphan_order",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      .union(check("orders_orphan_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .union(check("customer_negative_acctbal",
+        c.filter(col("c_acctbal") < 0)))
+      .orderBy("check_name")
+  }
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    def cnt(kind: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(kind).as("kind"), col("n"))
+    cnt("with_orders",
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi"))
+      .union(cnt("without_orders",
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")))
+      .orderBy("kind")
+  }
+
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Rollups.topK(
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(moneySum(col("o_totalprice")).as("total_spend"),
+          count(lit(1)).as("n_orders")),
+      Seq(col("total_spend").desc, col("c_custkey").asc), 20)
+
+  // ------------------------------------------------- LLM pipeline ops --
+
+  private def d01(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+    fp.groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_unique"))
+      .select(col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup_docs"))
+  }
+
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.02)
+      .orderBy("id_a", "id_b")
+
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, probeFilter = col("doc_id") % 10 === 0, threshold = 0.02)
+      .orderBy("id_a", "id_b")
+
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") % 20 === 0, threshold = 0.25)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  private def s01(s: SparkSession, dir: String): DataFrame =
+    Knn.bruteForceKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3)
+      .orderBy("probe_id", "rank")
+
+  private def s02(s: SparkSession, dir: String): DataFrame =
+    Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3, bits = 6)
+      .orderBy("probe_id", "rank")
+
+  private def t01(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = d.select(col("doc_id") +:
+      TextOps.profiles.map { case (l, _) =>
+        TextOps.langScore(col("text"), l).as(s"s_$l")
+      }: _*)
+    scored
+      .withColumn("lang_pred", {
+        val m = TextOps.profiles.map(p => col(s"s_${p._1}"))
+          .reduce((a, b) => greatest(a, b))
+        TextOps.profiles.foldRight(lit("und")) { case ((l, _), acc) =>
+          when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+        }
+      })
+      .orderBy("doc_id")
+  }
+
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def t03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.wordCount(col("text")).as("ws_tokens"),
+        TextOps.bpeEstimate(col("text")).as("bpe_est"))
+      .orderBy("doc_id")
+
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Binary.metaColumns(
+        Binary.withPayload(t(s, dir, "documents"), "text"))
+      .orderBy("doc_id")
+
+  private def st01(s: SparkSession, dir: String): DataFrame =
+    Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
+
+  private def st02(s: SparkSession, dir: String): DataFrame =
+    Streams.firstFailureBatch(ev(s, dir)).orderBy("user_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_summary_agg" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_hierarchy_join" -> (q03 _),
+    "q04_children_closure" -> (q04 _),
+    "q05_parents_closure" -> (q05 _),
+    "q06_load_upsert_merge" -> (q06 _),
+    "q07_merge_datasets" -> (q07 _),
+    "q08_count_objects" -> (q08 _),
+    "q09_dump_window" -> (q09 _),
+    "q10_purge_before" -> (q10 _),
+    "q11_first_last_modified" -> (q11 _),
+    "q12_latest_version" -> (q12 _),
+    "q13_status_rollup" -> (q13 _),
+    "q14_status_pivot" -> (q14 _),
+    "q15_worst_status" -> (q15 _),
+    "q16_pattern_query" -> (q16 _),
+    "q17_branch_tips" -> (q17 _),
+    "q18_validate" -> (q18 _),
+    "q19_star_join_agg" -> (q19 _),
+    "q20_semi_anti" -> (q20 _),
+    "q21_topk" -> (q21 _),
+    "d01_dedup_exact" -> (d01 _),
+    "d02_dedup_minhash" -> (d02 _),
+    "d03_dedup_simhash" -> (d03 _),
+    "d04_ngram_jaccard" -> (d04 _),
+    "d05_embed_neardup" -> (d05 _),
+    "s01_knn_brute" -> (s01 _),
+    "s02_knn_lsh" -> (s02 _),
+    "t01_langid" -> (t01 _),
+    "t02_quality" -> (t02 _),
+    "t03_tokens" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "m01_binary_meta" -> (m01 _),
+    "st01_stream_window" -> (st01 _),
+    "st02_monitor" -> (st02 _)
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables registered under
+    * their bare names). Omitted for non-SQL-expressible ops (d02, d03, d04,
+    * s02 — LSH internals; driver records rows-only checks for those). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the fingerprint). Near-dup
+  * detection never does O(n²) work: MinHash/SimHash band the signature space
+  * so candidate generation is a self-equi-join on (band, hash) — the shuffle
+  * key IS the bucket — and only candidates pay the exact verification cost.
+  * That is the shape that survives 100 TB: bucket sizes are bounded by data
+  * similarity, not corpus size, and AQE handles skewed buckets.
+  *
+  * Signatures are computed explode→aggregate: one row per (doc, shingle),
+  * then a map-side-combined min/sum per doc. This keeps every expensive
+  * expression (normalization regexp, shingling, hashing) evaluated exactly
+  * once per row — never inlined into a higher-order-function lambda where
+  * Catalyst's CollapseProject would re-evaluate it per element — and the
+  * aggregation shuffles only k small values per doc.
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, collapse non-alphanumerics. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Exact-dup fingerprint (md5 of normalized text). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles as strings; short docs degrade to one shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** (id, sh) projection: one shingle-array row per doc. */
+  private def withShingles(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+
+  /** k-permutation MinHash signatures via explode + k min-aggregates:
+    * sig[s] = min over shingles of murmur3((shingle, s)). One shuffle with
+    * map-side combine; k ints per doc cross the wire. Returns (id, sig). */
+  def minhashSignatures(withSh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(s =>
+      min(hash(col("t"), lit(s))).as(s"m$s"))
+    withSh
+      .select(col("id"), explode(col("sh")).as("t"))
+      .groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows; band hash = murmur3 of the slice. Returns (band, bh). */
+  def bands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => hash(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+
+  /** Exact Jaccard between two shingle-array columns. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    * Candidates come only from shared (band, band-hash) buckets; the exact
+    * verification joins the shingle sets back by id, so the banding join
+    * itself carries just (id, band, bh). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, nBands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = k / nBands
+    val withSh = withShingles(docs, idCol, textCol, n = 3)
+    val banded = minhashSignatures(withSh, k)
+      .select(col("id"),
+        posexplode(bands(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band", "bh")))
+    val cands = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash signatures via explode + 64 sum-aggregates: bit i of
+    * sig(doc) is the sign of sum over distinct tokens of ±1 by bit i of
+    * xxhash64(token). Returns (id, sig). */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
+    val sig = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3 by
+    * default usage). Blocking via the pigeonhole principle: split the 64-bit
+    * signature into maxDist+1 chunks — any pair within maxDist must agree on
+    * at least one chunk, so candidates come from chunk-equality self-joins
+    * (shuffle on the chunk value), never a cross join. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val chunkBits = 64 / nChunks
+    val withSig = simhashSignatures(docs, idCol, textCol)
+    val chunks = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until nChunks).map(j =>
+        shiftright(col("sig"), chunkBits * j)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs from a bounded probe subset
+    * (probe × corpus, never corpus²; the probe side broadcasts). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, probeFilter: Column,
+                        threshold: Double): DataFrame = {
+    val withSh = withShingles(docs, idCol, textCol, n)
+    val probes = withSh.filter(probeFilter)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val corpus = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    broadcast(probes).join(corpus, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold between a bounded probe
+    * subset (broadcast) and the corpus. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        probeFilter: Column, threshold: Double): DataFrame = {
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val corpus = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    broadcast(probes).join(corpus, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

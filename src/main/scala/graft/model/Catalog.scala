@@ -1,0 +1,137 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A typed object graph: the Spark-native analog of kcidb's ORM schema
+  * (/root/reference/kcidb/orm/data.py:11-254 — `Type`, `Relation`, `Schema`).
+  *
+  * kcidb organizes report objects (checkout → build → test, issue →
+  * issue_version → incident) into a parent/child graph keyed by ID fields,
+  * and drives ID-closure queries and the pattern query language off that
+  * graph. graft generalizes the same registry over any star/snowflake
+  * schema: each `GraftType` names a table and its ID columns; each
+  * `GraftRelation` says which child columns reference the parent's ID.
+  *
+  * Traversal is expressed as semi-joins (never row-at-a-time), so a closure
+  * step at 100 TB is one shuffle bounded by the frontier, and Catalyst can
+  * broadcast small frontiers.
+  */
+final case class GraftType(name: String, idCols: Seq[String])
+
+/** `refCols` are columns OF THE CHILD that hold the parent's ID values, in
+  * the same order as the parent's `idCols` — exactly kcidb's
+  * `Relation.ref_fields` (orm/data.py:14-32). */
+final case class GraftRelation(parent: String, child: String, refCols: Seq[String])
+
+final class Catalog(
+    val types: Map[String, GraftType],
+    val relations: Seq[GraftRelation]) {
+
+  val childrenOf: Map[String, Seq[GraftRelation]] =
+    relations.groupBy(_.parent).withDefaultValue(Seq.empty)
+  val parentsOf: Map[String, Seq[GraftRelation]] =
+    relations.groupBy(_.child).withDefaultValue(Seq.empty)
+
+  def load(spark: SparkSession, dir: String, typeName: String): DataFrame =
+    graft.sources.Tables(spark, dir, typeName)
+
+  /** IDs of `typeName` rows, as a distinct DataFrame of its id columns. */
+  private def idsOf(df: DataFrame, t: GraftType): DataFrame =
+    df.select(t.idCols.map(col): _*).distinct()
+
+  /** Children closure (kcidb db query with children=True,
+    * /root/reference/kcidb/db/sqlite/v04_00.py:644-682): starting from
+    * per-type root ID sets, repeatedly semi-join child tables on the
+    * parent-reference columns. Returns every reached type's matched rows.
+    */
+  def childrenClosure(
+      spark: SparkSession, dir: String,
+      roots: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var matched: Map[String, DataFrame] = roots.map { case (tn, ids) =>
+      val t = types(tn)
+      val tbl = load(spark, dir, tn)
+      tn -> tbl.join(broadcast(ids), t.idCols, "left_semi")
+    }
+    // The relation graph is a DAG; walk it breadth-first. Each type is
+    // visited once per incoming frontier; testdata depth <= 4.
+    var frontier = matched.keySet
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.Map[String, DataFrame]()
+      for (tn <- frontier; rel <- childrenOf(tn)) {
+        val parentIds = idsOf(matched(tn), types(tn))
+        val childTbl = load(spark, dir, rel.child)
+        val cond = rel.refCols.zip(types(tn).idCols)
+          .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
+          .reduce(_ && _)
+        val rows = childTbl.join(broadcast(parentIds), cond, "left_semi")
+        next(rel.child) = next.get(rel.child).map(_.union(rows)).getOrElse(rows)
+      }
+      val newly = next.map { case (tn, df) =>
+        tn -> matched.get(tn).map(_.union(df).distinct()).getOrElse(df)
+      }
+      matched = matched ++ newly
+      frontier = next.keySet.toSet
+    }
+    matched
+  }
+
+  /** Parents closure (children=False counterpart, sqlite/v04_00.py:614-643). */
+  def parentsClosure(
+      spark: SparkSession, dir: String,
+      roots: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var matched: Map[String, DataFrame] = roots.map { case (tn, ids) =>
+      val t = types(tn)
+      tn -> load(spark, dir, tn).join(broadcast(ids), t.idCols, "left_semi")
+    }
+    var frontier = matched.keySet
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.Map[String, DataFrame]()
+      for (tn <- frontier; rel <- parentsOf(tn)) {
+        val pType = types(rel.parent)
+        // ref values present in the matched child rows = the parent frontier
+        val refIds = matched(tn)
+          .select(rel.refCols.zip(pType.idCols).map { case (rc, ic) =>
+            col(rc).as(ic)
+          }: _*).distinct()
+        val parentTbl = load(spark, dir, rel.parent)
+        val rows = parentTbl.join(broadcast(refIds), pType.idCols, "left_semi")
+        next(rel.parent) =
+          next.get(rel.parent).map(_.union(rows)).getOrElse(rows)
+      }
+      val newly = next.map { case (tn, df) =>
+        tn -> matched.get(tn).map(_.union(df).distinct()).getOrElse(df)
+      }
+      matched = matched ++ newly
+      frontier = next.keySet.toSet
+    }
+    matched
+  }
+}
+
+/** The testdata star schema as a graft catalog. The hierarchy mirrors
+  * kcidb's: region→nation→customer→orders→lineitem is the
+  * revision→checkout→build→test spine; part/supplier are side parents of
+  * lineitem the way issue_version is a side parent of incident. */
+object TestCatalog {
+  val catalog = new Catalog(
+    types = Map(
+      "region"   -> GraftType("region", Seq("r_regionkey")),
+      "nation"   -> GraftType("nation", Seq("n_nationkey")),
+      "customer" -> GraftType("customer", Seq("c_custkey")),
+      "supplier" -> GraftType("supplier", Seq("s_suppkey")),
+      "part"     -> GraftType("part", Seq("p_partkey")),
+      "orders"   -> GraftType("orders", Seq("o_orderkey")),
+      "lineitem" -> GraftType("lineitem", Seq("l_orderkey", "l_linenumber"))
+    ),
+    relations = Seq(
+      GraftRelation("region", "nation", Seq("n_regionkey")),
+      GraftRelation("nation", "customer", Seq("c_nationkey")),
+      GraftRelation("nation", "supplier", Seq("s_nationkey")),
+      GraftRelation("customer", "orders", Seq("o_custkey")),
+      GraftRelation("orders", "lineitem", Seq("l_orderkey")),
+      GraftRelation("part", "lineitem", Seq("l_partkey")),
+      GraftRelation("supplier", "lineitem", Seq("l_suppkey"))
+    )
+  )
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf parquet tables and compare with the Verify parquet
+dumps (column names sorted, values compared cell-by-cell; floats exact and
+with 1e-9 relative fallback reported separately).
+
+Usage: oracle_check.py <sfdir> <verify_out>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        try:
+            got = duckdb.connect().execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            results[name] = f"SPARK_DUMP_MISSING: {e}"
+            continue
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            results[name] = f"SCHEMA: oracle={list(exp.columns)} spark={list(got.columns)}"
+            continue
+        if len(exp) != len(got):
+            results[name] = f"ROWS: oracle={len(exp)} spark={len(got)}"
+            continue
+        # sort rows by all columns for order-insensitive compare
+        exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
+        got = got.sort_values(by=list(got.columns), ignore_index=True)
+        bad = None
+        approx = 0
+        for c in exp.columns:
+            for i, (a, b) in enumerate(zip(exp[c], got[c])):
+                if a is None and b is None:
+                    continue
+                af = isinstance(a, float)
+                bf = isinstance(b, float)
+                if af and bf and math.isnan(a) and math.isnan(b):
+                    continue
+                if a == b:
+                    continue
+                if af and bf and b != 0 and abs(a - b) / max(abs(a), abs(b)) < 1e-9:
+                    approx += 1
+                    continue
+                bad = f"VALUE col={c} row={i}: oracle={a!r} spark={b!r}"
+                break
+            if bad:
+                break
+        results[name] = bad or ("OK" if approx == 0 else f"OK_APPROX({approx})")
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'FAIL'} {name}: {v}")
+    # rows-only queries (no oracle): report row counts
+    import glob, os
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            n = duckdb.connect().execute(
+                f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"ROWS {name}: {n}")
+    print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
