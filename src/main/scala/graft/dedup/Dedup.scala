@@ -45,13 +45,17 @@ object Dedup {
     docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
 
   /** k-permutation MinHash signatures via explode + k min-aggregates:
-    * sig[s] = min over shingles of murmur3((shingle, s)). One shuffle with
-    * map-side combine; k ints per doc cross the wire. Returns (id, sig). */
+    * sig[s] = min over shingles of h1(shingle) + s*h2(shingle) — the
+    * standard double-hashing family (each shingle string is hashed exactly
+    * twice; the k permutations are integer multiply-adds). One shuffle with
+    * map-side combine; k longs per doc cross the wire. Returns (id, sig). */
   def minhashSignatures(withSh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(s =>
-      min(hash(col("t"), lit(s))).as(s"m$s"))
+      min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s"))
     withSh
       .select(col("id"), explode(col("sh")).as("t"))
+      .select(col("id"), hash(col("t")).cast("long").as("h1"),
+        xxhash64(col("t")).as("h2"))
       .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
@@ -140,18 +144,32 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for pairs from a bounded probe subset
-    * (probe × corpus, never corpus²; the probe side broadcasts). */
+  /** Exact n-gram Jaccard similarity for pairs from a bounded probe subset,
+    * via an inverted-index equi-join: explode shingles on both sides, join
+    * on the shingle (the shuffle key), and count matches per (id_a, id_b) —
+    * that count IS |A ∩ B| because shingle arrays are distinct, and
+    * |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing at least one shingle
+    * are ever generated — never a probe × corpus nested loop — and the
+    * per-pair work is a counting aggregate with map-side combine. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, probeFilter: Column,
                         threshold: Double): DataFrame = {
     val withSh = withShingles(docs, idCol, textCol, n)
     val probes = withSh.filter(probeFilter)
-      .select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val corpus = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    broadcast(probes).join(corpus, col("id_a") < col("id_b"))
+      .select(col("id").as("id_a"), explode(col("sh")).as("g"))
+    val corpus = withSh
+      .select(col("id").as("id_b"), explode(col("sh")).as("g"))
+    val inter = probes.join(corpus, "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
