@@ -19,11 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete each query's target dir up front AND on failure: AQE can fail a
+    // query in stage materialization before the overwrite clears the dir, and
+    // a stale dump from a previous run would then masquerade as a pass.
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(wipe)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = new java.io.File(s"$outDir/$name")
+      wipe(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(target.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        wipe(target)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -44,14 +44,21 @@ object Dedup {
                            n: Int): DataFrame =
     docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
 
+  /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
+  private def rotl64(c: Column, s: Int): Column =
+    if (s % 64 == 0) c
+    else shiftleft(c, s % 64)
+      .bitwiseOR(shiftrightunsigned(c, 64 - (s % 64)))
+
   /** k-permutation MinHash signatures via explode + k min-aggregates:
-    * sig[s] = min over shingles of h1(shingle) + s*h2(shingle) — the
-    * standard double-hashing family (each shingle string is hashed exactly
-    * twice; the k permutations are integer multiply-adds). One shuffle with
-    * map-side combine; k longs per doc cross the wire. Returns (id, sig). */
+    * sig[s] = min over shingles of h1(shingle) XOR rotl(h2(shingle), s) — a
+    * double-hashing family where each shingle string is hashed exactly twice
+    * and the k permutations are bitwise mixes (overflow-free under ANSI
+    * mode, unlike h1 + s*h2). One shuffle with map-side combine; k longs per
+    * doc cross the wire. Returns (id, sig). */
   def minhashSignatures(withSh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(s =>
-      min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s"))
+      min(col("h1").bitwiseXOR(rotl64(col("h2"), s))).as(s"m$s"))
     withSh
       .select(col("id"), explode(col("sh")).as("t"))
       .select(col("id"), hash(col("t")).cast("long").as("h1"),

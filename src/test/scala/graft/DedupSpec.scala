@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc2 = exact dup of doc1; doc3 = one word changed ("dog" -> "cat",
+  // 12 tokens -> 10 trigram shingles, 7 shared => jaccard 7/13);
+  // doc4 = disjoint vocabulary.
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "The quick brown fox jumps over the lazy dog, again and again!"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content discussing catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is normalization-invariant") {
+    val fps = docs.select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L), "case/punctuation must not change fingerprint")
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L) != fps(4L))
+  }
+
+  test("minhash signature: identical normalized docs get identical sigs") {
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(sh, k = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 64)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("minhashNearDups recalls exact dups and verifies with exact jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), "exact dup must always collide in LSH")
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    // any reported pair carries its true jaccard
+    for (((a, b), j) <- pairs if Set(a, b) == Set(1L, 3L))
+      assert(math.abs(j - 7.0 / 13.0) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "disjoint doc must produce no verified pair")
+  }
+
+  test("simhash: identical docs at distance 0, disjoint docs not paired") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngramJaccardPairs computes exact set jaccard via inverted index") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        probeFilter = col("doc_id") === 1, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L)),
+      s"expected pairs with docs 2 and 3 only, got ${pairs.keySet}")
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 3L)) - 7.0 / 13.0) < 1e-12)
+  }
+
+  test("embeddingNearDups pairs by cosine threshold") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") === 0, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

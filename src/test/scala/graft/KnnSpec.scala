@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Knn
+import graft.functions.Vectors
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(0f, 0.9f, 0.1f, 0f)),
+    (4L, Seq(-1f, 0f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceKnn ranks by cosine desc with id tiebreak") {
+    val rows = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") === 0, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // cos(v0,v1) ~ 0.994; cos(v0,v2)=cos(v0,v3)=0 (tie -> id asc); v4 = -1
+    assert(rows.toSeq == Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)))
+  }
+
+  test("probe row itself is excluded") {
+    val rows = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") === 0, k = 10).collect()
+    assert(rows.forall(r => r.getLong(1) != 0L))
+  }
+
+  test("lshKnn returns valid cosine-ordered subsets per probe") {
+    val rows = Knn.lshKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 2, k = 3, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byProbe = rows.groupBy(_._1)
+    for ((p, rs) <- byProbe) {
+      val ranks = rs.map(_._3).sorted
+      assert(ranks.toSeq == (1 to rs.length).toSeq,
+        s"ranks for probe $p must be contiguous from 1, got ${ranks.toSeq}")
+      assert(rs.forall(_._2 != p), "probe must not be its own neighbor")
+    }
+  }
+
+  test("cosine kernel matches scalar math") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(Vectors.cosine(col("a"), col("b"))).head.getDouble(0)
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.Loader
+
+class LoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsertMerge keeps latest non-null per field (kcidb load priority)") {
+    val log = Seq(
+      ("k1", 1L, Option.empty[Long], Option("a")),
+      ("k1", 2L, Option(5L), Option.empty[String]),
+      ("k1", 3L, Option.empty[Long], Option.empty[String]),
+      ("k2", 1L, Option(7L), Option("z"))
+    ).toDF("id", "seq", "v", "p")
+    val merged = Loader.upsertMerge(log, Seq("id"), Seq(col("seq")), Seq("v", "p"))
+      .orderBy("id")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
+    assert(merged.toSeq == Seq(("k1", 5L, "a"), ("k2", 7L, "z")))
+  }
+
+  test("upsertMerge emits exactly one row per key") {
+    val log = Seq(("a", 1L, Option(1L)), ("a", 2L, Option(2L)),
+      ("b", 1L, Option.empty[Long])).toDF("id", "seq", "v")
+    val out = Loader.upsertMerge(log, Seq("id"), Seq(col("seq")), Seq("v"))
+    assert(out.count() == 2)
+    // a key whose field is null in every submission stays null after merge
+    assert(out.filter(col("id") === "b").head.get(1) == null)
+  }
+
+  test("mergeDatasets unions and drops exact duplicates") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+    val m = Loader.mergeDatasets(Seq(a, b))
+    assert(m.count() == 3)
+  }
+
+  test("dumpWindow is (after, until]") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("t")
+      .select(timestamp_seconds(col("t")).as("ts"))
+    val got = Loader.dumpWindow(df, col("ts"),
+        timestamp_seconds(lit(1)), timestamp_seconds(lit(3)))
+      .select(col("ts").cast("long")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L), "after exclusive, until inclusive")
+  }
+
+  test("purge retains rows at or after the cutoff") {
+    val df = Seq(1L, 2L, 3L).toDF("t")
+      .select(timestamp_seconds(col("t")).as("ts"))
+    val got = Loader.purge(df, col("ts"), timestamp_seconds(lit(2)))
+      .select(col("ts").cast("long")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+}

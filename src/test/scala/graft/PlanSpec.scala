@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these plans
+  * survive a 100 TB scale-up (broadcasts where intended, filter/column
+  * pushdown to the parquet scan, top-k without a global sort, no
+  * accidental nested-loop joins). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q19 star join broadcasts every dimension") {
+    val p = plan("q19_star_join_agg")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n >= 3, s"expected >=3 broadcast joins, got $n in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02 pushes filter and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderstatus"), "status filter must reach the scan")
+    // pruned read schema: no unrelated orders columns materialized
+    assert(!p.contains("o_comment"), "scan must not read unprojected columns")
+  }
+
+  test("q21 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("near-dup joins are equi-joins, never nested loops") {
+    for (q <- Seq("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("aggregations are partial (map-side combine) in q01") {
+    val p = plan("q01_summary_agg")
+    assert(p.contains("partial"), "expect partial aggregation before shuffle")
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    // AQE only annotates codegen stages in the final (executed) plan.
+    val df = SparkEntry.queries("q01_summary_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // codegen'd operators carry the '*' marker in the final AQE plan
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"), p)
+  }
+}

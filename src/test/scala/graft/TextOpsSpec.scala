@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c).head.get(0).asInstanceOf[T]
+
+  test("wordCount normalizes punctuation and case") {
+    assert(one[Long](TextOps.wordCount(col("t")), "Hello, World!") == 2L)
+    assert(one[Long](TextOps.wordCount(col("t")), "one two  three") == 3L)
+  }
+
+  test("bpeEstimate is ceil(len/4)") {
+    assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefgh") == 2L)
+    assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefghi") == 3L)
+  }
+
+  test("occurrences counts non-overlapping literal hits") {
+    assert(one[Long](TextOps.occurrences(col("t"), "ab"), "ab xx ab yy ab") == 3L)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    assert(one[String](TextOps.langId(col("t")),
+      "the cat and the dog of a house") == "en")
+    assert(one[String](TextOps.langId(col("t")),
+      "der hund und die katze und das auto") == "de")
+    assert(one[String](TextOps.langId(col("t")),
+      "le chien et les chats et une maison") == "fr")
+  }
+
+  test("qualityScore is bounded and rewards mid-length text") {
+    val good = ("solid sentence with reasonable words " * 10).trim
+    val junk = "x"
+    val qGood = one[Double](TextOps.qualityScore(col("t")), good)
+    val qJunk = one[Double](TextOps.qualityScore(col("t")), junk)
+    assert(qGood >= 0.0 && qGood <= 1.0)
+    assert(qJunk >= 0.0 && qJunk <= 1.0)
+    assert(qGood > qJunk)
+  }
+}
