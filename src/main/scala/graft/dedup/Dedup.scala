@@ -56,16 +56,27 @@ object Dedup {
     * and the k permutations are bitwise mixes (overflow-free under ANSI
     * mode, unlike h1 + s*h2). One shuffle with map-side combine; k longs per
     * doc cross the wire. Returns (id, sig). */
-  def minhashSignatures(withSh: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(withSh: DataFrame, k: Int): DataFrame =
+    sigAndShingles(withSh, k).select(col("id"), col("sig"))
+
+  /** (id, sh, sig) in a single aggregation pass: the same groupBy computes
+    * the k signature mins AND reassembles the shingle set (collect_set over
+    * the exploded rows). Every consumer — banding, and both sides of the
+    * exact-verify join — then shares this aggregation's shuffle via
+    * ReuseExchange, so normalization/shingling/hashing run once per doc
+    * for the whole near-dup pipeline. */
+  private def sigAndShingles(withSh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(s =>
       min(col("h1").bitwiseXOR(rotl64(col("h2"), s))).as(s"m$s"))
+    val aggs = collect_set(col("t")).as("sh") +: mins
     withSh
       .select(col("id"), explode(col("sh")).as("t"))
-      .select(col("id"), hash(col("t")).cast("long").as("h1"),
+      .select(col("id"), col("t"), hash(col("t")).cast("long").as("h1"),
         xxhash64(col("t")).as("h2"))
       .groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("sh"),
+        array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
   }
 
   /** LSH banding: split the k-length signature into `bands` bands of
@@ -86,8 +97,8 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, nBands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = k / nBands
-    val withSh = withShingles(docs, idCol, textCol, n = 3)
-    val banded = minhashSignatures(withSh, k)
+    val sigs = sigAndShingles(withShingles(docs, idCol, textCol, n = 3), k)
+    val banded = sigs
       .select(col("id"),
         posexplode(bands(col("sig"), nBands, rowsPerBand))
           .as(Seq("band", "bh")))
@@ -98,8 +109,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     cands
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector kernels.
+  *
+  * The `functions._` higher-order-function formulation (`zip_with` +
+  * `aggregate`) evaluates lambdas interpretively — each element binds a
+  * lambda variable — and a cosine needs three separate array traversals
+  * (a·b, a·a, b·b). These expressions generate a single fused primitive
+  * loop inside whole-stage codegen: one pass, three accumulators, no
+  * per-element boxing. Accumulation order is ascending-index left-to-right,
+  * matching both the HOF formulation and the DuckDB oracle's list_reduce,
+  * so results are bit-identical across all three.
+  *
+  * Null elements are treated as absent dimensions (skipped), and the dot
+  * runs over the common prefix of the two arrays.
+  */
+abstract class VectorKernel extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.DataTypeMismatch(
+        errorSubClass = "UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "paramIndex" -> "1",
+          "requiredType" -> "ARRAY<FLOAT>",
+          "inputSql" -> left.sql,
+          "inputType" -> left.dataType.sql))
+  }
+}
+
+/** a · b over two array<float> columns, in double precision. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorKernel {
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    ${ev.value}_acc +=
+         |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cos(a, b) = a·b / (|a| |b|) in one fused pass (three accumulators). */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorKernel {
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv
+        na += xv * xv
+        nb += yv * yv
+      }
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv;
+         |    $na += $xv * $xv;
+         |    $nb += $yv * $yv;
+         |  }
+         |}
+         |${ev.value} =
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
