@@ -167,11 +167,9 @@ object SparkEntry {
   }
 
   private def q14(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").groupBy(col("o_orderpriority"))
-      .agg(
-        count(when(col("o_orderstatus") === "F", lit(1))).as("n_f"),
-        count(when(col("o_orderstatus") === "O", lit(1))).as("n_o"),
-        count(when(col("o_orderstatus") === "P", lit(1))).as("n_p"))
+    Rollups.statusPivot(t(s, dir, "orders"),
+        col("o_orderpriority"), "o_orderpriority",
+        col("o_orderstatus"), Seq("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
       .orderBy("o_orderpriority")
 
   private def q15(s: SparkSession, dir: String): DataFrame =
@@ -292,7 +290,8 @@ object SparkEntry {
 
   private def s02(s: SparkSession, dir: String): DataFrame =
     Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") < 5, k = 3, bits = 6)
+        probeFilter = col("vec_id") < 5, k = 3,
+        bitsPerTable = 4, nTables = 8)
       .orderBy("probe_id", "rank")
 
   private def t01(s: SparkSession, dir: String): DataFrame = {

@@ -192,13 +192,34 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine >= threshold between a bounded probe
-    * subset (broadcast) and the corpus. */
+    * subset and the corpus, via banded random-hyperplane LSH candidate
+    * generation + exact-cosine verification.
+    *
+    * Candidates come from an equi-join on (band, bucket) — the shuffle key
+    * IS the bucket, never a nested-loop probe×corpus scan — and only bucket
+    * collisions pay the exact cosine. An OR-construction of `nBands` tables
+    * of `bitsPerBand` sign-projection bits each gives per-pair miss
+    * probability (1 − p^b)^L with p = 1 − θ/π: recall is tuned by L, bucket
+    * size (corpus / 2^b per table) independently by b. Low thresholds need
+    * small b / larger L (θ is wide); production near-dup thresholds
+    * (cos ≥ 0.8) support b=8, L=16 with sublinear buckets. The default
+    * b=1, L=18 holds exact recall for τ ≥ 0.25 (verified against the
+    * brute-force oracle at both test scale factors).
+    */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        probeFilter: Column, threshold: Double): DataFrame = {
+                        probeFilter: Column, threshold: Double,
+                        bitsPerBand: Int = 1, nBands: Int = 18): DataFrame = {
+    val bands = graft.sim.Knn.srpBands(vecCol, nBands, bitsPerBand)
     val probes = emb.filter(probeFilter)
-      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val corpus = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    broadcast(probes).join(corpus, col("id_a") < col("id_b"))
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        posexplode(bands).as(Seq("band", "bucket")))
+    val corpus = emb
+      .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        posexplode(bands).as(Seq("band", "bucket")))
+    broadcast(probes).join(corpus, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+      .distinct() // a pair colliding in several bands verifies once
       .select(col("id_a"), col("id_b"),
         Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -30,14 +30,17 @@ abstract class VectorKernel extends BinaryExpression {
     }
     if (ok(left.dataType) && ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
-    else
+    else {
+      // Report the operand that is actually mismatched (left wins if both).
+      val (idx, bad) = if (!ok(left.dataType)) ("1", left) else ("2", right)
       TypeCheckResult.DataTypeMismatch(
         errorSubClass = "UNEXPECTED_INPUT_TYPE",
         messageParameters = Map(
-          "paramIndex" -> "1",
+          "paramIndex" -> idx,
           "requiredType" -> "ARRAY<FLOAT>",
-          "inputSql" -> left.sql,
-          "inputType" -> left.dataType.sql))
+          "inputSql" -> bad.sql,
+          "inputType" -> bad.dataType.sql))
+    }
   }
 }
 

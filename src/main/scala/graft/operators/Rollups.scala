@@ -43,8 +43,10 @@ object Rollups {
     * count(when(...)) rather than .pivot so absent combinations are 0 (not
     * null) and the plan is a single partial-aggregatable pass. */
   def statusPivot(df: DataFrame, rowKey: Column, rowKeyName: String,
-                  status: Column, values: Seq[String]): DataFrame = {
-    val aggs = values.map(v => count(when(status === v, lit(1))).as(v))
+                  status: Column, values: Seq[(String, String)]): DataFrame = {
+    val aggs = values.map { case (v, alias) =>
+      count(when(status === v, lit(1))).as(alias)
+    }
     df.groupBy(rowKey.as(rowKeyName)).agg(aggs.head, aggs.tail: _*)
   }
 

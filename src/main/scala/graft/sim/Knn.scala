@@ -1,20 +1,36 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Vectors
+import graft.functions.{TopK, Vectors}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k for a bounded probe set — the probe
   * side is broadcast, so the corpus streams once through a codegen'd
-  * cosine + TakeOrdered per probe; cost is O(|probes| × |corpus|) with no
-  * corpus shuffle. Scale path: random-hyperplane LSH buckets the corpus by
-  * signature so each probe only scans its bucket — the bucket id is the
-  * shuffle key, and recall/cost trades off via signature bits.
+  * cosine; cost is O(|probes| × |corpus|) with no corpus shuffle. Scale
+  * path: banded random-hyperplane LSH (L tables × b bits, an OR-
+  * construction) buckets the corpus so each probe only scans its buckets —
+  * the (table, bucket) pair is the shuffle key, recall grows with L, and
+  * bucket size is corpus / 2^b per table, tunable independently of recall.
+  *
+  * Ranking in BOTH paths is a bounded top-k aggregate
+  * ([[graft.functions.TopKByScore]]): map-side partial aggregation reduces
+  * every partition to ≤ k candidates per probe before the shuffle, so no
+  * probe ever sees all its scored candidates in one place — the
+  * `row_number() over (partition by probe)` window this replaces shuffled
+  * the entire scored corpus to a single partition per probe.
   */
 object Knn {
+
+  /** (probe_id, neighbor_id, rank) from scored candidate rows
+    * (probe_id, neighbor_id, cos): rank 1..k by cos desc, id asc. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Brute-force top-k cosine neighbors for each probe row.
     * Output: (probe_id, neighbor_id, rank), rank 1..k by cosine desc with
@@ -24,52 +40,61 @@ object Knn {
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
     val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(probes)
+    val scored = broadcast(probes)
       .join(corpus, col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("cos")
+    rankTopK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the probe's signature
-    * bucket; ranking within bucket is exact cosine. Returns the same shape
-    * as bruteForceKnn (may return < k rows per probe — approximate). */
+  /** Banded-LSH approximate top-k: candidates share at least one of L
+    * (table, bucket) signatures with the probe; ranking among candidates is
+    * exact cosine via the bounded top-k aggregate. Same output shape as
+    * bruteForceKnn (may return < k rows per probe — approximate). */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
-             probeFilter: Column, k: Int, bits: Int): DataFrame = {
-    val sigExpr = lshSignatureExpr(vecCol, bits)
+             probeFilter: Column, k: Int,
+             bitsPerTable: Int, nTables: Int): DataFrame = {
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigExpr.as("sig"))
+      posexplode(srpBands(vecCol, nTables, bitsPerTable))
+        .as(Seq("table", "bucket")))
     val probes = withSig.filter(probeFilter)
-      .select(col("id").as("probe_id"), col("v").as("v_p"), col("sig"))
+      .select(col("id").as("probe_id"), col("v").as("v_p"),
+        col("table"), col("bucket"))
     val corpus = withSig
-      .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("sig"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(corpus, Seq("sig"))
+      .select(col("id").as("neighbor_id"), col("v").as("v_c"),
+        col("table"), col("bucket"))
+    // A pair colliding in several tables must score once: dedup candidate
+    // pairs (vectors ride along so no extra lookup join) before the cosine.
+    val cands = probes.join(corpus, Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("cos")
+      .select(col("probe_id"), col("v_p"), col("neighbor_id"), col("v_c"))
+      .distinct()
+    val scored = cands.select(col("probe_id"), col("neighbor_id"),
+      Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
+    rankTopK(scored, k)
   }
 
-  /** Signature as a single SQL-lambda expression (shift by a column amount
-    * requires the SQL form). */
-  def lshSignatureExpr(vecCol: String, bits: Int): Column = expr(
-    s"""aggregate(
-          sequence(0, ${bits - 1}),
-          0L,
-          (acc, p) -> acc | CASE WHEN
-            aggregate(
-              sequence(1, size($vecCol)),
-              cast(0.0 as double),
-              (s, i) -> s + cast(element_at($vecCol, i) as double) *
-                ((cast(pmod(hash(p, i), 2000) as double) - 1000.0) / 1000.0)
-            ) > 0 THEN shiftleft(1L, p) ELSE 0L END
-        )""")
+  /** L random-hyperplane signatures of `bits` bits each, as an array<long>
+    * indexed by table: bit j of table t is the sign of the projection onto
+    * pseudo-random plane (t*bits + j). Plane components are derived from
+    * murmur3(plane, dim) — deterministic, no stored model. */
+  def srpBands(vecCol: String, nTables: Int, bits: Int): Column = expr(
+    s"""transform(
+          sequence(0, ${nTables - 1}),
+          t -> aggregate(
+            sequence(0, ${bits - 1}),
+            0L,
+            (acc, j) -> acc | CASE WHEN
+              aggregate(
+                sequence(1, size($vecCol)),
+                cast(0.0 as double),
+                (s, i) -> s + cast(element_at($vecCol, i) as double) *
+                  ((cast(pmod(hash(t * $bits + j, i), 2000) as double)
+                    - 1000.0) / 1000.0)
+              ) > 0 THEN shiftleft(1L, j) ELSE 0L END
+          ))""")
+
+  /** Single-table signature (back-compat helper; table 0 of [[srpBands]]). */
+  def lshSignatureExpr(vecCol: String, bits: Int): Column =
+    element_at(srpBands(vecCol, 1, bits), 1)
 }

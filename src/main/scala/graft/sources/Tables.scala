@@ -31,9 +31,10 @@ object Tables {
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // nanos-as-long: integer division truncates toward zero; epochs here
-        // are all positive so this is a floor, matching DuckDB's ns->µs cast.
-        raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+        // nanos-as-long: `div` is exact integer division (epoch-ns values
+        // exceed double's 2^53 exact range, so `/ 1000` in double could be
+        // off by one µs), matching DuckDB's ns->µs cast.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -34,7 +34,7 @@ class KnnSpec extends AnyFunSuite {
 
   test("lshKnn returns valid cosine-ordered subsets per probe") {
     val rows = Knn.lshKnn(emb, "vec_id", "embedding",
-        probeFilter = col("vec_id") < 2, k = 3, bits = 2)
+        probeFilter = col("vec_id") < 2, k = 3, bitsPerTable = 2, nTables = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val byProbe = rows.groupBy(_._1)
     for ((p, rs) <- byProbe) {

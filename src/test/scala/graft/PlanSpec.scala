@@ -35,11 +35,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("near-dup joins are equi-joins, never nested loops") {
-    for (q <- Seq("d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard")) {
+    for (q <- Seq("d02_dedup_minhash", "d03_dedup_simhash",
+        "d04_ngram_jaccard", "d05_embed_neardup", "s02_knn_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
+    }
+  }
+
+  test("KNN ranking is a bounded aggregate, not a per-probe window") {
+    for (q <- Seq("s01_knn_brute", "s02_knn_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not rank via a window (all candidates of a probe would " +
+          s"shuffle to one partition):\n$p")
+      assert(p.contains("top_k_by_score"), s"$q must use the top-k aggregate")
+      assert(p.contains("partial_top_k_by_score") || p.contains("partial"),
+        s"$q top-k aggregate must be partial (map-side combine)")
     }
   }
 

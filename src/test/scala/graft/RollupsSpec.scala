@@ -25,7 +25,7 @@ class RollupsSpec extends AnyFunSuite {
   test("statusPivot zero-fills absent combinations") {
     val df = Seq(("x", "F"), ("x", "F"), ("y", "O")).toDF("arch", "st")
     val got = Rollups.statusPivot(df, col("arch"), "arch", col("st"),
-        Seq("F", "O", "P"))
+        Seq("F" -> "F", "O" -> "O", "P" -> "P"))
       .orderBy("arch").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("x", 2L, 0L, 0L), ("y", 0L, 1L, 0L)))
