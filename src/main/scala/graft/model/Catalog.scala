@@ -44,6 +44,12 @@ final class Catalog(
     * /root/reference/kcidb/db/sqlite/v04_00.py:644-682): starting from
     * per-type root ID sets, repeatedly semi-join child tables on the
     * parent-reference columns. Returns every reached type's matched rows.
+    *
+    * Broadcast policy: only the ROOT id lists carry a broadcast hint — they
+    * are caller-supplied and bounded. Derived frontiers (all orders of the
+    * matched customers, etc.) are data-dependent and unbounded at scale, so
+    * those semi-joins carry no hint and AQE picks broadcast vs shuffle from
+    * the frontier's actual runtime size.
     */
   def childrenClosure(
       spark: SparkSession, dir: String,
@@ -64,7 +70,7 @@ final class Catalog(
         val cond = rel.refCols.zip(types(tn).idCols)
           .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
           .reduce(_ && _)
-        val rows = childTbl.join(broadcast(parentIds), cond, "left_semi")
+        val rows = childTbl.join(parentIds, cond, "left_semi")
         next(rel.child) = next.get(rel.child).map(_.union(rows)).getOrElse(rows)
       }
       val newly = next.map { case (tn, df) =>
@@ -95,7 +101,7 @@ final class Catalog(
             col(rc).as(ic)
           }: _*).distinct()
         val parentTbl = load(spark, dir, rel.parent)
-        val rows = parentTbl.join(broadcast(refIds), pType.idCols, "left_semi")
+        val rows = parentTbl.join(refIds, pType.idCols, "left_semi")
         next(rel.parent) =
           next.get(rel.parent).map(_.union(rows)).getOrElse(rows)
       }

@@ -82,7 +82,9 @@ object PatternQuery {
           val cond = rel.refCols
             .map(rc => childTbl(rc) === renamed(s"__ref_$rc"))
             .reduce(_ && _)
-          rel.child -> childTbl.join(broadcast(renamed), cond, "left_semi")
+          // No broadcast hint: the frontier is derived and unbounded; AQE
+          // picks the strategy from its runtime size.
+          rel.child -> childTbl.join(renamed, cond, "left_semi")
         } else {
           val pType = catalog.types(rel.parent)
           val refIds = fromRows.select(rel.refCols.zip(pType.idCols).map {
@@ -90,7 +92,7 @@ object PatternQuery {
           }: _*).distinct()
           val parentTbl = catalog.load(spark, dir, rel.parent)
           rel.parent ->
-            parentTbl.join(broadcast(refIds), pType.idCols, "left_semi")
+            parentTbl.join(refIds, pType.idCols, "left_semi")
         }
       }
     }

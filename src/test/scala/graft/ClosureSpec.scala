@@ -56,6 +56,27 @@ class ClosureSpec extends AnyFunSuite {
     assert(m("region").count() >= 1)
   }
 
+  test("only root id lists carry a broadcast hint, never derived frontiers") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // A hint is legitimate iff its subtree is the caller-supplied root id
+    // list (a local relation) — a hint wrapping any table-derived frontier
+    // (contains a parquet scan) would force-broadcast unbounded data.
+    def assertHintsAreRootOnly(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        .foreach { h =>
+          val scans = h.child.collect { case r: LogicalRelation => r }
+          assert(scans.isEmpty,
+            s"broadcast hint wraps a derived frontier:\n${h.treeString}")
+        }
+    val m = cat.childrenClosure(spark, dir,
+      Map("customer" -> Seq(21L).toDF("c_custkey")))
+    m.values.foreach(assertHintsAreRootOnly)
+    val pm = cat.parentsClosure(spark, dir,
+      Map("lineitem" -> Seq((1L, 3L)).toDF("l_orderkey", "l_linenumber")))
+    pm.values.foreach(assertHintsAreRootOnly)
+  }
+
   test("closures of empty roots are empty") {
     val roots = Seq.empty[Long].toDF("c_custkey")
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))
