@@ -232,6 +232,27 @@ object OracleSql {
          ORDER BY total_spend DESC, c_custkey ASC
          LIMIT 20""",
 
+    "q22_ultimate_parents" ->
+      """WITH li AS (SELECT * FROM lineitem
+           WHERE l_linenumber = 1 AND l_orderkey IN (1,2,3,4,5)),
+         o AS (SELECT * FROM orders
+               WHERE o_orderkey IN (SELECT l_orderkey FROM li)),
+         c AS (SELECT * FROM customer
+               WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         s AS (SELECT * FROM supplier
+               WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+         n AS (SELECT * FROM nation
+               WHERE n_nationkey IN (SELECT c_nationkey FROM c
+                                     UNION SELECT s_nationkey FROM s)),
+         r AS (SELECT * FROM region
+               WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+         SELECT 'region' AS object_type, CAST(r_regionkey AS VARCHAR) AS id
+           FROM r
+         UNION ALL
+         SELECT 'part', CAST(p_partkey AS VARCHAR) FROM part
+           WHERE p_partkey IN (SELECT l_partkey FROM li)
+         ORDER BY object_type, id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

@@ -250,6 +250,21 @@ object SparkEntry {
           count(lit(1)).as("n_orders")),
       Seq(col("total_spend").desc, col("c_custkey").asc), 20)
 
+  /** Ultimate parents (`<*$` + `%` placeholder): the kcidb "root objects of
+    * these tests" query (orm/query.py STRING_DOC `>test%<*$`). From five
+    * lineitems, the dead-end ancestor types are region (via the
+    * customer/supplier spines) and part (side parent, childless upward). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val m = PatternQuery.run(s, dir, TestCatalog.catalog,
+      ">lineitem%<*$",
+      idLists = Seq((1L to 5L).map(k => Seq(k.toString, "1"))))
+    m("region").select(lit("region").as("object_type"),
+        col("r_regionkey").cast("string").as("id"))
+      .union(m("part").select(lit("part").as("object_type"),
+        col("p_partkey").cast("string").as("id")))
+      .orderBy("object_type", "id")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -362,6 +377,7 @@ object SparkEntry {
     "q19_star_join_agg" -> (q19 _),
     "q20_semi_anti" -> (q20 _),
     "q21_topk" -> (q21 _),
+    "q22_ultimate_parents" -> (q22 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -6,53 +6,162 @@ import graft.model.Catalog
 
 /** The kcidb ORM pattern query language, planned as Spark semi-joins.
   *
-  * Grammar (subset faithful to
-  * /root/reference/kcidb/orm/query.py:626-720 STRING_DOC):
+  * Grammar (faithful to /root/reference/kcidb/orm/query.py:626-720
+  * STRING_DOC ABNF):
   *
   *   pattern  = relation type [spec] [match]
   *   relation = ">" (children) | "<" (parents)
-  *   type     = name | "*"   ("*" traverses recursively to the furthest types)
-  *   spec     = "[" id (";" id)* "]"   (id = comma-separated id fields)
-  *   match    = "#" (match all types traversed by this spec)
-  *            | "$" (match only the types referenced, i.e. the last reached)
+  *   type     = name | "*"   ("*" traverses recursively; it REFERENCES only
+  *                            the furthest reached types, plus bases with no
+  *                            relations in the traversal direction)
+  *   spec     = "%"          (placeholder: consumes one ID list from the
+  *                            separately-supplied list of ID lists)
+  *            | "[" id_list "]"  (inline; id fields may be quoted with
+  *                                double quotes, backslash-escaping \" and \\)
+  *   match    = "#" (match objects of all types TRAVERSED by this spec)
+  *            | "$" (match objects of the types REFERENCED by this spec)
   *
-  * e.g. ">customer[21;22]>orders>lineitem#" — lineitems of orders of
-  * customers 21 and 22; ">lineitem[5,1]<*#" — all ancestors of lineitem
-  * (5,1).
+  * For a named type, traversed == referenced, so `#` and `$` agree. For
+  * `*`, `#` matches everything expanded into, while `$` matches only the
+  * dead ends — types with no further relations in the traversal direction
+  * (`>test[...]<*$` = the ultimate parents). The next step's frontier is
+  * always the REFERENCED set (reference: orm/query.py:459-481 `_expand`).
   *
-  * Each step is one frontier semi-join (broadcast when small): no driver
-  * iteration over rows, so a pattern over 100 TB is a fixed number of
-  * key-bounded shuffles.
+  * Each hop is one frontier semi-join: no driver iteration over rows, so a
+  * pattern over 100 TB is a fixed number of key-bounded shuffles. Only
+  * caller-supplied ID lists are bounded; frontiers carry no broadcast hint
+  * (AQE decides from runtime size).
   */
 object PatternQuery {
 
+  sealed trait Spec
+  /** No ID restriction. */
+  case object NoSpec extends Spec
+  /** `%`: take the next caller-supplied ID list. */
+  case object Placeholder extends Spec
+  /** Inline `[a,b;c,d]` list; each inner Seq is one composite ID. */
+  final case class IdList(ids: Seq[Seq[String]]) extends Spec
+
   final case class Step(child: Boolean, typeName: String,
-                        ids: Option[Seq[Seq[String]]], matched: Boolean)
+                        spec: Spec, matchChar: Option[Char])
 
-  private val stepRe =
-    """\s*([<>])\s*([a-z0-9_]+|\*)\s*(\[[^\]]*\])?\s*([#$])?""".r
+  // ------------------------------------------------------------- parser --
 
+  private val unquotedIdChar: Char => Boolean = c =>
+    c.isLetterOrDigit && c < 128 || "_:/.?%+-".contains(c)
+
+  /** Hand-rolled scanner: regexes cannot honor quoted `]`/`;` inside ID
+    * fields. Mirrors the reference ABNF including backslash escapes. */
   def parse(pattern: String): Seq[Step] = {
-    val steps = stepRe.findAllMatchIn(pattern).map { m =>
-      val ids = Option(m.group(3)).map { s =>
-        val inner = s.substring(1, s.length - 1).trim
-        if (inner.isEmpty) Seq.empty[Seq[String]]
-        else inner.split(";").toSeq.map(_.trim)
-          .map(_.split(",").toSeq.map(_.trim))
+    var i = 0
+    val n = pattern.length
+    def ws(): Unit = while (i < n && pattern(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$msg at position $i in pattern: $pattern")
+
+    def idField(): String = {
+      if (i < n && pattern(i) == '"') {
+        i += 1
+        val sb = new StringBuilder
+        while (i < n && pattern(i) != '"') {
+          if (pattern(i) == '\\') {
+            i += 1
+            if (i >= n || (pattern(i) != '"' && pattern(i) != '\\'))
+              fail("invalid escape in quoted ID field")
+          }
+          sb += pattern(i); i += 1
+        }
+        if (i >= n) fail("unterminated quoted ID field")
+        i += 1
+        sb.result()
+      } else {
+        val start = i
+        while (i < n && unquotedIdChar(pattern(i))) i += 1
+        if (i == start) fail("empty ID field")
+        pattern.substring(start, i)
       }
-      Step(m.group(1) == ">", m.group(2), ids, m.group(4) != null)
-    }.toSeq
-    val consumed = stepRe.findAllMatchIn(pattern).map(_.matched.length).sum
-    require(consumed == pattern.length,
-      s"unparsable pattern suffix in: $pattern")
-    steps
+    }
+
+    def idList(): Seq[Seq[String]] = {
+      val ids = Seq.newBuilder[Seq[String]]
+      var more = true
+      while (more) {
+        val fields = Seq.newBuilder[String]
+        fields += idField()
+        ws()
+        while (i < n && pattern(i) == ',') { i += 1; ws(); fields += idField(); ws() }
+        ids += fields.result()
+        if (i < n && pattern(i) == ';') { i += 1; ws() } else more = false
+      }
+      ids.result()
+    }
+
+    val steps = Seq.newBuilder[Step]
+    ws()
+    if (i >= n) fail("empty pattern")
+    while (i < n) {
+      val child = pattern(i) match {
+        case '>' => true
+        case '<' => false
+        case _ => fail("expected '>' or '<'")
+      }
+      i += 1; ws()
+      val typeName =
+        if (i < n && pattern(i) == '*') { i += 1; "*" }
+        else {
+          val start = i
+          while (i < n && (pattern(i).isLower && pattern(i) < 128 ||
+            pattern(i).isDigit || pattern(i) == '_')) i += 1
+          if (i == start) fail("expected type name or '*'")
+          pattern.substring(start, i)
+        }
+      ws()
+      val spec: Spec =
+        if (i < n && pattern(i) == '%') { i += 1; Placeholder }
+        else if (i < n && pattern(i) == '[') {
+          i += 1; ws()
+          val ids = if (i < n && pattern(i) == ']') Seq.empty else idList()
+          ws()
+          if (i >= n || pattern(i) != ']') fail("expected ']'")
+          i += 1
+          IdList(ids)
+        } else NoSpec
+      ws()
+      val matchChar =
+        if (i < n && (pattern(i) == '#' || pattern(i) == '$')) {
+          val c = pattern(i); i += 1; Some(c)
+        } else None
+      ws()
+      steps += Step(child, typeName, spec, matchChar)
+    }
+    steps.result()
   }
 
-  /** Execute a pattern against the catalog; returns matched rows per type. */
+  // ----------------------------------------------------------- planner --
+
+  /** Execute a pattern against the catalog; returns matched rows per type.
+    *
+    * @param idLists out-of-band ID lists consumed, in order, by `%` specs
+    *                (reference: `obj_str_id_set_list` in orm/query.py parse).
+    */
   def run(spark: SparkSession, dir: String, catalog: Catalog,
-          pattern: String): Map[String, DataFrame] = {
-    var frontier: Map[String, DataFrame] = Map.empty // type -> matched rows
+          pattern: String,
+          idLists: Seq[Seq[Seq[String]]] = Seq.empty): Map[String, DataFrame] = {
+    var frontier: Map[String, DataFrame] = Map.empty // referenced rows/type
     var results: Map[String, DataFrame] = Map.empty
+    var remainingIdLists = idLists
+
+    def resolveIds(spec: Spec): Option[Seq[Seq[String]]] = spec match {
+      case NoSpec => None
+      case IdList(ids) => Some(ids)
+      case Placeholder =>
+        require(remainingIdLists.nonEmpty,
+          s"not enough ID lists supplied for '%' placeholders in: $pattern")
+        val head = remainingIdLists.head
+        remainingIdLists = remainingIdLists.tail
+        Some(head)
+    }
 
     def idFilter(tn: String, df: DataFrame,
                  ids: Option[Seq[Seq[String]]]): DataFrame = ids match {
@@ -67,11 +176,12 @@ object PatternQuery {
         df.filter(cond)
     }
 
+    def relsOf(tn: String, child: Boolean) =
+      if (child) catalog.childrenOf(tn) else catalog.parentsOf(tn)
+
     def hop(fromType: String, fromRows: DataFrame, child: Boolean)
-        : Seq[(String, DataFrame)] = {
-      val rels =
-        if (child) catalog.childrenOf(fromType) else catalog.parentsOf(fromType)
-      rels.map { rel =>
+        : Seq[(String, DataFrame)] =
+      relsOf(fromType, child).map { rel =>
         if (child) {
           val pType = catalog.types(rel.parent)
           val pIds = fromRows.select(pType.idCols.map(col): _*).distinct()
@@ -91,55 +201,76 @@ object PatternQuery {
             case (rc, ic) => col(rc).as(ic)
           }: _*).distinct()
           val parentTbl = catalog.load(spark, dir, rel.parent)
-          rel.parent ->
-            parentTbl.join(refIds, pType.idCols, "left_semi")
+          rel.parent -> parentTbl.join(refIds, pType.idCols, "left_semi")
         }
       }
-    }
+
+    def merged(acc: Map[String, DataFrame], tn: String, df: DataFrame) =
+      acc.updated(tn, acc.get(tn).map(_.union(df).distinct()).getOrElse(df))
 
     for (step <- parse(pattern)) {
-      val traversed = scala.collection.mutable.Map[String, DataFrame]()
-      def add(tn: String, df: DataFrame): Unit =
-        traversed(tn) =
-          traversed.get(tn).map(_.union(df).distinct()).getOrElse(df)
+      val ids = resolveIds(step.spec)
+      // rows expanded into by this step, per type (match target of '#')
+      var traversed: Map[String, DataFrame] = Map.empty
+      // rows of dead-end types (match target of '$', and the next frontier)
+      var referenced: Map[String, DataFrame] = Map.empty
 
-      if (frontier.isEmpty) {
-        // Based on root: named type loads the table; "*" loads all types.
-        val names =
-          if (step.typeName == "*") catalog.types.keys.toSeq
-          else Seq(step.typeName)
-        require(step.child, "first pattern step must use '>'")
-        for (tn <- names) {
-          require(catalog.types.contains(tn), s"unknown type $tn")
-          add(tn, idFilter(tn, catalog.load(spark, dir, tn), step.ids))
-        }
-      } else if (step.typeName == "*") {
-        // Recursive traversal to exhaustion from every frontier type.
-        var cur = frontier
-        while (cur.nonEmpty) {
-          val next = scala.collection.mutable.Map[String, DataFrame]()
-          for ((tn, rows) <- cur; (ntn, ndf) <- hop(tn, rows, step.child)) {
-            val filtered = idFilter(ntn, ndf, step.ids)
-            next(ntn) =
-              next.get(ntn).map(_.union(filtered).distinct()).getOrElse(filtered)
-            add(ntn, filtered)
+      if (step.typeName == "*") {
+        // Recursive traversal. Referenced = types with no relations in the
+        // traversal direction (including frontier types that cannot expand
+        // at all — reference orm/query.py:466-472 `unused_set`).
+        val base: Map[String, DataFrame] =
+          if (frontier.nonEmpty) frontier
+          else {
+            require(step.child, "first pattern step must use '>'")
+            // Root '*': every catalog type, id-filtered
+            catalog.types.keys.map { tn =>
+              tn -> idFilter(tn, catalog.load(spark, dir, tn), ids)
+            }.toMap
           }
-          cur = next.toMap
+        if (frontier.isEmpty)
+          for ((tn, df) <- base) traversed = merged(traversed, tn, df)
+        for ((tn, df) <- base if relsOf(tn, step.child).isEmpty)
+          referenced = merged(referenced, tn, df)
+        var cur = base
+        while (cur.nonEmpty) {
+          var next: Map[String, DataFrame] = Map.empty
+          for ((tn, rows) <- cur; (ntn, ndf) <- hop(tn, rows, step.child)) {
+            val filtered = idFilter(ntn, ndf, ids)
+            next = merged(next, ntn, filtered)
+            traversed = merged(traversed, ntn, filtered)
+          }
+          for ((tn, df) <- next if relsOf(tn, step.child).isEmpty)
+            referenced = merged(referenced, tn, df)
+          cur = next
         }
+      } else if (frontier.isEmpty) {
+        // Based on root: a named type loads its table.
+        require(step.child, "first pattern step must use '>'")
+        require(catalog.types.contains(step.typeName),
+          s"unknown type ${step.typeName}")
+        val df =
+          idFilter(step.typeName,
+            catalog.load(spark, dir, step.typeName), ids)
+        traversed = Map(step.typeName -> df)
+        referenced = traversed
       } else {
-        for ((tn, rows) <- frontier; (ntn, ndf) <- hop(tn, rows, step.child)
+        for ((tn, rows) <- frontier;
+             (ntn, ndf) <- hop(tn, rows, step.child)
              if ntn == step.typeName)
-          add(ntn, idFilter(ntn, ndf, step.ids))
+          traversed = merged(traversed, ntn, idFilter(ntn, ndf, ids))
         require(traversed.nonEmpty,
           s"no relation to type ${step.typeName} from frontier")
+        referenced = traversed
       }
 
-      frontier = traversed.toMap
-      if (step.matched)
-        for ((tn, df) <- frontier)
-          results =
-            results.updated(tn,
-              results.get(tn).map(_.union(df).distinct()).getOrElse(df))
+      frontier = referenced
+      val toMatch = step.matchChar match {
+        case Some('#') => traversed
+        case Some('$') => referenced
+        case _ => Map.empty[String, DataFrame]
+      }
+      for ((tn, df) <- toMatch) results = merged(results, tn, df)
     }
     results
   }

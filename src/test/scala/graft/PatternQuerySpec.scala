@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.query.PatternQuery
-import graft.query.PatternQuery.Step
+import graft.query.PatternQuery.{IdList, NoSpec, Placeholder, Step}
 import graft.model.TestCatalog
 import graft.sources.Tables
 
@@ -15,19 +15,35 @@ class PatternQuerySpec extends AnyFunSuite {
   test("parse: steps, id specs, match markers") {
     val steps = PatternQuery.parse(">customer[21;22]>orders>lineitem#")
     assert(steps == Seq(
-      Step(child = true, "customer", Some(Seq(Seq("21"), Seq("22"))), matched = false),
-      Step(child = true, "orders", None, matched = false),
-      Step(child = true, "lineitem", None, matched = true)))
+      Step(child = true, "customer",
+        IdList(Seq(Seq("21"), Seq("22"))), None),
+      Step(child = true, "orders", NoSpec, None),
+      Step(child = true, "lineitem", NoSpec, Some('#'))))
   }
 
-  test("parse: composite ids and wildcard") {
-    val steps = PatternQuery.parse(">lineitem[5,1;6,2]<*#")
-    assert(steps.head.ids == Some(Seq(Seq("5", "1"), Seq("6", "2"))))
-    assert(steps(1) == Step(child = false, "*", None, matched = true))
+  test("parse: composite ids, wildcard, '$' marker") {
+    val steps = PatternQuery.parse(">lineitem[5,1;6,2]<*$")
+    assert(steps.head.spec == IdList(Seq(Seq("5", "1"), Seq("6", "2"))))
+    assert(steps(1) == Step(child = false, "*", NoSpec, Some('$')))
+  }
+
+  test("parse: '%' placeholder and quoted id fields with escapes") {
+    val steps = PatternQuery.parse(""">customer%>orders["a;b", "c\"d\\e"]#""")
+    assert(steps.head.spec == Placeholder)
+    assert(steps(1).spec == IdList(Seq(Seq("a;b", "c\"d\\e"))))
+  }
+
+  test("parse: whitespace tolerated as in the reference ABNF") {
+    val steps = PatternQuery.parse(" > customer [ 21 ; 22 ] # ")
+    assert(steps == Seq(Step(child = true, "customer",
+      IdList(Seq(Seq("21"), Seq("22"))), Some('#'))))
   }
 
   test("parse: rejects garbage") {
     intercept[IllegalArgumentException](PatternQuery.parse(">customer[1] junk"))
+    intercept[IllegalArgumentException](PatternQuery.parse(""))
+    intercept[IllegalArgumentException](
+      PatternQuery.parse(">customer[\"unterminated]#"))
   }
 
   test("run: child chain equals direct semi-join") {
@@ -44,7 +60,7 @@ class PatternQuerySpec extends AnyFunSuite {
     assert(res("customer").count() == 1)
   }
 
-  test("run: '<*' ascends to all ancestors") {
+  test("run: '<*#' matches all ancestors but not the base itself") {
     val res = PatternQuery.run(spark, dir, cat, ">lineitem[1,3]<*#")
     assert(res.keySet == Set("orders", "part", "supplier", "customer",
       "nation", "region"))
@@ -54,6 +70,38 @@ class PatternQuerySpec extends AnyFunSuite {
     // supplier side parent; 1 or 2 rows depending on the data.
     for (t <- Seq("nation", "region"))
       assert(res(t).count() >= 1 && res(t).count() <= 2, s"$t")
+  }
+
+  test("run: '<*$' matches only the ultimate parents (dead-end types)") {
+    val res = PatternQuery.run(spark, dir, cat, ">lineitem[1,3]<*$")
+    // parents of lineitem: orders -> customer -> nation -> region (spine),
+    // part (no parents), supplier -> nation -> region. Dead ends: region,
+    // part — NOT orders/customer/nation/supplier.
+    assert(res.keySet == Set("region", "part"), res.keySet)
+    assert(res("part").count() == 1)
+    assert(res("region").count() >= 1)
+  }
+
+  test("run: '$' frontier chains — '<*$>*#' descends from the roots") {
+    val res = PatternQuery.run(spark, dir, cat, ">orders[1]<*$")
+    // orders' ancestors: customer -> nation -> region; dead end = region.
+    assert(res.keySet == Set("region"))
+    assert(res("region").count() == 1)
+  }
+
+  test("run: '%' consumes out-of-band id lists in order") {
+    val res = PatternQuery.run(spark, dir, cat, ">customer%>orders#",
+      idLists = Seq(Seq(Seq("21"))))
+    val exp = Tables(spark, dir, "orders").filter(col("o_custkey") === 21)
+    assert(res("orders").count() == exp.count())
+    intercept[IllegalArgumentException](
+      PatternQuery.run(spark, dir, cat, ">customer%>orders#"))
+  }
+
+  test("run: '>*$' from root matches childless types only") {
+    val res = PatternQuery.run(spark, dir, cat, ">*[999999]$")
+    // lineitem is the only type with no child relations
+    assert(res.keySet == Set("lineitem"))
   }
 
   test("run: unrelated hop fails loudly") {
