@@ -253,6 +253,25 @@ object OracleSql {
            WHERE p_partkey IN (SELECT l_partkey FROM li)
          ORDER BY object_type, id""",
 
+    "q23_path_rollup" ->
+      """WITH t AS (SELECT
+           event_type || '.u' || CAST(user_id % 8 AS VARCHAR)
+             || '.e' || CAST(event_id % 4 AS VARCHAR) AS path,
+           CASE WHEN value >= 80 THEN 'PASS'
+                WHEN value >= 20 THEN 'SKIP' ELSE 'FAIL' END AS status
+           FROM events),
+         p AS (SELECT
+             array_to_string((string_split(path, '.'))[1:d.d], '.')
+               AS node_path, status
+           FROM t CROSS JOIN (VALUES (1), (2), (3)) d(d))
+         SELECT node_path,
+           CASE MIN(CASE status WHEN 'FAIL' THEN 0 WHEN 'SKIP' THEN 1
+                    WHEN 'PASS' THEN 2 END)
+             WHEN 0 THEN 'FAIL' WHEN 1 THEN 'SKIP' WHEN 2 THEN 'PASS' END
+             AS worst_status,
+           COUNT(*) AS n_tests
+         FROM p GROUP BY node_path ORDER BY node_path""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

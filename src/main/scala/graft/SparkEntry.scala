@@ -265,6 +265,22 @@ object SparkEntry {
       .orderBy("object_type", "id")
   }
 
+  /** Dot-path test-tree rollup (kcidb `Node`, oo/__init__.py:277-408): a
+    * 3-level path synthesized from events (type.userbucket.eventbucket),
+    * status from the measure; every node of the tree gets the worst status
+    * and size of its subtree. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val path = concat(col("event_type"), lit(".u"),
+      pmod(col("user_id"), lit(8)).cast("string"), lit(".e"),
+      pmod(col("event_id"), lit(4)).cast("string"))
+    val status = when(col("value") >= 80, "PASS")
+      .when(col("value") >= 20, "SKIP").otherwise("FAIL")
+    Rollups.pathRollup(e, path, status,
+        Seq("FAIL" -> 0, "SKIP" -> 1, "PASS" -> 2))
+      .orderBy("node_path")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -378,6 +394,7 @@ object SparkEntry {
     "q20_semi_anti" -> (q20 _),
     "q21_topk" -> (q21 _),
     "q22_ultimate_parents" -> (q22 _),
+    "q23_path_rollup" -> (q23 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

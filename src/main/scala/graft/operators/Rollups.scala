@@ -19,23 +19,56 @@ object Rollups {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** status -> numeric priority (unlisted statuses sink to MaxValue). */
+  private def statusToPrio(status: Column,
+                           priorities: Seq[(String, Int)]): Column =
+    priorities.foldLeft(lit(Int.MaxValue)) {
+      case (acc, (s, p)) => when(status === s, p).otherwise(acc)
+    }
+
+  /** numeric priority -> status (inverse of [[statusToPrio]]). */
+  private def prioToStatus(prio: Column,
+                           priorities: Seq[(String, Int)]): Column =
+    priorities.foldLeft(lit(null: String)) {
+      case (acc, (s, p)) => when(prio === p, s).otherwise(acc)
+    }
+
   /** Worst-status aggregate — kcidb `checkouts_valid`
     * (oo/__init__.py:464-477) takes min over a priority order
     * (false < null < true). Generalized: map status to priority, take min,
     * map back. Expressed as min(CASE...) so it stays a partial-aggregatable
     * codegen'd aggregate. */
   def worstStatus(df: DataFrame, keys: Seq[String], status: Column,
-                  priorities: Seq[(String, Int)]): DataFrame = {
-    val toPrio = priorities.foldLeft(lit(Int.MaxValue)) {
-      case (acc, (s, p)) => when(status === s, p).otherwise(acc)
-    }
-    val fromPrio = priorities.foldLeft(lit(null: String)) {
-      case (acc, (s, p)) => when(col("__worst_prio") === p, s).otherwise(acc)
-    }
+                  priorities: Seq[(String, Int)]): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(min(toPrio).as("__worst_prio"))
-      .withColumn("worst_status", fromPrio)
+      .agg(min(statusToPrio(status, priorities)).as("__worst_prio"))
+      .withColumn("worst_status",
+        prioToStatus(col("__worst_prio"), priorities))
       .drop("__worst_prio")
+
+  /** Dot-path test-tree rollup — kcidb's `Node` hierarchy
+    * (oo/__init__.py:277-408): every test with path `a.b.c` contributes to
+    * nodes `a`, `a.b`, and `a.b.c`; a node's status is the worst (min
+    * priority) over its subtree, and `n_tests` its subtree size.
+    *
+    * Spark-first shape: split the path, explode its prefixes (depth rows
+    * per test), then ONE partial-aggregatable min/count groupBy on the
+    * prefix — no recursion, no driver-side tree. At 100 TB the explosion
+    * factor is the mean path depth (small constant) and the shuffle key is
+    * the node path. Returns (node_path, worst_status, n_tests). */
+  def pathRollup(df: DataFrame, path: Column, status: Column,
+                 priorities: Seq[(String, Int)]): DataFrame = {
+    val parts = split(path, "\\.")
+    val prefixes = transform(sequence(lit(1), size(parts)),
+      d => concat_ws(".", slice(parts, lit(1), d)))
+    df.select(explode(prefixes).as("node_path"),
+        statusToPrio(status, priorities).as("__prio"))
+      .groupBy(col("node_path"))
+      .agg(min(col("__prio")).as("__worst_prio"),
+        count(lit(1)).as("n_tests"))
+      .select(col("node_path"),
+        prioToStatus(col("__worst_prio"), priorities).as("worst_status"),
+        col("n_tests"))
   }
 
   /** Status pivot — kcidb `architecture_status_builds`

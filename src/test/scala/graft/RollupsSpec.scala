@@ -31,6 +31,35 @@ class RollupsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("x", 2L, 0L, 0L), ("y", 0L, 1L, 0L)))
   }
 
+  test("pathRollup: every prefix node gets worst status and subtree size") {
+    val prio = Seq("FAIL" -> 0, "SKIP" -> 1, "PASS" -> 2)
+    val df = Seq(
+      ("ltp.sem01", "PASS"),
+      ("ltp.sem01", "FAIL"),
+      ("ltp.sem02", "PASS"),
+      ("kunit", "SKIP")
+    ).toDF("path", "status")
+    val got = Rollups.pathRollup(df, col("path"), col("status"), prio)
+      .orderBy("node_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("kunit", "SKIP", 1L),
+      ("ltp", "FAIL", 3L),          // parent = worst of subtree, size 3
+      ("ltp.sem01", "FAIL", 2L),
+      ("ltp.sem02", "PASS", 1L)))
+  }
+
+  test("pathRollup: a parent node's status is never better than any child") {
+    val prio = Seq("FAIL" -> 0, "SKIP" -> 1, "PASS" -> 2)
+    val df = Seq("a.b.c" -> "PASS", "a.b.d" -> "FAIL", "a.e" -> "SKIP",
+      "f" -> "PASS").toDF("path", "status")
+    val rows = Rollups.pathRollup(df, col("path"), col("status"), prio)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rank = prio.toMap
+    for ((p, s) <- rows; (c, cs) <- rows if c.startsWith(p + "."))
+      assert(rank(s) <= rank(cs), s"node $p ($s) vs child $c ($cs)")
+  }
+
   test("latestPerKey is deterministic under ties via tiebreaker column") {
     val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (2L, 5L, 1L, "c"))
       .toDF("k", "ts", "seq", "v")
