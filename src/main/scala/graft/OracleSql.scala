@@ -272,6 +272,26 @@ object OracleSql {
            COUNT(*) AS n_tests
          FROM p GROUP BY node_path ORDER BY node_path""",
 
+    "q24_notifications" -> {
+      def b64(e: String) = s"translate(to_base64(encode($e)), '/', '-')"
+      def sub(name: String, typ: String, idExpr: String, where: String) =
+        s"""SELECT '$name' || ':' || '$typ' || ':' || ${b64(idExpr)}
+              || ':' || ${b64("'m0'")} AS notification_id,
+            '$name' AS subscription, '$typ' AS object_type,
+            $idExpr AS object_id
+            FROM $typ WHERE $where"""
+      Seq(
+        sub("failed_big_orders", "orders", "CAST(o_orderkey AS VARCHAR)",
+          "o_orderstatus = 'F' AND o_totalprice > 200000"),
+        sub("negative_balance", "customer", "CAST(c_custkey AS VARCHAR)",
+          "c_acctbal < -900"),
+        sub("returned_full_qty", "lineitem",
+          "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+          "l_returnflag = 'R' AND l_quantity >= 50"))
+        .mkString("SELECT DISTINCT * FROM (", " UNION ALL ",
+          ") ORDER BY notification_id") // DISTINCT = spool register-once
+    },
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

@@ -281,6 +281,24 @@ object SparkEntry {
       .orderBy("node_path")
   }
 
+  /** Subscription → notification matching (kcidb monitor/__init__.py:7,
+    * output.py:109): three subscriptions over the loaded object graph, each
+    * a pushdown-able predicate; notification ids are the deterministic
+    * spool dedup keys. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    graft.monitor.Subscriptions.matchNotifications(
+      name => t(s, dir, name),
+      Seq(
+        graft.monitor.Subscription("failed_big_orders", "orders",
+          col("o_orderstatus") === "F" && col("o_totalprice") > 200000,
+          Seq("o_orderkey")),
+        graft.monitor.Subscription("negative_balance", "customer",
+          col("c_acctbal") < -900, Seq("c_custkey")),
+        graft.monitor.Subscription("returned_full_qty", "lineitem",
+          col("l_returnflag") === "R" && col("l_quantity") >= 50,
+          Seq("l_orderkey", "l_linenumber"))))
+      .orderBy("notification_id")
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -395,6 +413,7 @@ object SparkEntry {
     "q21_topk" -> (q21 _),
     "q22_ultimate_parents" -> (q22 _),
     "q23_path_rollup" -> (q23 _),
+    "q24_notifications" -> (q24 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -1,0 +1,83 @@
+package graft.monitor
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Subscription → notification matching: the Spark-native form of kcidb's
+  * monitor layer (/root/reference/kcidb/monitor/__init__.py:7-53 `match`,
+  * monitor/output.py:109-173 `Notification`).
+  *
+  * kcidb walks loaded objects through per-subscription Python match
+  * functions producing notification messages; the spool then guarantees
+  * each notification id is registered exactly once
+  * (monitor/spool/__init__.py). graft expresses a subscription as a
+  * predicate Column over one object type, so matching a 100 TB load is a
+  * filter + projection per subscription (codegen'd, pushed to the scan)
+  * and the spool's once-only property is a `distinct` on the deterministic
+  * notification id (batch) or per-id state (streaming).
+  *
+  * Notification id mirrors the reference scheme
+  * (output.py:163-172: subscription ":" type ":" b64(obj_id) ":"
+  * b64(message_id), base64 altchars "+-"): deviation — the object id is the
+  * ":"-joined id column values rather than a Python tuple repr.
+  */
+final case class Subscription(
+    name: String,
+    objectType: String,
+    predicate: Column,
+    idCols: Seq[String],
+    messageId: String = "m0")
+
+object Subscriptions {
+
+  /** base64 with '/' replaced by '-' — the reference's `altchars=b'+-'`
+    * (output.py:115-127), safe for Firestore-style document ids. */
+  private def b64(c: Column): Column =
+    translate(base64(c.cast("binary")), "/", "-")
+
+  /** Deterministic dedup key (output.py:163-172). */
+  def notificationId(sub: Subscription, objId: Column): Column =
+    concat_ws(":", lit(sub.name), lit(sub.objectType), b64(objId),
+      b64(lit(sub.messageId)))
+
+  /** Raw matches: one row per (matched object row, subscription) — works on
+    * batch AND streaming frames (filter + projection only, no state).
+    * Output: (notification_id, subscription, object_type, object_id). */
+  def matchRaw(load: String => DataFrame,
+               subs: Seq[Subscription]): DataFrame =
+    subs.map { sub =>
+      val df = load(sub.objectType)
+      val objId =
+        concat_ws(":", sub.idCols.map(c => col(c).cast("string")): _*)
+      df.filter(sub.predicate).select(
+        notificationId(sub, objId).as("notification_id"),
+        lit(sub.name).as("subscription"),
+        lit(sub.objectType).as("object_type"),
+        objId.as("object_id"))
+    }.reduce(_ unionByName _)
+
+  /** Batch spool: raw matches deduplicated to exactly one notification per
+    * id (the spool's register-once semantics as a `distinct`). */
+  def matchNotifications(load: String => DataFrame,
+                         subs: Seq[Subscription]): DataFrame =
+    matchRaw(load, subs).distinct()
+
+  final case class Notif(notification_id: String, subscription: String,
+                         object_type: String, object_id: String)
+
+  /** Streaming spool: exactly-once per notification id across micro-batches
+    * via one boolean of state per id (the bounded-state analog of the
+    * reference spool's register-once documents). At production scale pair
+    * this with a state TTL (EventTimeTimeout + watermark) matching the
+    * spool's retention window. */
+  def dedupStream(ds: Dataset[Notif]): Dataset[Notif] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.notification_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Notif], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) })
+  }
+}

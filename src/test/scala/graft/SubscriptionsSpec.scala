@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.monitor.{Subscription, Subscriptions}
+import graft.monitor.Subscriptions.Notif
+
+class SubscriptionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val subs = Seq(
+    Subscription("errors", "events", col("kind") === "error", Seq("user")),
+    Subscription("big", "events", col("value") > 100, Seq("user", "kind")))
+
+  private def eventsDf(rows: (Long, String, Double)*) =
+    rows.toDF("user", "kind", "value")
+
+  test("matchNotifications: one row per (object, subscription), deduped") {
+    val df = eventsDf((1L, "error", 1.0), (1L, "error", 2.0),
+      (2L, "error", 200.0), (3L, "click", 5.0))
+    val got = Subscriptions.matchNotifications(_ => df, subs)
+      .orderBy("notification_id").collect()
+      .map(r => (r.getString(1), r.getString(3))).toSeq
+    // user 1 matched 'errors' twice -> ONE notification (spool semantics);
+    // user 2 matches both subscriptions (distinct ids)
+    assert(got == Seq(("big", "2:error"), ("errors", "1"), ("errors", "2")))
+  }
+
+  test("notification id is deterministic and scheme-shaped") {
+    val df = eventsDf((1L, "error", 1.0))
+    val id = Subscriptions.matchNotifications(_ => df, subs.take(1))
+      .head.getString(0)
+    // subscription ":" type ":" b64(obj_id) ":" b64(message_id)
+    val b64_1 = java.util.Base64.getEncoder.encodeToString("1".getBytes)
+    val b64_m0 = java.util.Base64.getEncoder.encodeToString("m0".getBytes)
+    assert(id == s"errors:events:$b64_1:$b64_m0")
+  }
+
+  test("dedupStream: exactly-once per notification id across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Notif]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sub-ckpt").toString
+    val q = Subscriptions.dedupStream(input.toDS)
+      .writeStream.format("memory").queryName("notif_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def n(id: String) = Notif(id, "errors", "events", id)
+    try {
+      // batch 1: id A twice in one batch -> one row
+      input.addData(Seq(n("A"), n("A"), n("B")))
+      q.processAllAvailable()
+      // batch 2: id A again (must not re-emit), new id C
+      input.addData(Seq(n("A"), n("C")))
+      q.processAllAvailable()
+      val got = spark.table("notif_stream")
+        .orderBy("notification_id").collect()
+        .map(_.getString(0)).toSeq
+      assert(got == Seq("A", "B", "C"))
+    } finally q.stop()
+  }
+
+  test("streaming match + dedup composes (filter works on a stream)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sub2-ckpt").toString
+    // matchRaw (stateless) composes with the stateful stream spool
+    val matched = Subscriptions.matchRaw(
+      _ => input.toDF.toDF("user", "kind", "value"), subs.take(1))
+    val deduped = Subscriptions.dedupStream(
+      matched.as[Notif](org.apache.spark.sql.Encoders.product[Notif]))
+    val q = deduped.writeStream.format("memory").queryName("match_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "error", 1.0), (2L, "click", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "error", 9.0), (3L, "error", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("match_stream")
+        .orderBy("object_id").collect().map(_.getString(3)).toSeq
+      assert(got == Seq("1", "3"), "user 1 must notify once, user 3 once")
+    } finally q.stop()
+  }
+}
