@@ -292,6 +292,13 @@ object OracleSql {
           ") ORDER BY notification_id") // DISTINCT = spool register-once
     },
 
+    "q25_schema_upgrade" ->
+      """SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'error' THEN 'FAIL'
+              WHEN value >= 50 THEN 'PASS' ELSE 'SKIP' END AS status,
+         CASE WHEN user_id >= 15 THEN value * 2 ELSE value END AS score
+         FROM events ORDER BY event_id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

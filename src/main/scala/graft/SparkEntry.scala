@@ -299,6 +299,43 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber"))))
       .orderBy("notification_id")
 
+  /** The events-table schema lineage used by q25 and its spec: v1.0 is the
+    * raw legacy layout; v2.0 adds a derived `status` enum (kcidb v05's
+    * valid→status migration, sqlite/v05_00.py:176-184); v2.1 adds `score`
+    * with COALESCE carry-forward (a renamed measure keeping any value
+    * already present). */
+  private[graft] def eventsSchematic: graft.ingest.Schematic =
+    new graft.ingest.Schematic("events", Seq(
+      (1, 0) -> identity[DataFrame] _,
+      (2, 0) -> ((df: DataFrame) => df.withColumn("status",
+        when(col("event_type") === "error", "FAIL")
+          .when(col("value") >= 50, "PASS").otherwise("SKIP"))),
+      (2, 1) -> ((df: DataFrame) => df.withColumn("score",
+        if (df.columns.contains("score"))
+          coalesce(col("score"), col("value"))
+        else col("value")))))
+
+  /** Schema-version upgrade chain (kcidb db/schematic.py lineage): legacy
+    * v1 rows upgrade through v2.0 → v2.1 and merge with natively-v2.1 data
+    * (which carries its own score) — the COALESCE carry-forward keeps
+    * native values and backfills upgraded ones. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val sch = eventsSchematic
+    val legacy = e.filter(col("user_id") < 15)
+      .select("event_id", "user_id", "event_type", "value")
+    val native = e.filter(col("user_id") >= 15)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "error", "FAIL")
+          .when(col("value") >= 50, "PASS").otherwise("SKIP").as("status"),
+        (col("value") * 2).as("score"))
+    sch.upgradeToLatest(legacy, from = (1, 0))
+      .unionByName(sch.upgradeToLatest(native, from = (2, 1)))
+      .select("event_id", "user_id", "event_type", "status", "score")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -414,6 +451,7 @@ object SparkEntry {
     "q22_ultimate_parents" -> (q22 _),
     "q23_path_rollup" -> (q23 _),
     "q24_notifications" -> (q24 _),
+    "q25_schema_upgrade" -> (q25 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
