@@ -189,16 +189,31 @@ object OracleSql {
          GROUP BY n_name, c_mktsegment
          ORDER BY n DESC, n_name ASC, c_mktsegment ASC""",
 
-    "q18_validate" ->
-      """SELECT 'customer_negative_acctbal' AS check_name,
-           COUNT(*) AS violations FROM customer WHERE c_acctbal < 0
-         UNION ALL
-         SELECT 'lineitem_orphan_order', COUNT(*) FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-         UNION ALL
-         SELECT 'orders_orphan_customer', COUNT(*) FROM orders
-           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-         ORDER BY check_name""",
+    "q18_validate" -> {
+      // Generated from the same catalog metadata as the Spark plan, so the
+      // check inventory cannot drift between engine and oracle.
+      val cat = graft.model.TestCatalog.catalog
+      val nulls = for {
+        t <- cat.types.values.toSeq; c <- t.required
+      } yield s"SELECT '${t.name}_null_$c' AS check_name, " +
+        s"COUNT(*) AS violations FROM ${t.name} WHERE $c IS NULL"
+      val formats = for {
+        t <- cat.types.values.toSeq; (c, re) <- t.formats
+      } yield s"SELECT '${t.name}_format_$c', COUNT(*) FROM ${t.name} " +
+        s"WHERE $c IS NOT NULL AND NOT regexp_matches($c, '$re')"
+      val orphans = cat.relations.map { rel =>
+        val cond = rel.refCols.zip(cat.types(rel.parent).idCols)
+          .map { case (rc, ic) => s"${rel.parent}.$ic = ${rel.child}.$rc" }
+          .mkString(" AND ")
+        s"SELECT '${rel.child}_orphan_${rel.parent}', COUNT(*) " +
+          s"FROM ${rel.child} WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM ${rel.parent} WHERE $cond)"
+      }
+      val extras = Seq("SELECT 'customer_negative_acctbal', COUNT(*) " +
+        "FROM customer WHERE c_acctbal < 0")
+      (nulls ++ formats ++ orphans ++ extras)
+        .mkString("", " UNION ALL ", " ORDER BY check_name")
+    },
 
     "q19_star_join_agg" ->
       s"""SELECT n_name, $discPrice AS revenue

@@ -191,21 +191,13 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("n").desc, col("n_name").asc, col("c_mktsegment").asc)
 
-  private def q18(s: SparkSession, dir: String): DataFrame = {
-    def check(name: String, df: DataFrame): DataFrame =
-      df.groupBy().agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"))
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
-    check("lineitem_orphan_order",
-        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
-      .union(check("orders_orphan_customer",
-        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
-      .union(check("customer_negative_acctbal",
-        c.filter(col("c_acctbal") < 0)))
-      .orderBy("check_name")
-  }
+  /** Catalog-driven validation (orm/data.py:89-123): every required-field,
+    * format, and relation-orphan check is GENERATED from TestCatalog
+    * metadata; only domain value rules are passed as extras. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    TestCatalog.catalog.validate(s, dir,
+      extra = Seq("customer_negative_acctbal" ->
+        t(s, dir, "customer").filter(col("c_acctbal") < 0)))
 
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")

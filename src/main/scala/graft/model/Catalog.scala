@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * step at 100 TB is one shuffle bounded by the frontier, and Catalyst can
   * broadcast small frontiers.
   */
-final case class GraftType(name: String, idCols: Seq[String])
+/** @param required columns that must be non-null (kcidb JSON-schema
+  *                 `required` fields, orm/data.py:89-123)
+  * @param formats  (column, anchored regex) shape constraints (kcidb id/
+  *                 origin format rules) */
+final case class GraftType(name: String, idCols: Seq[String],
+                           required: Seq[String] = Seq.empty,
+                           formats: Seq[(String, String)] = Seq.empty)
 
 /** `refCols` are columns OF THE CHILD that hold the parent's ID values, in
   * the same order as the parent's `idCols` — exactly kcidb's
@@ -82,6 +88,42 @@ final class Catalog(
     matched
   }
 
+  /** Constraint validation, generated from catalog metadata — the Spark
+    * form of kcidb's per-type JSON-schema validation
+    * (/root/reference/kcidb/orm/data.py:89-123): required-field
+    * nullability, value-shape regexes, and one referential-integrity check
+    * per declared relation (orphan children). Every check is a
+    * scan-pushdown-able filter + count; `extra` adds caller-specific value
+    * rules. Returns (check_name, violations) sorted by name. */
+  def validate(spark: SparkSession, dir: String,
+               extra: Seq[(String, DataFrame)] = Seq.empty): DataFrame = {
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    val nullChecks = for {
+      t <- types.values.toSeq; c <- t.required
+    } yield cnt(s"${t.name}_null_$c",
+      load(spark, dir, t.name).filter(col(c).isNull))
+    val formatChecks = for {
+      t <- types.values.toSeq; (c, re) <- t.formats
+    } yield cnt(s"${t.name}_format_$c",
+      load(spark, dir, t.name)
+        .filter(col(c).isNotNull && !col(c).rlike(re)))
+    val orphanChecks = relations.map { rel =>
+      val child = load(spark, dir, rel.child)
+      val parent = load(spark, dir, rel.parent)
+      val cond = rel.refCols.zip(types(rel.parent).idCols)
+        .map { case (rc, ic) => child(rc) === parent(ic) }
+        .reduce(_ && _)
+      cnt(s"${rel.child}_orphan_${rel.parent}",
+        child.join(parent, cond, "left_anti"))
+    }
+    (nullChecks ++ formatChecks ++ orphanChecks ++
+      extra.map { case (n, df) => cnt(n, df) })
+      .reduce(_ union _)
+      .orderBy("check_name")
+  }
+
   /** Parents closure (children=False counterpart, sqlite/v04_00.py:614-643). */
   def parentsClosure(
       spark: SparkSession, dir: String,
@@ -122,13 +164,25 @@ final class Catalog(
 object TestCatalog {
   val catalog = new Catalog(
     types = Map(
-      "region"   -> GraftType("region", Seq("r_regionkey")),
-      "nation"   -> GraftType("nation", Seq("n_nationkey")),
-      "customer" -> GraftType("customer", Seq("c_custkey")),
-      "supplier" -> GraftType("supplier", Seq("s_suppkey")),
-      "part"     -> GraftType("part", Seq("p_partkey")),
-      "orders"   -> GraftType("orders", Seq("o_orderkey")),
-      "lineitem" -> GraftType("lineitem", Seq("l_orderkey", "l_linenumber"))
+      "region"   -> GraftType("region", Seq("r_regionkey"),
+        required = Seq("r_regionkey", "r_name")),
+      "nation"   -> GraftType("nation", Seq("n_nationkey"),
+        required = Seq("n_nationkey", "n_name"),
+        formats = Seq("n_name" -> "^NATION_[0-9]+$")),
+      "customer" -> GraftType("customer", Seq("c_custkey"),
+        required = Seq("c_custkey", "c_name"),
+        formats = Seq("c_name" -> "^Customer#[0-9]{9}$")),
+      "supplier" -> GraftType("supplier", Seq("s_suppkey"),
+        required = Seq("s_suppkey", "s_name"),
+        formats = Seq("s_name" -> "^Supplier#[0-9]{9}$")),
+      "part"     -> GraftType("part", Seq("p_partkey"),
+        required = Seq("p_partkey", "p_name")),
+      "orders"   -> GraftType("orders", Seq("o_orderkey"),
+        required = Seq("o_orderkey", "o_custkey", "o_orderdate"),
+        formats = Seq("o_orderpriority" -> "^[1-5]-[A-Z ]+$")),
+      "lineitem" -> GraftType("lineitem", Seq("l_orderkey", "l_linenumber"),
+        required = Seq("l_orderkey", "l_linenumber"),
+        formats = Seq("l_returnflag" -> "^[RAN]$"))
     ),
     relations = Seq(
       GraftRelation("region", "nation", Seq("n_regionkey")),
