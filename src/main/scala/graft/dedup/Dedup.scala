@@ -39,10 +39,27 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** (id, sh) projection: one shingle-array row per doc. */
-  private def withShingles(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+  /** (id, g): DISTINCT word-n-gram shingles, one row per (doc, shingle).
+    *
+    * Deliberately avoids ever materializing a shingle-ARRAY column built by
+    * a `transform` lambda: expression trees inside lambda functions get no
+    * codegen subexpression elimination, and predicate pushdown re-inlines
+    * array-valued projections into scan filters — both re-run the
+    * tokenizing `split(regexp_replace(...))` once per shingle instead of
+    * once per doc (measured ~10× slowdown on d02/d04). Here the token
+    * array binds to an attribute in one narrow projection, positions
+    * explode as a Generate, and each shingle is a cheap per-row
+    * slice+concat on the materialized array. Short docs (< n tokens)
+    * degrade to one whole-doc shingle, like the reference `shingles`. */
+  private def explodedShingles(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("pos"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("pos"), lit(n))).as("g"))
+      .distinct()
 
   /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
   private def rotl64(c: Column, s: Int): Column =
@@ -55,24 +72,25 @@ object Dedup {
     * double-hashing family where each shingle string is hashed exactly twice
     * and the k permutations are bitwise mixes (overflow-free under ANSI
     * mode, unlike h1 + s*h2). One shuffle with map-side combine; k longs per
-    * doc cross the wire. Returns (id, sig). */
+    * doc cross the wire. Input: (id, sh array). Returns (id, sig). */
   def minhashSignatures(withSh: DataFrame, k: Int): DataFrame =
-    sigAndShingles(withSh, k).select(col("id"), col("sig"))
+    sigAndShingles(
+      withSh.select(col("id"), explode(col("sh")).as("g")), k)
+      .select(col("id"), col("sig"))
 
-  /** (id, sh, sig) in a single aggregation pass: the same groupBy computes
-    * the k signature mins AND reassembles the shingle set (collect_set over
-    * the exploded rows). Every consumer — banding, and both sides of the
-    * exact-verify join — then shares this aggregation's shuffle via
+  /** (id, sh, sig) in a single aggregation pass over exploded (id, g) rows:
+    * the same groupBy computes the k signature mins AND reassembles the
+    * shingle set (collect_set). Every consumer — banding, and both sides of
+    * the exact-verify join — then shares this aggregation's shuffle via
     * ReuseExchange, so normalization/shingling/hashing run once per doc
     * for the whole near-dup pipeline. */
-  private def sigAndShingles(withSh: DataFrame, k: Int): DataFrame = {
+  private def sigAndShingles(exploded: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(s =>
       min(col("h1").bitwiseXOR(rotl64(col("h2"), s))).as(s"m$s"))
-    val aggs = collect_set(col("t")).as("sh") +: mins
-    withSh
-      .select(col("id"), explode(col("sh")).as("t"))
-      .select(col("id"), col("t"), hash(col("t")).cast("long").as("h1"),
-        xxhash64(col("t")).as("h2"))
+    val aggs = collect_set(col("g")).as("sh") +: mins
+    exploded
+      .select(col("id"), col("g"), hash(col("g")).cast("long").as("h1"),
+        xxhash64(col("g")).as("h2"))
       .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), col("sh"),
@@ -97,7 +115,8 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, nBands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = k / nBands
-    val sigs = sigAndShingles(withShingles(docs, idCol, textCol, n = 3), k)
+    val sigs =
+      sigAndShingles(explodedShingles(docs, idCol, textCol, n = 3), k)
     val banded = sigs
       .select(col("id"),
         posexplode(bands(col("sig"), nBands, rowsPerBand))
@@ -169,19 +188,37 @@ object Dedup {
     * |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing at least one shingle
     * are ever generated — never a probe × corpus nested loop — and the
     * per-pair work is a counting aggregate with map-side combine. */
+  /** @param maxDf optional document-frequency cap: shingles appearing in
+    *               more than `maxDf` docs are dropped from the index —
+    *               standard MinHash/all-pairs practice that removes the
+    *               skewed hot-shingle join tail at scale. Jaccard is then
+    *               computed over the capped shingle sets (a documented
+    *               approximation); None keeps exact semantics. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, probeFilter: Column,
-                        threshold: Double): DataFrame = {
-    val withSh = withShingles(docs, idCol, textCol, n)
-    val probes = withSh.filter(probeFilter)
-      .select(col("id").as("id_a"), explode(col("sh")).as("g"))
-    val corpus = withSh
-      .select(col("id").as("id_b"), explode(col("sh")).as("g"))
-    val inter = probes.join(corpus, "g")
+                        n: Int, probeFilter: Column, threshold: Double,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val all = explodedShingles(docs, idCol, textCol, n)
+    val index = maxDf match {
+      case None => all
+      case Some(cap) =>
+        // df per shingle, computed once; hot shingles leave the index
+        val df = all.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("g")
+        all.join(df, "g")
+    }
+    val probes = explodedShingles(
+        docs.filter(probeFilter), idCol, textCol, n)
+      .select(col("id").as("id_a"), col("g"))
+    val probeIndex = maxDf match {
+      case None => probes
+      case Some(_) => probes.join(index.select("g").distinct(), "g")
+    }
+    val corpus = index.select(col("id").as("id_b"), col("g"))
+    val inter = probeIndex.join(corpus, "g")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+    val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A typed object graph: the Spark-native analog of kcidb's ORM schema
@@ -100,15 +100,31 @@ final class Catalog(
     def cnt(name: String, df: DataFrame): DataFrame =
       df.groupBy().agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
-    val nullChecks = for {
-      t <- types.values.toSeq; c <- t.required
-    } yield cnt(s"${t.name}_null_$c",
-      load(spark, dir, t.name).filter(col(c).isNull))
-    val formatChecks = for {
-      t <- types.values.toSeq; (c, re) <- t.formats
-    } yield cnt(s"${t.name}_format_$c",
-      load(spark, dir, t.name)
-        .filter(col(c).isNotNull && !col(c).rlike(re)))
+    // All of a type's null + format checks fuse into ONE scan: a single
+    // no-group aggregate of conditional counts, explode(map(...)) back to
+    // (check_name, violations) rows.
+    val typeChecks = types.values.toSeq.flatMap { t =>
+      val checks: Seq[(String, Column)] =
+        t.required.map(c =>
+          s"${t.name}_null_$c" -> count(when(col(c).isNull, 1))) ++
+        t.formats.map { case (c, re) =>
+          s"${t.name}_format_$c" ->
+            count(when(col(c).isNotNull && !col(c).rlike(re), 1))
+        }
+      if (checks.isEmpty) None
+      else {
+        val aliased = checks.zipWithIndex
+          .map { case ((_, c), i) => c.as(s"__c$i") }
+        val kvs = checks.zipWithIndex.flatMap { case ((n, _), i) =>
+          Seq(lit(n), col(s"__c$i"))
+        }
+        Some(load(spark, dir, t.name)
+          .agg(aliased.head, aliased.tail: _*)
+          .select(explode(map(kvs: _*)).as(Seq("check_name", "violations"))))
+      }
+    }
+    // Referential integrity stays one anti-join per relation: exact under
+    // duplicate parent ids, and each join is independently shuffle-bounded.
     val orphanChecks = relations.map { rel =>
       val child = load(spark, dir, rel.child)
       val parent = load(spark, dir, rel.parent)
@@ -118,8 +134,7 @@ final class Catalog(
       cnt(s"${rel.child}_orphan_${rel.parent}",
         child.join(parent, cond, "left_anti"))
     }
-    (nullChecks ++ formatChecks ++ orphanChecks ++
-      extra.map { case (n, df) => cnt(n, df) })
+    (typeChecks ++ orphanChecks ++ extra.map { case (n, df) => cnt(n, df) })
       .reduce(_ union _)
       .orderBy("check_name")
   }
