@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,26 +38,33 @@ object Binary {
       (octet_length(col("payload")).cast("long") * 7 % 480).as("height"),
       md5(col("payload")).as("checksum"))
 
+  final case class PayloadRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMeta(doc_id: Long, byte_len: Long, width: Long,
+                               height: Long, checksum: String)
+
   /** Batch decode over partitions: the real plumbing for a heavyweight
-    * decoder (codec/model handle initialized once per partition, rows
-    * streamed through). Decode itself is stubbed deterministically. */
-  def decodePartitions(spark: SparkSession, df: DataFrame): DataFrame = {
-    val inSchema = df.schema
-    val idIdx = inSchema.fieldIndex("doc_id")
-    val payloadIdx = inSchema.fieldIndex("payload")
-    val outSchema = StructType(
-      StructField("doc_id", LongType, nullable = false) +: metaSchema.fields)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // STUB: with a real codec this is where the per-partition decoder
-      // context would be created (once, not per row).
+    * decoder — Dataset-typed `mapPartitions`, so the codec/model handle is
+    * initialized once per PARTITION (not per row) and rows stream through
+    * with Tungsten encoders (no RDD hop, no Row boxing). Decode itself is
+    * a deterministic STUB (the container has no media codecs); it matches
+    * [[metaColumns]] bit-for-bit, which the spec asserts. */
+  def decodePartitions(ds: Dataset[PayloadRow]): Dataset[DecodedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // Per-partition init: with a real codec this is the decoder context.
+      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val len = bytes.length.toLong
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes).map("%02x".format(_)).mkString
-        Row(r.getLong(idIdx), len, len % 640, len * 7 % 480, digest)
+        val len = r.payload.length.toLong
+        digest.reset()
+        val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
+        DecodedMeta(r.doc_id, len, len % 640, len * 7 % 480, sum)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[decodePartitions]] over a payload frame (see [[withPayload]]). */
+  def decodeFrame(df: DataFrame): Dataset[DecodedMeta] = {
+    import df.sparkSession.implicits._
+    decodePartitions(df.select(col("doc_id"), col("payload")).as[PayloadRow])
   }
 }

@@ -11,7 +11,7 @@ class BinarySpec extends AnyFunSuite {
   test("partition-batched decode matches the column-expression metadata") {
     val docs = Binary.withPayload(Tables(spark, dir, "documents"), "text")
     val viaCols = Binary.metaColumns(docs)
-    val viaPartitions = Binary.decodePartitions(spark, docs)
+    val viaPartitions = Binary.decodeFrame(docs).toDF()
     assert(viaCols.count() == viaPartitions.count())
     assert(viaCols.exceptAll(viaPartitions).count() == 0)
     assert(viaPartitions.exceptAll(viaCols).count() == 0)
