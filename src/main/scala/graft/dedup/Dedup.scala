@@ -135,24 +135,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash signatures via explode + 64 sum-aggregates: bit i of
-    * sig(doc) is the sign of sum over distinct tokens of ±1 by bit i of
-    * xxhash64(token). Returns (id, sig). */
+  /** 64-bit SimHash signatures via explode + ONE native vote aggregate
+    * ([[graft.functions.SimHashAgg]]): bit i of sig(doc) is the sign of the
+    * sum over distinct tokens of ±1 by bit i of xxhash64(token). One
+    * shuffle, 64 ints per doc over the wire. Returns (id, sig). */
   def simhashSignatures(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
-    val sig = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+                        textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
       .groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sig.as("sig"))
-  }
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3 by
     * default usage). Blocking via the pigeonhole principle: split the 64-bit

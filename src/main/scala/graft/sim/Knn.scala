@@ -77,8 +77,18 @@ object Knn {
   /** L random-hyperplane signatures of `bits` bits each, as an array<long>
     * indexed by table: bit j of table t is the sign of the projection onto
     * pseudo-random plane (t*bits + j). Plane components are derived from
-    * murmur3(plane, dim) — deterministic, no stored model. */
-  def srpBands(vecCol: String, nTables: Int, bits: Int): Column = expr(
+    * murmur3(plane, dim) — deterministic, no stored model. Native fused
+    * kernel (graft.functions.SrpSignatures) with a single codegen'd loop
+    * nest; [[srpBandsHof]] is the bit-identical HOF reference. */
+  def srpBands(vecCol: String, nTables: Int, bits: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    B.column(graft.functions.SrpSignatures(
+      B.expression(col(vecCol)), nTables, bits))
+  }
+
+  /** Higher-order-function reference formulation of [[srpBands]] — kept for
+    * portability and cross-checked bit-identical in KnnSpec. */
+  def srpBandsHof(vecCol: String, nTables: Int, bits: Int): Column = expr(
     s"""transform(
           sequence(0, ${nTables - 1}),
           t -> aggregate(

@@ -45,6 +45,20 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("native SRP signatures are bit-identical to the HOF formulation") {
+    val emb10 = Seq.tabulate(10)(i =>
+      (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))
+      .toDF("vec_id", "embedding")
+    val native = emb10.select(col("vec_id"),
+        Knn.srpBands("embedding", nTables = 6, bits = 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = emb10.select(col("vec_id"),
+        Knn.srpBandsHof("embedding", nTables = 6, bits = 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    assert(native.values.flatten.toSet.size > 1, "signatures must vary")
+  }
+
   test("cosine kernel matches scalar math") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val got = df.select(Vectors.cosine(col("a"), col("b"))).head.getDouble(0)
