@@ -372,6 +372,11 @@ object SparkEntry {
         bitsPerTable = 4, nTables = 8)
       .orderBy("probe_id", "rank")
 
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ivf.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4)
+      .orderBy("probe_id", "rank")
+
   private def t01(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val scored = d.select(col("doc_id") +:
@@ -451,6 +456,7 @@ object SparkEntry {
     "d05_embed_neardup" -> (d05 _),
     "s01_knn_brute" -> (s01 _),
     "s02_knn_lsh" -> (s02 _),
+    "s03_knn_ivf" -> (s03 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TopK, Vectors}
+
+/** IVF (inverted-file) approximate nearest neighbors: the second scale
+  * path next to banded LSH ([[Knn.lshKnn]]).
+  *
+  * A small spherical k-means (fixed iterations, deterministic init)
+  * partitions the corpus into `c` cells; a probe scans only its `nprobe`
+  * nearest cells. Everything is DataFrame ops: centroids are c rows
+  * (broadcast), assignment is a broadcast join + `max_by` aggregate, cell
+  * membership is the shuffle key, and ranking is the bounded top-k
+  * aggregate — so at 100 TB the corpus is hashed once per iteration plus
+  * once for assignment, and query cost is |probes| × (corpus/c) × nprobe
+  * with no window functions and no driver-side loops. With nprobe = c the
+  * result equals brute force (recall knob, like L in LSH).
+  */
+object Ivf {
+
+  /** Deterministic spherical k-means: init = the `c` lowest-id corpus
+    * vectors (the seed's id doubles as the cluster key — cluster ids are
+    * keys, not ordinals, so no window/ordinal assignment is ever needed),
+    * `iters` assign/mean rounds. Returns (cluster, centroid) with centroid
+    * as array<float>. */
+  def fitCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+    var centroids = corpus.orderBy("id").limit(c)
+      .select(col("id").as("cluster"), col("v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the c centroids, keep the
+    * best cell per row via max_by (ties -> lowest cluster id). */
+  def assign(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cluster"),
+        Vectors.cosine(col("v"), col("centroid")).as("cos"))
+      .groupBy("id")
+      .agg(first(col("v")).as("v"),
+        max_by(col("cluster"), struct(col("cos"), -col("cluster")))
+          .as("cluster"))
+
+  /** IVF top-k: probes scan their `nprobe` nearest cells; ranking among
+    * candidates is exact cosine via the bounded top-k aggregate. Output
+    * (probe_id, neighbor_id, rank) like [[Knn.bruteForceKnn]] (approximate:
+    * may return < k rows per probe). */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             probeFilter: Column, k: Int,
+             c: Int, nprobe: Int, iters: Int = 3): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = fitCentroids(corpus, c, iters)
+    val cells = assign(corpus, centroids)
+      .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("cluster"))
+    val probeCells = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("v_p"), col("cluster"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
+      .groupBy("probe_id")
+      .agg(first(col("v_p")).as("v_p"),
+        TopK.topKByScore(col("cos"), col("cluster"), nprobe).as("cells"))
+      .select(col("probe_id"), col("v_p"),
+        explode(col("cells.id")).as("cluster"))
+    val scored = probeCells.join(cells, Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
+    scored.groupBy("probe_id")
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -59,6 +59,28 @@ class KnnSpec extends AnyFunSuite {
     assert(native.values.flatten.toSet.size > 1, "signatures must vary")
   }
 
+  test("ivfKnn: nprobe = c recovers exact brute-force ranking") {
+    import graft.sim.Ivf
+    val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Ivf.ivfKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 2, k = 3, c = 2, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
+  test("ivfKnn: nprobe < c returns a valid ranked subset per probe") {
+    import graft.sim.Ivf
+    val rows = Ivf.ivfKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 2, k = 3, c = 3, nprobe = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for ((p, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+      assert(rs.forall(_._2 != p))
+    }
+  }
+
   test("cosine kernel matches scalar math") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val got = df.select(Vectors.cosine(col("a"), col("b"))).head.getDouble(0)

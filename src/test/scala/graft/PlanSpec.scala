@@ -44,8 +44,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q23/q24 are partial-aggregatable with no joins gone cartesian") {
+    val p23 = plan("q23_path_rollup")
+    assert(p23.contains("partial"), "path rollup must map-side combine")
+    assert(!p23.contains("Window"), "path rollup needs no window")
+    val p24 = plan("q24_notifications")
+    assert(!p24.contains("CartesianProduct") &&
+      !p24.contains("BroadcastNestedLoopJoin"), p24)
+  }
+
   test("KNN ranking is a bounded aggregate, not a per-probe window") {
-    for (q <- Seq("s01_knn_brute", "s02_knn_lsh")) {
+    for (q <- Seq("s01_knn_brute", "s02_knn_lsh", "s03_knn_ivf")) {
       val p = plan(q)
       assert(!p.contains("Window"),
         s"$q must not rank via a window (all candidates of a probe would " +

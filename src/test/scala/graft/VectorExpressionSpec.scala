@@ -36,6 +36,22 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(1) - 11.0) < 1e-12)
   }
 
+  test("srp_signatures and simhash_agg are SQL-callable") {
+    val sig = spark.sql(
+      """SELECT srp_signatures(array(cast(1 as float), cast(-2 as float)),
+        |                      3, 4) AS s""".stripMargin)
+      .head.getSeq[Long](0)
+    assert(sig.length == 3)
+    val sim = spark.sql(
+      """SELECT simhash_agg(h) AS s FROM
+        |  (SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b') AS t(x))
+        |""".stripMargin).head.getLong(0)
+    assert(sim != 0L)
+    // non-literal shape parameters must be rejected loudly
+    intercept[Exception](spark.sql(
+      "SELECT srp_signatures(array(cast(1 as float)), 1 + 1, 4)").collect())
+  }
+
   test("cosine participates in whole-stage codegen (no fallback)") {
     val emb = Tables(spark, TestSpark.sf, "embeddings").limit(4)
     val df = emb.select(Vectors.cosine(col("embedding"), col("embedding")))
