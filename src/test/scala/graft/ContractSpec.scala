@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: the correctness gate only checks
+  * queries that exist in BOTH maps, so a typo'd key would silently drop a
+  * query from the gate instead of failing it. */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** LSH/IVF internals — not SQL-expressible; the driver records a
+    * rows-only check and the specs assert semantics. */
+  private val declaredRowsOnly = Set(
+    "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+    "s02_knn_lsh", "s03_knn_ivf")
+
+  test("every query has an oracle or is a declared rows-only check") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == declaredRowsOnly,
+      s"undeclared oracle gaps: ${missing -- declaredRowsOnly}; " +
+        s"stale rows-only declarations: ${declaredRowsOnly -- missing}")
+  }
+
+  test("no oracle SQL without a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query plans against the test scale factor") {
+    // Analysis errors (bad column, unresolved function) surface here even
+    // for queries whose execution the oracle gate would catch later.
+    for ((name, fn) <- SparkEntry.queries)
+      withClue(name)(fn(spark, TestSpark.sf).queryExecution.analyzed)
+  }
+}
