@@ -22,6 +22,16 @@ import graft.functions.Vectors
   */
 object Dedup {
 
+  /** Sharing note: the signature/shingle frames below feed several plan
+    * branches, and ReuseExchange cannot deduplicate them (each consumer
+    * prunes different columns/aggregates, so the exchange subtrees
+    * differ) — the pipeline re-runs once per branch. Measured at sf0.1,
+    * recomputing beats `persist(MEMORY_AND_DISK)` (cache build +
+    * serialization cost the codegen'd recompute ~2×), so these operators
+    * recompute; at 100 TB with expensive scans, callers should
+    * `.persist()` the INPUT docs frame instead, which restores sharing at
+    * the only stage where it pays. */
+
   /** Canonical text normalization: lowercase, collapse non-alphanumerics. */
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
