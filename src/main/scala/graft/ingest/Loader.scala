@@ -21,21 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Loader {
 
-  /** Collapse a submission log to merged records: kcidb load with
-    * load-priority (`prio_db=false`): latest non-null value per field wins.
+  /** Collapse a submission log to merged records — kcidb load semantics.
     *
-    * @param df       submission log
-    * @param keys     identity columns (kcidb object id)
-    * @param orderBy  submission order (deterministic: include a tiebreaker)
-    * @param fields   non-key fields to merge
+    * @param df        submission log
+    * @param keys      identity columns (kcidb object id)
+    * @param orderBy   submission order (deterministic: include a tiebreaker)
+    * @param fields    non-key fields merged by COALESCE priority
+    * @param prioDb    false (kcidb `prio_db=false`, the default load): the
+    *                  LATEST non-null value per field wins; true: the
+    *                  EARLIEST non-null wins (existing db value beats the
+    *                  incoming load, schema.py:243-263)
+    * @param maxFields fields merged with MAX instead of COALESCE — kcidb's
+    *                  `conflict_func` for metadata timestamps
+    *                  (schema.py:264-287)
     */
   def upsertMerge(
       df: DataFrame, keys: Seq[String],
-      orderBy: Seq[Column], fields: Seq[String]): DataFrame = {
+      orderBy: Seq[Column], fields: Seq[String],
+      prioDb: Boolean = false,
+      maxFields: Seq[String] = Seq.empty): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val merged = fields.map(f => last(col(f), ignoreNulls = true).over(w).as(f))
+    val merged = fields.map { f =>
+      val picked =
+        if (prioDb) first(col(f), ignoreNulls = true)
+        else last(col(f), ignoreNulls = true)
+      picked.over(w).as(f)
+    } ++ maxFields.map(f => max(col(f)).over(w).as(f))
     val rn = row_number().over(
       Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*))
     df.select(keys.map(col) ++ merged :+ rn.as("__rn"): _*)

@@ -30,6 +30,31 @@ class LoaderSpec extends AnyFunSuite {
     assert(out.filter(col("id") === "b").head.get(1) == null)
   }
 
+  test("upsertMerge prio_db keeps the EARLIEST non-null (db beats load)") {
+    val log = Seq(
+      ("k1", 1L, Option.empty[Long], Option("a")),
+      ("k1", 2L, Option(5L), Option("b")),
+      ("k1", 3L, Option(9L), Option.empty[String])
+    ).toDF("id", "seq", "v", "p")
+    val merged = Loader.upsertMerge(log, Seq("id"), Seq(col("seq")),
+        Seq("v", "p"), prioDb = true)
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
+    assert(merged.toSeq == Seq(("k1", 5L, "a")),
+      "first non-null v is from seq 2; first non-null p from seq 1")
+  }
+
+  test("upsertMerge maxFields merge with MAX (metadata timestamps)") {
+    val log = Seq(
+      ("k1", 1L, Option("x"), 100L),
+      ("k1", 2L, Option.empty[String], 300L),
+      ("k1", 3L, Option("y"), 200L)
+    ).toDF("id", "seq", "v", "ts")
+    val merged = Loader.upsertMerge(log, Seq("id"), Seq(col("seq")),
+        Seq("v"), maxFields = Seq("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(merged.toSeq == Seq(("k1", "y", 300L)))
+  }
+
   test("mergeDatasets unions and drops exact duplicates") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")

@@ -65,6 +65,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plan contains a cartesian product or an unintended NLJ") {
+    // Declared exceptions, both joins against caller-bounded broadcast
+    // relations: s01 scores the bounded probe set against the corpus on a
+    // non-equi condition (the exact baseline by definition); s03 assigns
+    // rows to their nearest of c centroids (a c-row broadcast table).
+    val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf")
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unintended nested-loop join")
+    }
+  }
+
   test("aggregations are partial (map-side combine) in q01") {
     val p = plan("q01_summary_agg")
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
