@@ -314,6 +314,13 @@ object OracleSql {
          CASE WHEN user_id >= 15 THEN value * 2 ELSE value END AS score
          FROM events ORDER BY event_id""",
 
+    "q26_json_misc" ->
+      """SELECT event_type,
+         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+         COUNT(*) FILTER
+           (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

@@ -328,6 +328,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Freeform JSON field extraction + aggregation — kcidb objects carry
+    * `misc` JSON blobs queried by path (orm data fields). get_json_object
+    * stays inside codegen; at scale the JSON parse happens once per row in
+    * the scan projection. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev(s, dir).groupBy("event_type")
+      .agg(sum(k).as("sum_k"),
+        count(when(k > 50, lit(1))).as("n_high"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -449,6 +461,7 @@ object SparkEntry {
     "q23_path_rollup" -> (q23 _),
     "q24_notifications" -> (q24 _),
     "q25_schema_upgrade" -> (q25 _),
+    "q26_json_misc" -> (q26 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
