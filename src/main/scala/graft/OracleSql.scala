@@ -321,6 +321,16 @@ object OracleSql {
            (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q27_asof_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, $tsUs AS ts FROM events
+                     WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, $tsUs AS ts, MAX(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, v.view_value AS asof_view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

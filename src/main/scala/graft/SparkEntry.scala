@@ -340,6 +340,24 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** As-of join: each purchase event picks up the latest preceding 'view'
+    * event's value for the same user (point-in-time state lookup). One
+    * shuffle on user_id via the union+window formulation — no range join.
+    * Right rows deduped to one per (user, ts) so ties are well-defined in
+    * both engines. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+    graft.operators.AsOf.asOfJoin(purchases, views, Seq("user_id"),
+        leftTs = col("ts"), rightTs = col("ts"),
+        payload = Seq("view_value"))
+      .select(col("event_id"), col("user_id"), col("asof_view_value"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -462,6 +480,7 @@ object SparkEntry {
     "q24_notifications" -> (q24 _),
     "q25_schema_upgrade" -> (q25 _),
     "q26_json_misc" -> (q26 _),
+    "q27_asof_join" -> (q27 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
