@@ -331,6 +331,15 @@ object OracleSql {
            ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p.event_id""",
 
+    "q28_range_join" ->
+      s"""WITH c AS (SELECT event_id AS click_id, ${sec(tsUs)} AS click_sec
+                     FROM events WHERE event_type = 'click'),
+         su AS (SELECT ${sec(tsUs)} AS lo_sec, ${sec(tsUs)} + 3600 AS hi_sec
+                FROM events WHERE event_type = 'signup')
+         SELECT click_id, COUNT(*) AS n_active_signups
+         FROM c JOIN su ON click_sec >= lo_sec AND click_sec <= hi_sec
+         GROUP BY click_id ORDER BY click_id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

@@ -358,6 +358,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Banded range join: each click paired with every signup whose 1-hour
+    * activation window contains it (cross-user concurrency analytic). The
+    * bucket id is the equi-join key — never a BETWEEN nested loop. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        epochSec(col("ts")).as("click_sec"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        epochSec(col("ts")).as("lo_sec"),
+        (epochSec(col("ts")) + 3600).as("hi_sec"))
+    graft.operators.RangeJoin.bandedRangeJoin(
+        clicks, col("click_sec"), signups, col("lo_sec"), col("hi_sec"),
+        bucketWidth = 3600)
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_active_signups"))
+      .orderBy("click_id")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -481,6 +501,7 @@ object SparkEntry {
     "q25_schema_upgrade" -> (q25 _),
     "q26_json_misc" -> (q26 _),
     "q27_asof_join" -> (q27 _),
+    "q28_range_join" -> (q28 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
