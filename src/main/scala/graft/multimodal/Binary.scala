@@ -67,4 +67,44 @@ object Binary {
     import df.sparkSession.implicits._
     decodePartitions(df.select(col("doc_id"), col("payload")).as[PayloadRow])
   }
+
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
+                               payload: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Long,
+                         payload: Array[Byte])
+
+  /** Resize stub: the payload transform is a deterministic fake (truncate
+    * to the target "pixel count"), but the Spark shape is real — a typed
+    * map keeping the binary column opaque, fused into codegen'd pipelines
+    * upstream/downstream. */
+  def resizeStub(ds: Dataset[PayloadRow], w: Long, h: Long)
+      : Dataset[ResizedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val n = math.min(r.payload.length.toLong, w * h).toInt
+      ResizedMeta(r.doc_id, w, h, r.payload.take(n))
+    }
+  }
+
+  /** Frame-sample stub: one-to-many partition-batched extraction — every
+    * `stride`-th "frame" (here: byte window) becomes a row. The iterator
+    * discipline is the real thing: per-partition demux context, lazy
+    * output, no per-row setup, no materialized frame lists. */
+  def sampleFramesStub(ds: Dataset[PayloadRow], stride: Int,
+                       frameBytes: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0 && frameBytes > 0)
+    ds.mapPartitions { rows =>
+      // Per-partition init: a real video demuxer context would open here.
+      rows.flatMap { r =>
+        Iterator.range(0, math.max(r.payload.length / frameBytes, 1))
+          .filter(_ % stride == 0)
+          .map { i =>
+            Frame(r.doc_id, i.toLong,
+              r.payload.slice(i * frameBytes,
+                math.min((i + 1) * frameBytes, r.payload.length)))
+          }
+      }
+    }
+  }
 }

@@ -38,6 +38,26 @@ class SubscriptionsSpec extends AnyFunSuite {
     assert(id == s"errors:events:$b64_1:$b64_m0")
   }
 
+  test("subscriptions compose over rolled-up objects (kcidb revision shape)") {
+    // kcidb match functions see OO objects with rollups (e.g.
+    // revision.builds_status == "FAIL", mainline.py:19); graft composes the
+    // same by matching over a rollup frame instead of a raw table.
+    val builds = Seq(
+      ("c1", "FAIL"), ("c1", "PASS"),
+      ("c2", "PASS"), ("c2", "PASS"),
+      ("c3", "ERROR")
+    ).toDF("checkout_id", "status")
+    val rolled = graft.operators.Rollups.worstStatus(
+      builds, Seq("checkout_id"), col("status"),
+      Seq("FAIL" -> 0, "ERROR" -> 1, "PASS" -> 2))
+    val got = Subscriptions.matchNotifications(
+        _ => rolled,
+        Seq(Subscription("failed_builds", "checkout",
+          col("worst_status") === "FAIL", Seq("checkout_id"))))
+      .collect().map(_.getString(3)).toSeq
+    assert(got == Seq("c1"), "only the checkout whose WORST build failed")
+  }
+
   test("dedupStream: exactly-once per notification id across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Notif]
