@@ -354,6 +354,23 @@ object OracleSql {
          WHERE ${cosD("v_a", "v_b")} >= 0.25
          ORDER BY id_a, id_b""",
 
+    "d06_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT id_a, id_b FROM (
+             SELECT va.vec_id AS id_a, vb.vec_id AS id_b,
+               ${cosD("va.embedding", "vb.embedding")} AS cos
+             FROM embeddings va JOIN embeddings vb
+               ON va.vec_id % 20 = 0 AND va.vec_id < vb.vec_id)
+           WHERE cos >= 0.25),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.label FROM e JOIN reach r ON e.src = r.id)
+         SELECT id AS vec_id, MIN(label) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""",
+
     "s01_knn_brute" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p
                      FROM embeddings WHERE vec_id < 5),

@@ -411,6 +411,18 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: connected components over the d05 pair graph —
+    * every vec in a component gets the component's min id as its cluster
+    * (the KEEP-one-representative step of a dedup pipeline). */
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", probeFilter = col("vec_id") % 20 === 0,
+          threshold = 0.25),
+        "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+
   private def s01(s: SparkSession, dir: String): DataFrame =
     Knn.bruteForceKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3)
@@ -507,6 +519,7 @@ object SparkEntry {
     "d03_dedup_simhash" -> (d03 _),
     "d04_ngram_jaccard" -> (d04 _),
     "d05_embed_neardup" -> (d05 _),
+    "d06_dedup_clusters" -> (d06 _),
     "s01_knn_brute" -> (s01 _),
     "s02_knn_lsh" -> (s02 _),
     "s03_knn_ivf" -> (s03 _),

@@ -232,6 +232,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — the dedup
+    * post-step that turns pairwise matches into KEEP/DROP decisions: every
+    * document in a component shares its cluster id (the component's
+    * minimum vertex id), and a pipeline keeps one representative per
+    * cluster.
+    *
+    * Min-label propagation: labels start as own ids and flow across edges
+    * until fixpoint; each round is one symmetric-edge join + min aggregate
+    * (all shuffles keyed on the vertex). Rounds needed ≈ the graph
+    * diameter — near-dup components are short chains, so convergence is a
+    * handful of rounds; `localCheckpoint` truncates the growing lineage
+    * each round (the standard Spark iterative-algorithm discipline).
+    * Returns (id, cluster) for every vertex appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(propagated)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold between a bounded probe
     * subset and the corpus, via banded random-hyperplane LSH candidate
     * generation + exact-cosine verification.

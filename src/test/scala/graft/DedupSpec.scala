@@ -67,6 +67,22 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 3L)) - 7.0 / 13.0) < 1e-12)
   }
 
+  test("connectedComponents: chains merge, min id labels the cluster") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      9L -> 9L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct.toSeq
+    assert(got == Seq(1L), "one component labeled by its min id")
+  }
+
   test("embeddingNearDups pairs by cosine threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f)),
