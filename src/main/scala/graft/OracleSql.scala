@@ -424,6 +424,24 @@ object OracleSql {
       s"""SELECT doc_id, md5($normText) AS fp
          FROM documents ORDER BY doc_id""",
 
+    "t05_corpus_stats" ->
+      s"""SELECT
+         (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM($wordCountSql) FROM documents) AS total_ws_tokens,
+         (SELECT SUM(CAST(ceil(length(text) / 4.0) AS BIGINT))
+            FROM documents) AS total_bpe_est,
+         (SELECT COUNT(DISTINCT tok) FROM
+            (SELECT unnest(string_split($normText, ' ')) AS tok
+             FROM documents)) AS vocab_size""",
+
+    "d07_incr_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5($normText) AS fp FROM documents),
+         corpus AS (SELECT * FROM d WHERE doc_id < 400),
+         batch AS (SELECT * FROM d WHERE doc_id >= 400)
+         SELECT MIN(doc_id) AS doc_id, fp FROM batch
+         WHERE fp NOT IN (SELECT fp FROM corpus)
+         GROUP BY fp ORDER BY doc_id""",
+
     "m01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

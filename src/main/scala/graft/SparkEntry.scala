@@ -473,6 +473,39 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus-level statistics — the first report of any training-data run:
+    * doc/token/vocab volume in one pass over the corpus plus one distinct
+    * aggregate over exploded tokens (map-side combined). */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.wordCount(col("text"))).as("total_ws_tokens"),
+      sum(TextOps.bpeEstimate(col("text"))).as("total_bpe_est"))
+    val vocab = d
+      .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    // two single-row aggregates zipped — the 1×1 nested-loop join here is
+    // the canonical scalar-combine plan, exempted in PlanSpec's audit
+    base.crossJoin(vocab)
+  }
+
+  /** Incremental dedup: a new crawl batch (doc_id >= 400) keeps only docs
+    * whose fingerprint is absent from the existing corpus (doc_id < 400)
+    * AND is the first occurrence within the batch — the production
+    * "dedupe the delta, not the world" flow. Anti-join on the fingerprint
+    * (one shuffle) + first-per-fp within the batch. */
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+    val corpus = d.filter(col("doc_id") < 400)
+    val batch = d.filter(col("doc_id") >= 400)
+    batch.join(corpus, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Binary.metaColumns(
         Binary.withPayload(t(s, dir, "documents"), "text"))
@@ -527,6 +560,8 @@ object SparkEntry {
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
+    "t05_corpus_stats" -> (t05 _),
+    "d07_incr_dedup" -> (d07 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _)

@@ -66,11 +66,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query plan contains a cartesian product or an unintended NLJ") {
-    // Declared exceptions, both joins against caller-bounded broadcast
-    // relations: s01 scores the bounded probe set against the corpus on a
-    // non-equi condition (the exact baseline by definition); s03 assigns
-    // rows to their nearest of c centroids (a c-row broadcast table).
-    val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf")
+    // Declared exceptions, all joins against bounded broadcast relations:
+    // s01 scores the bounded probe set against the corpus on a non-equi
+    // condition (the exact baseline by definition); s03 assigns rows to
+    // their nearest of c centroids (a c-row broadcast table); t05 zips two
+    // single-row scalar aggregates (the canonical combine plan).
+    val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
