@@ -104,7 +104,8 @@ object OracleSql {
       s"""SELECT DISTINCT user_id, event_type,
          last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
            OVER w AS v,
-         last_value(props IGNORE NULLS) OVER w AS props
+         last_value(props IGNORE NULLS) OVER w AS props,
+         MAX(${sec(tsUs)}) OVER w AS ts_sec
          FROM events
          WINDOW w AS (PARTITION BY user_id, event_type
                       ORDER BY $tsUs, event_id

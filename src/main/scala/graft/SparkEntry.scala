@@ -105,8 +105,10 @@ object SparkEntry {
   private def q06(s: SparkSession, dir: String): DataFrame = {
     val log = ev(s, dir)
       .withColumn("v", when(col("value") >= 50, col("value")))
+      .withColumn("ts_sec", epochSec(col("ts")))
     Loader.upsertMerge(log, Seq("user_id", "event_type"),
-        Seq(col("ts"), col("event_id")), Seq("v", "props"))
+        Seq(col("ts"), col("event_id")), Seq("v", "props"),
+        maxFields = Seq("ts_sec")) // kcidb conflict_func MAX on _timestamp
       .orderBy("user_id", "event_type")
   }
 
