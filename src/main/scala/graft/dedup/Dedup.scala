@@ -248,8 +248,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list once: every propagation round (and every
+    // convergence probe) joins against it, and recomputing the upstream
+    // candidate-generation pipeline per round would dominate the loop.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
