@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TopKBuffer
+import graft.query.PatternQuery
+
+/** Seeded-fuzz checks for the hand-rolled kernels: each is compared
+  * against an obviously-correct brute-force reference over hundreds of
+  * random inputs (fixed seed — failures reproduce). */
+class PropertySpec extends AnyFunSuite {
+
+  test("TopKBuffer equals sort-take-k over random insert streams") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = rng.nextInt(40)
+      val k = 1 + rng.nextInt(8)
+      val pairs = Seq.fill(n)((rng.nextInt(200) / 2.0 - 50.0,
+        rng.nextInt(50).toLong))
+      val buf = new TopKBuffer(k)
+      pairs.foreach { case (s, id) => buf.insert(s, id) }
+      val expect = pairs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(buf.sorted.toSeq == expect,
+        s"k=$k pairs=$pairs")
+    }
+  }
+
+  test("TopKBuffer merge order never changes the result") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val k = 1 + rng.nextInt(6)
+      def mk(n: Int) = Seq.fill(n)((rng.nextInt(100) / 4.0,
+        rng.nextInt(30).toLong))
+      val (a, b) = (mk(rng.nextInt(25)), mk(rng.nextInt(25)))
+      val ab = new TopKBuffer(k)
+      a.foreach { case (s, id) => ab.insert(s, id) }
+      val bb = new TopKBuffer(k)
+      b.foreach { case (s, id) => bb.insert(s, id) }
+      ab.merge(bb)
+      val whole = new TopKBuffer(k)
+      (b ++ a).foreach { case (s, id) => whole.insert(s, id) }
+      assert(ab.sorted.toSeq == whole.sorted.toSeq)
+    }
+  }
+
+  test("parser accepts every generated-valid pattern, step count matches") {
+    val rng = new scala.util.Random(13)
+    val names = Seq("customer", "orders", "lineitem", "x9_y", "*")
+    val ids = Seq("42", "a:b/c.d-e", "\"quo;ted]\"", "\"es\\\"c\\\\aped\"")
+    for (_ <- 1 to 300) {
+      val nSteps = 1 + rng.nextInt(5)
+      val steps = Seq.fill(nSteps) {
+        val rel = if (rng.nextBoolean()) ">" else "<"
+        val tn = names(rng.nextInt(names.length))
+        val spec = rng.nextInt(3) match {
+          case 0 => ""
+          case 1 => "%"
+          case _ => Seq.fill(1 + rng.nextInt(3))(
+            ids(rng.nextInt(ids.length))).mkString("[", ";", "]")
+        }
+        val m = Seq("", "#", "$")(rng.nextInt(3))
+        val pad = if (rng.nextBoolean()) " " else ""
+        s"$pad$rel$pad$tn$spec$m"
+      }
+      val parsed = PatternQuery.parse(steps.mkString)
+      assert(parsed.length == nSteps, steps.mkString)
+    }
+  }
+
+  test("parser rejects truncated/garbled patterns") {
+    for (bad <- Seq(">", "customer", ">customer[", ">customer[\"x]",
+        ">customer]#", "> cust omer", "<>", ">customer[a,]#"))
+      intercept[IllegalArgumentException](PatternQuery.parse(bad))
+  }
+}
