@@ -29,11 +29,13 @@ object RangeJoin {
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
-    val p = points.withColumn("__bucket",
-      floor(pointCol / bucketWidth).cast("long"))
+    // floor-divide via decimal: `/` on longs is DOUBLE division, which
+    // rounds for values beyond 2^53 (epoch-nanos would mis-bucket).
+    def bucket(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / bucketWidth).cast("long")
+    val p = points.withColumn("__bucket", bucket(pointCol))
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(loCol / bucketWidth).cast("long"),
-        floor(hiCol / bucketWidth).cast("long"))))
+      explode(sequence(bucket(loCol), bucket(hiCol))))
     p.join(iv, Seq("__bucket"))
       .filter(pointCol >= loCol && pointCol <= hiCol)
       .drop("__bucket")
