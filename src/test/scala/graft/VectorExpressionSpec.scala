@@ -52,6 +52,24 @@ class VectorExpressionSpec extends AnyFunSuite {
       "SELECT srp_signatures(array(cast(1 as float)), 1 + 1, 4)").collect())
   }
 
+  test("srp_signatures generated code actually compiles (no silent fallback)") {
+    // CODEGEN_ONLY makes Janino failures throw instead of quietly
+    // interpreting — proves the doGenCode body is valid Java.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val sigs = Tables(spark, TestSpark.sf, "embeddings").limit(8)
+        .select(graft.sim.Knn.srpBands("embedding", 4, 3).as("s"))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs.forall(_.length == 4))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("cosine participates in whole-stage codegen (no fallback)") {
     val emb = Tables(spark, TestSpark.sf, "embeddings").limit(4)
     val df = emb.select(Vectors.cosine(col("embedding"), col("embedding")))
