@@ -67,6 +67,34 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 3L)) - 7.0 / 13.0) < 1e-12)
   }
 
+  test("minhash LSH ground truth at sf0.001: exact verify, high-sim recall") {
+    import graft.sources.Tables
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute-force shingle jaccard over the full 500-doc corpus
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = (sa intersect sb).size.toDouble / (sa union sb).size
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    // precision is exact by construction: every reported jaccard must
+    // equal the brute-force value
+    for ((pair, j) <- got)
+      assert(math.abs(j - brute(pair)) < 1e-12, s"$pair")
+    // recall: every high-similarity pair must survive banding (j >= 0.9
+    // collides with probability 1 - (1 - j^4)^16 > 0.996 per pair; on this
+    // fixed corpus + fixed hashes the outcome is deterministic)
+    val high = brute.filter(_._2 >= 0.9).keySet
+    assert(high.subsetOf(got.keySet),
+      s"missed high-sim pairs: ${high -- got.keySet}")
+  }
+
   test("connectedComponents: chains merge, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
       .toDF("id_a", "id_b")
