@@ -95,6 +95,24 @@ class DedupSpec extends AnyFunSuite {
       s"missed high-sim pairs: ${high -- got.keySet}")
   }
 
+  test("simhash ground truth at sf0.001: pigeonhole blocking is EXACT") {
+    import graft.sources.Tables
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force hamming over all signature pairs: unlike LSH banding,
+    // chunk blocking must lose NOTHING (any pair within maxDist agrees on
+    // at least one of maxDist+1 chunks)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute,
+      s"missed: ${brute -- got}; extra: ${got -- brute}")
+  }
+
   test("connectedComponents: chains merge, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
       .toDF("id_a", "id_b")

@@ -45,6 +45,25 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lshKnn ground truth at sf0.001: ranked correctly, solid recall@3") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.lshKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3,
+        bitsPerTable = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ranks are contiguous from 1 per probe (ordering is exact cosine)
+    for ((p, rs) <- approx.groupBy(_._1))
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"$p")
+    // recall@3 across probes (deterministic on this corpus + hashes)
+    val hits = approx.map(t => (t._1, t._2)).toSet intersect exact
+    val recall = hits.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@3 = $recall, expected >= 0.5")
+  }
+
   test("native SRP signatures are bit-identical to the HOF formulation") {
     val emb10 = Seq.tabulate(10)(i =>
       (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))
