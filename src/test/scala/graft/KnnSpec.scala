@@ -64,6 +64,20 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 = $recall, expected >= 0.5")
   }
 
+  test("ivfKnn ground truth at sf0.001: nprobe=4/16 keeps solid recall@3") {
+    import graft.sim.Ivf
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.ivfKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3, c = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@3 = $recall, expected >= 0.5")
+  }
+
   test("native SRP signatures are bit-identical to the HOF formulation") {
     val emb10 = Seq.tabulate(10)(i =>
       (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))
