@@ -250,7 +250,8 @@ object OracleSql {
 
     "q22_ultimate_parents" ->
       """WITH li AS (SELECT * FROM lineitem
-           WHERE l_linenumber = 1 AND l_orderkey IN (1,2,3,4,5)),
+           WHERE (l_orderkey, l_linenumber)
+             IN ((1,3),(3,2),(8,2),(12,5),(13,7))),
          o AS (SELECT * FROM orders
                WHERE o_orderkey IN (SELECT l_orderkey FROM li)),
          c AS (SELECT * FROM customer
@@ -315,9 +316,12 @@ object OracleSql {
          CASE WHEN user_id >= 15 THEN value * 2 ELSE value END AS score
          FROM events ORDER BY event_id""",
 
+    // DuckDB integer SUM returns HUGEINT (int128); cast back to BIGINT so
+    // the driver's binary hash matches Spark's int64 output.
     "q26_json_misc" ->
       """SELECT event_type,
-         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
          COUNT(*) FILTER
            (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -428,8 +432,9 @@ object OracleSql {
     "t05_corpus_stats" ->
       s"""SELECT
          (SELECT COUNT(*) FROM documents) AS n_docs,
-         (SELECT SUM($wordCountSql) FROM documents) AS total_ws_tokens,
-         (SELECT SUM(CAST(ceil(length(text) / 4.0) AS BIGINT))
+         (SELECT CAST(SUM($wordCountSql) AS BIGINT) FROM documents)
+            AS total_ws_tokens,
+         (SELECT CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
             FROM documents) AS total_bpe_est,
          (SELECT COUNT(DISTINCT tok) FROM
             (SELECT unnest(string_split($normText, ' ')) AS tok

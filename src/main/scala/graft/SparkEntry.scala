@@ -249,9 +249,13 @@ object SparkEntry {
     * lineitems, the dead-end ancestor types are region (via the
     * customer/supplier spines) and part (side parent, childless upward). */
   private def q22(s: SparkSession, dir: String): DataFrame = {
+    // Composite ids verified present at sf0.001, sf0.01 AND sf0.1, so the
+    // gate row is never vacuous (the <*$ semantics must match real rows).
+    val seedIds = Seq("1" -> "3", "3" -> "2", "8" -> "2",
+      "12" -> "5", "13" -> "7")
     val m = PatternQuery.run(s, dir, TestCatalog.catalog,
       ">lineitem%<*$",
-      idLists = Seq((1L to 5L).map(k => Seq(k.toString, "1"))))
+      idLists = Seq(seedIds.map { case (ok, ln) => Seq(ok, ln) }))
     m("region").select(lit("region").as("object_type"),
         col("r_regionkey").cast("string").as("id"))
       .union(m("part").select(lit("part").as("object_type"),

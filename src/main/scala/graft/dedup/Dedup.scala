@@ -262,13 +262,19 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(propagated)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("own"))
+      // The propagation aggregate computes the new label AND carries the old
+      // one (the `own`-tagged row), so the convergence test is a join-free
+      // filter over the already-materialized checkpoint — no second join or
+      // plan re-execution per round.
+      val next = labels.withColumn("own", lit(true))
+        .union(propagated)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))

@@ -125,9 +125,13 @@ final class Catalog(
     }
     // Referential integrity stays one anti-join per relation: exact under
     // duplicate parent ids, and each join is independently shuffle-bounded.
+    // Both sides project to just the key columns before the join — the
+    // anti-join only needs the refs, so nothing wider ever crosses a shuffle.
     val orphanChecks = relations.map { rel =>
       val child = load(spark, dir, rel.child)
+        .select(rel.refCols.map(col): _*)
       val parent = load(spark, dir, rel.parent)
+        .select(types(rel.parent).idCols.map(col): _*)
       val cond = rel.refCols.zip(types(rel.parent).idCols)
         .map { case (rc, ic) => child(rc) === parent(ic) }
         .reduce(_ && _)

@@ -25,8 +25,13 @@ object Ivf {
     * `iters` assign/mean rounds. Returns (cluster, centroid) with centroid
     * as array<float>. */
   def fitCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+    // localCheckpoint each round: the centroids frame is c rows but its
+    // lineage after i rounds is i nested corpus scans, and it feeds the next
+    // round plus (after the loop) two consumers — without materialization
+    // every consumer re-executes the whole k-means chain.
     var centroids = corpus.orderBy("id").limit(c)
       .select(col("id").as("cluster"), col("v").as("centroid"))
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, centroids)
       centroids = assigned
@@ -37,6 +42,7 @@ object Ivf {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
     }
     centroids
   }
@@ -56,11 +62,20 @@ object Ivf {
     * candidates is exact cosine via the bounded top-k aggregate. Output
     * (probe_id, neighbor_id, rank) like [[Knn.bruteForceKnn]] (approximate:
     * may return < k rows per probe). */
+  /** @param fitFraction fraction of the corpus the k-means fit sees
+    *                     (deterministic sample, seed 42). 1.0 fits on
+    *                     everything; at 100 TB fit on a small sample — cell
+    *                     quality needs only a representative sample, and the
+    *                     full corpus is then assigned exactly once. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              probeFilter: Column, k: Int,
-             c: Int, nprobe: Int, iters: Int = 3): DataFrame = {
+             c: Int, nprobe: Int, iters: Int = 3,
+             fitFraction: Double = 1.0): DataFrame = {
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val centroids = fitCentroids(corpus, c, iters)
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val centroids = fitCentroids(fitCorpus, c, iters)
     val cells = assign(corpus, centroids)
       .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("cluster"))
     val probeCells = emb.filter(probeFilter)
