@@ -345,6 +345,45 @@ object OracleSql {
          FROM c JOIN su ON click_sec >= lo_sec AND click_sec <= hi_sec
          GROUP BY click_id ORDER BY click_id""",
 
+    // Combined closure cascade: parents pass (proot→pcust→pnat→preg), then
+    // children pass from the ACCUMULATED sets top-down (reference pass
+    // order, sqlite/v04_00.py:614-682). UNION (not ALL) inside the CTEs =
+    // the distinct merge of the Spark BFS.
+    "q29_full_closure" ->
+      """WITH proot AS (SELECT * FROM orders WHERE o_orderkey IN (1,2,3)),
+         pcust AS (SELECT * FROM customer
+                   WHERE c_custkey IN (SELECT o_custkey FROM proot)),
+         pnat AS (SELECT * FROM nation
+                  WHERE n_nationkey IN (SELECT c_nationkey FROM pcust)),
+         preg AS (SELECT * FROM region
+                  WHERE r_regionkey IN (SELECT n_regionkey FROM pnat)),
+         cnat AS (SELECT * FROM nation
+                  WHERE n_regionkey IN (SELECT r_regionkey FROM preg)
+                  UNION SELECT * FROM pnat),
+         ccust AS (SELECT * FROM customer
+                   WHERE c_nationkey IN (SELECT n_nationkey FROM cnat)
+                   UNION SELECT * FROM pcust),
+         csupp AS (SELECT * FROM supplier
+                   WHERE s_nationkey IN (SELECT n_nationkey FROM cnat)),
+         cord AS (SELECT * FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM ccust)
+                  UNION SELECT * FROM proot),
+         cli AS (SELECT * FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM cord)
+                 UNION SELECT * FROM lineitem
+                 WHERE l_suppkey IN (SELECT s_suppkey FROM csupp))
+         SELECT object_type, id FROM (
+           SELECT 'region' AS object_type,
+             CAST(r_regionkey AS VARCHAR) AS id FROM preg
+           UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM cnat
+           UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM ccust
+           UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM csupp
+           UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR) FROM cord
+           UNION ALL SELECT 'lineitem',
+             CAST(l_orderkey AS VARCHAR) || '_' ||
+             CAST(l_linenumber AS VARCHAR) FROM cli
+         ) ORDER BY object_type, id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

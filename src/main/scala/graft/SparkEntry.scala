@@ -263,6 +263,31 @@ object SparkEntry {
       .orderBy("object_type", "id")
   }
 
+  /** Combined children+parents closure — the reference's main query entry
+    * point `query(ids, children=True, parents=True)`
+    * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful to
+    * the SQL generator (sqlite/v04_00.py:614-682): ancestors first, then
+    * descendants of the ACCUMULATED sets — so siblings under the matched
+    * objects' ancestors are included (the whole family tree). part is never
+    * reached: it only relates downward to lineitem, and no lineitem id is
+    * in the upward pass. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val roots = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val m = TestCatalog.catalog.closure(s, dir, Map("orders" -> roots),
+      parents = true, children = true)
+    def part(tn: String, id: Column): DataFrame =
+      m(tn).select(lit(tn).as("object_type"), id.cast("string").as("id"))
+    part("region", col("r_regionkey"))
+      .union(part("nation", col("n_nationkey")))
+      .union(part("customer", col("c_custkey")))
+      .union(part("supplier", col("s_suppkey")))
+      .union(part("orders", col("o_orderkey")))
+      .union(part("lineitem", concat(col("l_orderkey").cast("string"),
+        lit("_"), col("l_linenumber").cast("string"))))
+      .orderBy("object_type", "id")
+  }
+
   /** Dot-path test-tree rollup (kcidb `Node`, oo/__init__.py:277-408): a
     * 3-level path synthesized from events (type.userbucket.eventbucket),
     * status from the measure; every node of the tree gets the worst status
@@ -553,6 +578,7 @@ object SparkEntry {
     "q26_json_misc" -> (q26 _),
     "q27_asof_join" -> (q27 _),
     "q28_range_join" -> (q28 _),
+    "q29_full_closure" -> (q29 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -46,38 +46,49 @@ final class Catalog(
   private def idsOf(df: DataFrame, t: GraftType): DataFrame =
     df.select(t.idCols.map(col): _*).distinct()
 
-  /** Children closure (kcidb db query with children=True,
-    * /root/reference/kcidb/db/sqlite/v04_00.py:644-682): starting from
-    * per-type root ID sets, repeatedly semi-join child tables on the
-    * parent-reference columns. Returns every reached type's matched rows.
-    *
-    * Broadcast policy: only the ROOT id lists carry a broadcast hint — they
-    * are caller-supplied and bounded. Derived frontiers (all orders of the
-    * matched customers, etc.) are data-dependent and unbounded at scale, so
-    * those semi-joins carry no hint and AQE picks broadcast vs shuffle from
-    * the frontier's actual runtime size.
-    */
-  def childrenClosure(
-      spark: SparkSession, dir: String,
-      roots: Map[String, DataFrame]): Map[String, DataFrame] = {
-    var matched: Map[String, DataFrame] = roots.map { case (tn, ids) =>
-      val t = types(tn)
-      val tbl = load(spark, dir, tn)
-      tn -> tbl.join(broadcast(ids), t.idCols, "left_semi")
+  /** Root ID sets → matched rows per type. Only these caller-supplied,
+    * bounded id lists ever carry a broadcast hint; derived frontiers are
+    * data-dependent and unbounded at scale, so their semi-joins carry no
+    * hint and AQE picks broadcast vs shuffle from the runtime size. */
+  private def seed(spark: SparkSession, dir: String,
+                   roots: Map[String, DataFrame]): Map[String, DataFrame] =
+    roots.map { case (tn, ids) =>
+      tn -> load(spark, dir, tn)
+        .join(broadcast(ids), types(tn).idCols, "left_semi")
     }
-    // The relation graph is a DAG; walk it breadth-first. Each type is
-    // visited once per incoming frontier; testdata depth <= 4.
+
+  /** Directional closure expansion: starting from per-type matched row
+    * sets, repeatedly semi-join the next table in the traversal direction
+    * until no new type receives rows. The relation graph is a DAG walked
+    * breadth-first; each hop is one frontier-bounded shuffle, never a
+    * row-at-a-time loop (testdata depth <= 4). */
+  private def expand(spark: SparkSession, dir: String,
+                     start: Map[String, DataFrame],
+                     children: Boolean): Map[String, DataFrame] = {
+    var matched = start
     var frontier = matched.keySet
     while (frontier.nonEmpty) {
       val next = scala.collection.mutable.Map[String, DataFrame]()
-      for (tn <- frontier; rel <- childrenOf(tn)) {
-        val parentIds = idsOf(matched(tn), types(tn))
-        val childTbl = load(spark, dir, rel.child)
-        val cond = rel.refCols.zip(types(tn).idCols)
-          .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
-          .reduce(_ && _)
-        val rows = childTbl.join(parentIds, cond, "left_semi")
-        next(rel.child) = next.get(rel.child).map(_.union(rows)).getOrElse(rows)
+      def add(tn: String, rows: DataFrame): Unit =
+        next(tn) = next.get(tn).map(_.union(rows)).getOrElse(rows)
+      for (tn <- frontier) {
+        if (children) for (rel <- childrenOf(tn)) {
+          val parentIds = idsOf(matched(tn), types(tn))
+          val childTbl = load(spark, dir, rel.child)
+          val cond = rel.refCols.zip(types(tn).idCols)
+            .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
+            .reduce(_ && _)
+          add(rel.child, childTbl.join(parentIds, cond, "left_semi"))
+        } else for (rel <- parentsOf(tn)) {
+          val pType = types(rel.parent)
+          // ref values present in the matched child rows = parent frontier
+          val refIds = matched(tn)
+            .select(rel.refCols.zip(pType.idCols).map { case (rc, ic) =>
+              col(rc).as(ic)
+            }: _*).distinct()
+          add(rel.parent, load(spark, dir, rel.parent)
+            .join(refIds, pType.idCols, "left_semi"))
+        }
       }
       val newly = next.map { case (tn, df) =>
         tn -> matched.get(tn).map(_.union(df).distinct()).getOrElse(df)
@@ -85,6 +96,34 @@ final class Catalog(
       matched = matched ++ newly
       frontier = next.keySet.toSet
     }
+    matched
+  }
+
+  /** Children closure (kcidb db query with children=True,
+    * /root/reference/kcidb/db/sqlite/v04_00.py:644-682): starting from
+    * per-type root ID sets, repeatedly semi-join child tables on the
+    * parent-reference columns. Returns every reached type's matched rows. */
+  def childrenClosure(
+      spark: SparkSession, dir: String,
+      roots: Map[String, DataFrame]): Map[String, DataFrame] =
+    expand(spark, dir, seed(spark, dir, roots), children = true)
+
+  /** The full `query(ids, children=…, parents=…)` entry point
+    * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful
+    * to the reference SQL generator (sqlite/v04_00.py:614-682): the
+    * parents pass runs FIRST, and the children pass then expands downward
+    * from the ACCUMULATED per-type sets — so with both flags, descendants
+    * of the matched objects' ancestors are included (the whole family
+    * tree), exactly as `kcidb-query -c -p` returns it. Each pass is the
+    * same BFS of frontier-bounded semi-joins as the single-direction
+    * closures; with one flag set this degenerates to exactly
+    * [[childrenClosure]] / [[parentsClosure]]. */
+  def closure(spark: SparkSession, dir: String,
+              roots: Map[String, DataFrame],
+              parents: Boolean, children: Boolean): Map[String, DataFrame] = {
+    var matched = seed(spark, dir, roots)
+    if (parents) matched = expand(spark, dir, matched, children = false)
+    if (children) matched = expand(spark, dir, matched, children = true)
     matched
   }
 
@@ -146,34 +185,8 @@ final class Catalog(
   /** Parents closure (children=False counterpart, sqlite/v04_00.py:614-643). */
   def parentsClosure(
       spark: SparkSession, dir: String,
-      roots: Map[String, DataFrame]): Map[String, DataFrame] = {
-    var matched: Map[String, DataFrame] = roots.map { case (tn, ids) =>
-      val t = types(tn)
-      tn -> load(spark, dir, tn).join(broadcast(ids), t.idCols, "left_semi")
-    }
-    var frontier = matched.keySet
-    while (frontier.nonEmpty) {
-      val next = scala.collection.mutable.Map[String, DataFrame]()
-      for (tn <- frontier; rel <- parentsOf(tn)) {
-        val pType = types(rel.parent)
-        // ref values present in the matched child rows = the parent frontier
-        val refIds = matched(tn)
-          .select(rel.refCols.zip(pType.idCols).map { case (rc, ic) =>
-            col(rc).as(ic)
-          }: _*).distinct()
-        val parentTbl = load(spark, dir, rel.parent)
-        val rows = parentTbl.join(refIds, pType.idCols, "left_semi")
-        next(rel.parent) =
-          next.get(rel.parent).map(_.union(rows)).getOrElse(rows)
-      }
-      val newly = next.map { case (tn, df) =>
-        tn -> matched.get(tn).map(_.union(df).distinct()).getOrElse(df)
-      }
-      matched = matched ++ newly
-      frontier = next.keySet.toSet
-    }
-    matched
-  }
+      roots: Map[String, DataFrame]): Map[String, DataFrame] =
+    expand(spark, dir, seed(spark, dir, roots), children = false)
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors

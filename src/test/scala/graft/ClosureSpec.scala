@@ -77,6 +77,76 @@ class ClosureSpec extends AnyFunSuite {
     pm.values.foreach(assertHintsAreRootOnly)
   }
 
+  test("closure with both flags = parents pass, then children from the " +
+      "accumulated sets (reference cascade)") {
+    val roots = Seq(1L).toDF("o_orderkey")
+    val m = cat.closure(spark, dir, Map("orders" -> roots),
+      parents = true, children = true)
+    // part is unreachable: it only relates downward to lineitem, and no
+    // lineitem is matched before the children pass.
+    assert(m.keySet == Set("orders", "customer", "nation", "region",
+      "supplier", "lineitem"))
+
+    def tb(n: String) = Tables(spark, dir, n)
+    def semi(df: org.apache.spark.sql.DataFrame,
+             keys: org.apache.spark.sql.DataFrame, k: String) =
+      df.join(keys.distinct(), Seq(k), "left_semi")
+    // Upward pass from order 1…
+    val pcust = semi(tb("customer"),
+      tb("orders").filter(col("o_orderkey") === 1)
+        .select(col("o_custkey").as("c_custkey")), "c_custkey")
+    val pnat = semi(tb("nation"),
+      pcust.select(col("c_nationkey").as("n_nationkey")), "n_nationkey")
+    val preg = semi(tb("region"),
+      pnat.select(col("n_regionkey").as("r_regionkey")), "r_regionkey")
+    // …then downward from the ACCUMULATED sets (cnat ⊇ pnat by
+    // construction: every ancestor nation's region is in preg).
+    val cnat = semi(tb("nation"),
+      preg.select(col("r_regionkey").as("n_regionkey")), "n_regionkey")
+    val ccust = semi(tb("customer"),
+      cnat.select(col("n_nationkey").as("c_nationkey")), "c_nationkey")
+    val csupp = semi(tb("supplier"),
+      cnat.select(col("n_nationkey").as("s_nationkey")), "s_nationkey")
+    val cord = semi(tb("orders"),
+      ccust.select(col("c_custkey").as("o_custkey")), "o_custkey")
+    // Full-ROW union: (l_orderkey, l_linenumber) is not unique in the
+    // testdata, and closures keep every row of a matched object. Using-
+    // column semi-joins move the key first, so re-project the table order
+    // before the positional union.
+    val liCols = tb("lineitem").columns.map(col).toSeq
+    val cli = semi(tb("lineitem"),
+        cord.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      .select(liCols: _*)
+      .union(semi(tb("lineitem"),
+          csupp.select(col("s_suppkey").as("l_suppkey")), "l_suppkey")
+        .select(liCols: _*))
+      .distinct()
+    assert(m("region").count() == preg.count())
+    assert(m("nation").count() == cnat.count())
+    assert(m("customer").count() == ccust.count())
+    assert(m("supplier").count() == csupp.count())
+    assert(m("orders").count() == cord.count())
+    assert(m("lineitem").count() == cli.count())
+    // The distinguishing reference behavior: descendants of the matched
+    // object's ANCESTORS are included, so sibling orders appear.
+    assert(m("orders").count() > 1,
+      "children pass must expand from the accumulated (ancestor) sets")
+  }
+
+  test("single-direction closure flags reduce to the dedicated closures") {
+    val roots = Seq(1L, 2L).toDF("o_orderkey")
+    val c1 = cat.closure(spark, dir, Map("orders" -> roots),
+      parents = false, children = true)
+    val c2 = cat.childrenClosure(spark, dir, Map("orders" -> roots))
+    assert(c1.keySet == c2.keySet)
+    for (tn <- c1.keySet) assert(c1(tn).count() == c2(tn).count())
+    val p1 = cat.closure(spark, dir, Map("orders" -> roots),
+      parents = true, children = false)
+    val p2 = cat.parentsClosure(spark, dir, Map("orders" -> roots))
+    assert(p1.keySet == p2.keySet)
+    for (tn <- p1.keySet) assert(p1(tn).count() == p2(tn).count())
+  }
+
   test("closures of empty roots are empty") {
     val roots = Seq.empty[Long].toDF("c_custkey")
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))
