@@ -384,6 +384,17 @@ object OracleSql {
              CAST(l_linenumber AS VARCHAR) FROM cli
          ) ORDER BY object_type, id""",
 
+    // Union of the three patterns' matches; UNION (not ALL) = the
+    // cross-pattern distinct merge of PatternQuery.runAll.
+    "q30_multi_pattern" ->
+      """SELECT object_type, id FROM (
+           SELECT 'orders' AS object_type, CAST(o_orderkey AS VARCHAR) AS id
+           FROM orders WHERE o_custkey IN (21, 22, 23, 30)
+           UNION
+           SELECT 'customer', CAST(c_custkey AS VARCHAR)
+           FROM customer WHERE c_nationkey = 1
+         ) ORDER BY object_type, id""",
+
     "d01_dedup_exact" ->
       s"""SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT md5($normText)) AS n_unique,

@@ -288,6 +288,23 @@ object SparkEntry {
       .orderBy("object_type", "id")
   }
 
+  /** Multi-pattern union — `kcidb-query` with repeated patterns
+    * (orm/__init__.py:841-851): three patterns (one via a `%` placeholder
+    * list) whose per-type matches union; customers 21∩nation-1 and the
+    * repeated customer-21 orders prove cross-pattern dedup. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val m = PatternQuery.runAll(s, dir, TestCatalog.catalog,
+      Seq(">customer[21;22;23]>orders#",
+        ">nation[1]>customer#",
+        ">customer%>orders#"),
+      idLists = Seq(Seq(Seq("21"), Seq("30"))))
+    m("orders").select(lit("orders").as("object_type"),
+        col("o_orderkey").cast("string").as("id"))
+      .union(m("customer").select(lit("customer").as("object_type"),
+        col("c_custkey").cast("string").as("id")))
+      .orderBy("object_type", "id")
+  }
+
   /** Dot-path test-tree rollup (kcidb `Node`, oo/__init__.py:277-408): a
     * 3-level path synthesized from events (type.userbucket.eventbucket),
     * status from the measure; every node of the tree gets the worst status
@@ -579,6 +596,7 @@ object SparkEntry {
     "q27_asof_join" -> (q27 _),
     "q28_range_join" -> (q28 _),
     "q29_full_closure" -> (q29 _),
+    "q30_multi_pattern" -> (q30 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -121,12 +121,32 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     * Candidates come only from shared (band, band-hash) buckets; the exact
     * verification joins the shingle sets back by id, so the banding join
-    * itself carries just (id, band, bh). */
+    * itself carries just (id, band, bh).
+    *
+    * @param maxDf optional document-frequency cap mirroring
+    *              [[ngramJaccardPairs]]: shingles in more than `maxDf` docs
+    *              leave the pipeline BEFORE signatures, so boilerplate
+    *              shared by a large fraction of the corpus can no longer
+    *              align signatures and blow one (band, bucket) key up
+    *              quadratically. Signatures, banding, AND the exact verify
+    *              then all see the capped shingle sets (a documented
+    *              approximation, standard near-dup practice); None keeps
+    *              exact semantics. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, nBands: Int, threshold: Double): DataFrame = {
+                      k: Int, nBands: Int, threshold: Double,
+                      maxDf: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / nBands
-    val sigs =
-      sigAndShingles(explodedShingles(docs, idCol, textCol, n = 3), k)
+    val all = explodedShingles(docs, idCol, textCol, n = 3)
+    val exploded = maxDf match {
+      case None => all
+      case Some(cap) =>
+        // df per shingle computed once (one extra shuffle on the shingle);
+        // hot shingles leave the index before any signature math.
+        val keep = all.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("g")
+        all.join(keep, "g")
+    }
+    val sigs = sigAndShingles(exploded, k)
     val banded = sigs
       .select(col("id"),
         posexplode(bands(col("sig"), nBands, rowsPerBand))

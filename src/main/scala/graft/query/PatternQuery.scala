@@ -274,4 +274,32 @@ object PatternQuery {
     }
     results
   }
+
+  /** Multi-pattern union — `kcidb-query` accepts repeated pattern strings
+    * whose matches accumulate into one set
+    * (/root/reference/kcidb/orm/__init__.py:841-851 `pattern_set |=
+    * Pattern.parse(...)`; CLI wiring kcidb/__init__.py:370-387). Each
+    * pattern runs independently; per-type matches union with distinct.
+    *
+    * `%` placeholders consume `idLists` in PATTERN order (pattern 1's
+    * placeholders first, then pattern 2's, …) — the concatenation of the
+    * per-parse `obj_str_id_set_list`s of the reference. */
+  def runAll(spark: SparkSession, dir: String, catalog: Catalog,
+             patterns: Seq[String],
+             idLists: Seq[Seq[Seq[String]]] = Seq.empty)
+      : Map[String, DataFrame] = {
+    var remaining = idLists
+    var acc: Map[String, DataFrame] = Map.empty
+    for (p <- patterns) {
+      val need = parse(p).count(_.spec == Placeholder)
+      require(remaining.size >= need,
+        s"not enough ID lists for '%' placeholders in: $p")
+      val (mine, rest) = remaining.splitAt(need)
+      remaining = rest
+      for ((tn, df) <- run(spark, dir, catalog, p, mine))
+        acc = acc.updated(tn,
+          acc.get(tn).map(_.union(df).distinct()).getOrElse(df))
+    }
+    acc
+  }
 }

@@ -49,6 +49,29 @@ class DedupSpec extends AnyFunSuite {
       "disjoint doc must produce no verified pair")
   }
 
+  test("minhashNearDups maxDf drops hot shingles from banding AND verify") {
+    // 12 docs sharing a boilerplate sentence (its trigrams have df=12),
+    // each with a unique tail; plus the base docs (1,2 exact dups).
+    val boiler = (10 to 21).map(i => (i.toLong,
+      "terms and conditions apply to all users of this service " +
+        s"without exception unique$i tail$i")).toDF("doc_id", "text")
+    val corpus = docs.union(boiler)
+    def run(cap: Option[Int]) =
+      Dedup.minhashNearDups(corpus, "doc_id", "text",
+          k = 64, nBands = 16, threshold = 0.3, maxDf = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = run(None)
+    assert(uncapped.keySet.exists { case (a, b) => a >= 10L && b >= 10L },
+      "without a cap, boilerplate-heavy docs pair up")
+    val capped = run(Some(10))
+    assert(!capped.keySet.exists { case (a, b) => a >= 10L && b >= 10L },
+      "df>10 boilerplate shingles must leave the banding index")
+    assert(capped.contains((1L, 2L)) &&
+      math.abs(capped((1L, 2L)) - 1.0) < 1e-12,
+      "low-df exact dups survive the cap with exact jaccard")
+  }
+
   test("simhash: identical docs at distance 0, disjoint docs not paired") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
       .collect()

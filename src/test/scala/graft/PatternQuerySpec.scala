@@ -108,4 +108,33 @@ class PatternQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       PatternQuery.run(spark, dir, cat, ">region>lineitem#"))
   }
+
+  test("runAll: unions per-type matches across patterns, with dedup") {
+    val patterns = Seq(">customer[21;22]>orders#", ">customer[21]>orders#",
+      ">nation[1]>customer#")
+    val m = PatternQuery.runAll(spark, dir, cat, patterns)
+    assert(m.keySet == Set("orders", "customer"))
+    val manual = patterns.map(PatternQuery.run(spark, dir, cat, _))
+    def manualUnion(tn: String) =
+      manual.flatMap(_.get(tn)).reduce(_ union _).distinct()
+    assert(m("orders").count() == manualUnion("orders").count())
+    assert(m("customer").count() == manualUnion("customer").count())
+    // pattern 2 is a subset of pattern 1 — dedup means no double-counting
+    assert(m("orders").count() ==
+      PatternQuery.run(spark, dir, cat, ">customer[21;22]>orders#")(
+        "orders").count())
+  }
+
+  test("runAll: '%' placeholders consume id lists in pattern order") {
+    val m = PatternQuery.runAll(spark, dir, cat,
+      Seq(">customer%#", ">customer%#"),
+      idLists = Seq(Seq(Seq("21")), Seq(Seq("22"))))
+    assert(m("customer").count() == 2)
+    val keys = m("customer").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == Set(21L, 22L))
+    intercept[IllegalArgumentException](
+      PatternQuery.runAll(spark, dir, cat,
+        Seq(">customer%#", ">customer%#"), idLists = Seq(Seq(Seq("21")))))
+  }
 }
