@@ -133,6 +133,21 @@ object SparkEntry {
         epochSec(col("ts")).as("ts_sec"))
       .orderBy("event_id")
 
+  /** Batched dump (dump_iter objects_per_report, db/abstract.py:192-244):
+    * the q09 window chunked into 500-object reports keyed by the unique
+    * event_id order. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Loader.dumpBatched(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts")),
+        col("ts"),
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        orderKey = Seq(col("event_id")), batchSize = 500)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), epochSec(col("ts")).as("ts_sec"), col("batch_id"))
+      .orderBy("event_id")
+
   private def q10(s: SparkSession, dir: String): DataFrame =
     Loader.purge(ev(s, dir), col("ts"),
         lit("2024-01-15 00:00:00").cast("timestamp"))
@@ -597,6 +612,7 @@ object SparkEntry {
     "q28_range_join" -> (q28 _),
     "q29_full_closure" -> (q29 _),
     "q30_multi_pattern" -> (q30 _),
+    "q31_dump_batched" -> (q31 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -1,8 +1,8 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Load/merge semantics of the kcidb database layer, Spark-first.
   *
@@ -40,19 +40,16 @@ object Loader {
       orderBy: Seq[Column], fields: Seq[String],
       prioDb: Boolean = false,
       maxFields: Seq[String] = Seq.empty): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // "Latest (earliest under prio_db) non-null value of f in submission
+    // order" = max (min) over rows with f non-null of (orderBy…, f),
+    // extracting f. ONE groupBy of plain min/max aggregates — fully
+    // partial-aggregatable (map-side combine), no per-key sort, no window.
     val merged = fields.map { f =>
-      val picked =
-        if (prioDb) first(col(f), ignoreNulls = true)
-        else last(col(f), ignoreNulls = true)
-      picked.over(w).as(f)
-    } ++ maxFields.map(f => max(col(f)).over(w).as(f))
-    val rn = row_number().over(
-      Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*))
-    df.select(keys.map(col) ++ merged :+ rn.as("__rn"): _*)
-      .filter(col("__rn") === 1).drop("__rn")
+      val tagged = when(col(f).isNotNull,
+        struct(orderBy :+ col(f).as("__v"): _*))
+      (if (prioDb) min(tagged) else max(tagged)).getField("__v").as(f)
+    } ++ maxFields.map(f => max(col(f)).as(f))
+    df.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
   }
 
   /** kcidb-merge (/root/reference/kcidb/__init__.py:452-471): union data
@@ -70,4 +67,29 @@ object Loader {
     * only rows at/after the cutoff. */
   def purge(df: DataFrame, tsCol: Column, before: Column): DataFrame =
     df.filter(tsCol >= before)
+
+  /** Batched dump — `dump_iter(objects_per_report=…)`
+    * (/root/reference/kcidb/db/abstract.py:192-244) chunks the dump window
+    * into transport-sized reports. Appends `batch_id` = global rank /
+    * `batchSize` under the total order `orderKey` (pass a UNIQUE key — ties
+    * would make batch membership nondeterministic).
+    *
+    * Scale shape: global ranking WITHOUT a single-partition window — the
+    * orderBy is a range-partitioned sort, and zipWithIndex then computes
+    * per-partition offsets from partition row COUNTS (an O(#partitions)
+    * driver exchange, the standard global-index discipline). Each batch's
+    * rows are contiguous in the sorted output, so a downstream
+    * partitionBy("batch_id") writer emits one transport chunk per batch. */
+  def dumpBatched(df: DataFrame, tsCol: Column, after: Column, until: Column,
+                  orderKey: Seq[Column], batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val windowed = dumpWindow(df, tsCol, after, until).orderBy(orderKey: _*)
+    val spark = windowed.sparkSession
+    val schema = windowed.schema
+      .add(StructField("batch_id", LongType, nullable = false))
+    val indexed = windowed.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i / batchSize)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The OO-layer rollup analytics of kcidb, as reusable Spark operators.
@@ -11,12 +10,16 @@ object Rollups {
 
   /** Latest object version per identity — kcidb's issue → issue_version
     * (max version_num; orm/data.py:437-455) and checkout branch tips.
-    * One shuffle; deterministic with a total order. */
+    * ONE partial-aggregatable max_by aggregate (map-side combine keeps one
+    * candidate row per key per partition) — no per-key sort, no window.
+    * Deterministic iff `order` is a total order within each key. */
   def latestPerKey(df: DataFrame, keys: Seq[String],
                    order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = df.columns.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), struct(order: _*)).as("__row"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.$c").as(c)): _*)
   }
 
   /** status -> numeric priority (unlisted statuses sink to MaxValue). */

@@ -78,4 +78,30 @@ class LoaderSpec extends AnyFunSuite {
       .select(col("ts").cast("long")).as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 3L))
   }
+
+  test("dumpBatched: full batches, exact coverage, key-contiguous chunks") {
+    val df = graft.sources.Tables.events(spark, TestSpark.sf)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-20 00:00:00").cast("timestamp")
+    def batch() = Loader.dumpBatched(df, col("ts"), lo, hi,
+      orderKey = Seq(col("event_id")), batchSize = 100)
+    val batched = batch()
+    val n = Loader.dumpWindow(df, col("ts"), lo, hi).count()
+    assert(batched.count() == n, "batching must not add or drop rows")
+    val sizes = batched.groupBy("batch_id").agg(
+        count(lit(1)).as("sz"),
+        min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .orderBy("batch_id").collect()
+    assert(sizes.length == (n + 99) / 100)
+    for (r <- sizes.dropRight(1)) assert(r.getAs[Long]("sz") == 100L)
+    assert(sizes.last.getAs[Long]("sz") ==
+      (if (n % 100 == 0) 100L else n % 100))
+    // batches partition the key ORDER: per-batch key ranges are disjoint
+    // and increasing (transport chunks are contiguous in the sort order)
+    for (w <- sizes.sliding(2) if w.length == 2)
+      assert(w(0).getAs[Long]("hi") < w(1).getAs[Long]("lo"))
+    // deterministic: same input, same batching
+    assert(batched.select("event_id", "batch_id")
+      .except(batch().select("event_id", "batch_id")).isEmpty)
+  }
 }

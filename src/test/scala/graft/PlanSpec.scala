@@ -82,6 +82,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q06/q12 merge via partial aggregates — no per-key sort or window") {
+    for (q <- Seq("q06_load_upsert_merge", "q12_latest_version")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not merge through a window (per-key sort):\n$p")
+      assert(p.contains("partial"),
+        s"$q merge aggregate must map-side combine:\n$p")
+    }
+  }
+
   test("aggregations are partial (map-side combine) in q01") {
     val p = plan("q01_summary_agg")
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
