@@ -259,15 +259,20 @@ object SparkEntry {
           count(lit(1)).as("n_orders")),
       Seq(col("total_spend").desc, col("c_custkey").asc), 20)
 
+  /** q22's (l_orderkey, l_linenumber) seeds, shared with the spec that
+    * asserts they exist in every /root/testdata/sf* lineitem. */
+  private[graft] val q22SeedIds = Seq("1" -> "3", "3" -> "2", "8" -> "2",
+    "12" -> "5", "13" -> "7")
+
   /** Ultimate parents (`<*$` + `%` placeholder): the kcidb "root objects of
     * these tests" query (orm/query.py STRING_DOC `>test%<*$`). From five
     * lineitems, the dead-end ancestor types are region (via the
     * customer/supplier spines) and part (side parent, childless upward). */
   private def q22(s: SparkSession, dir: String): DataFrame = {
-    // Composite ids verified present at sf0.001, sf0.01 AND sf0.1, so the
-    // gate row is never vacuous (the <*$ semantics must match real rows).
-    val seedIds = Seq("1" -> "3", "3" -> "2", "8" -> "2",
-      "12" -> "5", "13" -> "7")
+    // Seed ids must exist in lineitem at every gate scale factor or the
+    // <*$ traversal is vacuous — PropertySpec("q22 seed ids exist at every
+    // generated scale factor") CHECKS this against the parquet itself.
+    val seedIds = q22SeedIds
     val m = PatternQuery.run(s, dir, TestCatalog.catalog,
       ">lineitem%<*$",
       idLists = Seq(seedIds.map { case (ok, ln) => Seq(ok, ln) }))

@@ -293,7 +293,11 @@ object Dedup {
         .agg(min(col("label")).as("label"),
           min(when(col("own"), col("label"))).as("old"))
         .localCheckpoint()
-      converged = next.filter(col("label") < col("old")).isEmpty
+      // old is null only if an id arrived purely via propagation — cannot
+      // happen while `labels` seeds every vertex of the symmetrized edge
+      // list, but treat it as "changed" so the invariant is not load-bearing.
+      converged =
+        next.filter(col("old").isNull || col("label") < col("old")).isEmpty
       labels = next.select("id", "label")
       iter += 1
     }

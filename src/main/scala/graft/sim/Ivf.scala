@@ -19,17 +19,20 @@ import graft.functions.{TopK, Vectors}
   */
 object Ivf {
 
-  /** Deterministic spherical k-means: init = the `c` lowest-id corpus
-    * vectors (the seed's id doubles as the cluster key — cluster ids are
-    * keys, not ordinals, so no window/ordinal assignment is ever needed),
-    * `iters` assign/mean rounds. Returns (cluster, centroid) with centroid
-    * as array<float>. */
-  def fitCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+  /** Deterministic spherical k-means: init = the `c` lowest-id vectors of
+    * `seedCorpus` (default: the fit corpus itself; the seed's id doubles as
+    * the cluster key — cluster ids are keys, not ordinals, so no
+    * window/ordinal assignment is ever needed), `iters` assign/mean rounds
+    * over `corpus`. A cell no sample vector maps to drops out of later
+    * rounds, as in standard k-means. Returns (cluster, centroid) with
+    * centroid as array<float>. */
+  def fitCentroids(corpus: DataFrame, c: Int, iters: Int,
+                   seedCorpus: Option[DataFrame] = None): DataFrame = {
     // localCheckpoint each round: the centroids frame is c rows but its
     // lineage after i rounds is i nested corpus scans, and it feeds the next
     // round plus (after the loop) two consumers — without materialization
     // every consumer re-executes the whole k-means chain.
-    var centroids = corpus.orderBy("id").limit(c)
+    var centroids = seedCorpus.getOrElse(corpus).orderBy("id").limit(c)
       .select(col("id").as("cluster"), col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
@@ -61,12 +64,17 @@ object Ivf {
   /** IVF top-k: probes scan their `nprobe` nearest cells; ranking among
     * candidates is exact cosine via the bounded top-k aggregate. Output
     * (probe_id, neighbor_id, rank) like [[Knn.bruteForceKnn]] (approximate:
-    * may return < k rows per probe). */
-  /** @param fitFraction fraction of the corpus the k-means fit sees
-    *                     (deterministic sample, seed 42). 1.0 fits on
-    *                     everything; at 100 TB fit on a small sample — cell
-    *                     quality needs only a representative sample, and the
-    *                     full corpus is then assigned exactly once. */
+    * may return < k rows per probe).
+    *
+    * @param fitFraction fraction of the corpus the k-means fit sees
+    *                    (deterministic Bernoulli sample, seed 42). 1.0 fits
+    *                    on everything; at 100 TB fit on a small sample —
+    *                    cell quality needs only a representative sample,
+    *                    and the full corpus is then assigned exactly once.
+    *                    Seeding always draws from the FULL corpus, so the
+    *                    fit starts from exactly `c` centroids even when the
+    *                    (approximate-size) sample yields fewer than `c`
+    *                    rows. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              probeFilter: Column, k: Int,
              c: Int, nprobe: Int, iters: Int = 3,
@@ -75,7 +83,8 @@ object Ivf {
     val fitCorpus =
       if (fitFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
-    val centroids = fitCentroids(fitCorpus, c, iters)
+    val centroids = fitCentroids(fitCorpus, c, iters,
+      seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
     val cells = assign(corpus, centroids)
       .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("cluster"))
     val probeCells = emb.filter(probeFilter)

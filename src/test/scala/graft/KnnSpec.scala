@@ -78,6 +78,26 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 = $recall, expected >= 0.5")
   }
 
+  test("ivfKnn fit-on-sample (fitFraction=0.2) keeps recall@3 at sf0.001") {
+    import graft.sim.Ivf
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The 100 TB posture: k-means fit sees a 20% sample (deterministic
+    // seed), seeds come from the FULL corpus (always c of them), the full
+    // corpus is assigned exactly once.
+    def run() = Ivf.ivfKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3, c = 16, nprobe = 4,
+        fitFraction = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run()
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sample-fit recall@3 = $recall, expected >= 0.5")
+    assert(run() == approx, "sample fit must be deterministic")
+  }
+
   test("native SRP signatures are bit-identical to the HOF formulation") {
     val emb10 = Seq.tabulate(10)(i =>
       (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))

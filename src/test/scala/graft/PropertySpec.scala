@@ -66,6 +66,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q22 seed ids exist at every generated scale factor") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val sfDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getPath).sorted
+    assert(sfDirs.nonEmpty)
+    for (dir <- sfDirs) {
+      val li = graft.sources.Tables(spark, dir, "lineitem")
+      val cond = SparkEntry.q22SeedIds.map { case (ok, ln) =>
+        col("l_orderkey") === ok.toLong && col("l_linenumber") === ln.toLong
+      }.reduce(_ || _)
+      val found = li.filter(cond)
+        .select("l_orderkey", "l_linenumber").distinct().count()
+      assert(found == SparkEntry.q22SeedIds.size,
+        s"$dir: only $found of ${SparkEntry.q22SeedIds.size} q22 seeds " +
+          "exist — the <*$ gate row would be (partly) vacuous")
+    }
+  }
+
   test("parser rejects truncated/garbled patterns") {
     for (bad <- Seq(">", "customer", ">customer[", ">customer[\"x]",
         ">customer]#", "> cust omer", "<>", ">customer[a,]#"))
