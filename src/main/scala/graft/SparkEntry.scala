@@ -345,18 +345,21 @@ object SparkEntry {
     * output.py:109): three subscriptions over the loaded object graph, each
     * a pushdown-able predicate; notification ids are the deterministic
     * spool dedup keys. */
+  /** q24's gate subscriptions, shared with the spec that asserts the
+    * streaming spool (dedupStream) emits exactly this batch set. */
+  private[graft] val q24Subscriptions = Seq(
+    graft.monitor.Subscription("failed_big_orders", "orders",
+      col("o_orderstatus") === "F" && col("o_totalprice") > 200000,
+      Seq("o_orderkey")),
+    graft.monitor.Subscription("negative_balance", "customer",
+      col("c_acctbal") < -900, Seq("c_custkey")),
+    graft.monitor.Subscription("returned_full_qty", "lineitem",
+      col("l_returnflag") === "R" && col("l_quantity") >= 50,
+      Seq("l_orderkey", "l_linenumber")))
+
   private def q24(s: SparkSession, dir: String): DataFrame =
     graft.monitor.Subscriptions.matchNotifications(
-      name => t(s, dir, name),
-      Seq(
-        graft.monitor.Subscription("failed_big_orders", "orders",
-          col("o_orderstatus") === "F" && col("o_totalprice") > 200000,
-          Seq("o_orderkey")),
-        graft.monitor.Subscription("negative_balance", "customer",
-          col("c_acctbal") < -900, Seq("c_custkey")),
-        graft.monitor.Subscription("returned_full_qty", "lineitem",
-          col("l_returnflag") === "R" && col("l_quantity") >= 50,
-          Seq("l_orderkey", "l_linenumber"))))
+      name => t(s, dir, name), q24Subscriptions)
       .orderBy("notification_id")
 
   /** The events-table schema lineage used by q25 and its spec: v1.0 is the

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * Replaying a submission log through that upsert yields, per key: each
   * field's latest non-null value in submission order (load priority) or its
   * first non-null value (db priority), plus max timestamp. That replay is
-  * exactly an ignore-nulls window aggregate — one shuffle on the key, no
-  * driver loops, partial-aggregation friendly — which is how graft expresses
-  * it for 100 TB logs.
+  * exactly one groupBy of min/max-of-struct aggregates — one shuffle on the
+  * key, map-side combined, no per-key sort, no driver loops — which is how
+  * graft expresses it for 100 TB logs.
   */
 object Loader {
 

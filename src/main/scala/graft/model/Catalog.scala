@@ -53,48 +53,82 @@ final class Catalog(
   private def seed(spark: SparkSession, dir: String,
                    roots: Map[String, DataFrame]): Map[String, DataFrame] =
     roots.map { case (tn, ids) =>
-      tn -> load(spark, dir, tn)
-        .join(broadcast(ids), types(tn).idCols, "left_semi")
+      tn -> canon(spark, dir, tn,
+        load(spark, dir, tn).join(broadcast(ids), types(tn).idCols,
+          "left_semi"))
     }
 
-  /** Directional closure expansion: starting from per-type matched row
-    * sets, repeatedly semi-join the next table in the traversal direction
-    * until no new type receives rows. The relation graph is a DAG walked
-    * breadth-first; each hop is one frontier-bounded shuffle, never a
-    * row-at-a-time loop (testdata depth <= 4). */
+  /** Re-project to the table's declared column order: using-column joins
+    * move key columns to the front, and the per-type accumulation below
+    * unions frames POSITIONALLY — a silently misaligned union would
+    * produce garbage rows that survive distinct(). */
+  private def canon(spark: SparkSession, dir: String, tn: String,
+                    df: DataFrame): DataFrame =
+    df.select(load(spark, dir, tn).columns.map(col).toSeq: _*)
+
+  /** Types in propagation order for one traversal direction (children:
+    * parents before children; parents: the reverse). The relation graph is
+    * a DAG; Kahn's algorithm with a sorted tie-break keeps it
+    * deterministic. */
+  private def topoOrder(children: Boolean): Seq[String] = {
+    val out: Map[String, Seq[String]] =
+      (if (children) relations.groupBy(_.parent).view.mapValues(_.map(_.child))
+       else relations.groupBy(_.child).view.mapValues(_.map(_.parent)))
+        .toMap.withDefaultValue(Seq.empty)
+    val indeg = scala.collection.mutable.Map.from(types.keys.map(_ -> 0))
+    for (t <- types.keys; u <- out(t)) indeg(u) += 1
+    val ready = scala.collection.mutable.PriorityQueue(
+      types.keys.filter(indeg(_) == 0).toSeq: _*)(Ordering[String].reverse)
+    val order = Seq.newBuilder[String]
+    while (ready.nonEmpty) {
+      val t = ready.dequeue(); order += t
+      for (u <- out(t)) { indeg(u) -= 1; if (indeg(u) == 0) ready += u }
+    }
+    order.result()
+  }
+
+  /** Directional closure expansion: one pass over the types in topological
+    * order (the reference's add_parents/add_children recursion,
+    * sqlite/v04_00.py:614-682) — each type's final row set is the distinct
+    * union of its start set and one semi-join per incoming relation
+    * against the already-final upstream set. On a DAG this single pass IS
+    * the fixpoint, so every table is scanned once per incoming relation
+    * (never re-scanned per BFS wave), each semi-join is one key-bounded
+    * shuffle, and nothing is row-at-a-time. */
   private def expand(spark: SparkSession, dir: String,
                      start: Map[String, DataFrame],
                      children: Boolean): Map[String, DataFrame] = {
     var matched = start
-    var frontier = matched.keySet
-    while (frontier.nonEmpty) {
-      val next = scala.collection.mutable.Map[String, DataFrame]()
-      def add(tn: String, rows: DataFrame): Unit =
-        next(tn) = next.get(tn).map(_.union(rows)).getOrElse(rows)
-      for (tn <- frontier) {
-        if (children) for (rel <- childrenOf(tn)) {
-          val parentIds = idsOf(matched(tn), types(tn))
-          val childTbl = load(spark, dir, rel.child)
-          val cond = rel.refCols.zip(types(tn).idCols)
-            .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
-            .reduce(_ && _)
-          add(rel.child, childTbl.join(parentIds, cond, "left_semi"))
-        } else for (rel <- parentsOf(tn)) {
-          val pType = types(rel.parent)
-          // ref values present in the matched child rows = parent frontier
-          val refIds = matched(tn)
-            .select(rel.refCols.zip(pType.idCols).map { case (rc, ic) =>
-              col(rc).as(ic)
-            }: _*).distinct()
-          add(rel.parent, load(spark, dir, rel.parent)
-            .join(refIds, pType.idCols, "left_semi"))
+    for (tn <- topoOrder(children)) {
+      val incoming: Seq[DataFrame] =
+        if (children) parentsOf(tn).flatMap { rel =>
+          matched.get(rel.parent).map { rows =>
+            val pType = types(rel.parent)
+            val parentIds = idsOf(rows, pType)
+            val childTbl = load(spark, dir, tn)
+            val cond = rel.refCols.zip(pType.idCols)
+              .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
+              .reduce(_ && _)
+            childTbl.join(parentIds, cond, "left_semi")
+          }
+        } else childrenOf(tn).flatMap { rel =>
+          matched.get(rel.child).map { rows =>
+            // ref values in the matched child rows = the parent id set
+            val refIds = rows
+              .select(rel.refCols.zip(types(tn).idCols).map {
+                case (rc, ic) => col(rc).as(ic)
+              }: _*).distinct()
+            canon(spark, dir, tn,
+              load(spark, dir, tn).join(refIds, types(tn).idCols,
+                "left_semi"))
+          }
         }
+      if (incoming.nonEmpty) {
+        val all = matched.get(tn).toSeq ++ incoming
+        matched = matched.updated(tn,
+          if (all.sizeIs == 1) all.head
+          else all.reduce(_ union _).distinct())
       }
-      val newly = next.map { case (tn, df) =>
-        tn -> matched.get(tn).map(_.union(df).distinct()).getOrElse(df)
-      }
-      matched = matched ++ newly
-      frontier = next.keySet.toSet
     }
     matched
   }

@@ -82,6 +82,42 @@ class SubscriptionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q24 gate parity: streaming spool equals batch spool at test SF") {
+    implicit val sql = spark.sqlContext
+    import graft.sources.Tables
+    val load = (n: String) => Tables(spark, TestSpark.sf, n)
+    val batch = Subscriptions
+      .matchNotifications(load, SparkEntry.q24Subscriptions)
+      .collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty, "gate subscriptions must match real rows")
+    // Replay the RAW (pre-dedup) match set through the streaming spool in
+    // three micro-batches, with an overlap chunk so cross-batch dedup is
+    // actually exercised on gate data.
+    val raw = Subscriptions.matchRaw(load, SparkEntry.q24Subscriptions)
+      .as[Subscriptions.Notif](
+        org.apache.spark.sql.Encoders.product[Subscriptions.Notif])
+      .collect().toSeq
+    val chunks = raw.grouped((raw.size + 1) / 2).toSeq :+ raw.take(20)
+    val input = MemoryStream[Notif]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sub3-ckpt").toString
+    val q = Subscriptions.dedupStream(input.toDS)
+      .writeStream.format("memory").queryName("q24_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("q24_stream")
+        .collect().map(_.getString(0)).toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: ${(streamed diff batch).take(3)} / " +
+          s"${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming match + dedup composes (filter works on a stream)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, Double)]
