@@ -378,10 +378,16 @@ object OracleSql {
          cord AS (SELECT * FROM orders
                   WHERE o_custkey IN (SELECT c_custkey FROM ccust)
                   UNION SELECT * FROM proot),
-         cli AS (SELECT * FROM lineitem
-                 WHERE l_orderkey IN (SELECT o_orderkey FROM cord)
-                 UNION SELECT * FROM lineitem
-                 WHERE l_suppkey IN (SELECT s_suppkey FROM csupp))
+         cliids AS (SELECT l_orderkey, l_linenumber FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM cord)
+                    UNION SELECT l_orderkey, l_linenumber FROM lineitem
+                    WHERE l_suppkey IN (SELECT s_suppkey FROM csupp)),
+         -- width restored by id, as the reference does (FROM t INNER JOIN
+         -- (…ids…) USING (id fields)): every row sharing a matched id
+         -- tuple is returned, with its multiplicity
+         cli AS (SELECT lineitem.l_orderkey, lineitem.l_linenumber
+                 FROM lineitem JOIN cliids
+                 USING (l_orderkey, l_linenumber))
          SELECT object_type, id FROM (
            SELECT 'region' AS object_type,
              CAST(r_regionkey AS VARCHAR) AS id FROM preg

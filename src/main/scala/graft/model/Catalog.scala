@@ -42,29 +42,33 @@ final class Catalog(
   def load(spark: SparkSession, dir: String, typeName: String): DataFrame =
     graft.sources.Tables(spark, dir, typeName)
 
-  /** IDs of `typeName` rows, as a distinct DataFrame of its id columns. */
-  private def idsOf(df: DataFrame, t: GraftType): DataFrame =
-    df.select(t.idCols.map(col): _*).distinct()
-
-  /** Root ID sets → matched rows per type. Only these caller-supplied,
-    * bounded id lists ever carry a broadcast hint; derived frontiers are
-    * data-dependent and unbounded at scale, so their semi-joins carry no
-    * hint and AQE picks broadcast vs shuffle from the runtime size. */
-  private def seed(spark: SparkSession, dir: String,
-                   roots: Map[String, DataFrame]): Map[String, DataFrame] =
+  /** Caller-supplied root ID lists → broadcast-hinted distinct id frames.
+    * Only these bounded inputs ever carry a broadcast hint; derived
+    * frontiers are data-dependent and unbounded at scale, so their
+    * semi-joins carry no hint and AQE picks broadcast vs shuffle from the
+    * runtime size. */
+  private def rootIds(roots: Map[String, DataFrame]): Map[String, DataFrame] =
     roots.map { case (tn, ids) =>
-      tn -> canon(spark, dir, tn,
-        load(spark, dir, tn).join(broadcast(ids), types(tn).idCols,
-          "left_semi"))
+      tn -> broadcast(ids.select(types(tn).idCols.map(col): _*).distinct())
     }
 
   /** Re-project to the table's declared column order: using-column joins
-    * move key columns to the front, and the per-type accumulation below
-    * unions frames POSITIONALLY — a silently misaligned union would
-    * produce garbage rows that survive distinct(). */
+    * move key columns to the front, and callers may union the returned
+    * frames POSITIONALLY — a silently misaligned union would produce
+    * garbage rows that survive distinct(). */
   private def canon(spark: SparkSession, dir: String, tn: String,
                     df: DataFrame): DataFrame =
     df.select(load(spark, dir, tn).columns.map(col).toSeq: _*)
+
+  /** Matched id sets → full rows, one width-restoring semi-join per
+    * reached type (rows with duplicate id tuples are all retained, as in
+    * the reference's final `FROM t INNER JOIN (…ids…) USING (id)`). */
+  private def materialize(spark: SparkSession, dir: String,
+                          ids: Map[String, DataFrame]): Map[String, DataFrame] =
+    ids.map { case (tn, idDf) =>
+      tn -> canon(spark, dir, tn,
+        load(spark, dir, tn).join(idDf, types(tn).idCols, "left_semi"))
+    }
 
   /** Types in propagation order for one traversal direction (children:
     * parents before children; parents: the reverse). The relation graph is
@@ -87,50 +91,59 @@ final class Catalog(
     order.result()
   }
 
-  /** Directional closure expansion: one pass over the types in topological
-    * order (the reference's add_parents/add_children recursion,
-    * sqlite/v04_00.py:614-682) — each type's final row set is the distinct
-    * union of its start set and one semi-join per incoming relation
-    * against the already-final upstream set. On a DAG this single pass IS
-    * the fixpoint, so every table is scanned once per incoming relation
-    * (never re-scanned per BFS wave), each semi-join is one key-bounded
-    * shuffle, and nothing is row-at-a-time. */
-  private def expand(spark: SparkSession, dir: String,
-                     start: Map[String, DataFrame],
-                     children: Boolean): Map[String, DataFrame] = {
-    var matched = start
+  /** Directional closure expansion in ID SPACE: one pass over the types in
+    * topological order (the reference's add_parents/add_children recursion,
+    * sqlite/v04_00.py:614-682) — each type's final ID set is the distinct
+    * union of its start ids and one derivation per incoming relation from
+    * the already-final upstream id set. On a DAG this single pass IS the
+    * fixpoint.
+    *
+    * Scale shape: every accumulated/shuffled frame is a NARROW id tuple —
+    * full-width rows never cross a shuffle, the per-relation derivation
+    * scans only (idCols ∪ refCols) of the child table (column pruning
+    * reaches the parquet scan), and [[materialize]] restores width with one
+    * final semi-join per type. Each derivation is one key-bounded shuffle;
+    * nothing is row-at-a-time. */
+  private def expandIds(spark: SparkSession, dir: String,
+                        start: Map[String, DataFrame],
+                        children: Boolean): Map[String, DataFrame] = {
+    var ids = start
+    // Both directions derive through the RELATION'S CHILD table, which
+    // holds the (child id, parent ref) mapping: children expansion keeps
+    // its idCols, parents expansion projects its refCols to parent ids.
+    def childNarrow(rel: GraftRelation): DataFrame =
+      load(spark, dir, rel.child)
+        .select((types(rel.child).idCols ++ rel.refCols).distinct
+          .map(col): _*)
     for (tn <- topoOrder(children)) {
       val incoming: Seq[DataFrame] =
         if (children) parentsOf(tn).flatMap { rel =>
-          matched.get(rel.parent).map { rows =>
-            val pType = types(rel.parent)
-            val parentIds = idsOf(rows, pType)
-            val childTbl = load(spark, dir, tn)
-            val cond = rel.refCols.zip(pType.idCols)
-              .map { case (rc, ic) => childTbl(rc) === parentIds(ic) }
+          ids.get(rel.parent).map { pIds =>
+            val tbl = childNarrow(rel)
+            val cond = rel.refCols.zip(types(rel.parent).idCols)
+              .map { case (rc, ic) => tbl(rc) === pIds(ic) }
               .reduce(_ && _)
-            childTbl.join(parentIds, cond, "left_semi")
+            tbl.join(pIds, cond, "left_semi")
+              .select(types(tn).idCols.map(col): _*).distinct()
           }
         } else childrenOf(tn).flatMap { rel =>
-          matched.get(rel.child).map { rows =>
-            // ref values in the matched child rows = the parent id set
-            val refIds = rows
+          ids.get(rel.child).map { cIds =>
+            childNarrow(rel)
+              .join(cIds, types(rel.child).idCols, "left_semi")
               .select(rel.refCols.zip(types(tn).idCols).map {
                 case (rc, ic) => col(rc).as(ic)
               }: _*).distinct()
-            canon(spark, dir, tn,
-              load(spark, dir, tn).join(refIds, types(tn).idCols,
-                "left_semi"))
           }
         }
       if (incoming.nonEmpty) {
-        val all = matched.get(tn).toSeq ++ incoming
-        matched = matched.updated(tn,
+        val all = ids.get(tn).map(_.select(types(tn).idCols.map(col): _*))
+          .toSeq ++ incoming
+        ids = ids.updated(tn,
           if (all.sizeIs == 1) all.head
           else all.reduce(_ union _).distinct())
       }
     }
-    matched
+    ids
   }
 
   /** Children closure (kcidb db query with children=True,
@@ -140,7 +153,8 @@ final class Catalog(
   def childrenClosure(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame]): Map[String, DataFrame] =
-    expand(spark, dir, seed(spark, dir, roots), children = true)
+    materialize(spark, dir,
+      expandIds(spark, dir, rootIds(roots), children = true))
 
   /** The full `query(ids, children=…, parents=…)` entry point
     * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful
@@ -155,10 +169,10 @@ final class Catalog(
   def closure(spark: SparkSession, dir: String,
               roots: Map[String, DataFrame],
               parents: Boolean, children: Boolean): Map[String, DataFrame] = {
-    var matched = seed(spark, dir, roots)
-    if (parents) matched = expand(spark, dir, matched, children = false)
-    if (children) matched = expand(spark, dir, matched, children = true)
-    matched
+    var ids = rootIds(roots)
+    if (parents) ids = expandIds(spark, dir, ids, children = false)
+    if (children) ids = expandIds(spark, dir, ids, children = true)
+    materialize(spark, dir, ids)
   }
 
   /** Constraint validation, generated from catalog metadata — the Spark
@@ -220,7 +234,8 @@ final class Catalog(
   def parentsClosure(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame]): Map[String, DataFrame] =
-    expand(spark, dir, seed(spark, dir, roots), children = false)
+    materialize(spark, dir,
+      expandIds(spark, dir, rootIds(roots), children = false))
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors

@@ -109,18 +109,19 @@ class ClosureSpec extends AnyFunSuite {
       cnat.select(col("n_nationkey").as("s_nationkey")), "s_nationkey")
     val cord = semi(tb("orders"),
       ccust.select(col("c_custkey").as("o_custkey")), "o_custkey")
-    // Full-ROW union: (l_orderkey, l_linenumber) is not unique in the
-    // testdata, and closures keep every row of a matched object. Using-
-    // column semi-joins move the key first, so re-project the table order
-    // before the positional union.
-    val liCols = tb("lineitem").columns.map(col).toSeq
-    val cli = semi(tb("lineitem"),
+    // Closures accumulate IDs and restore width by id at the end, as the
+    // reference does (FROM t INNER JOIN (…ids…) USING (id fields)) —
+    // (l_orderkey, l_linenumber) is not unique in the testdata, so every
+    // row sharing a matched id tuple comes back, with its multiplicity.
+    val cliIds = semi(tb("lineitem"),
         cord.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
-      .select(liCols: _*)
+      .select("l_orderkey", "l_linenumber")
       .union(semi(tb("lineitem"),
           csupp.select(col("s_suppkey").as("l_suppkey")), "l_suppkey")
-        .select(liCols: _*))
+        .select("l_orderkey", "l_linenumber"))
       .distinct()
+    val cli = tb("lineitem")
+      .join(cliIds, Seq("l_orderkey", "l_linenumber"), "left_semi")
     assert(m("region").count() == preg.count())
     assert(m("nation").count() == cnat.count())
     assert(m("customer").count() == ccust.count())
