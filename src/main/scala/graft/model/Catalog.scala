@@ -138,9 +138,16 @@ final class Catalog(
       if (incoming.nonEmpty) {
         val all = ids.get(tn).map(_.select(types(tn).idCols.map(col): _*))
           .toSeq ++ incoming
+        // Lazy localCheckpoint (the repo's iterative-frame discipline, cf.
+        // Ivf / connectedComponents): a type's final id frame feeds every
+        // outgoing relation AND the width-restoring materialize — without
+        // materialization each consumer re-executes the whole upstream
+        // derivation chain, multiplying scans along every DAG path. Lazy
+        // (eager=false) so single-consumer closures pay no extra job.
         ids = ids.updated(tn,
-          if (all.sizeIs == 1) all.head
-          else all.reduce(_ union _).distinct())
+          (if (all.sizeIs == 1) all.head
+           else all.reduce(_ union _).distinct())
+            .localCheckpoint(eager = false))
       }
     }
     ids
