@@ -495,6 +495,30 @@ object OracleSql {
       s"""SELECT doc_id, md5($normText) AS fp
          FROM documents ORDER BY doc_id""",
 
+    "t06_repetition" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         toks AS (SELECT doc_id, arr[i] AS tok, i AS ord
+                  FROM arrs, unnest(generate_series(1, len(arr))) AS u(i)),
+         tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         ta AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct, MAX(n) AS top_tok
+                FROM tc GROUP BY 1),
+         bg AS (SELECT doc_id, tok || ' ' ||
+                       LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
+                FROM toks),
+         bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg
+                WHERE g IS NOT NULL GROUP BY 1, 2),
+         ba AS (SELECT doc_id, MAX(n) AS top_bigram FROM bc GROUP BY 1)
+         SELECT ta.doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_frac,
+           CAST(top_tok AS DOUBLE) / n_tokens AS top_tok_frac,
+           CASE WHEN n_tokens < 2 THEN 0.0
+                ELSE CAST(top_bigram AS DOUBLE) / (n_tokens - 1)
+           END AS top_bigram_frac
+         FROM ta LEFT JOIN ba USING (doc_id)
+         ORDER BY doc_id""",
+
     "t05_corpus_stats" ->
       s"""SELECT
          (SELECT COUNT(*) FROM documents) AS n_docs,

@@ -544,6 +544,12 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Token-repetition quality filters (Gopher-style): the standard
+    * drop-if-too-repetitive signals of a training-data pipeline. */
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Corpus-level statistics — the first report of any training-data run:
     * doc/token/vocab volume in one pass over the corpus plus one distinct
     * aggregate over exploded tokens (map-side combined). */
@@ -635,6 +641,7 @@ object SparkEntry {
     "t03_tokens" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_corpus_stats" -> (t05 _),
+    "t06_repetition" -> (t06 _),
     "d07_incr_dedup" -> (d07 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality scoring,
@@ -53,6 +53,54 @@ object TextOps {
 
   /** BPE-ish token estimate: ~4 chars per token. */
   def bpeEstimate(c: Column): Column = ceil(length(c) / lit(4.0)).cast("long")
+
+  /** Token-repetition metrics per document — the Gopher/MassiveText-style
+    * repetition filters of a training-data pipeline (Rae et al. 2021 §A1.1:
+    * fraction-of-duplicate-content rules), token-based because this corpus
+    * has no line structure. Per doc:
+    *   n_tokens        whitespace tokens of the normalized text
+    *   distinct_frac   distinct tokens / tokens (type-token ratio)
+    *   top_tok_frac    occurrences of the most frequent token / tokens
+    *   top_bigram_frac occurrences of the most frequent bigram / (tokens-1),
+    *                   0.0 for single-token docs
+    *
+    * Shape: tokens and bigrams each explode from ONE materialized token
+    * array (positions explode — the expensive normalization regex runs
+    * once per doc, see [[graft.dedup.Dedup]]'s pipeline note), then two
+    * count aggregates with map-side combine keyed on (doc, gram) and one
+    * per-doc fold; the doc id is the only join key. Repeated docs at 100 TB
+    * stay one shuffle per stage — nothing is corpus-global. */
+  def repetitionMetrics(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+    def gramCounts(n: Int) = base
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("pos"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("pos"), lit(n))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("n"))
+    val toks = gramCounts(1).groupBy("id").agg(
+      sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("n")).as("top_tok"))
+    // single-token docs degrade to one whole-doc "bigram" in gramCounts(2)
+    // (the slice clamps); mask them to 0 below rather than special-casing
+    // the explode.
+    val bigrams = gramCounts(2).groupBy("id")
+      .agg(max(col("n")).as("top_bigram"))
+    toks.join(bigrams, Seq("id"))
+      .select(col("id").as(idCol),
+        col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_frac"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        when(col("n_tokens") < 2, lit(0.0))
+          .otherwise(col("top_bigram").cast("double") /
+            (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+  }
 
   /** Quality score in [0,1]-ish: rewards mid-length docs, word lengths near
     * natural language, and stopword presence. Single-expression double

@@ -16,6 +16,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one[Long](TextOps.wordCount(col("t")), "one two  three") == 3L)
   }
 
+  test("repetitionMetrics: hand-computed fractions, 1-token doc degrades") {
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 toks, 2 distinct; bigrams: aa aa ab
+      (2L, "Hello!"),           // 1 tok
+      (3L, "x y x y x")         // 5 toks, 2 distinct; bigrams: xy yx xy yx
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 0.5, 3.0 / 4, 2.0 / 3)))
+    assert(m(2L) == ((1L, 1.0, 1.0, 0.0)))
+    assert(m(3L) == ((5L, 0.4, 3.0 / 5, 2.0 / 4)))
+  }
+
   test("bpeEstimate is ceil(len/4)") {
     assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefgh") == 2L)
     assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefghi") == 3L)
