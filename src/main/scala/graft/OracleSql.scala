@@ -355,6 +355,18 @@ object OracleSql {
          FROM c JOIN su ON click_sec >= lo_sec AND click_sec <= hi_sec
          GROUP BY click_id ORDER BY click_id""",
 
+    // Oracle is the PLAIN join — the salted formulation must be
+    // result-invariant.
+    "q32_skew_join" ->
+      s"""SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
     // Combined closure cascade: parents pass (proot→pcust→pnat→preg), then
     // children pass from the ACCUMULATED sets top-down (reference pass
     // order, sqlite/v04_00.py:614-682). UNION (not ALL) inside the CTEs =

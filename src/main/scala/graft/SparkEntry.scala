@@ -449,6 +449,26 @@ object SparkEntry {
       .orderBy("click_id")
   }
 
+  /** Salted fact⋈dim join under key skew ([[graft.operators.SkewJoin]]):
+    * the manual fallback when AQE skew splitting can't see the skew. The
+    * oracle is the PLAIN join — salting must be result-invariant. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("suppkey"),
+      (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("disc_price"))
+    val dims = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(facts, dims, Seq("suppkey"),
+        saltFactor = 8)
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------------- LLM pipeline ops --
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -627,6 +647,7 @@ object SparkEntry {
     "q29_full_closure" -> (q29 _),
     "q30_multi_pattern" -> (q30 _),
     "q31_dump_batched" -> (q31 _),
+    "q32_skew_join" -> (q32 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
