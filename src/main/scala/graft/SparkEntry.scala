@@ -514,6 +514,14 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
       .orderBy("vec_id")
 
+  /** Semantic dedup (SemDeDup): kept ids after dropping within-cell
+    * embedding near-duplicates. tau=0.25 matches d05's near-dup band on
+    * this corpus (max off-diagonal cosine ≈ 0.44). */
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        c = 16, tau = 0.25)
+      .orderBy("vec_id")
+
   private def s01(s: SparkSession, dir: String): DataFrame =
     Knn.bruteForceKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3)
@@ -664,6 +672,7 @@ object SparkEntry {
     "t05_corpus_stats" -> (t05 _),
     "t06_repetition" -> (t06 _),
     "d07_incr_dedup" -> (d07 _),
+    "d08_semantic_dedup" -> (d08 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _)

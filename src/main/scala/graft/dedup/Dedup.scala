@@ -304,6 +304,43 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embeddings, then drop every vector that has a
+    * LOWER-id neighbor with cosine >= tau in the SAME cell (the one-shot
+    * greedy keep-one-representative rule). Returns the KEPT ids.
+    *
+    * Scale shape: candidate comparison is confined to cells — the
+    * self-join's equi-key is the cluster id, so the quadratic term is
+    * (corpus/c)² per cell, the documented SemDeDup cost model (pick `c`
+    * so cells fit; `fitFraction` fits the k-means on a sample). Nothing is
+    * corpus-global except the c-row centroid broadcast.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    c: Int, tau: Double, iters: Int = 3,
+                    fitFraction: Double = 1.0): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val centroids = graft.sim.Ivf.fitCentroids(fitCorpus, c, iters,
+      seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
+    // One assignment pass; localCheckpoint because both join sides and the
+    // final anti-join consume it (the repo's iterative-frame discipline).
+    val cells = graft.sim.Ivf.assign(corpus, centroids)
+      .select(col("id"), col("v"), col("cluster"))
+      .localCheckpoint(eager = false)
+    val dominated = cells.select(col("cluster"), col("id").as("id_a"),
+        col("v").as("v_a"))
+      .join(cells.select(col("cluster"), col("id").as("id_b"),
+        col("v").as("v_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        Vectors.cosine(col("v_a"), col("v_b")) >= tau)
+      .select(col("id_b").as("id"))
+      .distinct()
+    cells.join(dominated, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold between a bounded probe
     * subset and the corpus, via banded random-hyperplane LSH candidate
     * generation + exact-cosine verification.

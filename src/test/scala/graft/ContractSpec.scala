@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** LSH/IVF internals — not SQL-expressible; the driver records a
+  /** LSH/IVF/k-means internals — not SQL-expressible; the driver records a
     * rows-only check and the specs assert semantics. */
   private val declaredRowsOnly = Set(
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-    "s02_knn_lsh", "s03_knn_ivf")
+    "s02_knn_lsh", "s03_knn_ivf", "d08_semantic_dedup")
 
   test("every query has an oracle or is a declared rows-only check") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -136,6 +136,39 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${brute -- got}; extra: ${got -- brute}")
   }
 
+  test("semanticDedup ground truth at sf0.001: greedy in-cell rule, exact") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val tau = 0.25
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        c = 16, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    // Brute-force the same rule over the same deterministic cells: drop b
+    // iff some lower-id a in b's cell has cosine(a, b) >= tau.
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cells = graft.sim.Ivf.assign(corpus,
+        graft.sim.Ivf.fitCentroids(corpus, c = 16, iters = 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getLong(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedKept = (for {
+      byCell <- cells.groupBy(_._3).values
+      sorted = byCell.sortBy(_._1)
+      (id, v, _) <- sorted
+      if !sorted.exists { case (a, va, _) => a < id && cos(va, v) >= tau }
+    } yield id).toSet
+    assert(kept == expectedKept,
+      s"extra=${(kept diff expectedKept).take(3)} " +
+        s"missing=${(expectedKept diff kept).take(3)}")
+    assert(kept.size < cells.length,
+      "tau=0.25 must actually drop in-cell near-dups on this corpus")
+  }
+
   test("connectedComponents: chains merge, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
       .toDF("id_a", "id_b")

@@ -68,10 +68,11 @@ class PlanSpec extends AnyFunSuite {
   test("no query plan contains a cartesian product or an unintended NLJ") {
     // Declared exceptions, all joins against bounded broadcast relations:
     // s01 scores the bounded probe set against the corpus on a non-equi
-    // condition (the exact baseline by definition); s03 assigns rows to
+    // condition (the exact baseline by definition); s03/d08 assign rows to
     // their nearest of c centroids (a c-row broadcast table); t05 zips two
     // single-row scalar aggregates (the canonical combine plan).
-    val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats")
+    val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
+      "d08_semantic_dedup")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
