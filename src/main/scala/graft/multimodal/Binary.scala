@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed in partition-local
   * batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; the Spark-side plumbing — schema,
-  * partition batching, iterator discipline (no per-row task setup) — is the
-  * real thing, and is what matters at 100 TB: `mapPartitions` amortizes any
-  * model/codec initialization once per partition, the Scala analog of
-  * `mapInPandas` batch processing.
+  * Header metadata ([[Binary.imageHeader]]: PNG/JPEG/GIF dimensions) is
+  * parsed for REAL from payload bytes — pure arithmetic, no codecs. Pixel
+  * decode/resize/frame-sample remain clearly-marked deterministic stubs
+  * (the container has no media codecs); their Spark-side plumbing —
+  * schema, partition batching, iterator discipline (no per-row task
+  * setup) — is the real thing, and is what matters at 100 TB:
+  * `mapPartitions` amortizes any model/codec initialization once per
+  * partition, the Scala analog of `mapInPandas` batch processing.
   */
 object Binary {
 
@@ -66,6 +68,55 @@ object Binary {
   def decodeFrame(df: DataFrame): Dataset[DecodedMeta] = {
     import df.sparkSession.implicits._
     decodePartitions(df.select(col("doc_id"), col("payload")).as[PayloadRow])
+  }
+
+  final case class ImageHeader(doc_id: Long, format: String, width: Long,
+                               height: Long)
+
+  /** REAL header-metadata parse — PNG IHDR, JPEG SOFn, and GIF logical-
+    * screen dimensions read straight from payload bytes. Pure byte
+    * arithmetic (no codecs), so THIS part of the multimodal path is not a
+    * stub; only pixel decode remains environment-blocked. Unknown or
+    * truncated payloads yield ("unknown", -1, -1) rather than failing the
+    * batch. */
+  def imageHeader(p: Array[Byte]): (String, Long, Long) = {
+    def u16be(i: Int): Long = (((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)).toLong
+    def u32be(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def u16le(i: Int): Long = ((p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)).toLong
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 24 &&
+        pngSig.indices.forall(i => (p(i) & 0xff) == (pngSig(i) & 0xff)) &&
+        new String(p.slice(12, 16), "US-ASCII") == "IHDR")
+      ("png", u32be(16), u32be(20))
+    else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      // walk JPEG segments to the first frame header (SOF0..15, minus the
+      // non-frame DHT/DAC/RST markers C4/C8/CC)
+      var i = 2
+      var res: (String, Long, Long) = ("unknown", -1L, -1L)
+      while (res._1 == "unknown" && i + 9 < p.length && (p(i) & 0xff) == 0xff) {
+        val marker = p(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          res = ("jpeg", u16be(i + 7), u16be(i + 5))
+        else i += 2 + u16be(i + 2).toInt
+      }
+      res
+    } else if (p.length >= 10 &&
+        new String(p.slice(0, 4), "US-ASCII") == "GIF8")
+      ("gif", u16le(6), u16le(8))
+    else ("unknown", -1L, -1L)
+  }
+
+  /** [[imageHeader]] over a payload Dataset — typed map, stays in Tungsten
+    * encoders, no per-row setup. */
+  def imageHeaders(ds: Dataset[PayloadRow]): Dataset[ImageHeader] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (f, w, h) = imageHeader(r.payload)
+      ImageHeader(r.doc_id, f, w, h)
+    }
   }
 
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,

@@ -51,4 +51,35 @@ class BinarySpec extends AnyFunSuite {
       .select("payload").head.getAs[Array[Byte]](0)
     assert(bytes.sameElements("héllo".getBytes("UTF-8")))
   }
+
+  test("imageHeader parses real PNG/JPEG/GIF headers from raw bytes") {
+    import spark.implicits._
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    // Minimal real headers, built byte-for-byte per the public specs.
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+        0x0a) ++ be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      // APP0 segment (length 16) that the scanner must skip over
+      (Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        new Array[Byte](14)) ++
+      // SOF0: len 17, precision 8, height 1080, width 1920, 3 components
+      (Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(1080) ++ be16(1920) ++ new Array[Byte](10))
+    val gif = "GIF89a".getBytes ++
+      Array[Byte](0x20, 0x01, 0xf0.toByte, 0x00) // 288 x 240 little-endian
+    assert(Binary.imageHeader(png) == (("png", 640L, 480L)))
+    assert(Binary.imageHeader(jpeg) == (("jpeg", 1920L, 1080L)))
+    assert(Binary.imageHeader(gif) == (("gif", 288L, 240L)))
+    assert(Binary.imageHeader("not an image".getBytes) ==
+      (("unknown", -1L, -1L)))
+    // Dataset path: corpus text payloads all classify as unknown, typed map
+    val ds = Seq((1L, "plain text")).toDF("doc_id", "text")
+    val got = Binary.imageHeaders(
+      Binary.withPayload(ds, "text")
+        .select("doc_id", "payload").as[Binary.PayloadRow]).collect()
+    assert(got.toSeq == Seq(Binary.ImageHeader(1L, "unknown", -1L, -1L)))
+  }
 }
