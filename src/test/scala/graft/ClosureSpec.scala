@@ -148,6 +148,53 @@ class ClosureSpec extends AnyFunSuite {
     for (tn <- p1.keySet) assert(p1(tn).count() == p2(tn).count())
   }
 
+  test("closures generalize to a synthetic diamond catalog") {
+    import graft.model.{Catalog, GraftRelation, GraftType}
+    // A → B, A → C, B → D, C → D: the multi-path diamond exercises
+    // cross-relation dedup in both directions on a schema that is NOT the
+    // testdata's.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-diamond").toString
+    Seq(1L, 2L).toDF("a_id").write.parquet(s"$tmp/ta.parquet")
+    Seq((10L, 1L), (11L, 2L)).toDF("b_id", "b_a")
+      .write.parquet(s"$tmp/tb.parquet")
+    Seq((20L, 1L), (21L, 2L)).toDF("c_id", "c_a")
+      .write.parquet(s"$tmp/tc.parquet")
+    Seq((30L, 10L, 20L), (31L, 10L, 21L), (32L, 11L, 20L))
+      .toDF("d_id", "d_b", "d_c").write.parquet(s"$tmp/td.parquet")
+    val dia = new Catalog(
+      types = Map(
+        "ta" -> GraftType("ta", Seq("a_id")),
+        "tb" -> GraftType("tb", Seq("b_id")),
+        "tc" -> GraftType("tc", Seq("c_id")),
+        "td" -> GraftType("td", Seq("d_id"))),
+      relations = Seq(
+        GraftRelation("ta", "tb", Seq("b_a")),
+        GraftRelation("ta", "tc", Seq("c_a")),
+        GraftRelation("tb", "td", Seq("d_b")),
+        GraftRelation("tc", "td", Seq("d_c"))))
+    def idSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.head).collect().map(_.getLong(0)).toSet
+    val down = dia.childrenClosure(spark, tmp,
+      Map("ta" -> Seq(1L).toDF("a_id")))
+    assert(idSet(down("tb")) == Set(10L) && idSet(down("tc")) == Set(20L))
+    assert(idSet(down("td")) == Set(30L, 31L, 32L),
+      "D must union both incoming paths, deduped")
+    assert(down("td").count() == 3, "no double-counting through the diamond")
+    val up = dia.parentsClosure(spark, tmp,
+      Map("td" -> Seq(30L).toDF("d_id")))
+    assert(idSet(up("tb")) == Set(10L) && idSet(up("tc")) == Set(20L))
+    assert(idSet(up("ta")) == Set(1L) && up("ta").count() == 1,
+      "A reached via B and C must dedup to one row")
+    val both = dia.closure(spark, tmp, Map("tb" -> Seq(11L).toDF("b_id")),
+      parents = true, children = true)
+    assert(idSet(both("ta")) == Set(2L))
+    assert(idSet(both("tb")) == Set(11L))
+    assert(idSet(both("tc")) == Set(21L), "sibling C under ancestor A=2")
+    assert(idSet(both("td")) == Set(31L, 32L),
+      "descendants via OWN spine and via the ancestor's other spine")
+  }
+
   test("closures of empty roots are empty") {
     val roots = Seq.empty[Long].toDF("c_custkey")
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))
