@@ -70,7 +70,10 @@ object Loader {
 
   /** Batched dump — `dump_iter(objects_per_report=…)`
     * (/root/reference/kcidb/db/abstract.py:192-244) chunks the dump window
-    * into transport-sized reports. Appends `batch_id` = global rank /
+    * into transport-sized reports. The same chunking serves
+    * `query_iter(…, objects_per_report=…)`: apply it to any result frame
+    * (e.g. a [[graft.model.Catalog.closure]] output) with an always-true
+    * window. Appends `batch_id` = global rank /
     * `batchSize` under the total order `orderKey` (pass a UNIQUE key — ties
     * would make batch membership nondeterministic).
     *
