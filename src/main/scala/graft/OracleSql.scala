@@ -570,7 +570,12 @@ object OracleSql {
          FROM events WHERE event_type = 'error'
          QUALIFY row_number() OVER (PARTITION BY user_id
            ORDER BY $tsUs ASC, event_id ASC) = 1
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+
+    "st03_incr_dedup_stream" ->
+      s"""SELECT MIN(doc_id) AS doc_id, fp FROM
+         (SELECT doc_id, md5($normText) AS fp FROM documents)
+         GROUP BY fp ORDER BY doc_id"""
   )
 
   /** Whitespace token count over normalized text (mirrors

@@ -622,6 +622,12 @@ object SparkEntry {
   private def st02(s: SparkSession, dir: String): DataFrame =
     Streams.firstFailureBatch(ev(s, dir)).orderBy("user_id")
 
+  /** Batch anchor of the streaming incremental dedup (the stream variant's
+    * spec asserts chunked-replay parity with exactly this frame). */
+  private def st03(s: SparkSession, dir: String): DataFrame =
+    Streams.firstPerFingerprintBatch(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -675,7 +681,8 @@ object SparkEntry {
     "d08_semantic_dedup" -> (d08 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),
-    "st02_monitor" -> (st02 _)
+    "st02_monitor" -> (st02 _),
+    "st03_incr_dedup_stream" -> (st03 _)
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables registered under

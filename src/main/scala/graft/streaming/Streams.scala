@@ -37,16 +37,45 @@ object Streams {
                             user_id: Long, event_type: String, value: Double)
   final case class FirstFailure(user_id: Long, event_id: Long, ts_sec: Long)
 
-  /** Batch form of the monitor: first 'error' event per user. */
-  def firstFailureBatch(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+  /** Batch form of the monitor: first 'error' event per user. ONE
+    * min-of-struct aggregate (map-side combined), no keyed window. */
+  def firstFailureBatch(events: DataFrame): DataFrame =
     events.filter(col("event_type") === "error")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("user_id"), col("event_id"),
-        col("ts").cast("long").as("ts_sec"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("__f"))
+      .select(col("user_id"), col("__f.event_id").as("event_id"),
+        col("__f.ts").cast("long").as("ts_sec"))
+
+  final case class DocFp(doc_id: Long, fp: String)
+
+  /** Batch anchor of streaming incremental dedup: the first (lowest
+    * doc_id) document per fingerprint — one min aggregate, no window. */
+  def firstPerFingerprintBatch(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+
+  /** Streaming incremental dedup — the "admit only never-seen documents"
+    * flow of a continuously-crawling pipeline (the stream form of the d07
+    * batch delta-dedup): exactly one emitted document per fingerprint
+    * across all micro-batches, via one boolean of state per fingerprint.
+    * Matches [[firstPerFingerprintBatch]] when batches arrive in doc_id
+    * order (the spec replays the corpus chunked and asserts parity). At
+    * production scale pair the state with a TTL matching the dedup
+    * retention window. */
+  def firstPerFingerprintStream(docs: Dataset[DocFp]): Dataset[DocFp] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[DocFp], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(DocFp(rows.map(_.doc_id).min, fp))
+          })
   }
 
   /** Streaming form: stateful first-occurrence detection. State is one

@@ -69,6 +69,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st03 gate parity: streaming incremental dedup equals batch anchor") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.DocFp
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+    val batch = Streams.firstPerFingerprintBatch(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty)
+    // Replay the fingerprinted corpus in doc_id order, three micro-batches
+    // (the order the batch anchor's min-doc_id rule assumes).
+    val all = docs.select(col("doc_id"),
+        graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+      .as[DocFp].collect().toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    val input = MemoryStream[DocFp]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st03-ckpt").toString
+    val q = Streams.firstPerFingerprintStream(input.toDS)
+      .writeStream.format("memory").queryName("st03_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st03_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: ${(streamed diff batch).take(3)} / " +
+          s"${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("batch monitor matches the same semantics") {
     val got = Streams.firstFailureBatch(rows.toDF)
       .orderBy("user_id").collect()
