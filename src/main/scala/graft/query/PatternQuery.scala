@@ -140,15 +140,43 @@ object PatternQuery {
 
   // ----------------------------------------------------------- planner --
 
-  /** Execute a pattern against the catalog; returns matched rows per type.
+  /** Execute a pattern against the catalog; returns matched rows per type
+    * (every row sharing a matched id tuple, with its multiplicity — the
+    * reference's final `FROM t INNER JOIN (…ids…) USING (id fields)`).
+    *
+    * Scale shape (mirrors [[graft.model.Catalog]]): the traversal runs in
+    * ID SPACE — frontiers and match accumulators are narrow id-tuple
+    * frames, each hop scans only (idCols ∪ refCols) of the relation's
+    * child table (column pruning reaches the parquet scan), and ONE
+    * width-restoring semi-join per matched type runs at the end. Full
+    * rows never cross a shuffle.
     *
     * @param idLists out-of-band ID lists consumed, in order, by `%` specs
     *                (reference: `obj_str_id_set_list` in orm/query.py parse).
     */
   def run(spark: SparkSession, dir: String, catalog: Catalog,
           pattern: String,
-          idLists: Seq[Seq[Seq[String]]] = Seq.empty): Map[String, DataFrame] = {
-    var frontier: Map[String, DataFrame] = Map.empty // referenced rows/type
+          idLists: Seq[Seq[Seq[String]]] = Seq.empty): Map[String, DataFrame] =
+    materializeAll(spark, dir, catalog,
+      runIds(spark, dir, catalog, pattern, idLists))
+
+  /** Matched id tuples per type → full rows, in the table's declared
+    * column order. */
+  private def materializeAll(spark: SparkSession, dir: String,
+                             catalog: Catalog, ids: Map[String, DataFrame])
+      : Map[String, DataFrame] =
+    ids.map { case (tn, idDf) =>
+      val tbl = catalog.load(spark, dir, tn)
+      tn -> tbl.join(idDf, catalog.types(tn).idCols, "left_semi")
+        .select(tbl.columns.map(col).toSeq: _*)
+    }
+
+  /** The id-space planner behind [[run]]/[[runAll]]: returns DISTINCT
+    * matched id tuples per type. */
+  private def runIds(spark: SparkSession, dir: String, catalog: Catalog,
+                     pattern: String,
+                     idLists: Seq[Seq[Seq[String]]]): Map[String, DataFrame] = {
+    var frontier: Map[String, DataFrame] = Map.empty // referenced ids/type
     var results: Map[String, DataFrame] = Map.empty
     var remainingIdLists = idLists
 
@@ -176,32 +204,42 @@ object PatternQuery {
         df.filter(cond)
     }
 
+    /** DISTINCT id tuples of a whole table. */
+    def allIds(tn: String): DataFrame = {
+      val t = catalog.types(tn)
+      catalog.load(spark, dir, tn).select(t.idCols.map(col): _*).distinct()
+    }
+
     def relsOf(tn: String, child: Boolean) =
       if (child) catalog.childrenOf(tn) else catalog.parentsOf(tn)
 
-    def hop(fromType: String, fromRows: DataFrame, child: Boolean)
+    /** One hop from a type's id frontier, in either direction. Both
+      * directions derive through the RELATION'S CHILD table (it holds the
+      * (child id, parent ref) mapping), scanning only the needed columns.
+      * No broadcast hint: the frontier is derived and unbounded; AQE picks
+      * the strategy from its runtime size. */
+    def hop(fromType: String, fromIds: DataFrame, child: Boolean)
         : Seq[(String, DataFrame)] =
       relsOf(fromType, child).map { rel =>
+        val cType = catalog.types(rel.child)
+        val narrow = catalog.load(spark, dir, rel.child)
+          .select((cType.idCols ++ rel.refCols).distinct.map(col): _*)
         if (child) {
           val pType = catalog.types(rel.parent)
-          val pIds = fromRows.select(pType.idCols.map(col): _*).distinct()
-          val childTbl = catalog.load(spark, dir, rel.child)
-          val renamed = pIds.select(pType.idCols.zip(rel.refCols).map {
+          val renamed = fromIds.select(pType.idCols.zip(rel.refCols).map {
             case (ic, rc) => col(ic).as(s"__ref_$rc")
-          }: _*)
+          }: _*).distinct()
           val cond = rel.refCols
-            .map(rc => childTbl(rc) === renamed(s"__ref_$rc"))
+            .map(rc => narrow(rc) === renamed(s"__ref_$rc"))
             .reduce(_ && _)
-          // No broadcast hint: the frontier is derived and unbounded; AQE
-          // picks the strategy from its runtime size.
-          rel.child -> childTbl.join(renamed, cond, "left_semi")
+          rel.child -> narrow.join(renamed, cond, "left_semi")
+            .select(cType.idCols.map(col): _*).distinct()
         } else {
           val pType = catalog.types(rel.parent)
-          val refIds = fromRows.select(rel.refCols.zip(pType.idCols).map {
-            case (rc, ic) => col(rc).as(ic)
-          }: _*).distinct()
-          val parentTbl = catalog.load(spark, dir, rel.parent)
-          rel.parent -> parentTbl.join(refIds, pType.idCols, "left_semi")
+          rel.parent -> narrow.join(fromIds, cType.idCols, "left_semi")
+            .select(rel.refCols.zip(pType.idCols).map {
+              case (rc, ic) => col(rc).as(ic)
+            }: _*).distinct()
         }
       }
 
@@ -223,9 +261,9 @@ object PatternQuery {
           if (frontier.nonEmpty) frontier
           else {
             require(step.child, "first pattern step must use '>'")
-            // Root '*': every catalog type, id-filtered
+            // Root '*': every catalog type's id set, id-filtered
             catalog.types.keys.map { tn =>
-              tn -> idFilter(tn, catalog.load(spark, dir, tn), ids)
+              tn -> idFilter(tn, allIds(tn), ids)
             }.toMap
           }
         if (frontier.isEmpty)
@@ -245,13 +283,11 @@ object PatternQuery {
           cur = next
         }
       } else if (frontier.isEmpty) {
-        // Based on root: a named type loads its table.
+        // Based on root: a named type's id set.
         require(step.child, "first pattern step must use '>'")
         require(catalog.types.contains(step.typeName),
           s"unknown type ${step.typeName}")
-        val df =
-          idFilter(step.typeName,
-            catalog.load(spark, dir, step.typeName), ids)
+        val df = idFilter(step.typeName, allIds(step.typeName), ids)
         traversed = Map(step.typeName -> df)
         referenced = traversed
       } else {
@@ -296,10 +332,11 @@ object PatternQuery {
         s"not enough ID lists for '%' placeholders in: $p")
       val (mine, rest) = remaining.splitAt(need)
       remaining = rest
-      for ((tn, df) <- run(spark, dir, catalog, p, mine))
+      // cross-pattern union in ID space; width restored once at the end
+      for ((tn, df) <- runIds(spark, dir, catalog, p, mine))
         acc = acc.updated(tn,
           acc.get(tn).map(_.union(df).distinct()).getOrElse(df))
     }
-    acc
+    materializeAll(spark, dir, catalog, acc)
   }
 }
