@@ -109,6 +109,22 @@ class PatternQuerySpec extends AnyFunSuite {
       PatternQuery.run(spark, dir, cat, ">region>lineitem#"))
   }
 
+  test("run: matches materialize by ID — duplicate-id-tuple rows all " +
+      "return (reference id-join semantics)") {
+    // supplier-keyed hop selects a SUBSET of a duplicate (l_orderkey,
+    // l_linenumber) group; materialization by id must pull the whole group
+    // back, exactly like FROM lineitem INNER JOIN (…ids…) USING (ids).
+    val li = Tables(spark, dir, "lineitem")
+    val res = PatternQuery.run(spark, dir, cat, ">supplier[1]>lineitem#")
+    val hopRows = li.filter(col("l_suppkey") === 1)
+    val expected = li.join(
+      hopRows.select("l_orderkey", "l_linenumber").distinct(),
+      Seq("l_orderkey", "l_linenumber"), "left_semi")
+    assert(res("lineitem").count() == expected.count())
+    assert(expected.count() >= hopRows.count(),
+      "id-space materialization is a superset of the hop's own rows")
+  }
+
   test("runAll: unions per-type matches across patterns, with dedup") {
     val patterns = Seq(">customer[21;22]>orders#", ">customer[21]>orders#",
       ">nation[1]>customer#")
