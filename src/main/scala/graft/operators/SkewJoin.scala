@@ -29,7 +29,7 @@ object SkewJoin {
     // uniform spreader over monotonically increasing ids would not be
     // deterministic across retries — use the key hash mixed with a cheap
     // row discriminator column set instead.
-    val salt = pmod(hash(facts.columns.map(col): _*), lit(saltFactor))
+    val salt = pmod(hash(facts.columns.toSeq.map(col): _*), lit(saltFactor))
     val saltedFacts = facts.withColumn("__salt", salt)
     val replicatedDims = dims.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -29,7 +29,7 @@ object Reports {
            typeNames: Seq[String]): Report = {
     val raw = spark.read.option("multiLine", "true").json(path)
     val version = {
-      val r = raw.select(col("version.major"), col("version.minor")).head
+      val r = raw.select(col("version.major"), col("version.minor")).head()
       (r.getLong(0).toInt, r.getLong(1).toInt)
     }
     val tables = typeNames.filter(raw.columns.contains).map { t =>

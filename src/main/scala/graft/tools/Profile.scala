@@ -30,11 +30,11 @@ object Profile {
 
     val toks = docs.select(col("doc_id").as("id"),
       Dedup.tokens(col("text")).as("tk"))
-    time("tokenize")(toks.select(sum(size(col("tk")))).head.getLong(0))
+    time("tokenize")(toks.select(sum(size(col("tk")))).head().getLong(0))
 
     val sh = docs.select(col("doc_id").as("id"),
       Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
-    time("shingles")(sh.select(sum(size(col("sh")))).head.getLong(0))
+    time("shingles")(sh.select(sum(size(col("sh")))).head().getLong(0))
 
     val ex = sh.select(col("id"), explode(col("sh")).as("t"))
     time("explode+2hash")(ex.select(
