@@ -550,6 +550,26 @@ object OracleSql {
          WHERE fp NOT IN (SELECT fp FROM corpus)
          GROUP BY fp ORDER BY doc_id""",
 
+    "d09_contamination" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         ng AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+                FROM arrs,
+                  unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                  AS u(i)),
+         tg AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 <> 0),
+         ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 = 0),
+         tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM ev GROUP BY 1),
+         hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM ev
+                 WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+         SELECT tot.doc_id, n_ngrams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
+             AS overlap,
+           CASE WHEN round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
+             >= 0.5 THEN 1 ELSE 0 END AS contaminated
+         FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""",
+
     "m01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -522,6 +522,20 @@ object SparkEntry {
         c = 16, tau = 0.25)
       .orderBy("vec_id")
 
+  /** Benchmark decontamination: eval split = every 10th doc, train = the
+    * rest; 3-gram overlap against the train corpus, contaminated at ≥ 50%
+    * overlap (the near-dup-heavy corpus makes both flag values occur). */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.contamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+      .select(col("id").as("doc_id"), col("n_ngrams"), col("n_hits"),
+        col("overlap"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   private def s01(s: SparkSession, dir: String): DataFrame =
     Knn.bruteForceKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3)
@@ -536,6 +550,13 @@ object SparkEntry {
   private def s03(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ivf.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4)
+      .orderBy("probe_id", "rank")
+
+  /** Full-corpus kNN graph (LSH internals — rows-only check; recall and
+    * rank-exactness pinned by KnnSpec ground truth at sf0.001). */
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    Knn.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, bitsPerTable = 4, nTables = 8)
       .orderBy("probe_id", "rank")
 
   private def t01(s: SparkSession, dir: String): DataFrame = {
@@ -671,6 +692,7 @@ object SparkEntry {
     "s01_knn_brute" -> (s01 _),
     "s02_knn_lsh" -> (s02 _),
     "s03_knn_ivf" -> (s03 _),
+    "s04_knn_graph" -> (s04 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),
@@ -679,6 +701,7 @@ object SparkEntry {
     "t06_repetition" -> (t06 _),
     "d07_incr_dedup" -> (d07 _),
     "d08_semantic_dedup" -> (d08 _),
+    "d09_contamination" -> (d09 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),

@@ -252,6 +252,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag evaluation documents whose word
+    * n-grams collide with the training corpus — the standard train/eval
+    * overlap test an LLM data pipeline runs before training (n-gram
+    * collision decontamination). For each eval doc: its DISTINCT n-gram
+    * count, how many of those n-grams occur anywhere in the training
+    * split, the overlap fraction, and `contaminated` = fraction ≥ tau.
+    *
+    * Scale shape: the training corpus collapses to a DISTINCT n-gram set
+    * (map-side partial distinct — the only train-side state), the eval
+    * side is the usual exploded (id, g) frame, and the sole cross-corpus
+    * step is a LEFT SEMI join keyed on the n-gram — never doc × doc, and
+    * the semi join emits at most one row per eval (id, g). Both per-doc
+    * counts are counting aggregates with map-side combine keyed on the
+    * doc id. At 100 TB swap the join key to xxhash64(g) to shuffle 8-byte
+    * longs instead of strings (~2⁻⁶⁴ per-pair collision odds); kept as
+    * exact strings here for oracle-exact semantics.
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int, tau: Double): DataFrame = {
+    val trainG = explodedShingles(train, idCol, textCol, n)
+      .select("g").distinct()
+    val evalG = explodedShingles(evalDocs, idCol, textCol, n)
+    val totals = evalG.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val hits = evalG.join(trainG, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contaminated", (col("overlap") >= tau).cast("int"))
+  }
+
   /** Connected components over a near-dup pair graph — the dedup
     * post-step that turns pairwise matches into KEEP/DROP decisions: every
     * document in a component shares its cluster id (the component's

@@ -74,6 +74,41 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Full-corpus approximate kNN GRAPH: every row's top-k cosine
+    * neighbors — the kNN-graph construction step behind SemDeDup-style
+    * curation and graph clustering. Same banded SRP LSH as [[lshKnn]],
+    * but with no bounded probe side: every doc probes its buckets.
+    *
+    * Scale shape: [[lshKnn]] lets the (bounded) probe vectors ride
+    * through the candidate dedup; at graph scale the VECTORS are the row
+    * width (d floats ≫ 16 bytes), so here the multi-table dedup shuffles
+    * only the narrow (src, dst) id pair and each side's vector is
+    * restored by one equi-join on the id before scoring. Ranking is the
+    * bounded top-k aggregate — map-side partials keep ≤ k candidates per
+    * src per partition; no window ever sees a full candidate list. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               bitsPerTable: Int, nTables: Int): DataFrame = {
+    val sigs = emb.select(col(idCol).as("id"),
+      posexplode(srpBands(vecCol, nTables, bitsPerTable))
+        .as(Seq("table", "bucket")))
+    val pairs = sigs.select(col("id").as("probe_id"),
+        col("table"), col("bucket"))
+      .join(sigs.select(col("id").as("neighbor_id"),
+        col("table"), col("bucket")), Seq("table", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id")
+      .distinct()
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = pairs
+      .join(v.select(col("id").as("probe_id"), col("v").as("v_p")),
+        "probe_id")
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("v_c")),
+        "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** L random-hyperplane signatures of `bits` bits each, as an array<long>
     * indexed by table: bit j of table t is the sign of the projection onto
     * pseudo-random plane (t*bits + j). Plane components are derived from

@@ -118,6 +118,40 @@ class DedupSpec extends AnyFunSuite {
       s"missed high-sim pairs: ${high -- got.keySet}")
   }
 
+  test("contamination ground truth at sf0.001: exact n-gram overlap") {
+    import graft.sources.Tables
+    val corpus = Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.contamination(
+        corpus.filter(col("doc_id") % 10 =!= 0),
+        corpus.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    // brute force: distinct trigram sets per doc, train = union over the
+    // non-eval split, per-eval-doc intersection counts
+    val sh = corpus.select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val trainSet = sh.filter(_._1 % 10 != 0).map(_._2)
+      .foldLeft(Set.empty[String])(_ union _)
+    val evalSh = sh.filter(_._1 % 10 == 0)
+    assert(got.keySet == evalSh.map(_._1).toSet)
+    for ((id, set) <- evalSh) {
+      val (nG, nH, ov, flag) = got(id)
+      val hits = (set intersect trainSet).size
+      assert(nG == set.size, s"doc $id n_ngrams")
+      assert(nH == hits, s"doc $id n_hits")
+      val frac = hits.toDouble / set.size
+      assert(math.abs(ov - frac) < 5e-7, s"doc $id overlap")
+      assert(flag == (if (frac >= 0.5) 1 else 0), s"doc $id flag")
+    }
+    // non-vacuous on this near-dup-heavy corpus: both flag values occur
+    assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0),
+      "tau must split the eval docs")
+  }
+
   test("simhash ground truth at sf0.001: pigeonhole blocking is EXACT") {
     import graft.sources.Tables
     val docs = Tables(spark, TestSpark.sf, "documents")

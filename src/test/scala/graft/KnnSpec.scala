@@ -64,6 +64,33 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@3 = $recall, expected >= 0.5")
   }
 
+  test("knnGraph ground truth at sf0.001: exact scores, corpus recall@3") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    // brute-force graph over the whole corpus = bruteForceKnn with every
+    // row as a probe (bounded corpus at spec scale)
+    val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
+        probeFilter = lit(true), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.knnGraph(emb, "vec_id", "embedding", k = 3,
+        bitsPerTable = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every row must get SOME neighbors and contiguous ranks from 1
+    val byProbe = approx.groupBy(_._1)
+    assert(byProbe.size == emb.count(),
+      "every corpus row must appear as a graph source")
+    for ((p, rs) <- byProbe) {
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"$p")
+      assert(rs.forall(_._2 != p), s"$p must not be its own neighbor")
+    }
+    // same LSH params as s02 -> same per-pair collision odds; corpus-level
+    // recall@3 (deterministic on this corpus + hashes)
+    val recall =
+      (approx.map(t => (t._1, t._2)).toSet intersect exact).size.toDouble /
+        exact.size
+    assert(recall >= 0.5, s"graph recall@3 = $recall, expected >= 0.5")
+  }
+
   test("ivfKnn ground truth at sf0.001: nprobe=4/16 keeps solid recall@3") {
     import graft.sim.Ivf
     import graft.sources.Tables
