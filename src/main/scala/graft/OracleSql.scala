@@ -570,6 +570,24 @@ object OracleSql {
              >= 0.5 THEN 1 ELSE 0 END AS contaminated
          FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""",
 
+    "d10_dup_spans" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         pos AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS g
+                 FROM arrs,
+                   unnest(generate_series(1, greatest(len(arr) - 4, 1)))
+                   AS u(i)),
+         dup AS (SELECT g FROM pos GROUP BY g
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM pos GROUP BY 1),
+         hit AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM pos
+                 WHERE g IN (SELECT g FROM dup) GROUP BY 1)
+         SELECT tot.doc_id, n_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           round(CAST(COALESCE(n_dup_spans, 0) AS DOUBLE) / n_spans, 6)
+             AS dup_frac
+         FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id""",
+
     "m01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

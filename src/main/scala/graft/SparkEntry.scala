@@ -552,6 +552,13 @@ object SparkEntry {
         probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4)
       .orderBy("probe_id", "rank")
 
+  /** Duplicated-span profiling: 5-gram spans occurring in ≥ 2 docs. */
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("dup_frac"))
+      .orderBy("doc_id")
+
   /** Full-corpus kNN graph (LSH internals — rows-only check; recall and
     * rank-exactness pinned by KnnSpec ground truth at sf0.001). */
   private def s04(s: SparkSession, dir: String): DataFrame =
@@ -702,6 +709,7 @@ object SparkEntry {
     "d07_incr_dedup" -> (d07 _),
     "d08_semantic_dedup" -> (d08 _),
     "d09_contamination" -> (d09 _),
+    "d10_dup_spans" -> (d10 _),
     "m01_binary_meta" -> (m01 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),

@@ -285,6 +285,45 @@ object Dedup {
       .withColumn("contaminated", (col("overlap") >= tau).cast("int"))
   }
 
+  /** Cross-document duplicated-span profiling — the corpus-level signal
+    * behind exact-substring dedup (which drops repeated spans rather than
+    * whole documents): for each doc, how much of it is made of word
+    * n-gram spans that also occur in at least one OTHER document. Emits
+    * per-doc positional span count, duplicated-span count, and the
+    * duplicated fraction. Within-doc repetition is deliberately excluded
+    * (that is t06_repetition's signal): a span is duplicated only if its
+    * document frequency is ≥ 2.
+    *
+    * Scale shape: spans stay POSITIONAL (one row per token position, not
+    * per distinct gram) so the fraction weighs a doc's text coverage the
+    * way a span-removal pass would. Document frequency per gram is one
+    * two-phase countDistinct aggregate keyed on the gram; membership is a
+    * LEFT SEMI join on the gram; per-doc counts are map-side-combined
+    * counting aggregates. Nothing is ever doc × doc, and no suffix array
+    * is materialized — the n-gram window approximates ExactSubstr's
+    * suffix-array pass with a fixed span width.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val pos = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("p"))
+      .select(col("id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(n))).as("g"))
+    val dup = pos.groupBy("g").agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2).select("g")
+    val tot = pos.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    val hit = pos.join(dup, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** Connected components over a near-dup pair graph — the dedup
     * post-step that turns pairwise matches into KEEP/DROP decisions: every
     * document in a component shares its cluster id (the component's

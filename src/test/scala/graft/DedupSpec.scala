@@ -152,6 +152,36 @@ class DedupSpec extends AnyFunSuite {
       "tau must split the eval docs")
   }
 
+  test("dupSpans ground truth at sf0.001: positional cross-doc spans") {
+    import graft.sources.Tables
+    val corpus = Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.dupSpans(corpus, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // brute force: positional 5-gram lists per doc (duplicates KEPT),
+    // cross-doc duplication = gram present in >= 2 distinct docs
+    val toks = corpus.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val spans = toks.map { case (id, t) =>
+      id -> (if (t.length >= 5) t.sliding(5).map(_.mkString(" ")).toSeq
+             else Seq(t.mkString(" ")))
+    }
+    val docFreq = spans.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    assert(got.keySet == spans.map(_._1).toSet)
+    for ((id, gs) <- spans) {
+      val (nS, nD, frac) = got(id)
+      val dup = gs.count(g => docFreq(g) >= 2)
+      assert(nS == gs.size, s"doc $id n_spans")
+      assert(nD == dup, s"doc $id n_dup_spans")
+      assert(math.abs(frac - dup.toDouble / gs.size) < 5e-7, s"doc $id frac")
+    }
+    // non-vacuous: the near-dup corpus must have some duplicated spans
+    // and some clean docs
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
+  }
+
   test("simhash ground truth at sf0.001: pigeonhole blocking is EXACT") {
     import graft.sources.Tables
     val docs = Tables(spark, TestSpark.sf, "documents")
