@@ -596,6 +596,16 @@ object OracleSql {
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
 
+    "m02_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+         CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+         CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+         CAST(16 AS BIGINT) AS bits,
+         CAST(n_chars AS BIGINT) AS n_samples,
+         CAST(n_chars * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+           AS duration_ms
+         FROM documents ORDER BY doc_id""",
+
     "st01_stream_window" ->
       s"""SELECT date_diff('second', $epoch1970,
            date_trunc('hour', $tsUs)) AS hour_sec,

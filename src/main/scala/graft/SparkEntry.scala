@@ -644,6 +644,21 @@ object SparkEntry {
         Binary.withPayload(t(s, dir, "documents"), "text"))
       .orderBy("doc_id")
 
+  /** Audio metadata: WAV blobs synthesized per doc (params derived from
+    * doc_id/n_chars), parsed back by the REAL RIFF chunk walker — the
+    * oracle recomputes every field arithmetically, so a parse bug breaks
+    * the hash. */
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n"))
+      .as[(Long, Long)]
+    Binary.audioHeaders(
+        src.map { case (id, n) => Binary.PayloadRow(id, Binary.makeWav(id, n)) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   private def st01(s: SparkSession, dir: String): DataFrame =
     Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
 
@@ -711,6 +726,7 @@ object SparkEntry {
     "d09_contamination" -> (d09 _),
     "d10_dup_spans" -> (d10 _),
     "m01_binary_meta" -> (m01 _),
+    "m02_audio_meta" -> (m02 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _)

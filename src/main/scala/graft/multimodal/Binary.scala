@@ -109,6 +109,78 @@ object Binary {
     else ("unknown", -1L, -1L)
   }
 
+  final case class AudioHeader(doc_id: Long, format: String, channels: Long,
+                               sample_rate: Long, bits: Long,
+                               n_samples: Long, duration_ms: Long)
+
+  /** REAL RIFF/WAVE header parse: walks the chunk list (tolerating
+    * non-fmt chunks like JUNK/LIST and odd-size pad bytes) to the `fmt `
+    * and `data` chunks and derives (channels, sample rate, bits, sample
+    * count, duration). Reads only declared sizes — a truncated payload
+    * (header-only blob, the streaming-metadata-extract case) still
+    * parses. Non-WAV or malformed bytes yield ("unknown", -1, …). */
+  def wavHeader(p: Array[Byte]): (String, Long, Long, Long, Long, Long) = {
+    def u16le(i: Int): Long = ((p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)).toLong
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    val bad = ("unknown", -1L, -1L, -1L, -1L, -1L)
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
+    else {
+      var i = 12
+      var channels, rate, bits, dataLen = -1L
+      while (i + 8 <= p.length && (channels < 0 || dataLen < 0)) {
+        val id = tag(i)
+        val sz = u32le(i + 4)
+        if (id == "fmt " && sz >= 16 && i + 24 <= p.length) {
+          channels = u16le(i + 10)
+          rate = u32le(i + 12)
+          bits = u16le(i + 22)
+        } else if (id == "data") dataLen = sz
+        if (sz > Int.MaxValue - 16) i = p.length // malformed size: stop
+        else i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even offsets
+      }
+      if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) bad
+      else {
+        val nSamples = dataLen / (channels * (bits / 8))
+        ("wav", channels, rate, bits, nSamples, nSamples * 1000L / rate)
+      }
+    }
+  }
+
+  /** Deterministic WAV header-only blob (44-byte canonical layout, data
+    * chunk size declared but not materialized): the synthesized stand-in
+    * for real audio files, with per-doc parameters derived from the doc
+    * id so the verify oracle can recompute them arithmetically. */
+  def makeWav(docId: Long, nSamples: Long): Array[Byte] = {
+    val channels = 1 + (docId % 2).toInt
+    val rate = (8000L * (1 + docId % 3)).toInt
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = (nSamples * blockAlign).toInt
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.array()
+  }
+
+  /** [[wavHeader]] over a payload Dataset — typed map, Tungsten encoders,
+    * no per-row setup. */
+  def audioHeaders(ds: Dataset[PayloadRow]): Dataset[AudioHeader] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (f, c, sr, bits, n, ms) = wavHeader(r.payload)
+      AudioHeader(r.doc_id, f, c, sr, bits, n, ms)
+    }
+  }
+
   /** [[imageHeader]] over a payload Dataset — typed map, stays in Tungsten
     * encoders, no per-row setup. */
   def imageHeaders(ds: Dataset[PayloadRow]): Dataset[ImageHeader] = {

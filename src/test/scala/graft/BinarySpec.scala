@@ -82,4 +82,39 @@ class BinarySpec extends AnyFunSuite {
         .select("doc_id", "payload").as[Binary.PayloadRow]).collect()
     assert(got.toSeq == Seq(Binary.ImageHeader(1L, "unknown", -1L, -1L)))
   }
+
+  test("wavHeader walks RIFF chunks: canonical, JUNK-prefixed, odd-pad") {
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def fmt(ch: Int, rate: Int, bits: Int) =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    def riff(body: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4L + body.length) ++ "WAVE".getBytes ++ body
+
+    // canonical: the synthesized blob round-trips against its parameters
+    val canon = Binary.makeWav(docId = 5L, nSamples = 44100L)
+    // doc 5: channels = 1 + 5%2 = 2, rate = 8000 * (1 + 5%3) = 24000
+    assert(Binary.wavHeader(canon) ==
+      (("wav", 2L, 24000L, 16L, 44100L, 44100L * 1000 / 24000)))
+
+    // JUNK chunk (odd size 7, so a pad byte) BEFORE fmt — the walker must
+    // skip it and honor the even-offset padding rule
+    val junky = riff("JUNK".getBytes ++ le32(7) ++ new Array[Byte](8) ++
+      fmt(1, 8000, 16) ++ "data".getBytes ++ le32(16000))
+    assert(Binary.wavHeader(junky) ==
+      (("wav", 1L, 8000L, 16L, 8000L, 1000L)))
+
+    // data chunk before fmt (legal in the wild)
+    val dataFirst = riff("data".getBytes ++ le32(3200) ++
+      new Array[Byte](3200) ++ fmt(2, 16000, 16))
+    assert(Binary.wavHeader(dataFirst) ==
+      (("wav", 2L, 16000L, 16L, 800L, 50L)))
+
+    // truncation and non-WAV must degrade, not throw
+    assert(Binary.wavHeader(canon.take(10))._1 == "unknown")
+    assert(Binary.wavHeader("RIFFxxxxAVI ".getBytes)._1 == "unknown")
+    assert(Binary.wavHeader("plain text".getBytes)._1 == "unknown")
+  }
 }
