@@ -265,15 +265,23 @@ object Dedup {
     * step is a LEFT SEMI join keyed on the n-gram — never doc × doc, and
     * the semi join emits at most one row per eval (id, g). Both per-doc
     * counts are counting aggregates with map-side combine keyed on the
-    * doc id. At 100 TB swap the join key to xxhash64(g) to shuffle 8-byte
-    * longs instead of strings (~2⁻⁶⁴ per-pair collision odds); kept as
-    * exact strings here for oracle-exact semantics.
+    * doc id.
+    *
+    * `hashGrams` is the 100 TB path: replace the n-gram string with its
+    * xxhash64 before any shuffle, so the distinct/semi-join/aggregate
+    * keys are 8-byte longs instead of ~n-word strings (~2⁻⁶⁴ per-pair
+    * collision odds — DedupSpec pins both paths identical on the test
+    * corpus). Off by default for oracle-exact semantics.
     */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, n: Int, tau: Double): DataFrame = {
-    val trainG = explodedShingles(train, idCol, textCol, n)
+                    textCol: String, n: Int, tau: Double,
+                    hashGrams: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      if (hashGrams) df.select(col("id"), xxhash64(col("g")).as("g"))
+      else df
+    val trainG = keyed(explodedShingles(train, idCol, textCol, n))
       .select("g").distinct()
-    val evalG = explodedShingles(evalDocs, idCol, textCol, n)
+    val evalG = keyed(explodedShingles(evalDocs, idCol, textCol, n))
     val totals = evalG.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
     val hits = evalG.join(trainG, Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
@@ -302,16 +310,25 @@ object Dedup {
     * counting aggregates. Nothing is ever doc × doc, and no suffix array
     * is materialized — the n-gram window approximates ExactSubstr's
     * suffix-array pass with a fixed span width.
+    *
+    * `hashGrams` as in [[contamination]]: xxhash64 the span before any
+    * shuffle (8-byte keys, spec-pinned identical on the test corpus) —
+    * the 100 TB path; off by default for oracle-exact semantics.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame = {
-    val pos = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+               n: Int, hashGrams: Boolean = false): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         col("toks"),
         explode(sequence(lit(1),
           greatest(size(col("toks")) - (n - 1), lit(1)))).as("p"))
       .select(col("id"), col("p"),
         concat_ws(" ", slice(col("toks"), col("p"), lit(n))).as("g"))
+    val pos =
+      if (hashGrams) spans.select(col("id"), col("p"),
+        xxhash64(col("g")).as("g"))
+      else spans
     val dup = pos.groupBy("g").agg(count_distinct(col("id")).as("__df"))
       .filter(col("__df") >= 2).select("g")
     val tot = pos.groupBy("id").agg(count(lit(1)).as("n_spans"))

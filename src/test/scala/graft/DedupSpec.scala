@@ -182,6 +182,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
   }
 
+  test("hashGrams scale path is identical to exact strings at sf0.001") {
+    import graft.sources.Tables
+    val corpus = Tables(spark, TestSpark.sf, "documents")
+    def contamRows(h: Boolean) = Dedup.contamination(
+        corpus.filter(col("doc_id") % 10 =!= 0),
+        corpus.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5, hashGrams = h)
+      .orderBy("id").collect().toSeq
+    assert(contamRows(true) == contamRows(false))
+    def spanRows(h: Boolean) =
+      Dedup.dupSpans(corpus, "doc_id", "text", n = 5, hashGrams = h)
+        .orderBy("id").collect().toSeq
+    assert(spanRows(true) == spanRows(false))
+  }
+
   test("simhash ground truth at sf0.001: pigeonhole blocking is EXACT") {
     import graft.sources.Tables
     val docs = Tables(spark, TestSpark.sf, "documents")
