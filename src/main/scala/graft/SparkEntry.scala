@@ -588,6 +588,25 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Per-source quality quota — the "keep the best N docs per domain"
+    * curation step of a data-mixture pipeline. Ranking is the bounded
+    * top-k aggregate (map-side ≤ N rows per source per partition), never
+    * a window; the DuckDB oracle states the same semantics as
+    * row_number() — the cross-engine check that the aggregate implements
+    * exactly the windowed contract. */
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topKByScore(
+        col("quality"), col("doc_id"), 20).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("source"), col("kv.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("kv.score").as("quality"))
+      .orderBy("source", "rank")
+
   private def t03(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -721,6 +740,7 @@ object SparkEntry {
     "t04_fingerprint" -> (t04 _),
     "t05_corpus_stats" -> (t05 _),
     "t06_repetition" -> (t06 _),
+    "t07_quality_quota" -> (t07 _),
     "d07_incr_dedup" -> (d07 _),
     "d08_semantic_dedup" -> (d08 _),
     "d09_contamination" -> (d09 _),
