@@ -83,6 +83,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t07 quota ranks via the partial top-k aggregate, not a window") {
+    val p = plan("t07_quality_quota")
+    assert(!p.contains("Window"),
+      s"per-source quota must not rank through a window:\n$p")
+    assert(p.contains("top_k_by_score"), p)
+    assert(p.contains("partial"), "quota aggregate must map-side combine")
+  }
+
+  test("n-gram membership ops (d09/d10) are semi-joins + partial aggs") {
+    for (q <- Seq("d09_contamination", "d10_dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not use a window:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q joins must be equi")
+      assert(p.contains("LeftSemi"), s"$q membership must be a semi join")
+      assert(p.contains("partial"), s"$q counts must map-side combine")
+    }
+  }
+
+  test("s04 graph ranking is the bounded aggregate; pair dedup is narrow") {
+    val p = plan("s04_knn_graph")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("top_k_by_score") && p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q06/q12 merge via partial aggregates — no per-key sort or window") {
     for (q <- Seq("q06_load_upsert_merge", "q12_latest_version")) {
       val p = plan(q)
