@@ -647,7 +647,19 @@ object OracleSql {
     "st03_incr_dedup_stream" ->
       s"""SELECT MIN(doc_id) AS doc_id, fp FROM
          (SELECT doc_id, md5($normText) AS fp FROM documents)
-         GROUP BY fp ORDER BY doc_id"""
+         GROUP BY fp ORDER BY doc_id""",
+
+    "st04_contamination_stream" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         pos AS (SELECT doc_id, i, array_to_string(arr[i:i+2], ' ') AS g
+                 FROM arrs,
+                   unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                   AS u(i)),
+         tg AS (SELECT DISTINCT g FROM pos WHERE doc_id % 10 <> 0)
+         SELECT doc_id, CAST(i AS BIGINT) AS pos, g FROM pos
+         WHERE doc_id % 10 = 0 AND g IN (SELECT g FROM tg)
+         ORDER BY doc_id, pos"""
   )
 
   /** Whitespace token count over normalized text (mirrors

@@ -690,6 +690,20 @@ object SparkEntry {
     Streams.firstPerFingerprintBatch(t(s, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Batch anchor of the streaming contamination detector (the stream
+    * variant is the SAME function over a readStream frame — parity spec
+    * in StreamingSpec): eval-split docs emit the positional 3-gram spans
+    * they share with the static train-gram index. */
+  private def st04(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Streams.contaminationHits(
+        d.filter(col("doc_id") % 10 === 0),
+        Streams.trainGramIndex(
+          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id", "pos")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -749,7 +763,8 @@ object SparkEntry {
     "m02_audio_meta" -> (m02 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
-    "st03_incr_dedup_stream" -> (st03 _)
+    "st03_incr_dedup_stream" -> (st03 _),
+    "st04_contamination_stream" -> (st04 _)
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables registered under

@@ -61,6 +61,21 @@ object Dedup {
     * explode as a Generate, and each shingle is a cheap per-row
     * slice+concat on the materialized array. Short docs (< n tokens)
     * degrade to one whole-doc shingle, like the reference `shingles`. */
+  /** (id, p, g): POSITIONAL word n-grams — one row per token position,
+    * duplicates kept (cf. [[dupSpans]]'s coverage semantics). Every op is
+    * stateless row-local (narrow projection → Generate → slice/concat on
+    * the materialized token array), so the same frame works on a
+    * STREAMING DataFrame (no distinct/aggregate — append-mode legal). */
+  def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("p"))
+      .select(col("id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(n))).as("g"))
+
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -317,14 +332,7 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int, hashGrams: Boolean = false): DataFrame = {
-    val spans = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        col("toks"),
-        explode(sequence(lit(1),
-          greatest(size(col("toks")) - (n - 1), lit(1)))).as("p"))
-      .select(col("id"), col("p"),
-        concat_ws(" ", slice(col("toks"), col("p"), lit(n))).as("g"))
+    val spans = positionalGrams(docs, idCol, textCol, n)
     val pos =
       if (hashGrams) spans.select(col("id"), col("p"),
         xxhash64(col("g")).as("g"))

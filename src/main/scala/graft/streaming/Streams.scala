@@ -78,6 +78,30 @@ object Streams {
           })
   }
 
+  /** Streaming contamination detector — the stream-static join pattern of
+    * a continuously-crawling pipeline: each arriving document emits the
+    * positional n-gram spans it shares with a STATIC benchmark/train gram
+    * index. Every stream-side op is stateless and row-local
+    * ([[graft.dedup.Dedup.positionalGrams]]) and the membership test is a
+    * stream-static LEFT SEMI equi-join (supported in append mode, no
+    * watermark/state needed) — so the SAME function is the batch anchor
+    * and the streaming query; the spec replays the corpus chunked and
+    * asserts parity. The static side is broadcast-or-shuffled by size as
+    * usual; at scale, pre-hash grams (cf. Dedup.contamination hashGrams)
+    * to shrink the per-batch join keys. */
+  def contaminationHits(evalDocs: DataFrame, trainGrams: DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame =
+    graft.dedup.Dedup.positionalGrams(evalDocs, idCol, textCol, n)
+      .join(trainGrams, Seq("g"), "left_semi")
+      .select(col("id").as("doc_id"), col("p").cast("long").as("pos"),
+        col("g"))
+
+  /** The static train-side gram index for [[contaminationHits]]. */
+  def trainGramIndex(train: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    graft.dedup.Dedup.positionalGrams(train, idCol, textCol, n)
+      .select("g").distinct()
+
   /** Streaming form: stateful first-occurrence detection. State is one
     * boolean per user (bounded; at scale this is why we don't buffer events
     * — kcidb's notification spool dedups the same way). */

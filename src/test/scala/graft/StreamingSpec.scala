@@ -103,6 +103,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st04 gate parity: stream-static contamination equals the batch") {
+    implicit val sql = spark.sqlContext
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+    val trainIdx = Streams.trainGramIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val batch = Streams.contaminationHits(
+        evalDocs, trainIdx, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batch.nonEmpty, "near-dup corpus must produce contaminated spans")
+    // Replay the eval split as three micro-batches through the SAME
+    // function over a memory stream, joined to the SAME static index.
+    val all = evalDocs.select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st04-ckpt").toString
+    val q = Streams.contaminationHits(
+        input.toDS.toDF("doc_id", "text"), trainIdx, "doc_id", "text", n = 3)
+      .writeStream.format("memory").queryName("st04_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st04_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: ${(streamed diff batch).take(3)} / " +
+          s"${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("batch monitor matches the same semantics") {
     val got = Streams.firstFailureBatch(rows.toDF)
       .orderBy("user_id").collect()
