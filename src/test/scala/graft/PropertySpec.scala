@@ -86,6 +86,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("media header parsers are total on arbitrary and mutated bytes") {
+    import graft.multimodal.Binary
+    val rng = new scala.util.Random(13)
+    // pure fuzz: random blobs of every small length
+    for (len <- 0 to 64; _ <- 1 to 5) {
+      val p = Array.fill(len)(rng.nextInt(256).toByte)
+      Binary.imageHeader(p)
+      Binary.wavHeader(p)
+    }
+    // structured fuzz: valid headers with one mutated byte — parsers must
+    // degrade (possibly to "unknown"/garbage fields), never throw
+    val wav = Binary.makeWav(7L, 1000L)
+    for (i <- wav.indices; delta <- Seq(1, 0x80)) {
+      val m = wav.clone(); m(i) = (m(i) + delta).toByte
+      Binary.wavHeader(m)
+    }
+    // truncations of a valid header at every length
+    for (cut <- 0 to wav.length) {
+      Binary.wavHeader(wav.take(cut))
+      Binary.imageHeader(wav.take(cut))
+    }
+  }
+
   test("parser rejects truncated/garbled patterns") {
     for (bad <- Seq(">", "customer", ">customer[", ">customer[\"x]",
         ">customer]#", "> cust omer", "<>", ">customer[a,]#"))
