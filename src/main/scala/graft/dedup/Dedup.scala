@@ -49,23 +49,21 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
 
-  /** (id, g): DISTINCT word-n-gram shingles, one row per (doc, shingle).
+  /** (id, p, g): POSITIONAL word n-grams — one row per token position,
+    * duplicates kept (cf. [[dupSpans]]'s coverage semantics). Short docs
+    * (< n tokens) degrade to one whole-doc gram, like [[shingles]].
     *
-    * Deliberately avoids ever materializing a shingle-ARRAY column built by
+    * Deliberately avoids ever materializing a gram-ARRAY column built by
     * a `transform` lambda: expression trees inside lambda functions get no
     * codegen subexpression elimination, and predicate pushdown re-inlines
     * array-valued projections into scan filters — both re-run the
-    * tokenizing `split(regexp_replace(...))` once per shingle instead of
+    * tokenizing `split(regexp_replace(...))` once per gram instead of
     * once per doc (measured ~10× slowdown on d02/d04). Here the token
     * array binds to an attribute in one narrow projection, positions
-    * explode as a Generate, and each shingle is a cheap per-row
-    * slice+concat on the materialized array. Short docs (< n tokens)
-    * degrade to one whole-doc shingle, like the reference `shingles`. */
-  /** (id, p, g): POSITIONAL word n-grams — one row per token position,
-    * duplicates kept (cf. [[dupSpans]]'s coverage semantics). Every op is
-    * stateless row-local (narrow projection → Generate → slice/concat on
-    * the materialized token array), so the same frame works on a
-    * STREAMING DataFrame (no distinct/aggregate — append-mode legal). */
+    * explode as a Generate, and each gram is a cheap per-row slice+concat
+    * on the materialized array. Every op is also stateless row-local, so
+    * the same frame works on a STREAMING DataFrame (no distinct or
+    * aggregate — append-mode legal). */
   def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -76,14 +74,12 @@ object Dedup {
       .select(col("id"), col("p"),
         concat_ws(" ", slice(col("toks"), col("p"), lit(n))).as("g"))
 
+  /** (id, g): DISTINCT word-n-gram shingles, one row per (doc, shingle) —
+    * [[positionalGrams]] with positions dropped and per-doc dedup. */
   private def explodedShingles(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("toks"),
-        explode(sequence(lit(1),
-          greatest(size(col("toks")) - (n - 1), lit(1)))).as("pos"))
-      .select(col("id"),
-        concat_ws(" ", slice(col("toks"), col("pos"), lit(n))).as("g"))
+    positionalGrams(docs, idCol, textCol, n)
+      .select("id", "g")
       .distinct()
 
   /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
