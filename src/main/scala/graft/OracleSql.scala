@@ -480,47 +480,19 @@ object OracleSql {
          FROM scored ORDER BY doc_id"""
     },
 
-    "t02_quality" -> {
-      val chars = "CAST(length(text) AS DOUBLE)"
-      val words = s"CAST(${wordCountSql} AS DOUBLE)"
-      val avgWordLen = s"($chars / $words)"
-      val stopRatio = s"(CAST(${langScore("en")} AS DOUBLE) / $words)"
-      val lengthTerm =
-        s"""(CASE WHEN $chars >= 200 AND $chars <= 2000 THEN 1.0
-            WHEN $chars < 200 THEN $chars / 200.0
-            ELSE 2000.0 / $chars END)"""
-      val wordLenTerm =
-        s"""(CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0
-            THEN 1.0 ELSE 0.5 END)"""
-      s"""SELECT doc_id,
-         $lengthTerm * 0.5 + $wordLenTerm * 0.3 +
-           least($stopRatio * 2.0, 1.0) * 0.2 AS quality
-         FROM documents ORDER BY doc_id"""
-    },
+    "t02_quality" ->
+      s"""SELECT doc_id, $qualitySql AS quality
+         FROM documents ORDER BY doc_id""",
 
-    "t07_quality_quota" -> {
-      val chars = "CAST(length(text) AS DOUBLE)"
-      val words = s"CAST(${wordCountSql} AS DOUBLE)"
-      val avgWordLen = s"($chars / $words)"
-      val stopRatio = s"(CAST(${langScore("en")} AS DOUBLE) / $words)"
-      val lengthTerm =
-        s"""(CASE WHEN $chars >= 200 AND $chars <= 2000 THEN 1.0
-            WHEN $chars < 200 THEN $chars / 200.0
-            ELSE 2000.0 / $chars END)"""
-      val wordLenTerm =
-        s"""(CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0
-            THEN 1.0 ELSE 0.5 END)"""
-      s"""WITH q AS (SELECT source, doc_id,
-           $lengthTerm * 0.5 + $wordLenTerm * 0.3 +
-             least($stopRatio * 2.0, 1.0) * 0.2 AS quality
+    "t07_quality_quota" ->
+      s"""WITH q AS (SELECT source, doc_id, $qualitySql AS quality
            FROM documents),
          r AS (SELECT source, doc_id, quality,
                CAST(row_number() OVER (PARTITION BY source
                  ORDER BY quality DESC, doc_id ASC) AS INT) AS rank
                FROM q)
          SELECT source, doc_id, rank, quality FROM r WHERE rank <= 20
-         ORDER BY source, rank"""
-    },
+         ORDER BY source, rank""",
 
     "t03_tokens" ->
       s"""SELECT doc_id, $wordCountSql AS ws_tokens,
@@ -661,6 +633,24 @@ object OracleSql {
          WHERE doc_id % 10 = 0 AND g IN (SELECT g FROM tg)
          ORDER BY doc_id, pos"""
   )
+
+  /** Quality score (mirrors TextOps.qualityScore): length, word-length,
+    * and stopword-ratio terms, identical double arithmetic both engines. */
+  private lazy val qualitySql: String = {
+    val chars = "CAST(length(text) AS DOUBLE)"
+    val words = s"CAST(${wordCountSql} AS DOUBLE)"
+    val avgWordLen = s"($chars / $words)"
+    val stopRatio = s"(CAST(${langScore("en")} AS DOUBLE) / $words)"
+    val lengthTerm =
+      s"""(CASE WHEN $chars >= 200 AND $chars <= 2000 THEN 1.0
+          WHEN $chars < 200 THEN $chars / 200.0
+          ELSE 2000.0 / $chars END)"""
+    val wordLenTerm =
+      s"""(CASE WHEN $avgWordLen >= 3.0 AND $avgWordLen <= 10.0
+          THEN 1.0 ELSE 0.5 END)"""
+    s"""($lengthTerm * 0.5 + $wordLenTerm * 0.3 +
+        least($stopRatio * 2.0, 1.0) * 0.2)"""
+  }
 
   /** Whitespace token count over normalized text (mirrors
     * TextOps.wordCount): spaces + 1 via length arithmetic. */
