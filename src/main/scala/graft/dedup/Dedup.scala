@@ -101,10 +101,13 @@ object Dedup {
 
   /** (id, sh, sig) in a single aggregation pass over exploded (id, g) rows:
     * the same groupBy computes the k signature mins AND reassembles the
-    * shingle set (collect_set). Every consumer — banding, and both sides of
-    * the exact-verify join — then shares this aggregation's shuffle via
-    * ReuseExchange, so normalization/shingling/hashing run once per doc
-    * for the whole near-dup pipeline. */
+    * shingle set (collect_set), so each consumer pays one aggregation, not
+    * two. Consumers (banding + both exact-verify sides) still re-execute
+    * the pipeline — ReuseExchange can NOT deduplicate them (each prunes
+    * different columns, so the exchange subtrees differ), and a lazy
+    * localCheckpoint of this frame measured no better than the recompute
+    * at sf0.1 (collect_set rows serialize poorly; cf. the file-header
+    * sharing note: at 100 TB, persist the INPUT docs frame instead). */
   private def sigAndShingles(exploded: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(s =>
       min(col("h1").bitwiseXOR(rotl64(col("h2"), s))).as(s"m$s"))
