@@ -38,6 +38,35 @@ object OracleSql {
   private def cosD(a: String, b: String) =
     s"(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})))"
 
+  /** d09's exact semantics, shared verbatim with d11 (whose bloom
+    * pre-screen must be result-invariant). */
+  private lazy val contaminationSql: String =
+    s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                      FROM documents),
+       ng AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+              FROM arrs,
+                unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                AS u(i)),
+       tg AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 <> 0),
+       ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 = 0),
+       tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM ev GROUP BY 1),
+       hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM ev
+               WHERE g IN (SELECT g FROM tg) GROUP BY 1)
+       SELECT tot.doc_id, n_ngrams,
+         CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
+           AS overlap,
+         CASE WHEN round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
+           >= 0.5 THEN 1 ELSE 0 END AS contaminated
+       FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""
+
+  /** p02's per-source weight lookup as a CASE chain, generated from the
+    * SAME map the Spark side uses (SparkEntry.p02Weights). */
+  private lazy val mixtureWeightSql: String =
+    graft.SparkEntry.p02Weights.toSeq.sorted
+      .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
+      .mkString("CASE source ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+
   val all: Map[String, String] = Map(
     "q01_summary_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -546,25 +575,37 @@ object OracleSql {
          WHERE fp NOT IN (SELECT fp FROM corpus)
          GROUP BY fp ORDER BY doc_id""",
 
-    "d09_contamination" ->
-      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
-                        FROM documents),
-         ng AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
-                FROM arrs,
-                  unnest(generate_series(1, greatest(len(arr) - 2, 1)))
-                  AS u(i)),
-         tg AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 <> 0),
-         ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 10 = 0),
-         tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM ev GROUP BY 1),
-         hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM ev
-                 WHERE g IN (SELECT g FROM tg) GROUP BY 1)
-         SELECT tot.doc_id, n_ngrams,
-           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
-             AS overlap,
-           CASE WHEN round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_ngrams, 6)
-             >= 0.5 THEN 1 ELSE 0 END AS contaminated
-         FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""",
+    "d09_contamination" -> contaminationSql,
+
+    // The bloom pre-screen is result-invariant (no false negatives), so
+    // d11's oracle IS d09's exact SQL — the gate proves the prefilter
+    // never drops a hit.
+    "d11_bloom_decontam" -> contaminationSql,
+
+    "p01_pack_sequences" ->
+      s"""WITH base AS (SELECT doc_id, $wordCountSql AS n_tokens,
+                doc_id % 8 AS bucket FROM documents),
+         off AS (SELECT doc_id, n_tokens, bucket,
+                COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+                FROM base)
+         SELECT doc_id, n_tokens, bucket, tok_offset,
+           CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_first,
+           CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT)
+             AS seq_last
+         FROM off ORDER BY doc_id""",
+
+    "p02_mixture_sample" ->
+      s"""WITH flags AS (SELECT source, $mixtureWeightSql AS weight,
+                CAST(concat('0x', substr(md5(concat('${
+                  graft.SparkEntry.p02Seed}', CAST(doc_id AS VARCHAR))),
+                  1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+                FROM documents)
+         SELECT source, weight, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+         FROM flags GROUP BY source, weight ORDER BY source""",
 
     "d10_dup_spans" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr

@@ -552,6 +552,50 @@ object SparkEntry {
         probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4)
       .orderBy("probe_id", "rank")
 
+  /** d09's decontamination behind the bloom pre-screen
+    * ([[graft.dedup.Dedup.bloomContamination]]): the sketch admits every
+    * true hit, so this is row-identical to d09 — the oracle IS d09's exact
+    * SQL, which makes the gate prove the prefilter never drops a hit. */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.bloomContamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+      .select(col("id").as("doc_id"), col("n_ngrams"), col("n_hits"),
+        col("overlap"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** p02's mixture weights, shared with the oracle CASE chain
+    * (OracleSql) and PackSpec: every fifth source dropped entirely, the
+    * rest sampled at staggered rates — all sampling regimes (keep-all,
+    * partial, drop-all) occur in the gate row. */
+  private[graft] val p02Weights: Map[String, Double] =
+    (0 until 20).map { i =>
+      s"src$i" -> Seq(1.0, 0.7, 0.4, 0.15, 0.0)(i % 5)
+    }.toMap
+  private[graft] val p02Seed = "mix-v1"
+
+  /** Concat-and-chunk sequence packing over 8 buckets at 256 tokens per
+    * training sequence ([[graft.pack.Pack.packSequences]]). */
+  private def p01(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.packSequences(t(s, dir, "documents"), "doc_id",
+        TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(8)),
+        seqLen = 256)
+      .orderBy("doc_id")
+
+  /** Deterministic per-source mixture sampling, reported as per-source
+    * kept counts ([[graft.pack.Pack.mixtureFlags]]). */
+  private def p02(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.mixtureFlags(t(s, dir, "documents"), col("source"),
+        col("doc_id"), p02Weights, p02Seed)
+      .groupBy("source")
+      .agg(max(col("weight")).as("weight"),
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).cast("long").as("n_kept"))
+      .orderBy("source")
+
   /** Duplicated-span profiling: 5-gram spans occurring in ≥ 2 docs. */
   private def d10(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
@@ -759,6 +803,9 @@ object SparkEntry {
     "d08_semantic_dedup" -> (d08 _),
     "d09_contamination" -> (d09 _),
     "d10_dup_spans" -> (d10 _),
+    "d11_bloom_decontam" -> (d11 _),
+    "p01_pack_sequences" -> (p01 _),
+    "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),
     "m02_audio_meta" -> (m02 _),
     "st01_stream_window" -> (st01 _),

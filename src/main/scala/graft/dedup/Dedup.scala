@@ -290,14 +290,32 @@ object Dedup {
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, n: Int, tau: Double,
                     hashGrams: Boolean = false): DataFrame = {
+    val (trainG, evalG) = contaminationGrams(train, evalDocs, idCol,
+      textCol, n, hashGrams)
+    gramOverlap(evalG, evalG, trainG, tau)
+  }
+
+  /** The two (id, g) frames behind [[contamination]]: the train side's
+    * DISTINCT gram set and the eval side's per-doc distinct grams,
+    * optionally xxhash64-keyed before any shuffle. */
+  private def contaminationGrams(
+      train: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, hashGrams: Boolean): (DataFrame, DataFrame) = {
     def keyed(df: DataFrame): DataFrame =
       if (hashGrams) df.select(col("id"), xxhash64(col("g")).as("g"))
       else df
-    val trainG = keyed(explodedShingles(train, idCol, textCol, n))
-      .select("g").distinct()
-    val evalG = keyed(explodedShingles(evalDocs, idCol, textCol, n))
+    (keyed(explodedShingles(train, idCol, textCol, n))
+        .select("g").distinct(),
+      keyed(explodedShingles(evalDocs, idCol, textCol, n)))
+  }
+
+  /** Per-doc overlap report: denominators from ALL of `evalG`, hits from
+    * the semi-join of `candG` (a subset of `evalG` — possibly pre-screened
+    * by a sketch that admits every true hit) against `trainG`. */
+  private def gramOverlap(evalG: DataFrame, candG: DataFrame,
+                          trainG: DataFrame, tau: Double): DataFrame = {
     val totals = evalG.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
-    val hits = evalG.join(trainG, Seq("g"), "left_semi")
+    val hits = candG.join(trainG, Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     totals.join(hits, Seq("id"), "left")
       .select(col("id"), col("n_ngrams"),
@@ -305,6 +323,39 @@ object Dedup {
       .withColumn("overlap",
         round(col("n_hits").cast("double") / col("n_ngrams"), 6))
       .withColumn("contaminated", (col("overlap") >= tau).cast("int"))
+  }
+
+  /** [[contamination]] with a bloom-filter pre-screen on the eval side —
+    * the runtime-filter pattern applied explicitly ([[graft.functions
+    * .Bloom]]): the train-gram set builds one bounded sketch (distributed
+    * aggregate; only the merged sketch reaches the driver, like any
+    * broadcast build), and every eval gram that MISSES the sketch is
+    * proven absent from the train corpus and skips the semi-join shuffle
+    * entirely. Only bloom-positive candidates pay the exact semi-join, so
+    * the result is row-identical to [[contamination]] — the driver gate
+    * checks this operator against d09's exact oracle SQL, and DedupSpec
+    * asserts frame equality.
+    *
+    * At 100 TB the win is on the probe side: the membership test is a
+    * codegen'd scalar in the eval scan stage, so the semi-join shuffles
+    * only candidate grams (on cross-domain corpora most grams miss; on
+    * this near-dup-heavy test corpus ~37% do). Size `numBits` ≈ 10× the
+    * distinct train grams for ~1% false positives — a false positive only
+    * wastes a candidate row, never changes a count. Building the sketch
+    * is one eager pass over the train grams at plan-construction time
+    * (same discipline as [[graft.sim.Ivf]]'s centroid fit). */
+  def bloomContamination(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, n: Int, tau: Double,
+                         expectedGrams: Long = 1L << 20,
+                         numBits: Long = 1L << 23,
+                         hashGrams: Boolean = false): DataFrame = {
+    val (trainG, evalG) = contaminationGrams(train, evalDocs, idCol,
+      textCol, n, hashGrams)
+    val sketch = graft.functions.Bloom.buildBloom(
+      trainG, col("g"), expectedGrams, numBits)
+    gramOverlap(evalG,
+      evalG.filter(graft.functions.Bloom.mightContain(sketch, col("g"))),
+      trainG, tau)
   }
 
   /** Cross-document duplicated-span profiling — the corpus-level signal

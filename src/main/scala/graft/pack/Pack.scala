@@ -1,0 +1,86 @@
+package graft.pack
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly — the last stages of a training-data pipeline, where a
+  * curated corpus becomes the token stream actually fed to a trainer:
+  * deterministic per-source mixture sampling, and concat-and-chunk packing
+  * of documents into fixed-length training sequences.
+  *
+  * Both operators are pure column arithmetic over engine-portable
+  * primitives (md5, window prefix sums), so the DuckDB oracle states the
+  * exact same semantics and a hash mismatch means a real bug.
+  */
+object Pack {
+
+  /** A deterministic uniform draw in [0, 1) from (seed, key): the first 15
+    * hex chars of md5(seed ‖ key) read as a 60-bit integer over 2^60.
+    * Per-row coin with no global state — the sampling decision for a doc
+    * never changes as the corpus grows, reruns are reproducible across
+    * engines (md5 and hex semantics are identical in Spark and DuckDB),
+    * and changing the seed redraws every coin. */
+  def uniformDraw(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double") /
+      lit(1152921504606846976d) // 2^60
+
+  /** Weighted mixture sampling: keep a row iff its [[uniformDraw]] falls
+    * under its source's weight — the per-example hash-mod sampling of a
+    * data-mixture pipeline (each source kept at an independent rate, e.g.
+    * up-weighting curated sources and down-weighting crawl). Appends
+    * `weight` (0.0 for sources absent from `weights`) and `kept` (0/1).
+    *
+    * The weight lookup is a literal CASE chain, not a join: mixtures have
+    * tens of sources, and a chain keeps the whole decision a scalar
+    * expression in the scan stage — `.filter(col("kept") === 1)` reaches
+    * the parquet scan with zero shuffles. */
+  def mixtureFlags(docs: DataFrame, sourceCol: Column, keyCol: Column,
+                   weights: Map[String, Double], seed: String): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0)) { case ((s, wt), acc) =>
+        when(sourceCol === s, lit(wt)).otherwise(acc)
+      }
+    docs.withColumn("weight", w)
+      .withColumn("kept",
+        (uniformDraw(seed, keyCol) < col("weight")).cast("int"))
+  }
+
+  /** [[mixtureFlags]], filtered to the kept rows. */
+  def mixtureSample(docs: DataFrame, sourceCol: Column, keyCol: Column,
+                    weights: Map[String, Double], seed: String): DataFrame =
+    mixtureFlags(docs, sourceCol, keyCol, weights, seed)
+      .filter(col("kept") === 1).drop("kept")
+
+  /** Concat-and-chunk sequence packing — the standard pretraining packing:
+    * documents are concatenated in a deterministic order and the token
+    * stream is cut into fixed `seqLen`-token training sequences, documents
+    * straddling cut points. Per doc: its packing bucket, token count,
+    * token offset within the bucket's stream, and the first/last sequence
+    * indexes it lands in (within-bucket; `(bucket, seq)` is the global
+    * sequence id).
+    *
+    * Scale shape: the token stream is ordered WITHIN independent buckets
+    * (`bucketCol`, e.g. `pmod(id, B)`), so the prefix sum is a window
+    * partitioned by bucket — one shuffle on the bucket key, one in-memory
+    * sort per bucket. B is the scale knob: tokens-per-bucket ≈ corpus/B,
+    * so pick B to keep a bucket's rows inside one executor's sort budget
+    * (at 100 TB, B in the tens of thousands; each bucket is a few GB and
+    * sequences never cross buckets, which is also what keeps reshards
+    * reproducible). A corpus-global order would serialize the cumsum
+    * through one partition — that is the one shape this operator refuses. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: Column,
+                    bucketCol: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"),
+        bucketCol.as("bucket"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", floor(col("tok_offset") / seqLen))
+      .withColumn("seq_last",
+        floor((col("tok_offset") + col("n_tokens") - lit(1)) / seqLen))
+  }
+}

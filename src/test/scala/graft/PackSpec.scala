@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pack.Pack
+import graft.text.TextOps
+
+/** Corpus-assembly operators: packing checked against a driver-side
+  * reference implementation on the REAL sf0.001 corpus (the oracle gate
+  * re-checks the same semantics in DuckDB at sf0.01), mixture sampling
+  * against its distributional and determinism contracts. */
+class PackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L = 64L
+  private def docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+
+  private def packed = Pack.packSequences(docs, "doc_id",
+    TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(4)), L)
+
+  test("packSequences matches a sequential reference packing exactly") {
+    val toks = docs
+      .select(col("doc_id"), TextOps.wordCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // reference: per bucket in doc_id order, running offset, floor chunks
+    var offsets = Map.empty[Long, Long]
+    val expected = toks.map { case (id, n) =>
+      val b = id % 4
+      val off = offsets.getOrElse(b, 0L)
+      offsets = offsets.updated(b, off + n)
+      (id, n, b, off, off / L, (off + n - 1) / L)
+    }.toSet
+    val got = packed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
+  test("packing invariants: contiguous coverage, full bucket consumption") {
+    val rows = packed.collect().map(r => (r.getLong(2), r.getLong(0),
+      r.getLong(3), r.getLong(1), r.getLong(4), r.getLong(5)))
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      val inOrder = rs.sortBy(_._2)
+      // doc k starts exactly where doc k-1 ended: no token gaps or overlaps
+      inOrder.foldLeft(0L) { case (expectedOff, (_, id, off, n, f, l)) =>
+        assert(off == expectedOff, s"doc $id offset $off != $expectedOff")
+        assert(f == off / L && l == (off + n - 1) / L)
+        assert(f <= l && n >= 1)
+        off + n
+      }
+      // the bucket's sequence count is exactly ceil(bucketTokens / L)
+      val total = inOrder.map(_._4).sum
+      assert(inOrder.map(_._6).max == (total - 1) / L)
+    }
+  }
+
+  test("mixture: weight-1 sources all kept, weight-0 sources all dropped") {
+    val flags = Pack.mixtureFlags(docs, col("source"), col("doc_id"),
+        SparkEntry.p02Weights, SparkEntry.p02Seed)
+      .groupBy("weight").agg(count(lit(1)).as("n"),
+        sum(col("kept")).as("kept"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val byW = flags.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byW(1.0)._1 == byW(1.0)._2, "weight 1.0 must keep every row")
+    assert(byW(0.0)._2 == 0L, "weight 0.0 must keep no row")
+    // intermediate weights keep a strict, roughly proportional subset
+    for ((w, (n, kept)) <- byW if w > 0.0 && w < 1.0) {
+      assert(kept > 0 && kept < n, s"weight $w kept $kept of $n")
+      val dev = math.abs(kept.toDouble / n - w)
+      assert(dev < 0.35, s"weight $w keep-rate ${kept.toDouble / n}")
+    }
+  }
+
+  test("mixture: same seed reproduces; new seed redraws") {
+    def keptSet(seed: String) =
+      Pack.mixtureSample(docs, col("source"), col("doc_id"),
+        SparkEntry.p02Weights, seed).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = keptSet(SparkEntry.p02Seed)
+    assert(a == keptSet(SparkEntry.p02Seed))
+    val b = keptSet("other-seed")
+    assert(a != b, "independent seeds must not reproduce the same sample")
+  }
+
+  test("uniformDraw stays in [0, 1)") {
+    val mm = docs.select(Pack.uniformDraw("s", col("doc_id")).as("u"))
+      .agg(min(col("u")), max(col("u"))).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
+  }
+}
