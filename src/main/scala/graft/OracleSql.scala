@@ -627,10 +627,10 @@ object OracleSql {
 
     "m01_binary_meta" ->
       """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-         CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
-         md5(text) AS checksum
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           ELSE 'gif' END AS format,
+         CAST(1 + doc_id % 640 AS BIGINT) AS width,
+         CAST(1 + doc_id * 7 % 480 AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
 
     "m02_audio_meta" ->

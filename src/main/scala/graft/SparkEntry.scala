@@ -702,10 +702,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private def m01(s: SparkSession, dir: String): DataFrame =
-    Binary.metaColumns(
-        Binary.withPayload(t(s, dir, "documents"), "text"))
+  /** Image metadata: PNG/JPEG/GIF header blobs synthesized per doc (format
+    * and dimensions derived from doc_id), parsed back by the REAL header
+    * parser (Binary.imageHeader) — the oracle recomputes every field
+    * arithmetically, so a parse bug breaks the hash (the image analog of
+    * m02's makeWav → wavHeader loop). */
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.imageHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeImage(id))))
+      .toDF()
       .orderBy("doc_id")
+  }
 
   /** Audio metadata: WAV blobs synthesized per doc (params derived from
     * doc_id/n_chars), parsed back by the REAL RIFF chunk walker — the

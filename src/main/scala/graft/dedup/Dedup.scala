@@ -513,7 +513,12 @@ object Dedup {
     val corpus = emb
       .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
         posexplode(bands).as(Seq("band", "bucket")))
-    broadcast(probes).join(corpus, Seq("band", "bucket"))
+    // No broadcast hint: the probe side is caller-filtered but
+    // corpus-PROPORTIONAL (a `% 20` filter keeps 5% of the corpus — multi-TB
+    // at embedding scale), so a forced broadcast would OOM the cluster. AQE
+    // picks broadcast at runtime when the filtered side really is small,
+    // exactly as lshKnn/knnGraph already rely on.
+    probes.join(corpus, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
       .distinct() // a pair colliding in several bands verifies once

@@ -30,16 +30,6 @@ object Binary {
     StructField("height", LongType, nullable = false),
     StructField("checksum", StringType, nullable = false)))
 
-  /** Column-expression metadata extraction (codegen'd; used by the verify
-    * query). The width/height "decode" is a STUB: a deterministic function
-    * of the byte length standing in for a real image header parse. */
-  def metaColumns(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      octet_length(col("payload")).cast("long").as("byte_len"),
-      (octet_length(col("payload")).cast("long") % 640).as("width"),
-      (octet_length(col("payload")).cast("long") * 7 % 480).as("height"),
-      md5(col("payload")).as("checksum"))
-
   final case class PayloadRow(doc_id: Long, payload: Array[Byte])
   final case class DecodedMeta(doc_id: Long, byte_len: Long, width: Long,
                                height: Long, checksum: String)
@@ -47,19 +37,20 @@ object Binary {
   /** Batch decode over partitions: the real plumbing for a heavyweight
     * decoder — Dataset-typed `mapPartitions`, so the codec/model handle is
     * initialized once per PARTITION (not per row) and rows stream through
-    * with Tungsten encoders (no RDD hop, no Row boxing). Decode itself is
-    * a deterministic STUB (the container has no media codecs); it matches
-    * [[metaColumns]] bit-for-bit, which the spec asserts. */
+    * with Tungsten encoders (no RDD hop, no Row boxing). Every emitted
+    * field is REAL: byte length, md5 checksum, and [[imageHeader]]-parsed
+    * dimensions (−1 for non-image bytes). Only pixel decode remains an
+    * env-blocked stub ([[resizeStub]]/[[sampleFramesStub]]). */
   def decodePartitions(ds: Dataset[PayloadRow]): Dataset[DecodedMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // Per-partition init: with a real codec this is the decoder context.
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val len = r.payload.length.toLong
         digest.reset()
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
-        DecodedMeta(r.doc_id, len, len % 640, len * 7 % 480, sum)
+        val (_, w, h) = imageHeader(r.payload)
+        DecodedMeta(r.doc_id, r.payload.length.toLong, w, h, sum)
       }
     }
   }
@@ -169,6 +160,42 @@ object Binary {
       .putShort(blockAlign.toShort).putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     b.array()
+  }
+
+  /** Deterministic image header blob — PNG, JPEG, or GIF rotating on the
+    * doc id, built byte-for-byte per the public format specs (PNG
+    * signature + IHDR chunk; JPEG SOI + APP0/JFIF + SOF0 + EOI; GIF89a
+    * logical screen descriptor). The [[makeWav]] analog for images:
+    * parameters derive from the doc id so the verify oracle recomputes
+    * them arithmetically — format = doc_id % 3 (png/jpeg/gif),
+    * width = 1 + doc_id % 640, height = 1 + doc_id·7 % 480 — while the
+    * gate query must round-trip them through [[imageHeader]]'s real
+    * parser (the JPEG path must WALK past APP0 to the frame header). */
+  def makeImage(docId: Long): Array[Byte] = {
+    val w = 1 + docId % 640
+    val h = 1 + docId * 7 % 480
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be16(v: Long) = Array((v >> 8).toByte, v.toByte)
+    def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
+    (docId % 3) match {
+      case 0 =>
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // CRC; readers skip it
+      case 1 =>
+        Array[Byte](0xff.toByte, 0xd8.toByte) ++                 // SOI
+          Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++   // APP0
+          "JFIF\u0000".getBytes("US-ASCII") ++
+          Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+          Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++   // SOF0
+          Array[Byte](8) ++ be16(h) ++ be16(w) ++
+          Array[Byte](1, 1, 0x11, 0) ++                          // 1 component
+          Array[Byte](0xff.toByte, 0xd9.toByte)                  // EOI
+      case _ =>
+        "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+          Array[Byte](0xf0.toByte, 0, 0)
+    }
   }
 
   /** [[wavHeader]] over a payload Dataset — typed map, Tungsten encoders,

@@ -8,13 +8,51 @@ class BinarySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf
 
-  test("partition-batched decode matches the column-expression metadata") {
-    val docs = Binary.withPayload(Tables(spark, dir, "documents"), "text")
-    val viaCols = Binary.metaColumns(docs)
-    val viaPartitions = Binary.decodeFrame(docs).toDF()
-    assert(viaCols.count() == viaPartitions.count())
-    assert(viaCols.exceptAll(viaPartitions).count() == 0)
-    assert(viaPartitions.exceptAll(viaCols).count() == 0)
+  test("partition-batched decode emits real byte_len/checksum/dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Mixed payloads: synthesized image blobs (parse to real dims) and a
+    // text payload (classifies unknown, dims -1). byte_len/checksum must
+    // match the codegen'd column expressions; dims must match imageHeader.
+    val payloads = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long].limit(200)
+      .map { id =>
+        if (id % 5 == 4) Binary.PayloadRow(id, s"plain text $id".getBytes("UTF-8"))
+        else Binary.PayloadRow(id, Binary.makeImage(id))
+      }
+    val viaPartitions = Binary.decodePartitions(payloads).toDF()
+    val viaCols = payloads.toDF()
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("checksum"))
+    val expectDims = payloads.map { r =>
+      val (_, w, h) = Binary.imageHeader(r.payload)
+      (r.doc_id, w, h)
+    }.toDF("doc_id", "width", "height")
+    val joined = viaPartitions.alias("p")
+      .join(viaCols.alias("c"), "doc_id")
+      .join(expectDims.alias("d"), "doc_id")
+    assert(joined.count() == 200)
+    assert(joined.filter(
+      col("p.byte_len") =!= col("c.byte_len") ||
+      col("p.checksum") =!= col("c.checksum") ||
+      col("p.width") =!= col("d.width") ||
+      col("p.height") =!= col("d.height")).count() == 0)
+    // the unknown-path rows really take the -1 branch
+    assert(viaPartitions.filter(col("width") === -1).count() ==
+      payloads.filter(_.doc_id % 5 == 4).count())
+  }
+
+  test("makeImage blobs round-trip through imageHeader with doc-derived " +
+      "format and dimensions (the m01 gate contract)") {
+    for (id <- 0L until 2000L) {
+      val expFormat = (id % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      assert(Binary.imageHeader(Binary.makeImage(id)) ==
+        ((expFormat, 1 + id % 640, 1 + id * 7 % 480)),
+        s"doc $id")
+    }
   }
 
   test("resize stub keeps ids and bounds payloads to the target size") {

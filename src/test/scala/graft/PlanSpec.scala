@@ -110,6 +110,33 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("no similarity/dedup operator force-broadcasts a parquet-derived " +
+      "frame (generalizes ClosureSpec's root-ids-only rule)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // A broadcast hint is legitimate only on frames bounded by
+    // CONSTRUCTION — local probe-id relations or the c-row centroid table
+    // (localCheckpoint'd, so it shows as LogicalRDD, not a parquet scan).
+    // A hint whose subtree still contains a parquet scan is a frame whose
+    // size is corpus-PROPORTIONAL (e.g. `filter(id % 20 === 0)` keeps 5%)
+    // and would OOM a 100 TB cluster. Declared exception: s01_knn_brute,
+    // the exact baseline whose contract IS a bounded caller-supplied probe
+    // set streamed against the corpus (its scale paths are s02/s03/s04).
+    val exempt = Set("s01_knn_brute")
+    val simQueries = SparkEntry.queries.keys
+      .filter(n => n.startsWith("d") || n.startsWith("s"))
+      .filterNot(exempt)
+    for (name <- simQueries) {
+      val hints = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        val scans = h.child.collect { case r: LogicalRelation => r }
+        assert(scans.isEmpty,
+          s"$name broadcast-hints a parquet-derived frame:\n${h.treeString}")
+      }
+    }
+  }
+
   test("q06/q12 merge via partial aggregates — no per-key sort or window") {
     for (q <- Seq("q06_load_upsert_merge", "q12_latest_version")) {
       val p = plan(q)
