@@ -458,6 +458,33 @@ object OracleSql {
          COUNT(*) - COUNT(DISTINCT md5($normText)) AS n_dup_docs
          FROM documents""",
 
+    // d04 is EXACT, so it gets a full DuckDB oracle (the inverted index
+    // generates every pair sharing >= 1 shingle; any pair with jaccard
+    // >= tau > 0 shares a shingle, so none is missed): same shingle CTE
+    // shape as d09/d10, pairwise jaccard via |A∩B| counting and
+    // |A∪B| = |A|+|B|−|A∩B|. Rounded to 6 dp in both engines (the repo's
+    // float-emission convention); the threshold filter applies pre-round.
+    "d04_ngram_jaccard" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+                FROM arrs,
+                  unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                  AS u(i)),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS ix
+                   FROM sh a JOIN sh b USING (g)
+                   WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+               FROM inter
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         FROM j WHERE jaccard >= 0.02 ORDER BY id_a, id_b""",
+
     "d05_embed_neardup" ->
       s"""WITH p AS (SELECT vec_id AS id_a, embedding AS v_a
                      FROM embeddings WHERE vec_id % 20 = 0),

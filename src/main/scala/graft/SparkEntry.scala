@@ -491,9 +491,12 @@ object SparkEntry {
         maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** Exact (not LSH-approximate) — so it carries a full DuckDB oracle:
+    * jaccard rounded to 6 dp on both sides, threshold applied pre-round. */
   private def d04(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, probeFilter = col("doc_id") % 10 === 0, threshold = 0.02)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
   private def d05(s: SparkSession, dir: String): DataFrame =
