@@ -396,6 +396,42 @@ object OracleSql {
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
 
+    // q33: generated from the SAME catalog metadata and candidate list the
+    // Spark side uses (TestCatalog / SparkEntry.rootIdCandidates), the way
+    // t01 embeds the language profiles. All testdata id columns are
+    // integral, so part-coercibility is TRY_CAST … AS BIGINT here (Spark
+    // casts to each id column's exact table type; verdicts agree on
+    // integral ids).
+    "q33_root_id_check" -> {
+      val cat = graft.model.TestCatalog.catalog
+      val sorted = cat.types.values.toSeq.sortBy(_.name)
+      val cands = graft.SparkEntry.rootIdCandidates
+        .map { case (t, i) => s"('$t', '$i')" }.mkString(", ")
+      val typeList = sorted.map(t => s"'${t.name}'").mkString(", ")
+      val shapeCase = sorted.map { t =>
+        val casts = t.idCols.indices
+          .map(i => s"TRY_CAST(parts[${i + 1}] AS BIGINT) IS NOT NULL")
+          .mkString(" AND ")
+        s"WHEN '${t.name}' THEN len(parts) = ${t.idCols.size} AND $casts"
+      }.mkString(" ")
+      val idUnion = sorted.map { t =>
+        val idExpr = t.idCols.map(c => s"CAST($c AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT '${t.name}' AS object_type, $idExpr AS id FROM ${t.name}"
+      }.mkString(" UNION ALL ")
+      s"""WITH cand AS (SELECT * FROM (VALUES $cands) AS v(object_type, id)),
+         p AS (SELECT object_type, id, string_split(id, '_') AS parts
+               FROM cand),
+         ids AS ($idUnion)
+         SELECT object_type, id,
+           object_type IN ($typeList) AS known_type,
+           object_type IN ($typeList) AND
+             COALESCE(CASE object_type $shapeCase END, FALSE) AS valid,
+           EXISTS(SELECT 1 FROM ids i WHERE i.object_type = p.object_type
+                  AND i.id = p.id) AS id_exists
+         FROM p ORDER BY object_type, id"""
+    },
+
     // Combined closure cascade: parents pass (proot→pcust→pnat→preg), then
     // children pass from the ACCUMULATED sets top-down (reference pass
     // order, sqlite/v04_00.py:614-682). UNION (not ALL) inside the CTEs =

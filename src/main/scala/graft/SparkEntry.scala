@@ -471,6 +471,32 @@ object SparkEntry {
 
   // ------------------------------------------------- LLM pipeline ops --
 
+  /** Deliberately mixed valid/invalid composite root-id candidates for
+    * q33 — shared with the oracle SQL generator (OracleSql builds the
+    * VALUES list from this constant, as t01 does with the language
+    * profiles). Covers: valid+existing, valid shape but absent, wrong
+    * arity both ways, unknown type, non-coercible parts, empty id. */
+  val rootIdCandidates: Seq[(String, String)] = Seq(
+    ("customer", "21"),        // valid, exists
+    ("customer", "920000021"), // valid shape, no such row
+    ("customer", "21_3"),      // arity 2 against a 1-column id
+    ("widget", "1"),           // unknown object type
+    ("lineitem", "1_3"),       // valid composite, exists
+    ("lineitem", "1"),         // arity 1 against a 2-column id
+    ("lineitem", "1_x"),       // second part not castable
+    ("orders", "abc"),         // not castable
+    ("orders", "1"),           // valid, exists
+    ("nation", ""))            // empty id: splits to one empty part
+
+  /** query_ids_are_valid surfaced as data (db/abstract.py:245-281): each
+    * candidate's catalog-driven validity verdict + an existence probe. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TestCatalog.catalog.checkRootIds(s, dir,
+        rootIdCandidates.toDF("object_type", "id"))
+      .orderBy("object_type", "id")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -794,6 +820,7 @@ object SparkEntry {
     "q30_multi_pattern" -> (q30 _),
     "q31_dump_batched" -> (q31 _),
     "q32_skew_join" -> (q32 _),
+    "q33_root_id_check" -> (q33 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -42,15 +42,102 @@ final class Catalog(
   def load(spark: SparkSession, dir: String, typeName: String): DataFrame =
     graft.sources.Tables(spark, dir, typeName)
 
+  /** Structural root-id validation — the analog of the reference's
+    * `query_ids_are_valid` (/root/reference/kcidb/db/abstract.py:245-281),
+    * which every `query_iter` call asserts before executing
+    * (abstract.py:310). A root map is valid iff every key names a catalog
+    * type, every frame carries all of that type's id columns (the id-tuple
+    * arity check), and each id column's Spark type is castable to the
+    * table's id column type (the value-type check). Returns the violation
+    * list; empty = valid. Metadata-only — no job runs. */
+  def rootIdViolations(spark: SparkSession, dir: String,
+                       roots: Map[String, DataFrame]): Seq[String] =
+    roots.toSeq.sortBy(_._1).flatMap { case (tn, df) =>
+      types.get(tn) match {
+        case None => Seq(s"unknown object type '$tn'")
+        case Some(t) =>
+          val missing = t.idCols.filterNot(df.columns.contains)
+          if (missing.nonEmpty)
+            Seq(s"root ids for '$tn' lack id column(s) " +
+              missing.mkString("(", ", ", ")") +
+              s" — expected arity ${t.idCols.size}")
+          else {
+            val tblSchema = load(spark, dir, tn).schema
+            t.idCols.flatMap { c =>
+              val from = df.schema(df.schema.fieldIndex(c)).dataType
+              val to = tblSchema(tblSchema.fieldIndex(c)).dataType
+              if (org.apache.spark.sql.catalyst.expressions.Cast
+                  .canCast(from, to)) None
+              else Some(s"root id column '$tn.$c' is ${from.simpleString}, " +
+                s"not castable to the table's ${to.simpleString}")
+            }
+          }
+      }
+    }
+
+  /** Data-driven root-id check over COMPOSITE id strings (the repo's
+    * '_'-joined id-tuple encoding, cf. q29's output): for each candidate
+    * (object_type, id) row, catalog-generated validity columns —
+    * `known_type` (the name names a type), `valid` (known AND the id
+    * splits into exactly arity parts AND every part try-casts to that id
+    * column's table type: the reference's tuple-arity + value-type rules
+    * as data instead of assertions), and `id_exists` (the id matches a
+    * row — beyond the reference, which never probes existence).
+    *
+    * Scale shape: the validity columns are pure per-row expressions (one
+    * CASE chain over catalog metadata, codegen'd, zero shuffles); the
+    * existence probe joins against a DISTINCT union of per-type id
+    * projections — each scan reads ONLY the id columns (pruned to
+    * parquet), and AQE broadcasts the candidate side when it is small. */
+  def checkRootIds(spark: SparkSession, dir: String,
+                   cands: DataFrame): DataFrame = {
+    val sorted = types.values.toSeq.sortBy(_.name)
+    val known = col("object_type").isin(types.keys.toSeq: _*)
+    def perType(f: GraftType => Column): Column =
+      sorted.foldLeft(lit(null).cast("boolean")) { (acc, t) =>
+        when(col("object_type") === t.name, f(t)).otherwise(acc)
+      }
+    val shapeOk = perType { t =>
+      val tbl = load(spark, dir, t.name).schema
+      val parts = t.idCols.zipWithIndex.map { case (c, i) =>
+        val dt = tbl(tbl.fieldIndex(c)).dataType.sql
+        expr(s"try_cast(try_element_at(split(id, '_'), ${i + 1}) AS $dt)")
+          .isNotNull
+      }
+      (size(split(col("id"), "_")) === t.idCols.size) && parts.reduce(_ && _)
+    }
+    val idIndex = sorted.map { t =>
+        load(spark, dir, t.name).select(
+          lit(t.name).as("object_type"),
+          concat_ws("_", t.idCols.map(c => col(c).cast("string")): _*)
+            .as("id"))
+      }.reduce(_ union _)
+      .distinct()
+      .withColumn("__hit", lit(true))
+    cands
+      .withColumn("known_type", known)
+      .withColumn("valid", known && coalesce(shapeOk, lit(false)))
+      .join(idIndex, Seq("object_type", "id"), "left")
+      .select(col("object_type"), col("id"), col("known_type"), col("valid"),
+        coalesce(col("__hit"), lit(false)).as("id_exists"))
+  }
+
   /** Caller-supplied root ID lists → broadcast-hinted distinct id frames.
     * Only these bounded inputs ever carry a broadcast hint; derived
     * frontiers are data-dependent and unbounded at scale, so their
     * semi-joins carry no hint and AQE picks broadcast vs shuffle from the
-    * runtime size. */
-  private def rootIds(roots: Map[String, DataFrame]): Map[String, DataFrame] =
+    * runtime size. Precondition: [[rootIdViolations]] must be empty (the
+    * reference asserts the same on every query, abstract.py:310) — an
+    * invalid map fails HERE with the full violation list instead of as a
+    * bare Map-key error inside plan construction. */
+  private def rootIds(spark: SparkSession, dir: String,
+                      roots: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val errs = rootIdViolations(spark, dir, roots)
+    require(errs.isEmpty, s"invalid root ids: ${errs.mkString("; ")}")
     roots.map { case (tn, ids) =>
       tn -> broadcast(ids.select(types(tn).idCols.map(col): _*).distinct())
     }
+  }
 
   /** Re-project to the table's declared column order: using-column joins
     * move key columns to the front, and callers may union the returned
@@ -161,7 +248,7 @@ final class Catalog(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame]): Map[String, DataFrame] =
     materialize(spark, dir,
-      expandIds(spark, dir, rootIds(roots), children = true))
+      expandIds(spark, dir, rootIds(spark, dir, roots), children = true))
 
   /** The full `query(ids, children=…, parents=…)` entry point
     * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful
@@ -176,7 +263,7 @@ final class Catalog(
   def closure(spark: SparkSession, dir: String,
               roots: Map[String, DataFrame],
               parents: Boolean, children: Boolean): Map[String, DataFrame] = {
-    var ids = rootIds(roots)
+    var ids = rootIds(spark, dir, roots)
     if (parents) ids = expandIds(spark, dir, ids, children = false)
     if (children) ids = expandIds(spark, dir, ids, children = true)
     materialize(spark, dir, ids)
@@ -242,7 +329,7 @@ final class Catalog(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame]): Map[String, DataFrame] =
     materialize(spark, dir,
-      expandIds(spark, dir, rootIds(roots), children = false))
+      expandIds(spark, dir, rootIds(spark, dir, roots), children = false))
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors

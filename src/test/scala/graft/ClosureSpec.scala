@@ -195,6 +195,30 @@ class ClosureSpec extends AnyFunSuite {
       "descendants via OWN spine and via the ancestor's other spine")
   }
 
+  test("invalid root-id maps are rejected up front (query_ids_are_valid)") {
+    // unknown type name
+    val e1 = intercept[IllegalArgumentException] {
+      cat.childrenClosure(spark, dir,
+        Map("widget" -> Seq(1L).toDF("w_id")))
+    }
+    assert(e1.getMessage.contains("unknown object type 'widget'"))
+    // id-tuple arity: lineitem needs (l_orderkey, l_linenumber)
+    val e2 = intercept[IllegalArgumentException] {
+      cat.parentsClosure(spark, dir,
+        Map("lineitem" -> Seq(1L).toDF("l_orderkey")))
+    }
+    assert(e2.getMessage.contains("l_linenumber"))
+    // value type: an array column cannot cast to the table's bigint id
+    val e3 = intercept[IllegalArgumentException] {
+      cat.childrenClosure(spark, dir,
+        Map("customer" -> Seq(Seq(21L)).toDF("c_custkey")))
+    }
+    assert(e3.getMessage.contains("not castable"))
+    // a valid map reports no violations (string ids are coercible)
+    assert(cat.rootIdViolations(spark, dir,
+      Map("customer" -> Seq("21").toDF("c_custkey"))).isEmpty)
+  }
+
   test("closures of empty roots are empty") {
     val roots = Seq.empty[Long].toDF("c_custkey")
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))
