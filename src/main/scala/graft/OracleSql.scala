@@ -174,6 +174,17 @@ object OracleSql {
            AND $tsUs <= TIMESTAMP '2024-01-20'
          ORDER BY event_id""",
 
+    // q34 = q31 with with_metadata=false: the timestamp still drives the
+    // window but leaves the projection.
+    "q34_dump_meta" ->
+      s"""SELECT event_id, user_id, event_type, value,
+         CAST((ROW_NUMBER() OVER (ORDER BY event_id) - 1) // 500 AS BIGINT)
+           AS batch_id
+         FROM events
+         WHERE $tsUs > TIMESTAMP '2024-01-10'
+           AND $tsUs <= TIMESTAMP '2024-01-20'
+         ORDER BY event_id""",
+
     "q10_purge_before" ->
       s"""SELECT event_type, COUNT(*) AS n, MIN(${sec(tsUs)}) AS min_ts_sec
          FROM events WHERE $tsUs >= TIMESTAMP '2024-01-15'

@@ -148,6 +148,22 @@ object SparkEntry {
         col("value"), epochSec(col("ts")).as("ts_sec"), col("batch_id"))
       .orderBy("event_id")
 
+  /** q31's batched dump with with_metadata=false (db/abstract.py:192-244):
+    * ts still DRIVES the (after, until] window and the batching is
+    * unchanged, but the metadata column is stripped from the projection —
+    * the reference's `_timestamp` contract. q31 is the with-metadata way;
+    * together they oracle-check the flag both ways. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Loader.dumpBatched(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts")),
+        col("ts"),
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        orderKey = Seq(col("event_id")), batchSize = 500,
+        metaCols = Seq("ts"), withMetadata = false)
+      .orderBy("event_id")
+
   private def q10(s: SparkSession, dir: String): DataFrame =
     Loader.purge(ev(s, dir), col("ts"),
         lit("2024-01-15 00:00:00").cast("timestamp"))
@@ -821,6 +837,7 @@ object SparkEntry {
     "q31_dump_batched" -> (q31 _),
     "q32_skew_join" -> (q32 _),
     "q33_root_id_check" -> (q33 _),
+    "q34_dump_meta" -> (q34 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

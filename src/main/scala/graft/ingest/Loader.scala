@@ -1,8 +1,7 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Load/merge semantics of the kcidb database layer, Spark-first.
   *
@@ -57,11 +56,26 @@ object Loader {
   def mergeDatasets(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _).distinct()
 
+  /** Metadata-column convention (the reference's `metadata_expr` columns,
+    * e.g. `_timestamp` — /root/reference/kcidb/db/sql/schema.py:37-64):
+    * dump/query projections include metadata columns only when
+    * `withMetadata` (format_dump, schema.py:288-340). The timestamp may
+    * still DRIVE the window filter while being excluded from the output,
+    * exactly as the reference filters on `_timestamp` it then strips. */
+  private def stripMeta(df: DataFrame, metaCols: Seq[String],
+                        withMetadata: Boolean): DataFrame =
+    if (withMetadata || metaCols.isEmpty) df else df.drop(metaCols: _*)
+
   /** dump_iter's (after, until] window
-    * (/root/reference/kcidb/db/abstract.py:192-244). */
+    * (/root/reference/kcidb/db/abstract.py:192-244); `withMetadata` strips
+    * the declared `metaCols` from the projection (abstract.py:192-244's
+    * with_metadata flag). */
   def dumpWindow(df: DataFrame, tsCol: Column,
-                 after: Column, until: Column): DataFrame =
-    df.filter(tsCol > after && tsCol <= until)
+                 after: Column, until: Column,
+                 metaCols: Seq[String] = Seq.empty,
+                 withMetadata: Boolean = true): DataFrame =
+    stripMeta(df.filter(tsCol > after && tsCol <= until),
+      metaCols, withMetadata)
 
   /** purge(before) (/root/reference/kcidb/db/abstract.py:81-103): retain
     * only rows at/after the cutoff. */
@@ -78,21 +92,51 @@ object Loader {
     * would make batch membership nondeterministic).
     *
     * Scale shape: global ranking WITHOUT a single-partition window — the
-    * orderBy is a range-partitioned sort, and zipWithIndex then computes
-    * per-partition offsets from partition row COUNTS (an O(#partitions)
-    * driver exchange, the standard global-index discipline). Each batch's
-    * rows are contiguous in the sorted output, so a downstream
-    * partitionBy("batch_id") writer emits one transport chunk per batch. */
+    * orderBy is a range-partitioned sort; per-partition row counts fold
+    * into exclusive prefix-sum offsets (a frame of #partitions rows —
+    * bounded by cluster parallelism, not data — is the only thing a
+    * window ever sees), and each row's global rank is its partition
+    * offset + its intra-partition position. Each batch's rows are
+    * contiguous in the sorted output, so a downstream
+    * partitionBy("batch_id") writer emits one transport chunk per batch.
+    *
+    * The lazy localCheckpoint on the sorted frame is CORRECTNESS, not
+    * tuning: the counts branch and the emitting branch would otherwise
+    * compile separate range exchanges whose sampled boundaries need not
+    * agree (column pruning makes the subtrees differ, so ReuseExchange
+    * cannot dedup them), and offsets computed under one partitioning
+    * applied to another silently corrupt batch ids. Pinning the sort once
+    * keeps rows in Tungsten binary form end-to-end — unlike an
+    * `rdd.zipWithIndex` hop, which deserializes every row to an external
+    * Row and re-encodes it through createDataFrame. */
   def dumpBatched(df: DataFrame, tsCol: Column, after: Column, until: Column,
-                  orderKey: Seq[Column], batchSize: Int): DataFrame = {
+                  orderKey: Seq[Column], batchSize: Int,
+                  metaCols: Seq[String] = Seq.empty,
+                  withMetadata: Boolean = true): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
-    val windowed = dumpWindow(df, tsCol, after, until).orderBy(orderKey: _*)
-    val spark = windowed.sparkSession
-    val schema = windowed.schema
-      .add(StructField("batch_id", LongType, nullable = false))
-    val indexed = windowed.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i / batchSize)
-    }
-    spark.createDataFrame(indexed, schema)
+    val sorted = dumpWindow(df, tsCol, after, until).orderBy(orderKey: _*)
+      .localCheckpoint(eager = false)
+    val outCols = sorted.columns.toSeq
+    // monotonically_increasing_id = (partition id << 33) | row-in-partition:
+    // the masked low bits are exactly the intra-partition position in the
+    // sorted order (the documented layout the whole global-index idiom
+    // rests on; LoaderSpec pins it against a window-ranked oracle).
+    val marked = sorted.select(col("*"),
+      spark_partition_id().as("__pid"),
+      monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1)).as("__ctr"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = marked.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__cnt")).over(w), lit(0L)).as("__off"))
+    // No broadcast hint: offsets is #partitions rows, AQE broadcasts it.
+    val batched = marked.join(offsets, "__pid")
+      .withColumn("batch_id",
+        expr(s"(__off + __ctr) div $batchSize"))
+      .select((outCols :+ "batch_id").map(col): _*)
+    stripMeta(batched, metaCols, withMetadata)
   }
 }

@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
 /** @param required columns that must be non-null (kcidb JSON-schema
   *                 `required` fields, orm/data.py:89-123)
   * @param formats  (column, anchored regex) shape constraints (kcidb id/
-  *                 origin format rules) */
+  *                 origin format rules)
+  * @param metaCols metadata columns — included in query/dump output only
+  *                 when the caller asks for metadata, like the reference's
+  *                 `metadata_expr` columns (`_timestamp`,
+  *                 db/sql/schema.py:37-64, db/abstract.py:192-315) */
 final case class GraftType(name: String, idCols: Seq[String],
                            required: Seq[String] = Seq.empty,
-                           formats: Seq[(String, String)] = Seq.empty)
+                           formats: Seq[(String, String)] = Seq.empty,
+                           metaCols: Seq[String] = Seq.empty)
 
 /** `refCols` are columns OF THE CHILD that hold the parent's ID values, in
   * the same order as the parent's `idCols` — exactly kcidb's
@@ -149,12 +154,18 @@ final class Catalog(
 
   /** Matched id sets → full rows, one width-restoring semi-join per
     * reached type (rows with duplicate id tuples are all retained, as in
-    * the reference's final `FROM t INNER JOIN (…ids…) USING (id)`). */
+    * the reference's final `FROM t INNER JOIN (…ids…) USING (id)`).
+    * `withMetadata = false` drops each type's declared [[GraftType.metaCols]]
+    * from the output (query_iter's with_metadata flag,
+    * db/abstract.py:283-315) — the scan then never READS them either
+    * (column pruning reaches parquet). */
   private def materialize(spark: SparkSession, dir: String,
-                          ids: Map[String, DataFrame]): Map[String, DataFrame] =
+                          ids: Map[String, DataFrame],
+                          withMetadata: Boolean = true): Map[String, DataFrame] =
     ids.map { case (tn, idDf) =>
-      tn -> canon(spark, dir, tn,
+      val full = canon(spark, dir, tn,
         load(spark, dir, tn).join(idDf, types(tn).idCols, "left_semi"))
+      tn -> (if (withMetadata) full else full.drop(types(tn).metaCols: _*))
     }
 
   /** Types in propagation order for one traversal direction (children:
@@ -246,9 +257,11 @@ final class Catalog(
     * parent-reference columns. Returns every reached type's matched rows. */
   def childrenClosure(
       spark: SparkSession, dir: String,
-      roots: Map[String, DataFrame]): Map[String, DataFrame] =
+      roots: Map[String, DataFrame],
+      withMetadata: Boolean = true): Map[String, DataFrame] =
     materialize(spark, dir,
-      expandIds(spark, dir, rootIds(spark, dir, roots), children = true))
+      expandIds(spark, dir, rootIds(spark, dir, roots), children = true),
+      withMetadata)
 
   /** The full `query(ids, children=…, parents=…)` entry point
     * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful
@@ -262,11 +275,12 @@ final class Catalog(
     * [[childrenClosure]] / [[parentsClosure]]. */
   def closure(spark: SparkSession, dir: String,
               roots: Map[String, DataFrame],
-              parents: Boolean, children: Boolean): Map[String, DataFrame] = {
+              parents: Boolean, children: Boolean,
+              withMetadata: Boolean = true): Map[String, DataFrame] = {
     var ids = rootIds(spark, dir, roots)
     if (parents) ids = expandIds(spark, dir, ids, children = false)
     if (children) ids = expandIds(spark, dir, ids, children = true)
-    materialize(spark, dir, ids)
+    materialize(spark, dir, ids, withMetadata)
   }
 
   /** Constraint validation, generated from catalog metadata — the Spark
@@ -327,9 +341,11 @@ final class Catalog(
   /** Parents closure (children=False counterpart, sqlite/v04_00.py:614-643). */
   def parentsClosure(
       spark: SparkSession, dir: String,
-      roots: Map[String, DataFrame]): Map[String, DataFrame] =
+      roots: Map[String, DataFrame],
+      withMetadata: Boolean = true): Map[String, DataFrame] =
     materialize(spark, dir,
-      expandIds(spark, dir, rootIds(spark, dir, roots), children = false))
+      expandIds(spark, dir, rootIds(spark, dir, roots), children = false),
+      withMetadata)
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors
@@ -352,12 +368,17 @@ object TestCatalog {
         formats = Seq("s_name" -> "^Supplier#[0-9]{9}$")),
       "part"     -> GraftType("part", Seq("p_partkey"),
         required = Seq("p_partkey", "p_name")),
+      // The date columns play kcidb's `_timestamp`: row-arrival metadata
+      // that drives dump windows but is stripped from with_metadata=false
+      // output (db/abstract.py:192-315).
       "orders"   -> GraftType("orders", Seq("o_orderkey"),
         required = Seq("o_orderkey", "o_custkey", "o_orderdate"),
-        formats = Seq("o_orderpriority" -> "^[1-5]-[A-Z ]+$")),
+        formats = Seq("o_orderpriority" -> "^[1-5]-[A-Z ]+$"),
+        metaCols = Seq("o_orderdate")),
       "lineitem" -> GraftType("lineitem", Seq("l_orderkey", "l_linenumber"),
         required = Seq("l_orderkey", "l_linenumber"),
-        formats = Seq("l_returnflag" -> "^[RAN]$"))
+        formats = Seq("l_returnflag" -> "^[RAN]$"),
+        metaCols = Seq("l_shipdate"))
     ),
     relations = Seq(
       GraftRelation("region", "nation", Seq("n_regionkey")),

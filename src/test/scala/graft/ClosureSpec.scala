@@ -219,6 +219,21 @@ class ClosureSpec extends AnyFunSuite {
       Map("customer" -> Seq("21").toDF("c_custkey"))).isEmpty)
   }
 
+  test("closure with_metadata=false drops declared metadata columns") {
+    val roots = Map("orders" -> Seq(1L).toDF("o_orderkey"))
+    val noMeta = cat.closure(spark, dir, roots,
+      parents = false, children = true, withMetadata = false)
+    assert(!noMeta("orders").columns.contains("o_orderdate"))
+    assert(!noMeta("lineitem").columns.contains("l_shipdate"))
+    val withMeta = cat.closure(spark, dir, roots,
+      parents = false, children = true)
+    assert(withMeta("orders").columns.contains("o_orderdate"),
+      "metadata included by default, as the reference dumps it")
+    // same objects either way — the flag is a projection, not a filter
+    for (tn <- noMeta.keySet)
+      assert(noMeta(tn).count() == withMeta(tn).count())
+  }
+
   test("closures of empty roots are empty") {
     val roots = Seq.empty[Long].toDF("c_custkey")
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))

@@ -103,5 +103,37 @@ class LoaderSpec extends AnyFunSuite {
     // deterministic: same input, same batching
     assert(batched.select("event_id", "batch_id")
       .except(batch().select("event_id", "batch_id")).isEmpty)
+    // the offset-join global rank matches the window-rank contract exactly
+    val byWindow = Loader.dumpWindow(df, col("ts"), lo, hi)
+      .select(col("event_id"),
+        ((row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("event_id")) - 1).cast("long") / 100)
+          .cast("long").as("batch_id"))
+    assert(batched.select("event_id", "batch_id").except(byWindow).isEmpty &&
+      byWindow.except(batched.select("event_id", "batch_id")).isEmpty,
+      "partition-offset ranking must equal the single-partition window rank")
+  }
+
+  test("with_metadata=false strips metadata columns from dumps only") {
+    val df = graft.sources.Tables.events(spark, TestSpark.sf)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-20 00:00:00").cast("timestamp")
+    val noMeta = Loader.dumpWindow(df, col("ts"), lo, hi,
+      metaCols = Seq("ts"), withMetadata = false)
+    assert(!noMeta.columns.contains("ts"),
+      "metadata column must leave the projection")
+    // …but it still drives the window filter
+    assert(noMeta.count() ==
+      Loader.dumpWindow(df, col("ts"), lo, hi).count())
+    val noMetaBatched = Loader.dumpBatched(df, col("ts"), lo, hi,
+      orderKey = Seq(col("event_id")), batchSize = 100,
+      metaCols = Seq("ts"), withMetadata = false)
+    assert(!noMetaBatched.columns.contains("ts") &&
+      noMetaBatched.columns.contains("batch_id"))
+    // batch assignment is identical with and without metadata
+    val withMeta = Loader.dumpBatched(df, col("ts"), lo, hi,
+      orderKey = Seq(col("event_id")), batchSize = 100)
+    assert(noMetaBatched.select("event_id", "batch_id")
+      .except(withMeta.select("event_id", "batch_id")).isEmpty)
   }
 }
