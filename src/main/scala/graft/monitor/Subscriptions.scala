@@ -68,9 +68,9 @@ object Subscriptions {
 
   /** Streaming spool: exactly-once per notification id across micro-batches
     * via one boolean of state per id (the bounded-state analog of the
-    * reference spool's register-once documents). At production scale pair
-    * this with a state TTL (EventTimeTimeout + watermark) matching the
-    * spool's retention window. */
+    * reference spool's register-once documents). Unbounded retention —
+    * [[dedupStreamTtl]] is the production-scale form with a retention
+    * window. */
   def dedupStream(ds: Dataset[Notif]): Dataset[Notif] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.notification_id)
@@ -79,5 +79,40 @@ object Subscriptions {
         (_: String, rows: Iterator[Notif], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else { state.update(true); rows.take(1) })
+  }
+
+  final case class NotifTs(notification_id: String, subscription: String,
+                           object_type: String, object_id: String,
+                           ts: java.sql.Timestamp)
+
+  /** TTL spool: state carries each notification id's registration event
+    * time and expires `ttlMs` past it — total state is bounded by the
+    * spool's retention window, the streaming analog of the reference
+    * spool's age-based `wipe(until)` (monitor/spool/__init__.py:233-250);
+    * an id recurring after expiry registers (and notifies) again.
+    *
+    * Expiry is decided in the DATA path from the stored registration
+    * time (correct regardless of timeout-callback interleaving);
+    * EventTimeTimeout + the caller's watermark remove the expired state.
+    * Caller must set a watermark on `ts` before calling. */
+  def dedupStreamTtl(ds: Dataset[NotifTs], ttlMs: Long): Dataset[Notif] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.notification_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[NotifTs], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val r = rows.minBy(x => (x.ts.getTime, x.object_id))
+            if (state.exists && r.ts.getTime < state.get + ttlMs)
+              Iterator.empty
+            else {
+              state.update(r.ts.getTime)
+              state.setTimeoutTimestamp(math.max(r.ts.getTime + ttlMs,
+                state.getCurrentWatermarkMs + 1))
+              Iterator.single(Notif(r.notification_id, r.subscription,
+                r.object_type, r.object_id))
+            }
+          })
   }
 }

@@ -78,6 +78,45 @@ object Streams {
           })
   }
 
+  final case class DocFpTs(doc_id: Long, fp: String, ts: java.sql.Timestamp)
+
+  /** TTL variant of [[firstPerFingerprintStream]] — the production-scale
+    * form: state carries the ADMISSION event time, so total state is
+    * bounded by the dedup retention window instead of growing for corpus
+    * lifetime, and a fingerprint recurring after `ttlMs` of silence
+    * re-admits (a crawl pipeline's retention semantics: content unseen
+    * for the window counts as new again; cf. the reference spool's
+    * age-based wipe, monitor/spool/__init__.py:233-250). Duplicates
+    * INSIDE the window are suppressed and do not extend it.
+    *
+    * Expiry is enforced in the DATA path (admission-time comparison) —
+    * correct however the runtime interleaves timeout callbacks — while
+    * EventTimeTimeout + the caller's watermark physically REMOVE expired
+    * state (the part NoTimeout cannot do). Caller must set a watermark
+    * on `ts` before calling; admitted doc per (key, batch) is the
+    * earliest (ts, doc_id) row. */
+  def firstPerFingerprintStreamTtl(docs: Dataset[DocFpTs],
+                                   ttlMs: Long): Dataset[DocFp] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (fp: String, rows: Iterator[DocFpTs], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val first = rows.minBy(r => (r.ts.getTime, r.doc_id))
+            if (state.exists && first.ts.getTime < state.get + ttlMs)
+              Iterator.empty
+            else {
+              state.update(first.ts.getTime)
+              // Cleanup timestamp can never sit at/behind the watermark.
+              state.setTimeoutTimestamp(math.max(first.ts.getTime + ttlMs,
+                state.getCurrentWatermarkMs + 1))
+              Iterator.single(DocFp(first.doc_id, fp))
+            }
+          })
+  }
+
   /** Streaming contamination detector — the stream-static join pattern of
     * a continuously-crawling pipeline: each arriving document emits the
     * positional n-gram spans it shares with a STATIC benchmark/train gram

@@ -142,6 +142,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL dedup: in-window dups suppressed, expired fingerprints " +
+      "re-admit, state removed at the watermark") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.{DocFp, DocFpTs}
+    val input = MemoryStream[DocFpTs]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ttl-ckpt").toString
+    val q = Streams.firstPerFingerprintStreamTtl(
+        input.toDS.withWatermark("ts", "0 seconds").as[DocFpTs],
+        ttlMs = 2 * 3600 * 1000L) // 2h retention
+      .writeStream.format("memory").queryName("ttl_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def emitted() = spark.table("ttl_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    try {
+      // batch 1: two fingerprints admit; 'a' duplicates within the batch
+      input.addData(Seq(DocFpTs(2L, "a", ts(10)), DocFpTs(1L, "a", ts(10)),
+        DocFpTs(3L, "b", ts(10, 30))))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, "a"), (3L, "b")),
+        "earliest (ts, doc_id) row admits once per fingerprint")
+      // batch 2: 'a' again inside the 2h window -> suppressed
+      input.addData(Seq(DocFpTs(4L, "a", ts(11))))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, "a"), (3L, "b")))
+      // batch 3: watermark advances past 12:00 (= 10:00 + ttl); 'a'
+      // recurs at 13:30, beyond its admission + ttl -> re-admits. The
+      // expiry decision is data-path (admission-time compare), so it
+      // holds even when the recurrence and the timeout land in the same
+      // micro-batch.
+      input.addData(Seq(DocFpTs(5L, "c", ts(13)), DocFpTs(6L, "a", ts(13, 30))))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, "a"), (3L, "b"), (5L, "c"), (6L, "a")),
+        "a fingerprint recurring after the retention window is new again")
+      // batch 4: un-recurred 'b' expired and was cleaned; recurrence
+      // re-admits rather than hitting stale state
+      input.addData(Seq(DocFpTs(7L, "b", ts(16))))
+      q.processAllAvailable()
+      assert(emitted() ==
+        Seq((1L, "a"), (3L, "b"), (5L, "c"), (6L, "a"), (7L, "b")))
+    } finally q.stop()
+  }
+
+  test("TTL spool: notification ids re-register after the retention window") {
+    implicit val sql = spark.sqlContext
+    import graft.monitor.Subscriptions
+    import graft.monitor.Subscriptions.{Notif, NotifTs}
+    val input = MemoryStream[NotifTs]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-spool-ttl-ckpt").toString
+    def n(id: String, t: Timestamp) = NotifTs(id, "sub", "orders", id, t)
+    val q = Subscriptions.dedupStreamTtl(
+        input.toDS.withWatermark("ts", "0 seconds").as[NotifTs],
+        ttlMs = 3600 * 1000L) // 1h retention
+      .writeStream.format("memory").queryName("spool_ttl_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(n("x", ts(10)), n("x", ts(10, 5)), n("y", ts(10))))
+      q.processAllAvailable()
+      input.addData(Seq(n("x", ts(10, 30)))) // in-window dup
+      q.processAllAvailable()
+      input.addData(Seq(n("x", ts(12)))) // past 11:00 -> re-registers
+      q.processAllAvailable()
+      val got = spark.table("spool_ttl_stream")
+        .groupBy("notification_id").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("x" -> 2L, "y" -> 1L),
+        "once per retention window, exactly")
+    } finally q.stop()
+  }
+
   test("batch monitor matches the same semantics") {
     val got = Streams.firstFailureBatch(rows.toDF)
       .orderBy("user_id").collect()
