@@ -407,6 +407,15 @@ object OracleSql {
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
 
+    // Bucketing is layout, not semantics: q35's oracle is the plain join.
+    "q35_bucketed_join" ->
+      s"""SELECT o_orderstatus,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // q33: generated from the SAME catalog metadata and candidate list the
     // Spark side uses (TestCatalog / SparkEntry.rootIdCandidates), the way
     // t01 embeds the language profiles. All testdata id columns are

@@ -42,6 +42,17 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 gate: the bucketed join contributes zero exchanges — the " +
+      "only one in the whole pipeline is the final aggregate's") {
+    withShuffleJoins {
+      val df = SparkEntry.queries("q35_bucketed_join")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"expected only the aggregate exchange, got $exchanges:\n$p")
+    }
+  }
+
   test("a bucketed-to-unbucketed join shuffles only the unbucketed side") {
     withShuffleJoins {
       val part = Tables(spark, dir, "part").select("p_partkey", "p_name")
