@@ -73,6 +73,45 @@ def main(sfdir, outdir):
             n = duckdb.connect().execute(
                 f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
             print(f"ROWS {name}: {n}")
+    # One-sided SOUNDNESS bounds for approximate (rows-only) ops whose
+    # OUTPUT is exactly checkable even though their candidate set is not:
+    # d02 emits (id_a, id_b, jaccard) banded-candidate pairs — every
+    # emitted pair must carry its true exact jaccard, be >= the gate
+    # threshold, and therefore sit inside the full exact pair set. Recall
+    # (the other half) stays with the banding-survival ScalaTest spec.
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    d02 = f"{outdir}/d02_dedup_minhash"
+    if os.path.isdir(d02):
+        bad, n_pairs = con.execute(f"""
+            WITH arrs AS (SELECT doc_id, string_split({norm}, ' ') AS arr
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(arr[i:i+2], ' ') AS g
+                   FROM arrs, unnest(generate_series(1,
+                     greatest(len(arr) - 2, 1))) AS u(i)),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            spark_out AS (SELECT * FROM read_parquet('{d02}/*.parquet')),
+            ix AS (SELECT o.id_a, o.id_b, o.jaccard, COUNT(*) AS i
+                   FROM spark_out o
+                     JOIN sh a ON a.doc_id = o.id_a
+                     JOIN sh b ON b.doc_id = o.id_b AND a.g = b.g
+                   GROUP BY 1, 2, 3),
+            chk AS (SELECT o.id_a, o.id_b, o.jaccard,
+                      CAST(COALESCE(i, 0) AS DOUBLE)
+                        / (sa.sz + sb.sz - COALESCE(i, 0)) AS true_j
+                    FROM spark_out o
+                      LEFT JOIN ix USING (id_a, id_b, jaccard)
+                      JOIN sz sa ON sa.doc_id = o.id_a
+                      JOIN sz sb ON sb.doc_id = o.id_b)
+            SELECT SUM(CASE WHEN abs(jaccard - true_j) > 1e-9
+                         OR true_j < 0.02 THEN 1 ELSE 0 END),
+                   COUNT(*) FROM chk""").fetchone()
+        ok = (bad or 0) == 0 and n_pairs > 0
+        print(f"{'PASS' if ok else 'FAIL'} d02_soundness: "
+              f"{n_pairs} emitted pairs, {bad or 0} with wrong/"
+              f"below-threshold exact jaccard")
+        if not ok:
+            n_ok -= 1  # surface the failure in the exit summary
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
