@@ -476,7 +476,7 @@ object SparkEntry {
     val dims = t(s, dir, "supplier")
       .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
     graft.operators.SkewJoin.saltedJoin(facts, dims, Seq("suppkey"),
-        saltFactor = 8)
+        saltFactor = 8, saltCols = Seq("disc_price"))
       .join(broadcast(t(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")

@@ -19,17 +19,27 @@ object SkewJoin {
 
   /** Equi-join `facts` (skewed, salted) with `dims` (replicated).
     * Result = facts.join(dims, keys, joinType) exactly; joinType must not
-    * need dim-side multiplicity (inner / left variants are safe). */
+    * need dim-side multiplicity (inner / left variants are safe).
+    *
+    * @param saltCols discriminator columns mixed with the key hash to
+    *                 spread a hot key's rows across salts. Must vary
+    *                 WITHIN a key group (the key hash alone is constant
+    *                 per key and would spread nothing); one cheap narrow
+    *                 column suffices — hashing a wide fact row per tuple
+    *                 is wasted work. Empty (default) falls back to every
+    *                 non-key column. Deterministic either way, so task
+    *                 retries re-derive identical salts (a random or
+    *                 monotonic-id spreader would not). */
   def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
-                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+                 saltFactor: Int, joinType: String = "inner",
+                 saltCols: Seq[String] = Seq.empty): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     require(Seq("inner", "left", "left_outer", "left_semi")
       .contains(joinType), s"joinType $joinType not multiplicity-safe")
-    // Deterministic spread: hash of the full fact row's key columns plus a
-    // uniform spreader over monotonically increasing ids would not be
-    // deterministic across retries — use the key hash mixed with a cheap
-    // row discriminator column set instead.
-    val salt = pmod(hash(facts.columns.toSeq.map(col): _*), lit(saltFactor))
+    val discs =
+      if (saltCols.nonEmpty) saltCols
+      else facts.columns.toSeq.filterNot(keys.contains)
+    val salt = pmod(hash((keys ++ discs).map(col): _*), lit(saltFactor))
     val saltedFacts = facts.withColumn("__salt", salt)
     val replicatedDims = dims.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -33,6 +33,21 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(spread > 4, s"hot key must land on many salts, got $spread")
   }
 
+  test("one explicit narrow saltCol spreads the hot key and keeps the " +
+      "exact join result") {
+    val salted = facts.withColumn("__salt",
+      pmod(hash(col("k"), col("fact_id")), lit(8)))
+    val spread = salted.filter(col("k") === 1L)
+      .select("__salt").distinct().count()
+    assert(spread > 4, s"hot key must land on many salts, got $spread")
+    val plain = facts.join(dims, Seq("k"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val viaSaltCol = SkewJoin.saltedJoin(facts, dims, Seq("k"),
+        saltFactor = 8, saltCols = Seq("fact_id"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(viaSaltCol == plain)
+  }
+
   test("saltFactor 1 degenerates to the plain join; bad types rejected") {
     val plain = facts.join(dims, Seq("k")).count()
     assert(SkewJoin.saltedJoin(facts, dims, Seq("k"), 1).count() == plain)
