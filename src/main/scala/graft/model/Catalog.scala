@@ -91,9 +91,11 @@ final class Catalog(
     *
     * Scale shape: the validity columns are pure per-row expressions (one
     * CASE chain over catalog metadata, codegen'd, zero shuffles); the
-    * existence probe joins against a DISTINCT union of per-type id
-    * projections — each scan reads ONLY the id columns (pruned to
-    * parquet), and AQE broadcasts the candidate side when it is small. */
+    * existence probe SEMI-JOINS each type's id projection (the scan reads
+    * ONLY the id columns — pruned to parquet) against the broadcast
+    * candidate set, so at most |candidates| rows survive any table and
+    * nothing corpus-sized is ever distinct-shuffled. The broadcast hint
+    * is on the caller-supplied bounded candidate list — the §5 rule. */
   def checkRootIds(spark: SparkSession, dir: String,
                    cands: DataFrame): DataFrame = {
     val sorted = types.values.toSeq.sortBy(_.name)
@@ -111,18 +113,21 @@ final class Catalog(
       }
       (size(split(col("id"), "_")) === t.idCols.size) && parts.reduce(_ && _)
     }
-    val idIndex = sorted.map { t =>
+    val candKeys = broadcast(cands.select("object_type", "id"))
+    val hits = sorted.map { t =>
         load(spark, dir, t.name).select(
-          lit(t.name).as("object_type"),
-          concat_ws("_", t.idCols.map(c => col(c).cast("string")): _*)
-            .as("id"))
+            lit(t.name).as("object_type"),
+            concat_ws("_", t.idCols.map(c => col(c).cast("string")): _*)
+              .as("id"))
+          .join(candKeys.filter(col("object_type") === t.name),
+            Seq("object_type", "id"), "left_semi")
       }.reduce(_ union _)
-      .distinct()
+      .distinct() // ≤ |candidates| rows by construction
       .withColumn("__hit", lit(true))
     cands
       .withColumn("known_type", known)
       .withColumn("valid", known && coalesce(shapeOk, lit(false)))
-      .join(idIndex, Seq("object_type", "id"), "left")
+      .join(hits, Seq("object_type", "id"), "left")
       .select(col("object_type"), col("id"), col("known_type"), col("valid"),
         coalesce(col("__hit"), lit(false)).as("id_exists"))
   }
