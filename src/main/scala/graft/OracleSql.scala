@@ -579,6 +579,48 @@ object OracleSql {
          QUALIFY row_number() OVER w <= 3
          ORDER BY probe_id, rank""",
 
+    "s05_knn_classify" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p,
+                label AS true_label FROM embeddings WHERE vec_id < 100),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS v_c,
+               label AS n_label FROM embeddings),
+         nn AS (SELECT probe_id, true_label, n_label,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY ${cosD("v_p", "v_c")} DESC, neighbor_id ASC)
+                   AS rn
+                FROM p JOIN c ON probe_id <> neighbor_id),
+         votes AS (SELECT probe_id, true_label, n_label, COUNT(*) AS votes
+                   FROM nn WHERE rn <= 5 GROUP BY 1, 2, 3),
+         best AS (SELECT probe_id, true_label, n_label AS pred_label, votes,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY votes DESC, n_label ASC) AS r
+                  FROM votes)
+         SELECT probe_id, true_label, pred_label, votes
+         FROM best WHERE r = 1 ORDER BY probe_id""",
+
+    // Centroid = per-dim DECIMAL-exact SUM surfaced as double (associative
+    // -> engine-portable bit-identical; cosine is scale-invariant so the
+    // sum classifies exactly like the mean).
+    "s06_class_centroids" ->
+      s"""WITH ex AS (SELECT label AS c_label, i AS pos,
+                CAST(embedding[i] AS DECIMAL(27,10)) AS x
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS u(i)),
+         cm AS (SELECT c_label, pos, CAST(SUM(x) AS DOUBLE) AS m
+                FROM ex GROUP BY 1, 2),
+         carr AS (SELECT c_label, list(m ORDER BY pos) AS centroid
+                  FROM cm GROUP BY 1),
+         scored AS (SELECT vec_id, label, c_label,
+                     ${cosD("embedding", "centroid")} AS cos
+                    FROM embeddings, carr),
+         pred AS (SELECT vec_id, label, c_label AS pred_label,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cos DESC, c_label ASC) AS rn
+                  FROM scored)
+         SELECT label, pred_label, COUNT(*) AS n
+         FROM pred WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY label, pred_label""",
+
     "t01_langid" -> {
       val scoreCols = graft.text.TextOps.profiles
         .map { case (l, _) => s"${langScore(l)} AS s_$l" }.mkString(",\n")

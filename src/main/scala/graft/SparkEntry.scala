@@ -513,6 +513,71 @@ object SparkEntry {
       .orderBy("o_orderstatus")
   }
 
+  /** kNN classification over the labeled embeddings — the standard
+    * label-quality / neighborhood-consistency check on a training corpus:
+    * each probe's predicted label is the majority vote of its k=5 exact
+    * cosine neighbors (ties: most votes, then lowest label). Composes
+    * s01's bruteForceKnn (absolutely bounded probe set, vec_id < 100, the
+    * same contract as s01) + one label join + two counting aggregates —
+    * the scale paths are s02/s03/s04's candidate generation feeding the
+    * same vote. */
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val labels = e.select(col("vec_id"), col("label"))
+    Knn.bruteForceKnn(e, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 100, k = 5)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("probe_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id")
+      .agg(max_by(struct(col("n_label").as("pred_label"), col("votes")),
+        struct(col("votes"), -col("n_label"))).as("__w"))
+      .select(col("probe_id"), col("__w.pred_label").as("pred_label"),
+        col("__w.votes").as("votes"))
+      .join(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), "probe_id")
+      .select("probe_id", "true_label", "pred_label", "votes")
+      .orderBy("probe_id")
+  }
+
+  /** Nearest-class-mean classifier + confusion matrix over the labeled
+    * corpus — the one-pass label-coherence report of a curation pipeline.
+    * Per-label centroids are per-dimension DECIMAL-exact SUMS surfaced as
+    * double: associative, so bit-identical across engines regardless of
+    * row order, and cosine is scale-invariant so the unnormalized sum
+    * classifies exactly like the mean. Scale shape: one explode pass
+    * (map-side-combined (label, pos) sums — #labels × dim groups), then
+    * Ivf.assign's pattern — classify via a broadcast of the
+    * #labels-row centroid frame (bounded by construction,
+    * localCheckpoint'd like Ivf's) + one max_by per vec; the confusion
+    * matrix is a #labels² counting aggregate. */
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cent = e
+      .select(col("label").as("c_label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("x").cast("decimal(27,10)")).cast("double").as("m"))
+      .groupBy("c_label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        f => f.getField("m")).as("centroid"))
+      .localCheckpoint(eager = false)
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        graft.functions.Vectors.cosineHof(col("embedding"), col("centroid"))
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        max_by(col("c_label"), struct(col("cos"), -col("c_label")))
+          .as("pred_label"))
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
     * VALUES list from this constant, as t01 does with the language
@@ -875,6 +940,8 @@ object SparkEntry {
     "s02_knn_lsh" -> (s02 _),
     "s03_knn_ivf" -> (s03 _),
     "s04_knn_graph" -> (s04 _),
+    "s05_knn_classify" -> (s05 _),
+    "s06_class_centroids" -> (s06 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),
