@@ -320,6 +320,17 @@ object OracleSql {
            WHERE p_partkey IN (SELECT l_partkey FROM li)
          ORDER BY object_type, id""",
 
+    "q36_all_descendants" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey IN (21, 22, 23))
+         SELECT 'orders' AS object_type, CAST(o_orderkey AS VARCHAR) AS id
+           FROM o
+         UNION ALL
+         SELECT 'lineitem', CAST(l_orderkey AS VARCHAR) || '_'
+             || CAST(l_linenumber AS VARCHAR)
+           FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+         ORDER BY object_type, id""",
+
     "q23_path_rollup" ->
       """WITH t AS (SELECT
            event_type || '.u' || CAST(user_id % 8 AS VARCHAR)
@@ -767,6 +778,24 @@ object OracleSql {
          CAST(n_chars * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
            AS duration_ms
          FROM documents ORDER BY doc_id""",
+
+    "m03_pixel_stats" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+                FROM d,
+                  unnest(generate_series(0, w - 1)) AS xs(x),
+                  unnest(generate_series(0, h - 1)) AS ys(y))
+         SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+           round(CAST(SUM((doc_id + x + y) % 256) AS DOUBLE) / (w * h), 6)
+             AS mean_r,
+           round(CAST(SUM((doc_id + 2 * x + y) % 256) AS DOUBLE) / (w * h), 6)
+             AS mean_g,
+           round(CAST(SUM((doc_id + x + 2 * y) % 256) AS DOUBLE) / (w * h), 6)
+             AS mean_b
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "st01_stream_window" ->
       s"""SELECT date_diff('second', $epoch1970,

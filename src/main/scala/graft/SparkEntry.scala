@@ -341,6 +341,23 @@ object SparkEntry {
       .orderBy("object_type", "id")
   }
 
+  /** All descendants (`>*#` — the downward twin of q22's `<*$`,
+    * orm/query.py:459-481 `_expand` in the children direction): from three
+    * customers, every object the children-direction wildcard expands into —
+    * their orders and those orders' lineitems. `#` matches all types
+    * TRAVERSED by the `*` step (the seed customers carry no match symbol,
+    * so they stay out of the result, exactly like q22's seed lineitems). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val m = PatternQuery.run(s, dir, TestCatalog.catalog,
+      ">customer[21;22;23]>*#")
+    m("orders").select(lit("orders").as("object_type"),
+        col("o_orderkey").cast("string").as("id"))
+      .union(m("lineitem").select(lit("lineitem").as("object_type"),
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")).as("id")))
+      .orderBy("object_type", "id")
+  }
+
   /** Dot-path test-tree rollup (kcidb `Node`, oo/__init__.py:277-408): a
     * 3-level path synthesized from events (type.userbucket.eventbucket),
     * status from the measure; every node of the tree gets the worst status
@@ -619,9 +636,14 @@ object SparkEntry {
         k = 64, nBands = 16, threshold = 0.02)
       .orderBy("id_a", "id_b")
 
+  /** emitSigs: the gate output carries both signatures so the DuckDB side
+    * of the correctness check recomputes every emitted hamming as
+    * bit_count(xor(sig_a, sig_b)) and asserts the <= 3 soundness bound
+    * (tools/oracle_check.py, d02_soundness's sibling); completeness is the
+    * DedupSpec pigeonhole ground truth. */
   private def d03(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 3)
+        maxDist = 3, emitSigs = true)
       .orderBy("id_a", "id_b")
 
   /** Exact (not LSH-approximate) — so it carries a full DuckDB oracle:
@@ -867,6 +889,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL pixel decode: per-doc fully-decodable PNGs (pixel pattern a
+    * closed form of doc_id — Binary.makeRealPng) decoded by javax.imageio
+    * in Binary.pixelStats; channel means derived from the exact long sums.
+    * The oracle recomputes width/height/means ARITHMETICALLY from doc_id
+    * over a generated (x, y) grid — PNG is lossless, so a decode bug (or a
+    * channel-order swap) breaks the hash. */
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.pixelStats(
+        src.map(id => Binary.PayloadRow(id, Binary.makeRealPng(id))))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        round(col("sum_r").cast("double") / col("n_pixels"), 6).as("mean_r"),
+        round(col("sum_g").cast("double") / col("n_pixels"), 6).as("mean_g"),
+        round(col("sum_b").cast("double") / col("n_pixels"), 6).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   private def st01(s: SparkSession, dir: String): DataFrame =
     Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
 
@@ -930,6 +971,7 @@ object SparkEntry {
     "q33_root_id_check" -> (q33 _),
     "q34_dump_meta" -> (q34 _),
     "q35_bucketed_join" -> (q35 _),
+    "q36_all_descendants" -> (q36 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -958,6 +1000,7 @@ object SparkEntry {
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),
     "m02_audio_meta" -> (m02 _),
+    "m03_pixel_stats" -> (m03 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

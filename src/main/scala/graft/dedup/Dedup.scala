@@ -196,9 +196,16 @@ object Dedup {
     * default usage). Blocking via the pigeonhole principle: split the 64-bit
     * signature into maxDist+1 chunks — any pair within maxDist must agree on
     * at least one chunk, so candidates come from chunk-equality self-joins
-    * (shuffle on the chunk value), never a cross join. */
+    * (shuffle on the chunk value), never a cross join.
+    *
+    * @param emitSigs also emit (sig_a, sig_b) — they already ride through
+    *                 the chunk join, so this is projection-only (zero extra
+    *                 compute). Lets an external engine recompute the
+    *                 emitted hamming as `bit_count(xor(sig_a, sig_b))` and
+    *                 assert the <= maxDist soundness bound on every pair
+    *                 (the d03 gate does exactly that in the DuckDB check). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int, emitSigs: Boolean = false): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
     val withSig = simhashSignatures(docs, idCol, textCol)
@@ -211,10 +218,13 @@ object Dedup {
       col("chunk_idx"), col("chunk"))
     val b = chunks.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("chunk_idx"), col("chunk"))
+    val sigCols =
+      if (emitSigs) Seq(col("sig_a"), col("sig_b")) else Seq.empty
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Vectors.hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .select(Seq(col("id_a"), col("id_b"),
+        Vectors.hamming(col("sig_a"), col("sig_b")).as("dist")) ++
+        sigCols: _*)
       .filter(col("dist") <= maxDist)
       .distinct()
   }

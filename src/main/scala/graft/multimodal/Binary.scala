@@ -218,15 +218,125 @@ object Binary {
     }
   }
 
+  /** Deterministic FULLY-DECODABLE PNG: a w×h RGB image whose every pixel
+    * is a closed-form function of (doc_id, x, y) — r = (doc_id+x+y)%256,
+    * g = (doc_id+2x+y)%256, b = (doc_id+x+2y)%256, w = 8+doc_id%9,
+    * h = 8+doc_id%7 — encoded by the JDK's pure-Java `javax.imageio` PNG
+    * writer. PNG is lossless, so [[pixelStats]]' decode recovers the
+    * pattern EXACTLY and the DuckDB oracle can recompute the channel means
+    * arithmetically from doc_id alone (the pixel analog of
+    * [[makeImage]]/[[makeWav]]'s header oracles). */
+  def makeRealPng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId + x + y) % 256).toInt
+        val g = ((docId + 2 * x + y) % 256).toInt
+        val b = ((docId + x + 2 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class PixelStats(doc_id: Long, width: Long, height: Long,
+                              n_pixels: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long)
+
+  /** REAL pixel decode — `javax.imageio` (pure-JVM PNG/GIF/BMP/JPEG
+    * readers ship in `java.desktop`; no native media codecs needed), run
+    * partition-batched like [[decodePartitions]]. Emits per-image channel
+    * sums (exact longs; means = sum/n_pixels are derived downstream so the
+    * aggregate stays engine-portable). Undecodable payloads (video, the
+    * header-only [[makeImage]] blobs, arbitrary bytes) yield -1 sentinels
+    * rather than failing the batch — the only formats still without a real
+    * decode path are ones `javax.imageio` has no reader for. */
+  def pixelStats(ds: Dataset[PayloadRow]): Dataset[PixelStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // Per-partition init: headless decode, no display subsystem.
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          PixelStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(r.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
                                payload: Array[Byte])
   final case class Frame(doc_id: Long, frame_idx: Long,
                          payload: Array[Byte])
 
+  /** REAL resize for any `javax.imageio`-decodable payload: decode,
+    * nearest-neighbor rescale through a headless `Graphics2D` (pure JVM),
+    * re-encode as PNG. Payloads with no reader (video containers, raw
+    * bytes) fall back to [[resizeStub]]'s deterministic truncation — the
+    * stub now covers ONLY genuinely env-blocked formats. */
+  def resizeImages(ds: Dataset[PayloadRow], w: Long, h: Long)
+      : Dataset[ResizedMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) {
+          val n = math.min(r.payload.length.toLong, w * h).toInt
+          ResizedMeta(r.doc_id, w, h, r.payload.take(n))
+        } else {
+          val out = new java.awt.image.BufferedImage(
+            w.toInt, h.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g2.drawImage(img, 0, 0, w.toInt, h.toInt, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedMeta(r.doc_id, w, h, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Resize stub: the payload transform is a deterministic fake (truncate
     * to the target "pixel count"), but the Spark shape is real — a typed
     * map keeping the binary column opaque, fused into codegen'd pipelines
-    * upstream/downstream. */
+    * upstream/downstream. Superseded by [[resizeImages]] for every format
+    * `javax.imageio` can read; retained as its fallback and for callers
+    * that want the transform-only shape. */
   def resizeStub(ds: Dataset[PayloadRow], w: Long, h: Long)
       : Dataset[ResizedMeta] = {
     import ds.sparkSession.implicits._

@@ -47,20 +47,46 @@ object Knn {
     rankTopK(scored, k)
   }
 
+  /** Drop (table, bucket) keys holding more than `cap` rows — the LSH
+    * analog of d02/d04's `maxDf` hot-shingle cap (dedup/Dedup.scala). A
+    * degenerate bucket (all-zero vectors, near-constant corpora) holds a
+    * corpus-scale fraction of rows, so its self-join term is quadratic
+    * while its candidates carry the least signal (the bucket fails to
+    * discriminate by construction). One extra count-shuffle on the
+    * (table, bucket) key; both probe and corpus sides see the same capped
+    * signature set. None keeps exact banded semantics. */
+  private def capBuckets(sigs: DataFrame, maxBucket: Option[Int])
+      : DataFrame => DataFrame =
+    maxBucket match {
+      case None => identity
+      case Some(cap) =>
+        val keep = sigs.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap)
+          .select("table", "bucket")
+        df => df.join(keep, Seq("table", "bucket"))
+    }
+
   /** Banded-LSH approximate top-k: candidates share at least one of L
     * (table, bucket) signatures with the probe; ranking among candidates is
     * exact cosine via the bounded top-k aggregate. Same output shape as
-    * bruteForceKnn (may return < k rows per probe — approximate). */
+    * bruteForceKnn (may return < k rows per probe — approximate).
+    * @param maxBucket optional per-bucket row cap (see [[capBuckets]]). */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
              probeFilter: Column, k: Int,
-             bitsPerTable: Int, nTables: Int): DataFrame = {
+             bitsPerTable: Int, nTables: Int,
+             maxBucket: Option[Int] = None): DataFrame = {
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(srpBands(vecCol, nTables, bitsPerTable))
         .as(Seq("table", "bucket")))
-    val probes = withSig.filter(probeFilter)
+    // probeFilter resolves against the RAW frame (missing-attribute
+    // resolution reaches emb's columns through the projection); the cap is
+    // then applied to both sides so they see the same bucket universe.
+    val cap = capBuckets(withSig, maxBucket)
+    val probes = cap(withSig.filter(probeFilter))
       .select(col("id").as("probe_id"), col("v").as("v_p"),
         col("table"), col("bucket"))
-    val corpus = withSig
+    val corpus = cap(withSig)
       .select(col("id").as("neighbor_id"), col("v").as("v_c"),
         col("table"), col("bucket"))
     // A pair colliding in several tables must score once: dedup candidate
@@ -87,10 +113,12 @@ object Knn {
     * bounded top-k aggregate — map-side partials keep ≤ k candidates per
     * src per partition; no window ever sees a full candidate list. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-               bitsPerTable: Int, nTables: Int): DataFrame = {
-    val sigs = emb.select(col(idCol).as("id"),
+               bitsPerTable: Int, nTables: Int,
+               maxBucket: Option[Int] = None): DataFrame = {
+    val raw = emb.select(col(idCol).as("id"),
       posexplode(srpBands(vecCol, nTables, bitsPerTable))
         .as(Seq("table", "bucket")))
+    val sigs = capBuckets(raw, maxBucket)(raw)
     val pairs = sigs.select(col("id").as("probe_id"),
         col("table"), col("bucket"))
       .join(sigs.select(col("id").as("neighbor_id"),

@@ -55,6 +55,57 @@ class BinarySpec extends AnyFunSuite {
     }
   }
 
+  test("pixelStats decodes makeRealPng EXACTLY (the m03 gate contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 62L, 63L, 255L, 1000L)
+    val stats = Binary.pixelStats(
+        ids.toDS().map(id => Binary.PayloadRow(id, Binary.makeRealPng(id))))
+      .collect().map(s => s.doc_id -> s).toMap
+    for (id <- ids) {
+      val w = 8 + id % 9; val h = 8 + id % 7
+      // ground truth from the closed-form pattern, no imageio involved
+      val grid = for (y <- 0L until h; x <- 0L until w) yield (x, y)
+      val sr = grid.map { case (x, y) => (id + x + y) % 256 }.sum
+      val sg = grid.map { case (x, y) => (id + 2 * x + y) % 256 }.sum
+      val sb = grid.map { case (x, y) => (id + x + 2 * y) % 256 }.sum
+      val s = stats(id)
+      assert((s.width, s.height, s.n_pixels) == ((w, h, w * h)), s"doc $id")
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((sr, sg, sb)),
+        s"doc $id channel sums")
+    }
+    // undecodable bytes take the sentinel branch, not an exception
+    val junk = Binary.pixelStats(
+        Seq(Binary.PayloadRow(9L, "not an image".getBytes("UTF-8")),
+          Binary.PayloadRow(10L, Binary.makeImage(0L))).toDS())
+      .collect().map(s => s.doc_id -> s.width).toMap
+    assert(junk == Map(9L -> -1L, 10L -> -1L),
+      "junk AND header-only blobs (no IDAT) must both hit the sentinel")
+  }
+
+  test("resizeImages really rescales decodable payloads, stub-falls-back " +
+      "otherwise") {
+    import spark.implicits._
+    // solid-color source: any interpolation of a constant is the constant
+    val solid = new java.awt.image.BufferedImage(
+      10, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 10) solid.setRGB(x, y, 0x1a2b3c)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "png", bos)
+    val rows = Binary.resizeImages(
+        Seq(Binary.PayloadRow(1L, bos.toByteArray),
+          Binary.PayloadRow(2L, ("x" * 100).getBytes("UTF-8")))
+          .toDS(), w = 4, h = 3)
+      .collect().map(r => r.doc_id -> r).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1L).payload))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x1a2b3c, s"($x,$y)")
+    // undecodable payload: resizeStub's truncation contract
+    assert(rows(2L).payload.length == 12 &&
+      (rows(2L).width, rows(2L).height) == ((4L, 3L)))
+  }
+
   test("resize stub keeps ids and bounds payloads to the target size") {
     import spark.implicits._
     val ds = Seq((1L, "x" * 100), (2L, "y"))

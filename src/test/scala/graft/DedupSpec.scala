@@ -201,18 +201,39 @@ class DedupSpec extends AnyFunSuite {
     import graft.sources.Tables
     val docs = Tables(spark, TestSpark.sf, "documents")
     val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute-force hamming over all signature pairs: unlike LSH banding,
-    // chunk blocking must lose NOTHING (any pair within maxDist agrees on
-    // at least one of maxDist+1 chunks)
-    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue)
+      .toMap
+    // Signatures recomputed INDEPENDENTLY of SimHashAgg: only the raw
+    // per-token xxhash64 rows come from Spark; the 64 bit-votes, the sign,
+    // and the pairwise hamming are all taken in driver-side Scala. The
+    // equality below is therefore two-sided ground truth: soundness (every
+    // emitted pair's true hamming, emitted dist included, is <= maxDist)
+    // AND completeness (unlike LSH banding, chunk blocking must lose
+    // NOTHING — any pair within maxDist agrees on >= 1 of maxDist+1
+    // chunks).
+    val hashes = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.tokens(col("text")))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)) }
+    val sigs = hashes.map { case (id, hs) =>
+      id -> (0 until 64).foldLeft(0L) { (acc, i) =>
+        val vote = hs.map(h => (((h >>> i) & 1L) << 1) - 1).sum
+        if (vote > 0) acc | (1L << i) else acc
+      }
+    }
+    val ids = sigs.keys.toArray.sorted
     val brute = (for {
-      (a, sa) <- sigs; (b, sb) <- sigs if a < b
-      if java.lang.Long.bitCount(sa ^ sb) <= 3
-    } yield (a, b)).toSet
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if d <= 3L
+    } yield (a, b) -> d).toMap
     assert(got == brute,
-      s"missed: ${brute -- got}; extra: ${got -- brute}")
+      s"missed: ${brute.keySet -- got.keySet}; " +
+        s"extra: ${got.keySet -- brute.keySet}; " +
+        s"dist mismatches: ${got.filter { case (k, v) =>
+          brute.get(k).exists(_ != v) }}")
   }
 
   test("semanticDedup ground truth at sf0.001: greedy in-cell rule, exact") {

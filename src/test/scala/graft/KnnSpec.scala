@@ -125,6 +125,38 @@ class KnnSpec extends AnyFunSuite {
     assert(run() == approx, "sample fit must be deterministic")
   }
 
+  test("maxBucket cap: no-op at corpus size, removes degenerate buckets") {
+    import graft.sources.Tables
+    val corpus = Tables(spark, TestSpark.sf, "embeddings")
+    val n = corpus.count().toInt
+    def run(cap: Option[Int]) = Knn.lshKnn(corpus, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3,
+        bitsPerTable = 4, nTables = 8, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // a cap at corpus size can drop nothing: results identical to off
+    assert(run(Some(n)) == run(None), "corpus-size cap must change nothing")
+    // off is the DEFAULT path: no bucket-count aggregate enters the plan
+    val p = Knn.lshKnn(corpus, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 3,
+        bitsPerTable = 4, nTables = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("__n"), "maxBucket=None must not add the count agg")
+    // degenerate corpus: constant vectors collapse into ONE bucket per
+    // table (the quadratic hot-key case); the cap removes those buckets
+    val flat = Seq.tabulate(50)(i => (i.toLong, Seq(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val hot = Knn.lshKnn(flat, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3,
+        bitsPerTable = 2, nTables = 2, maxBucket = Some(10))
+    assert(hot.count() == 0, "capped hot buckets must emit no candidates")
+    // knnGraph honors the same knob with the same no-op bound
+    def g(cap: Option[Int]) = Knn.knnGraph(corpus, "vec_id", "embedding",
+        k = 3, bitsPerTable = 4, nTables = 8, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g(Some(n)) == g(None))
+  }
+
   test("native SRP signatures are bit-identical to the HOF formulation") {
     val emb10 = Seq.tabulate(10)(i =>
       (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))

@@ -70,9 +70,14 @@ class PlanSpec extends AnyFunSuite {
     // s01 scores the bounded probe set against the corpus on a non-equi
     // condition (the exact baseline by definition); s03/d08 assign rows to
     // their nearest of c centroids (a c-row broadcast table); t05 zips two
-    // single-row scalar aggregates (the canonical combine plan).
+    // single-row scalar aggregates (the canonical combine plan); s05
+    // composes bruteForceKnn over a probe set bounded by CONSTRUCTION
+    // (`vec_id < 100` is <=100 rows at any corpus size — s01's class);
+    // s06 scores every row against the #labels-row checkpointed centroid
+    // frame (s03/d08's c-row broadcast class, previously masked by s05
+    // failing this sweep first).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
-      "d08_semantic_dedup")
+      "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -122,7 +127,10 @@ class PlanSpec extends AnyFunSuite {
     // and would OOM a 100 TB cluster. Declared exception: s01_knn_brute,
     // the exact baseline whose contract IS a bounded caller-supplied probe
     // set streamed against the corpus (its scale paths are s02/s03/s04).
-    val exempt = Set("s01_knn_brute")
+    // s05_knn_classify shares that contract: its probe frame is
+    // `emb.filter(vec_id < 100)` — <=100 rows at ANY corpus size (bounded
+    // by the predicate, not proportional to it), the same class as s01.
+    val exempt = Set("s01_knn_brute", "s05_knn_classify")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)

@@ -112,6 +112,23 @@ def main(sfdir, outdir):
               f"below-threshold exact jaccard")
         if not ok:
             n_ok -= 1  # surface the failure in the exit summary
+    # d03 emits (id_a, id_b, dist, sig_a, sig_b) — recompute every pair's
+    # hamming from the exported signatures (independent xor + bit_count
+    # path) and assert the <= 3 soundness bound. Completeness (pigeonhole
+    # blocking loses nothing) stays with the DedupSpec ground truth.
+    d03 = f"{outdir}/d03_dedup_simhash"
+    if os.path.isdir(d03):
+        bad3, n3 = con.execute(f"""
+            SELECT SUM(CASE WHEN bit_count(xor(sig_a, sig_b)) != dist
+                         OR dist > 3 OR id_a >= id_b THEN 1 ELSE 0 END),
+                   COUNT(*)
+            FROM read_parquet('{d03}/*.parquet')""").fetchone()
+        ok3 = (bad3 or 0) == 0 and n3 > 0
+        print(f"{'PASS' if ok3 else 'FAIL'} d03_soundness: "
+              f"{n3} emitted pairs, {bad3 or 0} with hamming(sig_a, sig_b)"
+              f" != dist or dist > 3")
+        if not ok3:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
