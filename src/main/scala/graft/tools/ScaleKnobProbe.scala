@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builder-side probe for the SRP-LSH scale knobs (args: sfDir
+  * graphBits bandBits [nBands]): times s04's knnGraph and d05's
+  * embeddingNearDups at the given bucket widths and prints one JSON line.
+  *
+  * Rationale: bucket size is corpus / 2^bits, so candidate-pair work per
+  * bucket grows quadratically in corpus size when bits stay fixed — the
+  * 10× scale probe (BENCHLOG r08) measured exactly that (s04 132×,
+  * d05 54×). Raising bits with log2(corpus growth) restores bucket size
+  * and with it near-linear scaling; recall is then recovered by raising
+  * the band/table COUNT, the standard (b, L) LSH tradeoff.
+  */
+object ScaleKnobProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val graphBits = args(1).toInt
+    val bandBits = args(2).toInt
+    val nBands = if (args.length > 3) args(3).toInt else 18
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tGraph = timed {
+      graft.sim.Knn.knnGraph(emb, "vec_id", "embedding", k = 3,
+          bitsPerTable = graphBits, nTables = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tNear = timed {
+      graft.dedup.Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          probeFilter = col("vec_id") % 20 === 0, threshold = 0.25,
+          bitsPerBand = bandBits, nBands = nBands)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val nNear = graft.dedup.Dedup.embeddingNearDups(emb, "vec_id",
+        "embedding", probeFilter = col("vec_id") % 20 === 0,
+        threshold = 0.25, bitsPerBand = bandBits, nBands = nBands)
+      .count()
+    println(f"""{"dir":"$dir","graphBits":$graphBits,"bandBits":$bandBits,""" +
+      f""""nBands":$nBands,"s04_sec":$tGraph%.2f,"d05_sec":$tNear%.2f,""" +
+      f""""d05_pairs":$nNear}""")
+    spark.stop()
+  }
+}

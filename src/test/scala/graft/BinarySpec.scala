@@ -82,6 +82,24 @@ class BinarySpec extends AnyFunSuite {
       "junk AND header-only blobs (no IDAT) must both hit the sentinel")
   }
 
+  test("pixelStats also decodes JPEG (JDK reader): exact dims, near-exact " +
+      "solid-color means") {
+    import spark.implicits._
+    val solid = new java.awt.image.BufferedImage(
+      12, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 12) solid.setRGB(x, y, 0x506070)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "jpg", bos)
+    val s = Binary.pixelStats(
+        Seq(Binary.PayloadRow(1L, bos.toByteArray)).toDS())
+      .collect().head
+    assert((s.width, s.height, s.n_pixels) == ((12L, 9L, 108L)))
+    // JPEG is lossy but a solid color is DC-only: means land within ~2
+    for ((sum, exp) <- Seq(s.sum_r -> 0x50, s.sum_g -> 0x60, s.sum_b -> 0x70))
+      assert(math.abs(sum.toDouble / s.n_pixels - exp) < 2.0,
+        s"mean ${sum.toDouble / s.n_pixels} vs $exp")
+  }
+
   test("resizeImages really rescales decodable payloads, stub-falls-back " +
       "otherwise") {
     import spark.implicits._
