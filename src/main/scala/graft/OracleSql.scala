@@ -779,6 +779,43 @@ object OracleSql {
            AS duration_ms
          FROM documents ORDER BY doc_id""",
 
+    "q37_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
+                     FROM events),
+         f AS (SELECT user_id, event_id, ts_sec,
+               CASE WHEN ts_sec - lag(ts_sec) OVER w <= 1800
+                 THEN 0 ELSE 1 END AS new_s
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id)),
+         s AS (SELECT user_id, ts_sec,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+           MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    "t08_quality_percentiles" ->
+      s"""WITH q AS (SELECT source, round($qualitySql, 6) AS q
+                     FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+           round(quantile_cont(q, 0.25), 6) AS p25,
+           round(quantile_cont(q, 0.50), 6) AS p50,
+           round(quantile_cont(q, 0.75), 6) AS p75,
+           round(quantile_cont(q, 0.95), 6) AS p95
+         FROM q GROUP BY source ORDER BY source""",
+
+    "p03_length_histogram" ->
+      s"""WITH b AS (SELECT CASE WHEN $wordCountSql >= 1024 THEN 17
+               ELSE CAST($wordCountSql // 64 AS BIGINT) + 1 END AS bucket
+             FROM documents)
+         SELECT bucket, (bucket - 1) * 64 AS lo_tokens,
+           bucket * 64 AS hi_tokens, COUNT(*) AS n_docs
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
     "m03_pixel_stats" ->
       """WITH d AS (SELECT doc_id,
              CAST(8 + doc_id % 9 AS BIGINT) AS w,

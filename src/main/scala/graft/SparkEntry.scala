@@ -889,6 +889,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Gap-based sessionization over the event stream (30-min gap) — the
+    * canonical behavioral-analytics rollup. Both window passes share one
+    * user_id partitioning (a single shuffle, per-key local sort — never a
+    * global sort); see operators/Sessionize. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      col("ts").cast("long").as("ts_sec"))
+    graft.operators.Sessionize.sessionize(
+        e, "user_id", "ts_sec", "event_id", gapSec = 1800)
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Per-source quality-score distribution: exact interpolated
+    * percentiles via the bounded-state CDF form (operators/Percentiles) —
+    * never Spark's value-buffering `percentile` aggregate. The score is
+    * quantized to 6 dp FIRST (the bounded domain that makes the counting
+    * form exact); the oracle computes plain quantile_cont over the same
+    * quantized values — cross-engine proof the distributed CDF equals the
+    * textbook definition. */
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Percentiles.groupPercentiles(
+        t(s, dir, "documents").select(col("source"),
+          round(TextOps.qualityScore(col("text")), 6).as("q")),
+        "source", "q",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .select(col("source"), col("n_rows").as("n_docs"),
+        round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))
+      .orderBy("source")
+
+  /** Token-length histogram (equi-width, 16 buckets over [0, 1024) plus
+    * the overflow bucket) — the length profile a packing pipeline (p01)
+    * reads to pick its sequence length. width_bucket keeps the whole
+    * thing one codegen'd scan + one small-key aggregate. */
+  private def p03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(width_bucket(TextOps.wordCount(col("text")).cast("double"),
+        lit(0.0), lit(1024.0), lit(16)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("bucket"), ((col("bucket") - 1) * 64).as("lo_tokens"),
+        (col("bucket") * 64).as("hi_tokens"), col("n_docs"))
+      .orderBy("bucket")
+
   /** REAL pixel decode: per-doc fully-decodable PNGs (pixel pattern a
     * closed form of doc_id — Binary.makeRealPng) decoded by javax.imageio
     * in Binary.pixelStats; channel means derived from the exact long sums.
@@ -972,6 +1016,7 @@ object SparkEntry {
     "q34_dump_meta" -> (q34 _),
     "q35_bucketed_join" -> (q35 _),
     "q36_all_descendants" -> (q36 _),
+    "q37_sessionize" -> (q37 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
@@ -991,6 +1036,8 @@ object SparkEntry {
     "t05_corpus_stats" -> (t05 _),
     "t06_repetition" -> (t06 _),
     "t07_quality_quota" -> (t07 _),
+    "t08_quality_percentiles" -> (t08 _),
+    "p03_length_histogram" -> (p03 _),
     "d07_incr_dedup" -> (d07 _),
     "d08_semantic_dedup" -> (d08 _),
     "d09_contamination" -> (d09 _),

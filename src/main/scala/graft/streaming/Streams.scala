@@ -117,6 +117,75 @@ object Streams {
           })
   }
 
+  final case class SessionEvent(user_id: Long, event_id: Long,
+                                ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, session_idx: Long,
+                              n_events: Long, start_sec: Long,
+                              end_sec: Long, duration_sec: Long)
+  final case class SessionSt(idx: Long, n: Long, startSec: Long,
+                             lastSec: Long)
+
+  /** Streaming twin of the q37 batch sessionizer
+    * ([[graft.operators.Sessionize]], same floor-second gap rule): state
+    * is ONE open session per user (4 longs — bounded per key, never an
+    * event buffer). A gap inside a batch closes and emits the previous
+    * session immediately; an idle user's last session is closed by the
+    * WATERMARK via EventTimeTimeout (so total state is bounded by the
+    * active-user set, and a quiet stream still drains). Matches the batch
+    * operator exactly when events arrive in event-time order — the
+    * chunked-replay parity spec asserts set equality against the q37
+    * gate. Callers must set a watermark on `ts` before calling. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionSt) =
+      SessionOut(uid, s.idx, s.n, s.startSec, s.lastSec,
+        s.lastSec - s.startSec)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionSt]) =>
+          if (state.hasTimedOut) {
+            // Close the idle session but KEEP the cumulative index (n = 0
+            // marks "no open session") — the batch operator numbers a
+            // user's sessions over all time, so the counter must survive
+            // the close. State is then bounded by the distinct-user set;
+            // a production deployment TTLs it like
+            // [[firstPerFingerprintStreamTtl]] when user ids churn.
+            val s = state.get
+            state.update(s.copy(n = 0))
+            Iterator.single(close(uid, s))
+          } else {
+            val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+            var out = List.empty[SessionOut]
+            var st = state.getOption
+            for (r <- sorted) {
+              val sec = math.floorDiv(r.ts.getTime, 1000L)
+              st = st match {
+                case Some(s) if s.n > 0 && sec - s.lastSec <= gapSec =>
+                  Some(s.copy(n = s.n + 1, lastSec = math.max(s.lastSec, sec)))
+                case Some(s) if s.n > 0 =>
+                  out ::= close(uid, s)
+                  Some(SessionSt(s.idx + 1, 1, sec, sec))
+                case Some(s) => // closed marker: continue the numbering
+                  Some(SessionSt(s.idx + 1, 1, sec, sec))
+                case None =>
+                  Some(SessionSt(1, 1, sec, sec))
+              }
+            }
+            for (s <- st) {
+              state.update(s)
+              // close when the watermark passes the gap after the last
+              // event; never at/behind the current watermark
+              state.setTimeoutTimestamp(math.max(
+                (s.lastSec + gapSec + 1) * 1000,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.reverseIterator
+          })
+  }
+
   /** Streaming contamination detector — the stream-static join pattern of
     * a continuously-crawling pipeline: each arriving document emits the
     * positional n-gram spans it shares with a STATIC benchmark/train gram

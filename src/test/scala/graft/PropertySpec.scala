@@ -86,6 +86,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q36 seed customers exist at every generated scale factor") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val sfDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getPath).sorted
+    for (dir <- sfDirs) {
+      val found = graft.sources.Tables(spark, dir, "customer")
+        .filter(col("c_custkey").isin(21L, 22L, 23L))
+        .select("c_custkey").distinct().count()
+      assert(found == 3,
+        s"$dir: only $found of 3 q36 seed customers exist — the >*# " +
+          "gate row would be (partly) vacuous")
+    }
+  }
+
   test("media header parsers are total on arbitrary and mutated bytes") {
     import graft.multimodal.Binary
     val rng = new scala.util.Random(13)

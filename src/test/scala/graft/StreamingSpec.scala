@@ -142,6 +142,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q37 streaming twin: chunked in-order replay equals the batch " +
+      "sessionizer, watermark closes idle sessions") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.SessionEvent
+    val batch = SparkEntry.queries("q37_sessionize")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(batch.nonEmpty)
+    val all = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy("ts", "event_id")
+      .as[SessionEvent].collect().toSeq
+    val chunks = all.grouped((all.size + 3) / 4).toSeq
+    val input = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st05-ckpt").toString
+    val q = Streams.sessionizeStream(
+        input.toDS.withWatermark("ts", "0 seconds"), gapSec = 1800)
+      .writeStream.format("memory").queryName("st05_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // sentinel user far in event-time future: advances the watermark so
+      // EventTimeTimeout closes every real user's open session (two
+      // batches: one to advance the watermark, one to fire the timeouts)
+      val far = new Timestamp(all.map(_.ts.getTime).max + 86400000L)
+      for (i <- 0 to 1) {
+        input.addData(Seq(SessionEvent(-1L, 1000000L + i, far)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st05_stream")
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: extra=${(streamed diff batch).take(3)} " +
+          s"missing=${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("TTL dedup: in-window dups suppressed, expired fingerprints " +
       "re-admit, state removed at the watermark") {
     implicit val sql = spark.sqlContext
