@@ -808,6 +808,45 @@ object OracleSql {
            round(quantile_cont(q, 0.95), 6) AS p95
          FROM q GROUP BY source ORDER BY source""",
 
+    "t09_top_tokens" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normText, ' ')) AS token
+                        FROM documents)
+         SELECT token, COUNT(*) AS freq FROM toks
+         GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25""",
+
+    "t10_tfidf_terms" ->
+      s"""WITH toks AS (SELECT doc_id,
+               unnest(string_split($normText, ' ')) AS token
+             FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, token,
+               tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+               FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (SELECT doc_id, token, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token ASC) AS INT) AS rank
+               FROM scored)
+         SELECT doc_id, rank, token, round(score, 6) AS score
+         FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
+
+    "p04_stratified_split" ->
+      s"""WITH flags AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(concat('${
+               graft.SparkEntry.p04Seed}', CAST(doc_id AS VARCHAR))),
+               1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents),
+         lab AS (SELECT doc_id, source,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+               FROM flags)
+         SELECT source, split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         FROM lab GROUP BY source, split ORDER BY source, split""",
+
     "p03_length_histogram" ->
       s"""WITH b AS (SELECT CASE WHEN $wordCountSql >= 1024 THEN 17
                ELSE CAST($wordCountSql // 64 AS BIGINT) + 1 END AS bucket

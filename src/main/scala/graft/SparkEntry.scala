@@ -933,6 +933,66 @@ object SparkEntry {
         (col("bucket") * 64).as("hi_tokens"), col("n_docs"))
       .orderBy("bucket")
 
+  /** Corpus vocabulary heavy hitters: top-25 tokens by raw frequency with
+    * a deterministic tiebreak — one explode + one map-side-combined count
+    * + a global TakeOrderedAndProject (q21's shape: never a full sort). */
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(25)
+
+  /** TF-IDF top terms per document — the per-doc keyword extraction of a
+    * corpus indexing pipeline. tf and df are two map-side-combined counts
+    * (df counts rows of the already-distinct (doc, token) tf frame); the
+    * corpus size joins in as a 1-row scalar frame (t05's declared BNLJ
+    * exemption class); ranking is the bounded STRING-id top-k aggregate
+    * (functions/TopKByScoreStr) with binary-order tiebreaks, so the
+    * DuckDB row_number() oracle reproduces rank order exactly. */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "token")
+      .crossJoin(n)
+      .select(col("doc_id"), col("token"),
+        (col("tf") *
+          (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("score"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopK.topKByScoreStr(
+        col("score"), col("token"), 5).as("kept"))
+      .select(col("doc_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("kv.id").as("token"), round(col("kv.score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** p04 seed, shared with the oracle SQL generator. */
+  private[graft] val p04Seed = "graft-split-r8"
+
+  /** Deterministic stratified train/val/test assignment (Pack.splitAssign:
+    * one md5-derived coin per doc vs cumulative fractions) — per-doc
+    * labels, stable under corpus growth, zero shuffles before the output
+    * sort. Summarized per (source, split) so the gate result is compact
+    * while the oracle still has to reproduce every coin. */
+  private def p04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.pack.Pack.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          p04Seed).as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("source", "split")
+
   /** REAL pixel decode: per-doc fully-decodable PNGs (pixel pattern a
     * closed form of doc_id — Binary.makeRealPng) decoded by javax.imageio
     * in Binary.pixelStats; channel means derived from the exact long sums.
@@ -1037,7 +1097,10 @@ object SparkEntry {
     "t06_repetition" -> (t06 _),
     "t07_quality_quota" -> (t07 _),
     "t08_quality_percentiles" -> (t08 _),
+    "t09_top_tokens" -> (t09 _),
+    "t10_tfidf_terms" -> (t10 _),
     "p03_length_histogram" -> (p03 _),
+    "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),
     "d08_semantic_dedup" -> (d08 _),
     "d09_contamination" -> (d09 _),

@@ -174,10 +174,182 @@ case class TopKByScore(
     copy(child = c)
 }
 
+/** [[TopKBuffer]] with STRING ids (stored as UTF8String so the tiebreak
+  * is binary/UTF-8 order — identical to an engine's default VARCHAR
+  * collation — not Java's UTF-16 order). Same bounded-heap discipline. */
+final class TopKStrBuffer(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+  var size: Int = 0
+
+  @inline private def worse(s1: Double, i1: UTF8String,
+                            s2: Double, i2: UTF8String) =
+    s1 < s2 || (s1 == s2 && i1.compareTo(i2) > 0)
+
+  private def siftUp(j0: Int): Unit = {
+    var j = j0
+    while (j > 0) {
+      val p = (j - 1) >> 1
+      if (worse(scores(j), ids(j), scores(p), ids(p))) {
+        swap(j, p); j = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var j = 0
+    while (true) {
+      val l = 2 * j + 1
+      val r = l + 1
+      var m = j
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == j) return
+      swap(j, m); j = m
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def insert(score: Double, id: UTF8String): Unit = {
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      siftUp(size - 1)
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      siftDown()
+    }
+  }
+
+  def merge(other: TopKStrBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** (score, id) pairs sorted best-first: score desc, id asc binary. */
+  def sorted: Array[(Double, org.apache.spark.unsafe.types.UTF8String)] = {
+    val arr = Array.tabulate(size)(i => (scores(i), ids(i)))
+    java.util.Arrays.sort(arr,
+      (a: (Double, UTF8String), b: (Double, UTF8String)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      })
+    arr
+  }
+}
+
+/** [[TopKByScore]] with STRING ids — same bounded-heap aggregate for
+  * per-group ranking where the ranked entity is a string (tokens, urls).
+  * Input: struct(score: double, id: string); output sorted
+  * array<struct<score double, id string>>, ties broken by binary string
+  * order — reproducible across engines. */
+case class TopKByScoreStr(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] with UnaryLike[Expression] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k > 0, "k must be positive")
+
+  override def prettyName: String = "top_k_by_score_str"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", StringType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b))
+        if a.dataType == DoubleType && b.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.DataTypeMismatch(
+        errorSubClass = "UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "paramIndex" -> "1",
+          "requiredType" -> "STRUCT<score: DOUBLE, id: STRING>",
+          "inputSql" -> child.sql,
+          "inputType" -> other.sql))
+  }
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        // clone: the input row's backing buffer is reused across rows
+        buf.insert(row.getDouble(0), row.getUTF8String(1).clone())
+    }
+    buf
+  }
+
+  override def merge(buf: TopKStrBuffer, other: TopKStrBuffer): TopKStrBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: TopKStrBuffer): Any = {
+    val rows: Array[Any] = buf.sorted.map { case (s, id) =>
+      InternalRow(s, id)
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = {
+    val payload = buf.ids.take(buf.size).map(_.getBytes)
+    val bb = ByteBuffer.allocate(
+      8 + buf.size * 12 + payload.map(_.length).sum)
+    bb.putInt(buf.k).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i))
+      bb.putInt(payload(i).length).put(payload(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKStrBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble()
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.insert(s, UTF8String.fromBytes(b))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScoreStr =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScoreStr =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): TopKByScoreStr =
+    copy(child = c)
+}
+
 object TopK {
   /** Aggregate Column: best-k (score, id) pairs per group as a sorted
     * array<struct<score,id>> — partial-aggregatable, buffer bounded at k. */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     B.column(TopKByScore(B.expression(struct(score, id)), k)
+      .toAggregateExpression())
+
+  /** [[topKByScore]] for string-identified entries (tokens, urls). */
+  def topKByScoreStr(score: Column, id: Column, k: Int): Column =
+    B.column(TopKByScoreStr(B.expression(struct(score, id)), k)
       .toAggregateExpression())
 }

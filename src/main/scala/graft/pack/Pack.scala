@@ -47,6 +47,24 @@ object Pack {
         (uniformDraw(seed, keyCol) < col("weight")).cast("int"))
   }
 
+  /** Deterministic stratified split assignment: ONE [[uniformDraw]] coin
+    * per row, compared against the cumulative split fractions — the
+    * train/val/test labeling of a dataset build. Stable under corpus
+    * growth (a doc's label never changes when other docs arrive),
+    * reproducible across engines, and a pure scalar CASE in the scan
+    * stage — zero shuffles, zero state. The last split absorbs any
+    * remaining mass so fractions need not sum to exactly 1. */
+  def splitAssign(keyCol: Column, splits: Seq[(String, Double)],
+                  seed: String): Column = {
+    require(splits.nonEmpty)
+    val u = uniformDraw(seed, keyCol)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), b), acc) =>
+        when(u < b, lit(name)).otherwise(acc)
+      }
+  }
+
   /** [[mixtureFlags]], filtered to the kept rows. */
   def mixtureSample(docs: DataFrame, sourceCol: Column, keyCol: Column,
                     weights: Map[String, Double], seed: String): DataFrame =

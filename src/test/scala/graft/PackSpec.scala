@@ -82,6 +82,27 @@ class PackSpec extends AnyFunSuite {
     assert(a != b, "independent seeds must not reproduce the same sample")
   }
 
+  test("splitAssign: fractions honored, growth-stable, last split " +
+      "absorbs remainder") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = spark.range(0, 2000).toDF("id")
+    val labels = df.select(col("id"),
+        Pack.splitAssign(col("id"), splits, "s1").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = labels.values.groupBy(identity).view.mapValues(_.size)
+    // one md5 coin per row: expect fractions within a loose binomial band
+    assert(math.abs(counts("train") - 1600) < 120, counts.toMap.toString)
+    assert(math.abs(counts("val") - 200) < 80)
+    assert(math.abs(counts("test") - 200) < 80)
+    // growth stability: a prefix of the corpus gets identical labels
+    val prefix = spark.range(0, 500).toDF("id")
+      .select(col("id"), Pack.splitAssign(col("id"), splits, "s1").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prefix == labels.view.filterKeys(_ < 500).toMap)
+    // every label is one of the splits (last absorbs u >= 0.9 exactly)
+    assert(labels.values.toSet == Set("train", "val", "test"))
+  }
+
   test("uniformDraw stays in [0, 1)") {
     val mm = docs.select(Pack.uniformDraw("s", col("doc_id")).as("u"))
       .agg(min(col("u")), max(col("u"))).head()

@@ -76,8 +76,10 @@ class PlanSpec extends AnyFunSuite {
     // s06 scores every row against the #labels-row checkpointed centroid
     // frame (s03/d08's c-row broadcast class, previously masked by s05
     // failing this sweep first).
+    // t10 zips in the 1-row corpus-count frame (t05's scalar class).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
-      "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids")
+      "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
+      "t10_tfidf_terms")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -86,6 +88,13 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name has an unintended nested-loop join")
     }
+  }
+
+  test("t09 heavy hitters: partial count + TakeOrderedAndProject") {
+    val p = plan("t09_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-25 must not full-sort:\n$p")
+    assert(p.contains("partial"), "token counts must map-side combine")
   }
 
   test("t07 quota ranks via the partial top-k aggregate, not a window") {
