@@ -761,6 +761,34 @@ object OracleSql {
              AS dup_frac
          FROM tot LEFT JOIN hit USING (doc_id) ORDER BY tot.doc_id""",
 
+    "d12_remove_dup_spans" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         toks AS (SELECT doc_id, i AS pos, arr[i] AS token
+                  FROM arrs,
+                    unnest(generate_series(1, len(arr))) AS s(i)),
+         pos AS (SELECT doc_id, i AS p, array_to_string(arr[i:i+4], ' ') AS g
+                 FROM arrs,
+                   unnest(generate_series(1, greatest(len(arr) - 4, 1)))
+                   AS u(i)),
+         dup AS (SELECT g FROM pos GROUP BY g
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, p + o AS pos
+                 FROM pos, unnest(generate_series(0, 4)) AS q(o)
+                 WHERE g IN (SELECT g FROM dup)),
+         kept AS (SELECT t.doc_id, t.pos, t.token
+                  FROM toks t LEFT JOIN cov c
+                    ON c.doc_id = t.doc_id AND c.pos = t.pos
+                  WHERE c.pos IS NULL),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(token, ' ' ORDER BY pos) AS clean_text
+                 FROM kept GROUP BY doc_id)
+         SELECT a.doc_id, len(arr) AS n_tokens,
+           len(arr) - COALESCE(n_kept, 0) AS n_removed,
+           COALESCE(clean_text, '') AS clean_text
+         FROM arrs a LEFT JOIN reb USING (doc_id)
+         ORDER BY a.doc_id""",
+
     "m01_binary_meta" ->
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

@@ -694,6 +694,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style cleaning: remove every token covered by a
+    * cross-doc duplicated 5-gram span (d10's detection rule, applied as a
+    * transform — the actual dedup-the-training-text step). */
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+
   private def s01(s: SparkSession, dir: String): DataFrame =
     Knn.bruteForceKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3)
@@ -1106,6 +1115,7 @@ object SparkEntry {
     "d09_contamination" -> (d09 _),
     "d10_dup_spans" -> (d10 _),
     "d11_bloom_decontam" -> (d11 _),
+    "d12_remove_dup_spans" -> (d12 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

@@ -409,6 +409,50 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** ExactSubstr-style span REMOVAL — the cleaning counterpart of
+    * [[dupSpans]] (which only measures): every token position covered by
+    * a cross-doc duplicated n-gram span (a span whose gram has document
+    * frequency >= 2 covers positions [start, start+n)) is dropped, and
+    * the surviving tokens are re-joined in position order. Returns
+    * (id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: dup detection is dupSpans' df>=2 gram-keyed semi-join
+    * (never doc × doc); coverage is a narrow (id, pos) explode bounded by
+    * n rows per matched span; the text rebuild is ONE groupBy with the
+    * struct-sort pattern (collect_list → array_sort → transform, the
+    * q23/s06 shape) — per-doc state is the doc's own tokens, no window,
+    * no global sort. `hashGrams` mirrors dupSpans' 8-byte key knob. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, hashGrams: Boolean = false): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), posexplode(col("toks")).as(Seq("tp", "token")))
+      .select(col("id"), (col("tp") + 1).as("pos"), col("token"))
+    val spans = positionalGrams(docs, idCol, textCol, n)
+    val pos =
+      if (hashGrams) spans.select(col("id"), col("p"),
+        xxhash64(col("g")).as("g"))
+      else spans
+    val dup = pos.groupBy("g").agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2).select("g")
+    val covered = pos.join(dup, Seq("g"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("clean_text"))
+    toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected components over a near-dup pair graph — the dedup
     * post-step that turns pairwise matches into KEEP/DROP decisions: every
     * document in a component shares its cluster id (the component's

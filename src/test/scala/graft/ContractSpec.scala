@@ -47,6 +47,27 @@ class ContractSpec extends AnyFunSuite {
         s"stale SURVEY rows: ${surveyKeys -- SparkEntry.queries.keySet}")
   }
 
+  test("SURVEY §2 oracle column matches the declared rows-only set") {
+    // 4th cell of each row is `sql` or `rows`; the `rows` set must equal
+    // declaredRowsOnly exactly, so the ledger can't claim an oracle a
+    // query doesn't have (or vice versa).
+    val keyPattern = "^(q|d|s|t|m|p|st)\\d+\\w*_\\w+$".r
+    val src = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8)
+    val surveyRowsOnly =
+      try src.getLines().filter(_.startsWith("|")).flatMap { l =>
+        val cells = l.split("\\|").map(_.trim)
+        for {
+          k <- cells.lift(2) if keyPattern.pattern.matcher(k).matches
+          o <- cells.lift(4) if o == "rows"
+        } yield k
+      }.toSet
+      finally src.close()
+    assert(surveyRowsOnly == declaredRowsOnly,
+      s"SURVEY claims rows-only but oracle exists: " +
+        s"${surveyRowsOnly -- declaredRowsOnly}; " +
+        s"oracle-less but marked sql: ${declaredRowsOnly -- surveyRowsOnly}")
+  }
+
   test("every query plans against the test scale factor") {
     // Analysis errors (bad column, unresolved function) surface here even
     // for queries whose execution the oracle gate would catch later.

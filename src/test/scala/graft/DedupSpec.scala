@@ -182,6 +182,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
   }
 
+  test("removeDupSpans drops exactly the covered positions") {
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // docs 1/2 are exact dups: every span is cross-doc duplicated, the
+    // whole text is removed
+    assert(got(1L) == ((12L, 12L, "")))
+    assert(got(2L) == ((12L, 12L, "")))
+    // doc 3 shares spans 1..4 with docs 1/2 (they cover positions 1..8);
+    // every span containing "cat" (pos 9) or the differing tail is unique
+    assert(got(3L) == ((12L, 8L, "cat again and again")))
+    // doc 4 is disjoint: nothing removed, normalized text survives intact
+    assert(got(4L) ==
+      ((7L, 0L, "completely different content discussing catalyst " +
+        "optimizer rules")))
+  }
+
   test("hashGrams scale path is identical to exact strings at sf0.001") {
     import graft.sources.Tables
     val corpus = Tables(spark, TestSpark.sf, "documents")
@@ -195,6 +214,10 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dupSpans(corpus, "doc_id", "text", n = 5, hashGrams = h)
         .orderBy("id").collect().toSeq
     assert(spanRows(true) == spanRows(false))
+    def cleanRows(h: Boolean) =
+      Dedup.removeDupSpans(corpus, "doc_id", "text", n = 5, hashGrams = h)
+        .orderBy("id").collect().toSeq
+    assert(cleanRows(true) == cleanRows(false))
   }
 
   test("simhash ground truth at sf0.001: pigeonhole blocking is EXACT") {
