@@ -102,6 +102,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("removeDupSpans invariants at sf0.001: counts consistent, clean " +
+      "text is an in-order subsequence of the normalized tokens") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    val spark = TestSpark.spark
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3))))
+      .toMap
+    val norm = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet == norm.keySet)
+    for ((id, (nTok, nRem, clean)) <- got) {
+      assert(nTok == norm(id).length, s"doc $id token count")
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id removed range")
+      val cleanToks = if (clean.isEmpty) Seq.empty[String]
+        else clean.split(" ").toSeq
+      assert(cleanToks.length == nTok - nRem, s"doc $id clean count")
+      // in-order subsequence of the normalized token stream
+      var i = 0
+      for (t <- cleanToks) {
+        val j = norm(id).indexOf(t, i)
+        assert(j >= 0, s"doc $id: '$t' out of order / missing")
+        i = j + 1
+      }
+    }
+    // non-vacuous on the near-dup corpus: full removals, partial
+    // removals, and untouched docs all occur
+    assert(got.values.exists { case (n, r, _) => r == n && n > 0 })
+    assert(got.values.exists { case (n, r, _) => r > 0 && r < n })
+    assert(got.values.exists { case (_, r, _) => r == 0 })
+  }
+
   test("media header parsers are total on arbitrary and mutated bytes") {
     import graft.multimodal.Binary
     val rng = new scala.util.Random(13)
