@@ -25,12 +25,9 @@ object Bench {
     try SparkEntry.queries("q01_summary_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Optional subset for re-measuring individual queries (median
-    // re-establishment): comma-separated keys; absent = all (driver mode).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SparkEntry.querySubset: optional SPARK_GRAFT_ONLY re-measurement
+    // subset (absent = all; driver mode).
+    val results = SparkEntry.querySubset.toSeq.sortBy(_._1)
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1127,6 +1127,22 @@ object SparkEntry {
     "st04_contamination_stream" -> (st04 _)
   )
 
+  /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var
+    * (comma-separated keys; absent = all — the driver never sets it).
+    * Shared by Bench and Verify; unknown keys fail loudly instead of
+    * silently selecting nothing. */
+  private[graft] def querySubset
+      : Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case None => queries
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- queries.keySet
+        require(unknown.isEmpty && want.nonEmpty,
+          s"SPARK_GRAFT_ONLY names no known query: ${unknown.mkString(",")}")
+        queries.filter { case (k, _) => want(k) }
+    }
+
   /** DuckDB-equivalent SQL per query (same parquet tables registered under
     * their bare names). Omitted for non-SQL-expressible ops (d02, d03, d04,
     * s02 — LSH internals; driver records rows-only checks for those). */

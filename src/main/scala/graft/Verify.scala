@@ -27,13 +27,9 @@ object Verify {
       if (f.isDirectory) f.listFiles.foreach(wipe)
       f.delete(); ()
     }
-    // Optional subset for targeted re-dumps (builder-side only; the
-    // driver never sets this, so gate runs always dump everything).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // SparkEntry.querySubset: optional SPARK_GRAFT_ONLY targeted re-dump
+    // subset (absent = all, so driver gate runs always dump everything).
+    SparkEntry.querySubset.foreach { case (name, fn) =>
       val target = new java.io.File(s"$outDir/$name")
       wipe(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

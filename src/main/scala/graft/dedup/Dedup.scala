@@ -445,7 +445,10 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("token")))),
           x => x.getField("token"))).as("clean_text"))
-    toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    // per-doc token count as a scan-stage scalar — size() of the split
+    // array, never a corpus-wide token-explode shuffle
+    docs.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(kept, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))

@@ -30,7 +30,11 @@ object Percentiles {
     * Output: groupCol, n_rows, one double column per requested p. */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
-    val counts = df.groupBy(col(groupCol), col(valueCol))
+    // NULL values are excluded like every SQL quantile implementation
+    // (an un-filtered NULL would enter the CDF at the lowest rank under
+    // NULLS FIRST ordering and shift every lookup).
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__c"))
     val cdf = counts
       .withColumn("__cum",

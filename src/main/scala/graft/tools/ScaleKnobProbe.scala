@@ -40,16 +40,14 @@ object ScaleKnobProbe {
           bitsPerTable = graphBits, nTables = 8)
         .write.format("noop").mode("overwrite").save()
     }
-    val tNear = timed {
-      graft.dedup.Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-          probeFilter = col("vec_id") % 20 === 0, threshold = 0.25,
-          bitsPerBand = bandBits, nBands = nBands)
-        .write.format("noop").mode("overwrite").save()
-    }
-    val nNear = graft.dedup.Dedup.embeddingNearDups(emb, "vec_id",
+    // one execution serves both the timing and the pair count
+    val near = graft.dedup.Dedup.embeddingNearDups(emb, "vec_id",
         "embedding", probeFilter = col("vec_id") % 20 === 0,
         threshold = 0.25, bitsPerBand = bandBits, nBands = nBands)
-      .count()
+      .persist()
+    var nNear = 0L
+    val tNear = timed { nNear = near.count() }
+    near.unpersist()
     println(f"""{"dir":"$dir","graphBits":$graphBits,"bandBits":$bandBits,""" +
       f""""nBands":$nBands,"s04_sec":$tGraph%.2f,"d05_sec":$tNear%.2f,""" +
       f""""d05_pairs":$nNear}""")
