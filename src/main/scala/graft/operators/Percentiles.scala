@@ -30,12 +30,17 @@ object Percentiles {
     * Output: groupCol, n_rows, one double column per requested p. */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
-    // NULL values are excluded like every SQL quantile implementation
-    // (an un-filtered NULL would enter the CDF at the lowest rank under
-    // NULLS FIRST ordering and shift every lookup).
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__c"))
+    // NULL values are excluded like every SQL quantile implementation —
+    // but NOT with an isnotnull filter: Catalyst pushes a predicate on a
+    // grouping column through the aggregate into the scan, where an
+    // expensive derived value column (t08's quality score) would be
+    // evaluated a SECOND time per row (measured 4x end-to-end on the 10x
+    // corpus). Instead count(valueCol) makes the (group, NULL) row count
+    // 0 — it adds nothing to __cum/__n, and the rank lookups can never
+    // select it: its cumulative count stays below every rank, and min()
+    // skips NULL values anyway.
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(col(valueCol)).as("__c"))
     val cdf = counts
       .withColumn("__cum",
         sum(col("__c")).over(

@@ -37,6 +37,20 @@ class PercentilesSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL values are excluded: counts and ranks see only non-nulls") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+        ("a", None), ("a", Some(2.0)), ("b", None))
+      .toDF("g", "v")
+    val got = Percentiles.groupPercentiles(df, "g", "v",
+        Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    // group a: median of {1,2,3} = 2, n = 3 (nulls invisible)
+    assert(got("a") == ((3L, Some(2.0))))
+    // group b: all-null -> n = 0, no rank is ever satisfied -> NULL out
+    assert(got("b") == ((0L, None)))
+  }
+
   test("degenerate groups: single value, all-equal values") {
     val df = (Seq.fill(5)(7.0).map("c" -> _) :+ ("d" -> 42.0)).toDF("g", "v")
     val got = Percentiles.groupPercentiles(df, "g", "v",

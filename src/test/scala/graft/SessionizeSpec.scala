@@ -44,5 +44,9 @@ class SessionizeSpec extends AnyFunSuite {
     assert(p.contains("partial"), "session rollup must map-side combine")
     assert(!p.contains("SinglePartition"),
       "sessionize must never collapse to one partition")
+    // column pruning reaches the events scan: only (event_id, ts,
+    // user_id) are read, not the wide props/value payload columns
+    assert(!p.contains("props") && !p.contains("value"),
+      s"events scan must prune unused columns:\n$p")
   }
 }
