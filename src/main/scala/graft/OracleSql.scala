@@ -817,8 +817,9 @@ object OracleSql {
                WINDOW w AS (PARTITION BY user_id
                             ORDER BY ts_sec, event_id)),
          s AS (SELECT user_id, ts_sec,
-               SUM(new_s) OVER (PARTITION BY user_id
-                                ORDER BY ts_sec, event_id) AS session_idx
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS BIGINT)
+                 AS session_idx
                FROM f)
          SELECT user_id, session_idx, COUNT(*) AS n_events,
            MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
@@ -829,7 +830,7 @@ object OracleSql {
     "t08_quality_percentiles" ->
       s"""WITH q AS (SELECT source, round($qualitySql, 6) AS q
                      FROM documents)
-         SELECT source, COUNT(*) AS n_docs,
+         SELECT source, COUNT(q) AS n_docs,
            round(quantile_cont(q, 0.25), 6) AS p25,
            round(quantile_cont(q, 0.50), 6) AS p50,
            round(quantile_cont(q, 0.75), 6) AS p75,

@@ -1137,9 +1137,11 @@ object SparkEntry {
       case None => queries
       case Some(s) =>
         val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(want.nonEmpty,
+          "SPARK_GRAFT_ONLY is set but names no queries (empty/whitespace)")
         val unknown = want -- queries.keySet
-        require(unknown.isEmpty && want.nonEmpty,
-          s"SPARK_GRAFT_ONLY names no known query: ${unknown.mkString(",")}")
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
         queries.filter { case (k, _) => want(k) }
     }
 

@@ -59,6 +59,10 @@ final class TopKBuffer(val k: Int) {
   }
 
   def insert(score: Double, id: Long): Unit = {
+    // NaN never enters the heap: all NaN comparisons are false, so one at
+    // the root would be irreplaceable and break the heap invariant.
+    // Semantics: a NaN score is "no score" — excluded from the top-k.
+    if (java.lang.Double.isNaN(score)) return
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)
@@ -216,6 +220,8 @@ final class TopKStrBuffer(val k: Int) {
   }
 
   def insert(score: Double, id: UTF8String): Unit = {
+    // NaN excluded, same rule (and reason) as [[TopKBuffer.insert]].
+    if (java.lang.Double.isNaN(score)) return
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)

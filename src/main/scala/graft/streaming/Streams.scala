@@ -134,9 +134,21 @@ object Streams {
     * active-user set, and a quiet stream still drains). Matches the batch
     * operator exactly when events arrive in event-time order — the
     * chunked-replay parity spec asserts set equality against the q37
-    * gate. Callers must set a watermark on `ts` before calling. */
+    * gate. Callers must set a watermark on `ts` before calling.
+    *
+    * Late data is DETERMINISTIC, not order-dependent: events strictly
+    * behind the current watermark are dropped on entry (ties with the
+    * watermark are kept, so in-order replay never loses a row) — a
+    * straggler can no longer split or renumber an already-closed
+    * session. After a timeout close, the per-user closed marker (n = 0,
+    * preserving the cumulative session counter) is itself TTL'd after
+    * `markerTtlSec` of event time, bounding state by the ACTIVE-user set
+    * rather than the lifetime-distinct one; a user returning after the
+    * marker TTL restarts numbering at 1 (the documented trade). */
   def sessionizeStream(events: Dataset[SessionEvent],
-                       gapSec: Long): Dataset[SessionOut] = {
+                       gapSec: Long,
+                       markerTtlSec: Long = 30L * 86400): Dataset[SessionOut] = {
+    require(markerTtlSec > 0, s"markerTtlSec must be positive: $markerTtlSec")
     import events.sparkSession.implicits._
     def close(uid: Long, s: SessionSt) =
       SessionOut(uid, s.idx, s.n, s.startSec, s.lastSec,
@@ -147,17 +159,31 @@ object Streams {
         (uid: Long, rows: Iterator[SessionEvent],
          state: GroupState[SessionSt]) =>
           if (state.hasTimedOut) {
-            // Close the idle session but KEEP the cumulative index (n = 0
-            // marks "no open session") — the batch operator numbers a
-            // user's sessions over all time, so the counter must survive
-            // the close. State is then bounded by the distinct-user set;
-            // a production deployment TTLs it like
-            // [[firstPerFingerprintStreamTtl]] when user ids churn.
             val s = state.get
-            state.update(s.copy(n = 0))
-            Iterator.single(close(uid, s))
+            if (s.n == 0) {
+              // Closed marker reached its TTL: drop it. A later event from
+              // this user restarts numbering at 1.
+              state.remove()
+              Iterator.empty
+            } else {
+              // Close the idle session but KEEP the cumulative index
+              // (n = 0 marks "no open session") — the batch operator
+              // numbers a user's sessions over all time, so the counter
+              // survives the close — then arm the marker's own TTL so a
+              // departed user's state is eventually reclaimed.
+              state.update(s.copy(n = 0))
+              state.setTimeoutTimestamp(
+                math.max((s.lastSec + gapSec) * 1000,
+                  state.getCurrentWatermarkMs) + markerTtlSec * 1000)
+              Iterator.single(close(uid, s))
+            }
           } else {
-            val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+            // Deterministic late-data rule: drop events strictly behind
+            // the watermark (ties kept — a closed window's boundary event
+            // replayed in order must not vanish).
+            val wm = state.getCurrentWatermarkMs
+            val sorted = rows.filter(_.ts.getTime >= wm)
+              .toArray.sortBy(r => (r.ts.getTime, r.event_id))
             var out = List.empty[SessionOut]
             var st = state.getOption
             for (r <- sorted) {
@@ -174,7 +200,11 @@ object Streams {
                   Some(SessionSt(1, 1, sec, sec))
               }
             }
-            for (s <- st) {
+            // Only touch state when this batch actually contributed rows:
+            // an all-late batch must not re-arm a closed marker's timeout
+            // with a near-watermark timestamp (which would expire it
+            // early and renumber the user).
+            if (sorted.nonEmpty) for (s <- st) {
               state.update(s)
               // close when the watermark passes the gap after the last
               // event; never at/behind the current watermark

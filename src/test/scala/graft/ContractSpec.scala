@@ -68,6 +68,25 @@ class ContractSpec extends AnyFunSuite {
         s"oracle-less but marked sql: ${declaredRowsOnly -- surveyRowsOnly}")
   }
 
+  test("every oracle SUM is CAST-wrapped (DuckDB HUGEINT hash trap)") {
+    // DuckDB widens integer SUM (plain or windowed) to HUGEINT; the
+    // driver's hasher distinguishes it from Spark's BIGINT even when
+    // every value matches (the round-8 q37 failure). Rule: every SUM( in
+    // OracleSql.scala sits directly inside a CAST( — the type is always
+    // pinned explicitly.
+    val src = scala.io.Source
+      .fromFile("src/main/scala/graft/OracleSql.scala")(scala.io.Codec.UTF8)
+    val text = try src.mkString finally src.close()
+    val sumRe = "(?i)\\bSUM\\(".r
+    val bad = sumRe.findAllMatchIn(text).filterNot { m =>
+      m.start >= 5 &&
+        text.substring(m.start - 5, m.start).equalsIgnoreCase("CAST(")
+    }.map(m => text.substring(0, m.start).count(_ == '\n') + 1).toList
+    assert(bad.isEmpty,
+      s"uncast SUM( in OracleSql.scala at line(s) ${bad.mkString(",")} — " +
+        "wrap in CAST(SUM(...) AS <type>) to pin the oracle's result type")
+  }
+
   test("every query plans against the test scale factor") {
     // Analysis errors (bad column, unresolved function) surface here even
     // for queries whose execution the oracle gate would catch later.
