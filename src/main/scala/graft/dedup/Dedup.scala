@@ -583,4 +583,31 @@ object Dedup {
         Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Gate reference configuration for embedding near-dup LSH (d05/d06):
+    * b=1, L=18 — reproduced by the derivation at both gate corpus sizes
+    * (500 and 2000 rows at targetBucket=1000), and the anchor
+    * [[graft.sim.LshKnobs]] widens from at scale (the 10× probe
+    * validated b=4, L=36 at 10× the bench corpus — the same rule, one
+    * bit narrower / two tables fewer). */
+  private[graft] val NearDupBaseBits = 1
+  private[graft] val NearDupBaseTables = 18
+  private[graft] val NearDupTargetBucket = 1000L
+
+  /** [[embeddingNearDups]] with (bits, bands) derived from corpus size
+    * ([[graft.sim.LshKnobs]]) — the deployment entry point at a new
+    * scale, so callers never hand-port the gate constants. `recallCos`
+    * is the cosine level recall is preserved at (the near-dup pairs
+    * themselves, not `threshold`); pass `corpusRows` when known, None
+    * counts once. */
+  def embeddingNearDupsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                            probeFilter: Column, threshold: Double,
+                            corpusRows: Option[Long] = None,
+                            targetBucket: Long = NearDupTargetBucket,
+                            recallCos: Double = 0.9): DataFrame = {
+    val kn = graft.sim.LshKnobs.derive(corpusRows.getOrElse(emb.count()),
+      targetBucket, NearDupBaseBits, NearDupBaseTables, recallCos)
+    embeddingNearDups(emb, idCol, vecCol, probeFilter, threshold,
+      bitsPerBand = kn.bits, nBands = kn.tables)
+  }
 }

@@ -175,4 +175,41 @@ object Knn {
   /** Single-table signature (back-compat helper; table 0 of [[srpBands]]). */
   def lshSignatureExpr(vecCol: String, bits: Int): Column =
     element_at(srpBands(vecCol, 1, bits), 1)
+
+  /** Gate reference configuration for the kNN LSH family (s02/s04):
+    * b=4, L=8, expected ~125-row buckets on the gate corpus — the
+    * (baseBits, baseTables, targetBucket) anchor [[LshKnobs]] widens
+    * from. The 10× probe validated exactly this anchor: 15000 rows /
+    * 125 → bits=7 restored near-linear scaling (BENCHLOG r08). */
+  private[graft] val KnnBaseBits = 4
+  private[graft] val KnnBaseTables = 8
+  private[graft] val KnnTargetBucket = 125L
+
+  /** [[lshKnn]] with (bits, tables) derived from corpus size
+    * ([[LshKnobs]]) instead of hand-ported constants — the deployment
+    * entry point at a new scale. Pass `corpusRows` when the count is
+    * already known (a catalog statistic, a previous stage's count);
+    * None runs one count() job over the scan (column-pruned to
+    * metadata — cheap next to the LSH work it sizes). */
+  def lshKnnAuto(emb: DataFrame, idCol: String, vecCol: String,
+                 probeFilter: Column, k: Int,
+                 corpusRows: Option[Long] = None,
+                 targetBucket: Long = KnnTargetBucket,
+                 recallCos: Double = 0.9,
+                 maxBucket: Option[Int] = None): DataFrame = {
+    val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
+      targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
+    lshKnn(emb, idCol, vecCol, probeFilter, k, kn.bits, kn.tables, maxBucket)
+  }
+
+  /** [[knnGraph]] with corpus-derived knobs — see [[lshKnnAuto]]. */
+  def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   corpusRows: Option[Long] = None,
+                   targetBucket: Long = KnnTargetBucket,
+                   recallCos: Double = 0.9,
+                   maxBucket: Option[Int] = None): DataFrame = {
+    val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
+      targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
+    knnGraph(emb, idCol, vecCol, k, kn.bits, kn.tables, maxBucket)
+  }
 }

@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Builder-side probe for the SRP-LSH scale knobs (args: sfDir
-  * graphBits bandBits [nBands]): times s04's knnGraph and d05's
-  * embeddingNearDups at the given bucket widths and prints one JSON line.
+  * graphBits bandBits [nBands], or `sfDir auto`): times s04's knnGraph
+  * and d05's embeddingNearDups at the given bucket widths and prints one
+  * JSON line. `auto` derives every knob from the corpus count via
+  * [[graft.sim.LshKnobs]] — the check that the coded deployment rule
+  * restores near-linear scaling WITHOUT hand-picked bits.
   *
   * Rationale: bucket size is corpus / 2^bits, so candidate-pair work per
   * bucket grows quadratically in corpus size when bits stay fixed — the
@@ -17,9 +20,7 @@ import org.apache.spark.sql.functions._
 object ScaleKnobProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val graphBits = args(1).toInt
-    val bandBits = args(2).toInt
-    val nBands = if (args.length > 3) args(3).toInt else 18
+    val auto = args.length > 1 && args(1) == "auto"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,13 +32,28 @@ object ScaleKnobProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    import graft.sim.LshKnobs
+    val (graphBits, graphTables) =
+      if (auto) {
+        val k = LshKnobs.derive(n, graft.sim.Knn.KnnTargetBucket,
+          graft.sim.Knn.KnnBaseBits, graft.sim.Knn.KnnBaseTables)
+        (k.bits, k.tables)
+      } else (args(1).toInt, 8)
+    val (bandBits, nBands) =
+      if (auto) {
+        val k = LshKnobs.derive(n, graft.dedup.Dedup.NearDupTargetBucket,
+          graft.dedup.Dedup.NearDupBaseBits,
+          graft.dedup.Dedup.NearDupBaseTables)
+        (k.bits, k.tables)
+      } else (args(2).toInt, if (args.length > 3) args(3).toInt else 18)
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val tGraph = timed {
       graft.sim.Knn.knnGraph(emb, "vec_id", "embedding", k = 3,
-          bitsPerTable = graphBits, nTables = 8)
+          bitsPerTable = graphBits, nTables = graphTables)
         .write.format("noop").mode("overwrite").save()
     }
     // one execution serves both the timing and the pair count
@@ -48,7 +64,9 @@ object ScaleKnobProbe {
     var nNear = 0L
     val tNear = timed { nNear = near.count() }
     near.unpersist()
-    println(f"""{"dir":"$dir","graphBits":$graphBits,"bandBits":$bandBits,""" +
+    println(f"""{"dir":"$dir","rows":$n,"auto":$auto,""" +
+      f""""graphBits":$graphBits,"graphTables":$graphTables,""" +
+      f""""bandBits":$bandBits,""" +
       f""""nBands":$nBands,"s04_sec":$tGraph%.2f,"d05_sec":$tNear%.2f,""" +
       f""""d05_pairs":$nNear}""")
     spark.stop()
