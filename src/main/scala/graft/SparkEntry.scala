@@ -672,11 +672,15 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
       .orderBy("vec_id")
 
-  /** Semantic dedup (SemDeDup): kept ids after dropping within-cell
-    * embedding near-duplicates. tau=0.25 matches d05's near-dup band on
-    * this corpus (max off-diagonal cosine ≈ 0.44). */
+  /** Semantic dedup (SemDeDup): every corpus id with its keep/drop
+    * decision, each drop carrying a (witness_id, witness_cos) evidence
+    * pair so the DuckDB side of the gate recomputes the cosine from raw
+    * vectors and asserts witness_id < vec_id ∧ cos ≥ τ
+    * (tools/oracle_check.py d08_soundness — d03 emitSigs' sibling).
+    * tau=0.25 matches d05's near-dup band on this corpus (max
+    * off-diagonal cosine ≈ 0.44). */
   private def d08(s: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.semanticDedupAudit(t(s, dir, "embeddings"), "vec_id", "embedding",
         c = 16, tau = 0.25)
       .orderBy("vec_id")
 

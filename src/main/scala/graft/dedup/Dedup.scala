@@ -522,6 +522,18 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     c: Int, tau: Double, iters: Int = 3,
                     fitFraction: Double = 1.0): DataFrame = {
+    val (cells, pairs) =
+      semanticPairs(emb, idCol, vecCol, c, tau, iters, fitFraction)
+    val dominated = pairs.select(col("id_b").as("id")).distinct()
+    cells.join(dominated, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+  }
+
+  /** Cells + the qualifying drop pairs behind [[semanticDedup]]:
+    * (id_a, id_b, cos) with id_a < id_b, same cell, cos >= tau. */
+  private def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            c: Int, tau: Double, iters: Int,
+                            fitFraction: Double): (DataFrame, DataFrame) = {
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val fitCorpus =
       if (fitFraction >= 1.0) corpus
@@ -529,20 +541,46 @@ object Dedup {
     val centroids = graft.sim.Ivf.fitCentroids(fitCorpus, c, iters,
       seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
     // One assignment pass; localCheckpoint because both join sides and the
-    // final anti-join consume it (the repo's iterative-frame discipline).
+    // downstream anti-/left-join consume it (the repo's iterative-frame
+    // discipline).
     val cells = graft.sim.Ivf.assign(corpus, centroids)
       .select(col("id"), col("v"), col("cluster"))
       .localCheckpoint(eager = false)
-    val dominated = cells.select(col("cluster"), col("id").as("id_a"),
+    val pairs = cells.select(col("cluster"), col("id").as("id_a"),
         col("v").as("v_a"))
       .join(cells.select(col("cluster"), col("id").as("id_b"),
         col("v").as("v_b")), Seq("cluster"))
-      .filter(col("id_a") < col("id_b") &&
-        Vectors.cosine(col("v_a"), col("v_b")) >= tau)
-      .select(col("id_b").as("id"))
-      .distinct()
-    cells.join(dominated, Seq("id"), "left_anti")
-      .select(col("id").as(idCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= tau)
+    (cells, pairs)
+  }
+
+  /** [[semanticDedup]] with a PER-ROW AUDIT TRAIL instead of just the
+    * kept set: every corpus id with `kept`, and for each dropped id the
+    * minimum-id qualifying neighbor as a verifiable WITNESS
+    * (witness_id < id, same cell, exact cosine >= tau). Kept rows carry
+    * NULL witnesses. An external checker that can recompute cosine from
+    * the raw vectors (tools/oracle_check.py's d08_soundness does, in
+    * DuckDB) can then prove every drop was justified without re-running
+    * the clustering — the same exported-evidence pattern as d03's
+    * emitSigs. Same shuffles as [[semanticDedup]] with the distinct
+    * replaced by a min-of-struct aggregate (both map-side combined). */
+  def semanticDedupAudit(emb: DataFrame, idCol: String, vecCol: String,
+                         c: Int, tau: Double, iters: Int = 3,
+                         fitFraction: Double = 1.0): DataFrame = {
+    val (cells, pairs) =
+      semanticPairs(emb, idCol, vecCol, c, tau, iters, fitFraction)
+    val witness = pairs
+      .groupBy(col("id_b").as("id"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("w"))
+      .select(col("id"), col("w.id_a").as("witness_id"),
+        col("w.cos").as("witness_cos"))
+    cells.select(col("id"))
+      .join(witness, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("witness_id").isNull.as("kept"),
+        col("witness_id"), col("witness_cos"))
   }
 
   /** Embedding near-dup pairs: cosine >= threshold between a bounded probe

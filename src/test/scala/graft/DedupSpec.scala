@@ -292,6 +292,50 @@ class DedupSpec extends AnyFunSuite {
       "tau=0.25 must actually drop in-cell near-dups on this corpus")
   }
 
+  test("semanticDedupAudit: kept set matches, witnesses justify drops") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val tau = 0.25
+    val audit = Dedup.semanticDedupAudit(emb, "vec_id", "embedding",
+        c = 16, tau = tau)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // the audit covers the corpus exactly once
+    assert(audit.length == emb.count())
+    assert(audit.map(_._1).distinct.length == audit.length)
+    // kept rows == semanticDedup's kept set; kept rows carry no witness
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        c = 16, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(audit.filter(_._2).map(_._1).toSet == kept)
+    assert(audit.filter(_._2).forall(r => r._3.isEmpty && r._4.isEmpty))
+    // every drop's witness: lower id, exact cosine >= tau, and the
+    // exported cosine matches an independent recomputation
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = audit.filterNot(_._2)
+    assert(dropped.nonEmpty)
+    for ((id, _, wid, wcos) <- dropped) {
+      assert(wid.nonEmpty && wcos.nonEmpty, s"drop $id has no witness")
+      assert(wid.get < id, s"witness ${wid.get} not lower than $id")
+      val c = cos(vecs(wid.get), vecs(id))
+      assert(c >= tau, s"witness cosine $c below tau for ($id, ${wid.get})")
+      // 1e-6 tolerance: the fused kernel and this scalar recomputation
+      // differ in float accumulation order (same bound as d08_soundness)
+      assert(math.abs(c - wcos.get) < 1e-6,
+        s"exported cosine ${wcos.get} != recomputed $c for ($id, ${wid.get})")
+    }
+  }
+
   test("connectedComponents: chains merge, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
       .toDF("id_a", "id_b")

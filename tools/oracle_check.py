@@ -129,6 +129,41 @@ def main(sfdir, outdir):
               f" != dist or dist > 3")
         if not ok3:
             n_ok -= 1
+    # d08 emits a per-id audit: (vec_id, kept, witness_id, witness_cos).
+    # Every DROPPED id must carry a lower-id witness whose cosine,
+    # recomputed here from the raw embedding vectors (independent of the
+    # Spark kernel AND of the k-means cells), matches the export and
+    # clears tau = 0.25 — proving each drop was justified. Kept rows must
+    # carry no witness, and the audit must cover the corpus exactly.
+    # Completeness (greedy rule applied exactly per cell) stays with the
+    # DedupSpec ground truth.
+    d08 = f"{outdir}/d08_semantic_dedup"
+    if os.path.isdir(d08):
+        bad8, n_drop, n_rows, n_corpus = con.execute(f"""
+            WITH a AS (SELECT * FROM read_parquet('{d08}/*.parquet')),
+            chk AS (SELECT a.vec_id, a.kept, a.witness_id, a.witness_cos,
+                      list_cosine_similarity(e1.embedding, e2.embedding)
+                        AS true_cos
+                    FROM a
+                      LEFT JOIN embeddings e1 ON e1.vec_id = a.vec_id
+                      LEFT JOIN embeddings e2 ON e2.vec_id = a.witness_id)
+            SELECT SUM(CASE
+                     WHEN kept AND witness_id IS NOT NULL THEN 1
+                     WHEN NOT kept AND (witness_id IS NULL
+                       OR witness_id >= vec_id
+                       OR true_cos IS NULL OR true_cos < 0.25
+                       OR abs(true_cos - witness_cos) > 1e-6)
+                       THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END),
+                   COUNT(*),
+                   (SELECT COUNT(*) FROM embeddings)
+            FROM chk""").fetchone()
+        ok8 = (bad8 or 0) == 0 and n_drop > 0 and n_rows == n_corpus
+        print(f"{'PASS' if ok8 else 'FAIL'} d08_soundness: "
+              f"{n_rows} audit rows ({n_drop} drops) over {n_corpus} "
+              f"vectors, {bad8 or 0} with a missing/invalid witness")
+        if not ok8:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
