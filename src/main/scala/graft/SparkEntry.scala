@@ -1025,6 +1025,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL multi-frame sampling: per-doc animated GIFs (frame pixels a
+    * closed form of (doc_id, frame) — Binary.makeRealGif) demuxed by
+    * javax.imageio's multi-image reader (Binary.sampleFrames, every 2nd
+    * frame), each sampled frame decoded to exact channel sums. GIF
+    * stores the gray palette verbatim, so the round trip is lossless and
+    * the oracle recomputes frame set, dimensions, and mean arithmetically
+    * from doc_id — a demux bug (wrong frame count, frame/offset mixup,
+    * colorspace shift) breaks the hash. */
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.frameStats(Binary.sampleFrames(
+        src.map(id => Binary.PayloadRow(id, Binary.makeRealGif(id))),
+        stride = 2))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"),
+        round(col("sum_r").cast("double") / col("n_pixels"), 6)
+          .as("mean_px"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private def st01(s: SparkSession, dir: String): DataFrame =
     Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
 
@@ -1125,6 +1147,7 @@ object SparkEntry {
     "m01_binary_meta" -> (m01 _),
     "m02_audio_meta" -> (m02 _),
     "m03_pixel_stats" -> (m03 _),
+    "m04_frame_sample" -> (m04 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

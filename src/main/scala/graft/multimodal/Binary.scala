@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * batches.
   *
   * Header metadata ([[Binary.imageHeader]]: PNG/JPEG/GIF dimensions) is
-  * parsed for REAL from payload bytes — pure arithmetic, no codecs. Pixel
-  * decode/resize/frame-sample remain clearly-marked deterministic stubs
-  * (the container has no media codecs); their Spark-side plumbing —
-  * schema, partition batching, iterator discipline (no per-row task
-  * setup) — is the real thing, and is what matters at 100 TB:
-  * `mapPartitions` amortizes any model/codec initialization once per
-  * partition, the Scala analog of `mapInPandas` batch processing.
+  * parsed for REAL from payload bytes — pure arithmetic, no codecs.
+  * Pixel decode ([[Binary.pixelStats]]), resize ([[Binary.resizeImages]])
+  * and multi-frame sampling ([[Binary.sampleFrames]]) are REAL too, via
+  * the pure-JVM `javax.imageio` readers (PNG/GIF/BMP/JPEG, including
+  * multi-image GIF sequences). The only remaining stubs are for true
+  * VIDEO containers — the JDK has no demuxer and the container no media
+  * codecs — and they keep the real Spark-side plumbing: schema,
+  * partition batching, iterator discipline (no per-row task setup),
+  * which is what matters at 100 TB: `mapPartitions` amortizes any
+  * model/codec initialization once per partition, the Scala analog of
+  * `mapInPandas` batch processing.
   */
 object Binary {
 
@@ -248,6 +252,56 @@ object Binary {
     bos.toByteArray
   }
 
+  /** Deterministic multi-frame (animated) GIF: 2 + doc_id%4 frames of
+    * w×h = (6 + doc_id%5) × (6 + doc_id%3) GRAYSCALE pixels, frame f's
+    * pixel (x, y) = (doc_id + 11·f + x + y) % 256 on all three channels.
+    * Frames are TYPE_BYTE_INDEXED over an explicit 256-entry gray
+    * palette (entry i = rgb(i,i,i)) with raster samples written
+    * directly — no sRGB/linear-gray colorspace conversion anywhere
+    * (TYPE_BYTE_GRAY + setRGB would gamma-shift the values), and GIF
+    * stores palettes verbatim — so the round-trip through
+    * [[sampleFrames]]' real decoder recovers the pattern EXACTLY: the
+    * multi-frame analog of [[makeRealPng]]'s closed-form oracle. */
+  def makeRealGif(docId: Long): Array[Byte] = {
+    val w = (6 + docId % 5).toInt
+    val h = (6 + docId % 3).toInt
+    val nFrames = (2 + docId % 4).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val palette = new java.awt.image.IndexColorModel(
+      8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((docId + 11 * f + x + y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   final case class PixelStats(doc_id: Long, width: Long, height: Long,
                               n_pixels: Long, sum_r: Long, sum_g: Long,
                               sum_b: Long)
@@ -273,22 +327,30 @@ object Binary {
         if (img == null)
           PixelStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
         else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          PixelStats(r.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+          val (w, h, sr, sg, sb) = rgbSums(img)
+          PixelStats(r.doc_id, w, h, w * h, sr, sg, sb)
         }
       }
     }
+  }
+
+  /** Exact per-channel long sums of a decoded image (shared by
+    * [[pixelStats]] and [[frameStats]]). */
+  private def rgbSums(img: java.awt.image.BufferedImage)
+      : (Long, Long, Long, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong, h.toLong, sr, sg, sb)
   }
 
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
@@ -346,10 +408,85 @@ object Binary {
     }
   }
 
+  /** REAL frame sampling for any multi-frame format `javax.imageio` can
+    * read (the JDK ships a multi-image GIF reader): walk the payload's
+    * image sequence with `ImageReader.getNumImages`/`read(i)`, keep every
+    * `stride`-th frame, re-encode each as lossless PNG so downstream
+    * per-frame ops ([[frameStats]], [[pixelStats]]) decode it exactly.
+    * Partition-batched like [[decodePartitions]]; payloads with no
+    * reader (true video containers — genuinely env-blocked, the ONLY
+    * remaining stub territory, see [[sampleFramesStub]]) emit no rows
+    * rather than failing the batch. Frame count per payload is bounded
+    * (a decode, not a scan), so the per-row materialization is fine. */
+  def sampleFrames(ds: Dataset[PayloadRow], stride: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val src = reader.read(i)
+              // Copy into INT_RGB before encoding: PNG-writing an
+              // indexed/gray frame directly converts colorspaces (sRGB →
+              // linear gray, a measured gamma shift); RGB → PNG is exact.
+              val rgb = new java.awt.image.BufferedImage(src.getWidth,
+                src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = rgb.createGraphics()
+              g2.drawImage(src, 0, 0, null)
+              g2.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(rgb, "png", bos)
+              Frame(r.doc_id, i.toLong, bos.toByteArray)
+            }.iterator
+          } catch { case _: Exception => Iterator.empty }
+          finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+  }
+
+  final case class FrameStats(doc_id: Long, frame_idx: Long, width: Long,
+                              height: Long, n_pixels: Long, sum_r: Long,
+                              sum_g: Long, sum_b: Long)
+
+  /** Per-frame pixel stats: [[pixelStats]] keyed by (doc, frame) — the
+    * decode step after [[sampleFrames]]. Undecodable frame payloads get
+    * -1 sentinels (cannot happen for sampleFrames' own PNG re-encodes). */
+  def frameStats(ds: Dataset[Frame]): Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null)
+          FrameStats(r.doc_id, r.frame_idx, -1L, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val (w, h, sr, sg, sb) = rgbSums(img)
+          FrameStats(r.doc_id, r.frame_idx, w, h, w * h, sr, sg, sb)
+        }
+      }
+    }
+  }
+
   /** Frame-sample stub: one-to-many partition-batched extraction — every
     * `stride`-th "frame" (here: byte window) becomes a row. The iterator
     * discipline is the real thing: per-partition demux context, lazy
-    * output, no per-row setup, no materialized frame lists. */
+    * output, no per-row setup, no materialized frame lists. Superseded by
+    * [[sampleFrames]] for every format `javax.imageio` can read (GIF
+    * sequences included); retained ONLY for true video containers, which
+    * have no JDK demuxer. */
   def sampleFramesStub(ds: Dataset[PayloadRow], stride: Int,
                        frameBytes: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._

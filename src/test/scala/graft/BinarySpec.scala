@@ -151,6 +151,48 @@ class BinarySpec extends AnyFunSuite {
     assert(frames(2L).map(_.frame_idx).toSeq == Seq(0L))
   }
 
+  test("sampleFrames: REAL GIF multi-frame extraction recovers the " +
+      "closed-form pixel pattern exactly (the m04 gate contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 42L, 255L, 256L, 1000L)
+    val ds = ids.map(id => Binary.PayloadRow(id, Binary.makeRealGif(id)))
+      .toDS()
+    val stats = Binary.frameStats(Binary.sampleFrames(ds, stride = 2))
+      .collect()
+    val byDoc = stats.groupBy(_.doc_id)
+    for (id <- ids) {
+      val w = 6 + id % 5
+      val h = 6 + id % 3
+      val nFrames = 2 + id % 4
+      val wantIdx = (0L until nFrames by 2).toSeq
+      val got = byDoc(id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == wantIdx,
+        s"doc $id frame indices")
+      for (f <- got) {
+        assert(f.width == w && f.height == h && f.n_pixels == w * h,
+          s"doc $id frame ${f.frame_idx} dims")
+        // grayscale: all three channel sums equal the closed form
+        val expect = (for { x <- 0L until w; y <- 0L until h }
+          yield (id + 11 * f.frame_idx + x + y) % 256).sum
+        assert(f.sum_r == expect && f.sum_g == expect && f.sum_b == expect,
+          s"doc $id frame ${f.frame_idx}: got ${f.sum_r} want $expect")
+      }
+    }
+  }
+
+  test("sampleFrames: stride 1 keeps every frame; unreadable bytes " +
+      "emit no rows") {
+    import spark.implicits._
+    val ds = Seq(
+        Binary.PayloadRow(5L, Binary.makeRealGif(5L)),
+        Binary.PayloadRow(99L, "definitely not an image".getBytes("UTF-8")))
+      .toDS()
+    val frames = Binary.sampleFrames(ds, stride = 1).collect()
+    assert(frames.filter(_.doc_id == 5L).map(_.frame_idx).sorted.toSeq ==
+      (0L until (2 + 5 % 4)).toSeq)
+    assert(!frames.exists(_.doc_id == 99L))
+  }
+
   test("payload is the exact utf8 bytes") {
     import spark.implicits._
     val df = Seq((1L, "héllo")).toDF("doc_id", "text")
