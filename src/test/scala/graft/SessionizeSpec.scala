@@ -49,4 +49,53 @@ class SessionizeSpec extends AnyFunSuite {
     assert(!p.contains("props") && !p.contains("value"),
       s"events scan must prune unused columns:\n$p")
   }
+
+  test("sessionizeSharded is result-identical for any shard width " +
+      "(the hot-key pre-split)") {
+    // gate-corpus events in q37's exact shape (floor-second ts)
+    val e = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"),
+        (col("ts").cast("long") / 1000000L).cast("long").as("ts_sec"),
+        col("event_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_idx", "n_events", "start_sec",
+        "end_sec", "duration_sec")
+        .collect().map(_.toSeq).toSet
+    val base = rows(Sessionize.sessionize(e, "user_id", "ts_sec",
+      "event_id", gapSec = 1800))
+    assert(base.nonEmpty)
+    // widths spanning degenerate (1s: every event its own shard-ish),
+    // sub-gap, and super-gap shards — all must merge back exactly
+    for (shardSec <- Seq(1L, 600L, 3600L, 86400L)) {
+      val sharded = rows(Sessionize.sessionizeSharded(e, "user_id",
+        "ts_sec", "event_id", gapSec = 1800, shardSec = shardSec))
+      assert(sharded == base,
+        s"shardSec=$shardSec diverges: extra=${(sharded diff base).take(3)}" +
+          s" missing=${(base diff sharded).take(3)}")
+    }
+  }
+
+  test("sessionizeSharded: a hot key spreads over shards; exactly two " +
+      "exchanges, both rollups reuse their window partitioning") {
+    import spark.implicits._
+    // one pathological user, events every 10s for 12h: one session
+    val hot = (0L until 4320L).map(i => (7L, i, i * 10L))
+      .toDF("user_id", "event_id", "ts_sec")
+    val out = Sessionize.sessionizeSharded(hot, "user_id", "ts_sec",
+      "event_id", gapSec = 1800, shardSec = 3600)
+    // explain BEFORE executing: a post-run AdaptiveSparkPlan prints the
+    // initial plan too, double-counting its exchanges
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((7L, 1L, 4320L, 0L, 43190L)))
+    // pass 1 partitions by (user_id, __shard), pass 2 by user_id; the
+    // two groupBys must add NO further exchanges
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected exactly 2 hash exchanges, got $exchanges in:\n$p")
+    assert("hashpartitioning\\(user_id#\\d+L?, __shard".r
+      .findAllIn(p).nonEmpty, s"pass 1 must partition by (key, shard):\n$p")
+  }
 }
