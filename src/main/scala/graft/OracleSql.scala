@@ -921,6 +921,29 @@ object OracleSql {
              / (w * h), 6) AS mean_px
          FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""",
 
+    "m05_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(5 + doc_id % 6 AS BIGINT) AS w,
+             CAST(5 + doc_id % 4 AS BIGINT) AS h,
+             CAST(2 + doc_id % 3 AS BIGINT) AS nf
+           FROM documents),
+         fr AS (SELECT doc_id, w, h, fs.f AS f
+                FROM d, unnest(generate_series(0, nf - 1)) AS fs(f)
+                WHERE f % 2 = 0),
+         px AS (SELECT doc_id, w, h, f, xs.x AS x, ys.y AS y
+                FROM fr,
+                  unnest(generate_series(0, w - 1)) AS xs(x),
+                  unnest(generate_series(0, h - 1)) AS ys(y))
+         SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+           w * h AS n_pixels,
+           round(CAST(SUM((doc_id + 17 * f + x + y) % 256) AS DOUBLE)
+             / (w * h), 6) AS mean_r,
+           round(CAST(SUM((doc_id + 17 * f + 2 * x + y) % 256) AS DOUBLE)
+             / (w * h), 6) AS mean_g,
+           round(CAST(SUM((doc_id + 17 * f + x + 2 * y) % 256) AS DOUBLE)
+             / (w * h), 6) AS mean_b
+         FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""",
+
     "st01_stream_window" ->
       s"""SELECT date_diff('second', $epoch1970,
            date_trunc('hour', $tsUs)) AS hour_sec,

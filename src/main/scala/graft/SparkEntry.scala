@@ -1047,6 +1047,29 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL video frame sampling: per-doc RIFF/AVI containers carrying
+    * Motion-PNG streams (Binary.makeRealAvi — frame pixels a closed form
+    * of (doc_id, frame)), demuxed by the pure-byte RIFF walker
+    * (Binary.aviFrames via sampleVideoFrames, every 2nd frame), each
+    * frame decoded to exact channel sums. The oracle recomputes frame
+    * sets/dims/means arithmetically — a demux bug (chunk walk, padding,
+    * frame order) or decode bug breaks the hash. Retires the video stub
+    * for AVI; only containers with no JVM demuxer (e.g. MP4) remain. */
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.frameStats(Binary.sampleVideoFrames(
+        src.map(id => Binary.PayloadRow(id, Binary.makeRealAvi(id))),
+        stride = 2))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_pixels"),
+        round(col("sum_r").cast("double") / col("n_pixels"), 6).as("mean_r"),
+        round(col("sum_g").cast("double") / col("n_pixels"), 6).as("mean_g"),
+        round(col("sum_b").cast("double") / col("n_pixels"), 6).as("mean_b"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private def st01(s: SparkSession, dir: String): DataFrame =
     Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
 
@@ -1148,6 +1171,7 @@ object SparkEntry {
     "m02_audio_meta" -> (m02 _),
     "m03_pixel_stats" -> (m03 _),
     "m04_frame_sample" -> (m04 _),
+    "m05_video_frames" -> (m05 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -454,6 +454,126 @@ object Binary {
     }
   }
 
+  /** Deterministic VIDEO file: a real RIFF/AVI container (the same chunk
+    * grammar [[wavHeader]] walks) carrying a Motion-PNG ('MPNG') video
+    * stream — 2 + doc_id%3 frames of (5 + doc_id%6) × (5 + doc_id%4) RGB
+    * pixels, frame f's pixel (x,y) = ((doc_id + 17f + x + y) % 256,
+    * (doc_id + 17f + 2x + y) % 256, (doc_id + 17f + x + 2y) % 256). The
+    * container is spec-shaped (RIFF 'AVI ' → LIST hdrl {avih, LIST strl
+    * {strh vids/MPNG, strf BITMAPINFOHEADER}} → LIST movi {00dc…}) and
+    * every frame chunk is an independent lossless PNG, so
+    * [[sampleVideoFrames]]' demux + decode recovers the closed form
+    * EXACTLY — the true-video analog of [[makeRealGif]]'s oracle. */
+  def makeRealAvi(docId: Long): Array[Byte] = {
+    val w = (5 + docId % 6).toInt
+    val h = (5 + docId % 4).toInt
+    val nFrames = (2 + docId % 3).toInt
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((docId + 17 * f + x + y) % 256).toInt
+          val g = ((docId + 17 * f + 2 * x + y) % 256).toInt
+          val b = ((docId + 17 * f + x + 2 * y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array[Byte]()
+      fourcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MPNG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ fourcc("MPNG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL video demux: walk a RIFF/AVI container's chunk list (the same
+    * byte discipline as [[wavHeader]]) to the `movi` LIST and return the
+    * raw codec payload of every video frame chunk (00dc/00db). Pure byte
+    * arithmetic — no codecs; whether the PAYLOAD is then decodable is the
+    * codec's business ([[makeRealAvi]] uses lossless Motion-PNG, which
+    * `javax.imageio` reads). Non-AVI or malformed bytes yield no frames. */
+  def aviFrames(p: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+      return IndexedSeq.empty
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 12
+    while (i + 8 <= p.length) {
+      val sz = u32le(i + 4)
+      if (sz > Int.MaxValue - 16 || i + 8 + sz > p.length) i = p.length
+      else {
+        if (tag(i) == "LIST" && sz >= 4 && tag(i + 8) == "movi") {
+          var j = i + 12
+          val end = i + 8 + sz.toInt
+          while (j + 8 <= end) {
+            val ssz = u32le(j + 4)
+            if (ssz > Int.MaxValue - 16 || j + 8 + ssz > end) j = end
+            else {
+              val sid = tag(j)
+              if (sid.endsWith("dc") || sid.endsWith("db"))
+                out += p.slice(j + 8, j + 8 + ssz.toInt)
+              j += 8 + ssz.toInt + (ssz.toInt & 1)
+            }
+          }
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    out.result()
+  }
+
+  /** [[sampleFrames]] for RIFF/AVI video: [[aviFrames]] demuxes the
+    * container (pure JVM — this retires the frame-sample stub for AVI;
+    * only containers with no JVM demuxer path, e.g. MP4, remain stubbed),
+    * every `stride`-th frame's codec payload becomes a row. Payloads pass
+    * through verbatim (Motion-PNG frames feed [[frameStats]] directly);
+    * decode stays a separate stage exactly like the GIF path. */
+  def sampleVideoFrames(ds: Dataset[PayloadRow], stride: Int)
+      : Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames =
+          try aviFrames(r.payload)
+          catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+        Iterator.range(0, frames.length, stride)
+          .map(i => Frame(r.doc_id, i.toLong, frames(i)))
+      }
+    }
+  }
+
   final case class FrameStats(doc_id: Long, frame_idx: Long, width: Long,
                               height: Long, n_pixels: Long, sum_r: Long,
                               sum_g: Long, sum_b: Long)

@@ -193,6 +193,47 @@ class BinarySpec extends AnyFunSuite {
     assert(!frames.exists(_.doc_id == 99L))
   }
 
+  test("sampleVideoFrames: REAL AVI demux + Motion-PNG decode recovers " +
+      "the closed-form pixels exactly (the m05 gate contract)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 5L, 17L, 254L, 255L, 256L, 999L)
+    val ds = ids.map(id => Binary.PayloadRow(id, Binary.makeRealAvi(id)))
+      .toDS()
+    val stats = Binary.frameStats(Binary.sampleVideoFrames(ds, stride = 2))
+      .collect().groupBy(_.doc_id)
+    for (id <- ids) {
+      val w = 5 + id % 6
+      val h = 5 + id % 4
+      val nFrames = 2 + id % 3
+      val got = stats(id).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq == (0L until nFrames by 2).toSeq,
+        s"doc $id frame indices")
+      for (f <- got) {
+        assert(f.width == w && f.height == h && f.n_pixels == w * h)
+        def cf(rx: Long, ry: Long): Long =
+          (for { x <- 0L until w; y <- 0L until h }
+            yield (id + 17 * f.frame_idx + rx * x + ry * y) % 256).sum
+        assert(f.sum_r == cf(1, 1) && f.sum_g == cf(2, 1) &&
+          f.sum_b == cf(1, 2),
+          s"doc $id frame ${f.frame_idx}: (${f.sum_r},${f.sum_g},${f.sum_b})")
+      }
+    }
+  }
+
+  test("aviFrames: the demuxer walks real RIFF structure and rejects " +
+      "non-AVI or truncated payloads") {
+    val avi = Binary.makeRealAvi(7L) // 3 frames
+    assert(Binary.aviFrames(avi).length == 3)
+    // container sanity: RIFF/'AVI ' signature, and wavHeader rejects it
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(Binary.wavHeader(avi)._1 == "unknown")
+    // truncation mid-movi loses trailing frames, never throws
+    assert(Binary.aviFrames(avi.take(avi.length - 10)).length < 3)
+    assert(Binary.aviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Binary.aviFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("payload is the exact utf8 bytes") {
     import spark.implicits._
     val df = Seq((1L, "héllo")).toDF("doc_id", "text")
