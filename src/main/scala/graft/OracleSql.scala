@@ -902,6 +902,32 @@ object OracleSql {
              AS mean_b
          FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
+    "t11_lm_score" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         trbi AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+                  FROM arrs,
+                    unnest(generate_series(1, len(arr) - 1)) AS u(i)
+                  WHERE doc_id % 10 != 0 AND len(arr) >= 2),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM trbi GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM trbi GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT t.w) AS v
+               FROM (SELECT unnest(arr) AS w FROM arrs
+                     WHERE doc_id % 10 != 0) t),
+         evbi AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+                  FROM arrs,
+                    unnest(generate_series(1, len(arr) - 1)) AS u(i)
+                  WHERE len(arr) >= 2),
+         nll AS (SELECT doc_id,
+                   -ln((COALESCE(c2.c2, 0) + 0.5)
+                     / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS nll
+                 FROM evbi
+                   LEFT JOIN c2 USING (w1, w2)
+                   LEFT JOIN c1 USING (w1), v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
+
     "m04_frame_sample" ->
       """WITH d AS (SELECT doc_id,
              CAST(6 + doc_id % 5 AS BIGINT) AS w,

@@ -987,6 +987,16 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** Perplexity-style LM filtering signal (TextOps.lmScore): add-0.5
+    * bigram model fit on the d09 train split (doc_id % 10 != 0), every
+    * doc scored by average bigram negative log-likelihood. The whole
+    * model is two count aggregates + a vocab scalar; scoring is a gram-
+    * keyed left join — the CCNet quality-filter shape at corpus scale. */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.lmScore(t(s, dir, "documents"), "doc_id", "text",
+        trainFilter = col("doc_id") % 10 =!= 0)
+      .orderBy("doc_id")
+
   /** p04 seed, shared with the oracle SQL generator. */
   private[graft] val p04Seed = "graft-split-r8"
 
@@ -1157,6 +1167,7 @@ object SparkEntry {
     "t08_quality_percentiles" -> (t08 _),
     "t09_top_tokens" -> (t09 _),
     "t10_tfidf_terms" -> (t10 _),
+    "t11_lm_score" -> (t11 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

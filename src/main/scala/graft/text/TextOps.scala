@@ -102,6 +102,58 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Bigram language-model scoring — the perplexity-filtering stage of a
+    * training-data pipeline (CCNet, Wenzek et al. 2020 §3.3; Gopher's
+    * quality filters): fit add-α-smoothed bigram statistics on a TRAIN
+    * split, then score every document by the average negative
+    * log-likelihood of its token bigrams,
+    *   nll(d) = −(1/n) Σ ln((c(w1,w2) + α) / (c(w1·) + α·V)),
+    * where c(w1·) is w1's bigram-context count and V the train vocabulary
+    * size. High avg_nll = far from the train distribution (the filter
+    * axis). Documents with fewer than 2 tokens score no bigrams and are
+    * omitted, on both engines.
+    *
+    * Scale shape: the model IS two map-side-combined count aggregates
+    * (bigram, context) plus a 1-row vocabulary scalar; scoring is an
+    * inverted-index LEFT equi-join keyed on the gram — never a per-doc
+    * loop or a broadcast model object. Stopword-headed grams skew the
+    * context join key; AQE's skew handling covers it the same way it
+    * covers d09's gram join. Everything is closed-form column arithmetic
+    * (ln of a count ratio), so the DuckDB oracle recomputes it exactly
+    * (rounded to 6 dp; double sum-order differences sit far below). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              trainFilter: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import graft.dedup.Dedup
+    def base(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"))
+      .select(col("id"),
+        element_at(col("toks"), col("pos")).as("w1"),
+        element_at(col("toks"), col("pos") + 1).as("w2"))
+    val trainBase = base(docs.filter(trainFilter))
+    val trbi = bigrams(trainBase)
+    val c2 = trbi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = trbi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // 1-row vocabulary scalar — the t05 bounded scalar-combine pattern
+    val vocab = trainBase.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams(base(docs))
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(vocab)
+      .select(col("id"),
+        (-log((coalesce(col("c2"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * alpha))).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")) / count(lit(1)), 6).as("avg_nll"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+
   /** Quality score in [0,1]-ish: rewards mid-length docs, word lengths near
     * natural language, and stopword presence. Single-expression double
     * arithmetic (one division per term, fixed order). */

@@ -77,9 +77,10 @@ class PlanSpec extends AnyFunSuite {
     // frame (s03/d08's c-row broadcast class, previously masked by s05
     // failing this sweep first).
     // t10 zips in the 1-row corpus-count frame (t05's scalar class).
+    // t11 zips in the 1-row train-vocabulary frame (same scalar class).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
-      "t10_tfidf_terms")
+      "t10_tfidf_terms", "t11_lm_score")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -81,4 +81,30 @@ class TextOpsSpec extends AnyFunSuite {
     // way the rank contract held above; sanity: nothing exceeds the quota
     assert(got.groupBy(_._1).values.forall(_.size <= 20))
   }
+
+  test("lmScore matches a hand-computed add-alpha bigram model") {
+    import spark.implicits._
+    // train (ids 1, 2): bigrams "a b" x2, "b a" x1, "b c" x1;
+    // context counts: a->2, b->2; vocab {a, b, c} => V = 3
+    // eval doc 10 "a b c": nll(a b) = -ln(2.5/3.5), nll(b c) = -ln(1.5/3.5)
+    // eval doc 20 "c c":   nll(c c) = -ln(0.5/1.5)   (unseen context)
+    // eval doc 30 "x":     no bigrams -> omitted
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a b? C!"), // normText folds case/punct
+      (10L, "a b c"), (20L, "c c"), (30L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, "doc_id", "text",
+        trainFilter = col("doc_id") < 10, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // trained docs are themselves scored (they pass the eval side too)
+    assert(got.keySet == Set(1L, 2L, 10L, 20L))
+    assert(got(10L)._1 == 2L)
+    assert(got(10L)._2 ==
+      r6((-math.log(2.5 / 3.5) - math.log(1.5 / 3.5)) / 2))
+    assert(got(20L) == ((1L, r6(-math.log(0.5 / 1.5)))))
+    // in-distribution text scores strictly better than unseen-gram text
+    assert(got(1L)._2 < got(20L)._2)
+  }
 }
