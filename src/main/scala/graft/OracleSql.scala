@@ -928,6 +928,37 @@ object OracleSql {
            round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
          FROM nll GROUP BY doc_id ORDER BY doc_id""",
 
+    "t12_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||
+             '@mail' || (doc_id % 7) || '.com' ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ' from ' || (doc_id % 256) ||
+             '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) ||
+             '.' || ((doc_id * 29) % 256) ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '${graft.text.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '${graft.text.TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(t,
+             '${graft.text.TextOps.EmailPattern}', '<EMAIL>', 'g'),
+             '${graft.text.TextOps.Ipv4Pattern}', '<IP>', 'g'))
+             AS clean_md5
+         FROM aug ORDER BY doc_id""",
+
+    "p05_chunk_windows" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         st AS (SELECT doc_id, arr, u.s AS s
+                FROM arrs, unnest(generate_series(1,
+                  greatest(len(arr) - 8, 1), 56)) AS u(s))
+         SELECT doc_id,
+           CAST((s - 1) // 56 AS BIGINT) AS chunk_idx,
+           CAST(least(64, len(arr) - s + 1) AS BIGINT) AS n_tokens,
+           md5(array_to_string(arr[s : s + 63], ' ')) AS chunk_md5
+         FROM st ORDER BY doc_id, chunk_idx""",
+
     "m04_frame_sample" ->
       """WITH d AS (SELECT doc_id,
              CAST(6 + doc_id % 5 AS BIGINT) AS w,

@@ -997,6 +997,36 @@ object SparkEntry {
         trainFilter = col("doc_id") % 10 =!= 0)
       .orderBy("doc_id")
 
+  /** PII scrubbing (TextOps.piiRedact): the corpus has no natural PII, so
+    * the gate plants a deterministic email (doc_id % 3 == 0) and IPv4
+    * (doc_id % 4 == 0) per doc — makeWav's synthesize-then-parse recipe
+    * on text — then counts and redacts; the oracle recomputes the
+    * augmentation AND the redaction, and clean_md5 catches any span
+    * divergence between the two regex engines. */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@mail"),
+          col("doc_id") % 7, lit(".com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" from "), col("doc_id") % 256, lit("."),
+          (col("doc_id") * 7) % 256, lit("."),
+          (col("doc_id") * 13) % 256, lit("."),
+          (col("doc_id") * 29) % 256)).otherwise(lit("")))
+    graft.text.TextOps.piiRedact(
+        t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
+    * chunks overlapping by 8): row-local explode, the oracle re-derives
+    * every chunk boundary and md5 from the same token array. */
+  private def p05(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   /** p04 seed, shared with the oracle SQL generator. */
   private[graft] val p04Seed = "graft-split-r8"
 
@@ -1168,6 +1198,8 @@ object SparkEntry {
     "t09_top_tokens" -> (t09 _),
     "t10_tfidf_terms" -> (t10 _),
     "t11_lm_score" -> (t11 _),
+    "t12_pii_redact" -> (t12 _),
+    "p05_chunk_windows" -> (p05 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

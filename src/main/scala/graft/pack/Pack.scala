@@ -101,4 +101,32 @@ object Pack {
       .withColumn("seq_last",
         floor((col("tok_offset") + col("n_tokens") - lit(1)) / seqLen))
   }
+
+  /** Fixed-length sliding token windows with overlap — the per-document
+    * context-window chunking that turns long documents into trainer-sized
+    * pieces (the within-doc sibling of [[packSequences]]' cross-doc
+    * concat-and-chunk). Chunk k starts at token 1 + k·(size − overlap);
+    * starts run while ≤ len − overlap (so a final all-overlap chunk is
+    * never emitted), every doc emits at least one chunk, and the last
+    * chunk may be short. Entirely row-local — one explode off the
+    * materialized token array, zero shuffles; at 100 TB this is scan
+    * throughput, nothing else. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol),
+        graft.dedup.Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), posexplode(
+          expr(s"sequence(1, greatest(size(toks) - $overlap, 1), $stride)"))
+        .as(Seq("k", "start")))
+      .select(col(idCol),
+        col("k").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("toks")) - col("start") + 1)
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize))))
+          .as("chunk_md5"))
+  }
 }

@@ -102,6 +102,30 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** PII patterns shared with the oracle SQL — RE2/Java-regex common
+    * subset only (no lookaround, no backrefs), so both engines match the
+    * same spans. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction — the scrubbing stage of a training-data
+    * pipeline: count email/IPv4 matches per document and replace them
+    * with `<EMAIL>`/`<IP>` placeholders (emails first — pinned order, so
+    * both engines transform identically). Pure regexp column arithmetic:
+    * codegen'd scan work, zero shuffles. The gate emits md5 of the
+    * redacted text, so a single leaked or over-redacted byte breaks the
+    * hash. */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long")
+        .as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long")
+        .as("n_ips"),
+      md5(regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>")).as("clean_md5"))
+
   /** Bigram language-model scoring — the perplexity-filtering stage of a
     * training-data pipeline (CCNet, Wenzek et al. 2020 §3.3; Gopher's
     * quality filters): fit add-α-smoothed bigram statistics on a TRAIN

@@ -108,4 +108,35 @@ class PackSpec extends AnyFunSuite {
       .agg(min(col("u")), max(col("u"))).head()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
   }
+
+  test("chunkWindows: boundary rule matches a sequential reference") {
+    import spark.implicits._
+    // tokens "t1..tN"; size 4, overlap 1 -> stride 3
+    def doc(id: Long, n: Int) = (id, (1 to n).map("t" + _).mkString(" "))
+    val docs = Seq(doc(1, 10), doc(2, 11), doc(3, 4), doc(4, 2), doc(5, 1))
+      .toDF("doc_id", "text")
+    val got = Pack.chunkWindows(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3))))
+      .toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(id: Long, n: Int): Map[(Long, Long), (Long, String)] = {
+      val toks = (1 to n).map("t" + _)
+      Iterator.from(0).map(k => 1 + k * 3).takeWhile(_ <= math.max(n - 1, 1))
+        .zipWithIndex.map { case (s, k) =>
+          val chunk = toks.slice(s - 1, s - 1 + 4)
+          (id, k.toLong) -> ((chunk.length.toLong, m(chunk.mkString(" "))))
+        }.toMap
+    }
+    val want = Seq((1L, 10), (2L, 11), (3L, 4), (4L, 2), (5L, 1))
+      .flatMap { case (id, n) => ref(id, n) }.toMap
+    assert(got == want,
+      s"extra=${(got.keySet diff want.keySet).take(3)} " +
+        s"missing=${(want.keySet diff got.keySet).take(3)}")
+    // every doc chunked, full coverage: chunk 0 always exists
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(id => got.contains((id, 0L))))
+  }
 }

@@ -82,6 +82,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).values.forall(_.size <= 20))
   }
 
+  test("piiRedact counts and redacts emails/IPs, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com or 10.0.0.1 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c.d@e.org and ip 192.168.1.255 end")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiRedact(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) ==
+      ((1L, 1L, m("mail me at <EMAIL> or <IP> today"))))
+    assert(got(2L) == ((0L, 0L, m("no pii here at all"))))
+    assert(got(3L) ==
+      ((2L, 1L, m("two mails <EMAIL> <EMAIL> and ip <IP> end"))))
+  }
+
   test("lmScore matches a hand-computed add-alpha bigram model") {
     import spark.implicits._
     // train (ids 1, 2): bigrams "a b" x2, "b a" x1, "b c" x1;
