@@ -91,6 +91,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t12/p05 are pure scan-stage operators: zero exchanges") {
+    // The redaction and chunking OPERATORS (pre-orderBy) must stay
+    // entirely in the scan stage — one row-local project/explode, no
+    // shuffle anywhere. The gate's orderBy adds a range exchange for the
+    // dump, which is presentation, not operator work.
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    for ((name, df) <- Seq(
+        "piiRedact" -> graft.text.TextOps.piiRedact(docs, "doc_id", "text"),
+        "chunkWindows" -> graft.pack.Pack.chunkWindows(docs, "doc_id",
+          "text", chunkSize = 64, overlap = 8))) {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
+  test("t11 LM scoring: partial-aggregated counts, no broadcast of a " +
+      "corpus-sized side") {
+    val p = plan("t11_lm_score")
+    assert(p.contains("partial"), "model counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+    // the only BNLJ is the 1-row vocab scalar zip (declared class);
+    // count tree lines ("... Cross BuildX"), not the detail-section
+    // repeats of the node label
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 1, p)
+  }
+
   test("t09 heavy hitters: partial count + TakeOrderedAndProject") {
     val p = plan("t09_top_tokens")
     assert(p.contains("TakeOrderedAndProject"),
