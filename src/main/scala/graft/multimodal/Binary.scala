@@ -434,18 +434,27 @@ object Binary {
             reader.setInput(iis)
             val n = reader.getNumImages(true)
             (0 until n by stride).map { i =>
-              val src = reader.read(i)
-              // Copy into INT_RGB before encoding: PNG-writing an
-              // indexed/gray frame directly converts colorspaces (sRGB →
-              // linear gray, a measured gamma shift); RGB → PNG is exact.
-              val rgb = new java.awt.image.BufferedImage(src.getWidth,
-                src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val g2 = rgb.createGraphics()
-              g2.drawImage(src, 0, 0, null)
-              g2.dispose()
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(rgb, "png", bos)
-              Frame(r.doc_id, i.toLong, bos.toByteArray)
+              // Per-FRAME isolation: one corrupt frame must not swallow
+              // its siblings. A failed decode emits an EMPTY payload —
+              // the sentinel row discipline of pixelStats/frameStats
+              // (downstream decode yields -1s), never silent loss.
+              val png =
+                try {
+                  val src = reader.read(i)
+                  // Copy into INT_RGB before encoding: PNG-writing an
+                  // indexed/gray frame directly converts colorspaces
+                  // (sRGB → linear gray, a measured gamma shift);
+                  // RGB → PNG is exact.
+                  val rgb = new java.awt.image.BufferedImage(src.getWidth,
+                    src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g2 = rgb.createGraphics()
+                  g2.drawImage(src, 0, 0, null)
+                  g2.dispose()
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(rgb, "png", bos)
+                  bos.toByteArray
+                } catch { case _: Exception => Array.empty[Byte] }
+              Frame(r.doc_id, i.toLong, png)
             }.iterator
           } catch { case _: Exception => Iterator.empty }
           finally { reader.dispose(); iis.close() }
@@ -519,7 +528,11 @@ object Binary {
     * raw codec payload of every video frame chunk (00dc/00db). Pure byte
     * arithmetic — no codecs; whether the PAYLOAD is then decodable is the
     * codec's business ([[makeRealAvi]] uses lossless Motion-PNG, which
-    * `javax.imageio` reads). Non-AVI or malformed bytes yield no frames. */
+    * `javax.imageio` reads). Multi-stream containers return ONLY the
+    * first video stream encountered (chunks share its `NNdc`/`NNdb`
+    * stream prefix) — interleaving a second stream's frames into one
+    * flat sequence would corrupt frame indexes downstream. Non-AVI or
+    * malformed bytes yield no frames. */
   def aviFrames(p: Array[Byte]): IndexedSeq[Array[Byte]] = {
     def u32le(i: Int): Long =
       (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
@@ -528,6 +541,7 @@ object Binary {
     if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
       return IndexedSeq.empty
     val out = IndexedSeq.newBuilder[Array[Byte]]
+    var stream: String = null // first video stream's 2-char prefix
     var i = 12
     while (i + 8 <= p.length) {
       val sz = u32le(i + 4)
@@ -541,8 +555,11 @@ object Binary {
             if (ssz > Int.MaxValue - 16 || j + 8 + ssz > end) j = end
             else {
               val sid = tag(j)
-              if (sid.endsWith("dc") || sid.endsWith("db"))
-                out += p.slice(j + 8, j + 8 + ssz.toInt)
+              if (sid.endsWith("dc") || sid.endsWith("db")) {
+                if (stream == null) stream = sid.substring(0, 2)
+                if (sid.startsWith(stream))
+                  out += p.slice(j + 8, j + 8 + ssz.toInt)
+              }
               j += 8 + ssz.toInt + (ssz.toInt & 1)
             }
           }

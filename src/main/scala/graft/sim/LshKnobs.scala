@@ -33,8 +33,6 @@ object LshKnobs {
 
   final case class Knobs(bits: Int, tables: Int)
 
-  private def log2(x: Double): Double = math.log(x) / math.log(2)
-
   /** Per-bit signature-agreement probability of a pair at cosine `cos`
     * under sign-random-projection: p = 1 − arccos(cos)/π. */
   def srpCollisionProb(cos: Double): Double = {
@@ -43,15 +41,21 @@ object LshKnobs {
   }
 
   /** Smallest bit width with expected bucket size ≤ `targetBucket`.
-    * Clamped to [minBits, maxBits] (63 bucket-hash bits is the physical
-    * ceiling of the long signature; 30 is already a billion buckets). */
+    * Integer arithmetic throughout — 2^b ≥ ⌈n/target⌉ solved by bit
+    * position, because the double log-ratio overshoots exact powers of
+    * two (log2(2^29) > 29 in IEEE doubles) and would waste a bit (and
+    * its ~1/p table compensation) at those corpus sizes. Clamped to
+    * [minBits, maxBits] (63 bucket-hash bits is the physical ceiling of
+    * the long signature; 30 is already a billion buckets). */
   def bitsFor(corpusRows: Long, targetBucket: Long,
               minBits: Int = 1, maxBits: Int = 30): Int = {
     require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
     require(targetBucket > 0, s"targetBucket must be positive: $targetBucket")
     require(minBits >= 1 && maxBits >= minBits,
       s"bad clamp [$minBits, $maxBits]")
-    val raw = math.ceil(log2(corpusRows.toDouble / targetBucket)).toInt
+    // q = ceil(n / target); minimal b has 2^b >= q
+    val q = (corpusRows + targetBucket - 1) / targetBucket
+    val raw = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(maxBits, math.max(minBits, raw))
   }
 

@@ -234,6 +234,57 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.aviFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("aviFrames: a second interleaved video stream is excluded, not " +
+      "mixed into the frame sequence") {
+    // hand-build a movi list interleaving 00dc and 01dc chunks
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array[Byte]())
+    val movi = "movi".getBytes("US-ASCII") ++
+      chunk("00dc", Array[Byte](1)) ++ chunk("01dc", Array[Byte](9)) ++
+      chunk("00dc", Array[Byte](2)) ++ chunk("01dc", Array[Byte](8))
+    val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val frames = Binary.aviFrames(avi)
+    assert(frames.map(_.toSeq) == Seq(Seq(1.toByte), Seq(2.toByte)),
+      s"got ${frames.map(_.toSeq)}")
+  }
+
+  test("sampleFrames: a corrupt frame yields a sentinel row, not silent " +
+      "loss of its siblings") {
+    import spark.implicits._
+    // A GIF whose SECOND frame's LZW data is corrupted in place: frame 0
+    // must still decode exactly; the corrupt frame must surface as a row
+    // with an undecodable payload (frameStats -1 sentinels), never vanish.
+    val good = Binary.makeRealGif(3L) // 5 frames (2 + 3%4)
+    val stats0 = Binary.frameStats(Binary.sampleFrames(
+        Seq(Binary.PayloadRow(3L, good)).toDS(), stride = 1))
+      .collect().sortBy(_.frame_idx)
+    assert(stats0.length == 5 && stats0.forall(_.width > 0))
+    // corrupt a byte span in the back half of the payload (frame data;
+    // the header/palette live at the front)
+    val bad = good.clone()
+    for (k <- (bad.length * 3 / 4) until
+        math.min(bad.length * 3 / 4 + 8, bad.length))
+      bad(k) = 0x55.toByte
+    val out = Binary.sampleFrames(
+        Seq(Binary.PayloadRow(3L, bad)).toDS(), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    if (out.nonEmpty) {
+      // frames the reader could still index are all present; any that
+      // failed decode carry the empty-payload sentinel
+      assert(out.map(_.frame_idx) == (0L until out.length).toArray.toSeq)
+      val sentinels = out.count(_.payload.isEmpty)
+      val decoded = Binary.frameStats(Binary.sampleFrames(
+          Seq(Binary.PayloadRow(3L, bad)).toDS(), stride = 1))
+        .collect()
+      assert(decoded.count(_.width == -1L) == sentinels)
+    } // an unindexable container (reader throws on getNumImages) is the
+      // documented no-rows case — same as no reader at all
+  }
+
   test("payload is the exact utf8 bytes") {
     import spark.implicits._
     val df = Seq((1L, "héllo")).toDF("doc_id", "text")

@@ -25,6 +25,14 @@ class LshKnobsSpec extends AnyFunSuite {
     // clamps: tiny corpora never go below minBits, huge never above max.
     assert(LshKnobs.bitsFor(1, 1000) == 1)
     assert(LshKnobs.bitsFor(Long.MaxValue, 1) == 30)
+    // exact powers of two stay minimal (the double log2 ratio overshoots
+    // 2^29 in IEEE arithmetic; integer bit math must not)
+    for (b <- Seq(10, 20, 29)) {
+      assert(LshKnobs.bitsFor((1L << b) * 1000, 1000, maxBits = 40) == b,
+        s"2^$b exact")
+      assert(LshKnobs.bitsFor((1L << b) * 1000 + 1, 1000, maxBits = 40)
+        == b + 1, s"2^$b + 1")
+    }
   }
 
   test("bits grow with log2 of corpus growth (the measured rule)") {

@@ -158,7 +158,8 @@ def main(sfdir, outdir):
                    COUNT(*),
                    (SELECT COUNT(*) FROM embeddings)
             FROM chk""").fetchone()
-        ok8 = (bad8 or 0) == 0 and n_drop > 0 and n_rows == n_corpus
+        ok8 = ((bad8 or 0) == 0 and (n_drop or 0) > 0
+               and n_rows == n_corpus)
         print(f"{'PASS' if ok8 else 'FAIL'} d08_soundness: "
               f"{n_rows} audit rows ({n_drop} drops) over {n_corpus} "
               f"vectors, {bad8 or 0} with a missing/invalid witness")
