@@ -529,6 +529,21 @@ object Dedup {
       .select(col("id").as(idCol))
   }
 
+  /** [[semanticDedup]] with the cell count derived from corpus size
+    * ([[graft.sim.CellKnobs.cellsForPairs]]: fixed expected cell size, so
+    * the within-cell pair verify stays LINEAR in the corpus — the
+    * SemDeDup deployment shape, cluster count ∝ corpus). Pass
+    * `corpusRows` when known; None counts once. Lower `fitFraction` at
+    * scale: cells grow with the corpus, the fit should not. */
+  def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, corpusRows: Option[Long] = None,
+                        targetCell: Long = 1000, iters: Int = 3,
+                        fitFraction: Double = 1.0): DataFrame =
+    semanticDedup(emb, idCol, vecCol,
+      c = graft.sim.CellKnobs.cellsForPairs(
+        corpusRows.getOrElse(emb.count()), targetCell),
+      tau = tau, iters = iters, fitFraction = fitFraction)
+
   /** Cells + the qualifying drop pairs behind [[semanticDedup]]:
     * (id_a, id_b, cos) with id_a < id_b, same cell, cos >= tau. */
   private def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,

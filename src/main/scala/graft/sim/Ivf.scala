@@ -107,4 +107,21 @@ object Ivf {
       .select(col("probe_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** [[ivfKnn]] with (c, nprobe) derived from corpus size
+    * ([[CellKnobs]]: c ≈ √n, nprobe a fixed fraction of c) — the
+    * deployment entry point at a new scale, [[Knn.lshKnnAuto]]'s IVF
+    * sibling. Pass `corpusRows` when known; None counts once. At large
+    * n also lower `fitFraction`: the k-means fit needs a sample, the
+    * assignment pass is the only full-corpus scan. */
+  def ivfKnnAuto(emb: DataFrame, idCol: String, vecCol: String,
+                 probeFilter: Column, k: Int,
+                 corpusRows: Option[Long] = None,
+                 probeFrac: Double = 0.25, iters: Int = 3,
+                 fitFraction: Double = 1.0): DataFrame = {
+    val c = CellKnobs.cellsFor(corpusRows.getOrElse(emb.count()))
+    ivfKnn(emb, idCol, vecCol, probeFilter, k,
+      c = c, nprobe = CellKnobs.nprobeFor(c, probeFrac),
+      iters = iters, fitFraction = fitFraction)
+  }
 }
