@@ -56,6 +56,24 @@ object ScaleKnobProbe {
           bitsPerTable = graphBits, nTables = graphTables)
         .write.format("noop").mode("overwrite").save()
     }
+    // auto mode also probes the k-means family's corpus-derived knobs
+    // (CellKnobs): IVF search and SemDeDup at deployment shapes.
+    val (tIvf, tSem) =
+      if (auto) {
+        val a = timed {
+          graft.sim.Ivf.ivfKnnAuto(emb, "vec_id", "embedding",
+              probeFilter = col("vec_id") % 20 === 0, k = 3,
+              corpusRows = Some(n), fitFraction = math.min(1.0, 20000.0 / n))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val b = timed {
+          graft.dedup.Dedup.semanticDedupAuto(emb, "vec_id", "embedding",
+              tau = 0.25, corpusRows = Some(n),
+              fitFraction = math.min(1.0, 20000.0 / n))
+            .write.format("noop").mode("overwrite").save()
+        }
+        (a, b)
+      } else (-1.0, -1.0)
     // one execution serves both the timing and the pair count
     val near = graft.dedup.Dedup.embeddingNearDups(emb, "vec_id",
         "embedding", probeFilter = col("vec_id") % 20 === 0,
@@ -68,7 +86,8 @@ object ScaleKnobProbe {
       f""""graphBits":$graphBits,"graphTables":$graphTables,""" +
       f""""bandBits":$bandBits,""" +
       f""""nBands":$nBands,"s04_sec":$tGraph%.2f,"d05_sec":$tNear%.2f,""" +
-      f""""d05_pairs":$nNear}""")
+      f""""d05_pairs":$nNear,"ivf_auto_sec":$tIvf%.2f,""" +
+      f""""semdedup_auto_sec":$tSem%.2f}""")
     spark.stop()
   }
 }
