@@ -190,6 +190,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q37 streaming twin: late events are dropped deterministically, " +
+      "never splitting or renumbering a closed session") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.SessionEvent
+    def ev(uid: Long, eid: Long, sec: Long) =
+      SessionEvent(uid, eid, new Timestamp(sec * 1000))
+    val input = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-late-ckpt").toString
+    val q = Streams.sessionizeStream(
+        input.toDS.withWatermark("ts", "0 seconds"), gapSec = 100)
+      .writeStream.format("memory").queryName("late_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // user 7: two events, then the watermark advances far past them
+      input.addData(Seq(ev(7L, 1L, 1000), ev(7L, 2L, 1050)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9L, 3L, 5000))) // advances watermark to 5000
+      q.processAllAvailable()
+      input.addData(Seq(ev(9L, 4L, 5001))) // lets the timeout fire
+      q.processAllAvailable()
+      // a straggler INSIDE user 7's closed session window (sec 1060 is
+      // within gap of 1050, but far behind the 5001 watermark): must be
+      // dropped — no new session row, no renumbering
+      input.addData(Seq(ev(7L, 5L, 1060)))
+      q.processAllAvailable()
+      // close everything still open via a far-future sentinel
+      for (i <- 0 to 1) {
+        input.addData(Seq(ev(-1L, 100L + i, 100000 + i)))
+        q.processAllAvailable()
+      }
+      val u7 = spark.table("late_stream")
+        .filter(col("user_id") === 7L)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // exactly the original session (idx 1, 2 events, 1000-1050);
+      // the late event contributed nothing
+      assert(u7 == Set((1L, 2L, 1000L, 1050L)),
+        s"late event corrupted user 7's sessions: $u7")
+    } finally q.stop()
+  }
+
   test("TTL dedup: in-window dups suppressed, expired fingerprints " +
       "re-admit, state removed at the watermark") {
     implicit val sql = spark.sqlContext
