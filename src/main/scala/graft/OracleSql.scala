@@ -928,6 +928,19 @@ object OracleSql {
            round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
          FROM nll GROUP BY doc_id ORDER BY doc_id""",
 
+    "p06_group_sample" ->
+      s"""WITH u AS (SELECT source, doc_id,
+             CAST(concat('0x', substr(md5(concat('${
+               graft.SparkEntry.p06Seed}', CAST(doc_id AS VARCHAR))),
+               1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents),
+         r AS (SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY u, doc_id) AS rk
+               FROM u)
+         SELECT source, doc_id, CAST(rk AS INT) AS rank
+         FROM r WHERE rk <= 10 ORDER BY source, doc_id""",
+
     "t12_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, text ||
            CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||

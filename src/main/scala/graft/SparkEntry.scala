@@ -1027,6 +1027,19 @@ object SparkEntry {
         chunkSize = 64, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** p06 seed, shared with the oracle SQL generator. */
+  private[graft] val p06Seed = "graft-sample-r9"
+
+  /** Deterministic k-per-source sample (Pack.sampleKPerGroup): 10 docs
+    * per source by lowest md5 coin — growth-stable eval-set selection
+    * via the bounded top-k aggregate, never a row_number window; the
+    * oracle reproduces every coin and rank in DuckDB. */
+  private def p06(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.sampleKPerGroup(t(s, dir, "documents"),
+        col("source"), col("doc_id"), k = 10, seed = p06Seed)
+      .select(col("grp").as("source"), col("id").as("doc_id"), col("rank"))
+      .orderBy("source", "doc_id")
+
   /** p04 seed, shared with the oracle SQL generator. */
   private[graft] val p04Seed = "graft-split-r8"
 
@@ -1200,6 +1213,7 @@ object SparkEntry {
     "t11_lm_score" -> (t11 _),
     "t12_pii_redact" -> (t12 _),
     "p05_chunk_windows" -> (p05 _),
+    "p06_group_sample" -> (p06 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

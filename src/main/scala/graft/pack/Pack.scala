@@ -102,6 +102,28 @@ object Pack {
         floor((col("tok_offset") + col("n_tokens") - lit(1)) / seqLen))
   }
 
+  /** Deterministic k-per-group sample — the eval-set / few-shot-example
+    * construction primitive: each group keeps the k rows with the LOWEST
+    * [[uniformDraw]] coin (growth-stable: a kept row is only ever
+    * displaced by a new row with a smaller coin, never by reordering;
+    * same-seed reruns reproduce exactly, across engines). Ranking is the
+    * bounded top-k aggregate on the negated coin ([[graft.functions
+    * .TopKByScore]], id tiebreak) — map-side partials keep ≤ k rows per
+    * group per partition, so no group's rows ever gather in one place:
+    * t07's window-free shape, not a row_number window. */
+  def sampleKPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+                      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(groupCol.as("grp"), keyCol.as("id"),
+        (-uniformDraw(seed, keyCol)).as("neg_u"))
+      .groupBy("grp")
+      .agg(graft.functions.TopK.topKByScore(col("neg_u"), col("id"), k)
+        .as("kept"))
+      .select(col("grp"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("grp"), col("kv.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Fixed-length sliding token windows with overlap — the per-document
     * context-window chunking that turns long documents into trainer-sized
     * pieces (the within-doc sibling of [[packSequences]]' cross-doc

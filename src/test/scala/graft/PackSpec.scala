@@ -109,6 +109,28 @@ class PackSpec extends AnyFunSuite {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
   }
 
+  test("sampleKPerGroup equals the windowed rule and reproduces by seed") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    def sample(seed: String) =
+      Pack.sampleKPerGroup(docs, col("source"), col("doc_id"), k, seed)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val got = sample(SparkEntry.p06Seed)
+    val win = docs.select(col("source"), col("doc_id"),
+        Pack.uniformDraw(SparkEntry.p06Seed, col("doc_id")).as("u"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("u").asc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == win)
+    assert(got.groupBy(_._1).values.forall(_.size <= k))
+    assert(got == sample(SparkEntry.p06Seed)) // deterministic
+    assert(got != sample("different-seed"))   // seed redraws
+  }
+
   test("chunkWindows: boundary rule matches a sequential reference") {
     import spark.implicits._
     // tokens "t1..tN"; size 4, overlap 1 -> stride 3
