@@ -939,7 +939,8 @@ object OracleSql {
                                   ORDER BY u, doc_id) AS rk
                FROM u)
          SELECT source, doc_id, CAST(rk AS INT) AS rank
-         FROM r WHERE rk <= 10 ORDER BY source, doc_id""",
+         FROM r WHERE rk <= ${graft.SparkEntry.p06K}
+         ORDER BY source, doc_id""",
 
     "t12_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, text ||

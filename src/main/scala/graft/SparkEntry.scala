@@ -1027,8 +1027,10 @@ object SparkEntry {
         chunkSize = 64, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
-  /** p06 seed, shared with the oracle SQL generator. */
+  /** p06 seed and k, shared with the oracle SQL generator so the two
+    * sides cannot drift. */
   private[graft] val p06Seed = "graft-sample-r9"
+  private[graft] val p06K = 10
 
   /** Deterministic k-per-source sample (Pack.sampleKPerGroup): 10 docs
     * per source by lowest md5 coin — growth-stable eval-set selection
@@ -1036,7 +1038,7 @@ object SparkEntry {
     * oracle reproduces every coin and rank in DuckDB. */
   private def p06(s: SparkSession, dir: String): DataFrame =
     graft.pack.Pack.sampleKPerGroup(t(s, dir, "documents"),
-        col("source"), col("doc_id"), k = 10, seed = p06Seed)
+        col("source"), col("doc_id"), k = p06K, seed = p06Seed)
       .select(col("grp").as("source"), col("id").as("doc_id"), col("rank"))
       .orderBy("source", "doc_id")
 

@@ -538,11 +538,20 @@ object Dedup {
   def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                         tau: Double, corpusRows: Option[Long] = None,
                         targetCell: Long = 1000, iters: Int = 3,
-                        fitFraction: Double = 1.0): DataFrame =
-    semanticDedup(emb, idCol, vecCol,
-      c = graft.sim.CellKnobs.cellsForPairs(
-        corpusRows.getOrElse(emb.count()), targetCell),
+                        fitFraction: Double = 1.0): DataFrame = {
+    val n = corpusRows.getOrElse(emb.count())
+    val c = graft.sim.CellKnobs.cellsForPairs(n, targetCell)
+    // k-means keeps at most one centroid per FIT row (empty cells drop
+    // out, Ivf.fitCentroids), so a fit sample smaller than c silently
+    // collapses the cell structure and re-opens the quadratic verify
+    // this derivation exists to bound. Fail loudly instead.
+    require(n * math.min(1.0, fitFraction) >= c,
+      s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
+        s"rows but the derivation needs c=$c cells; raise fitFraction " +
+        s"or targetCell so the fit can support every cell")
+    semanticDedup(emb, idCol, vecCol, c = c,
       tau = tau, iters = iters, fitFraction = fitFraction)
+  }
 
   /** Cells + the qualifying drop pairs behind [[semanticDedup]]:
     * (id_a, id_b, cos) with id_a < id_b, same cell, cos >= tau. */

@@ -4,21 +4,33 @@ package graft.sim
   * IVF/SemDeDup family, closing the same class of risk the LSH probes
   * measured: a cell count frozen at gate size turns quadratic at scale.
   *
-  * Two regimes, because the two consumers have different cost models:
+  * Two regimes, because the two consumers have different cost models —
+  * stated HONESTLY, envelope included:
   *
-  *  - **IVF search** ([[Ivf.ivfKnn]]): assignment costs n·c·d flops and a
-  *    probe scans nprobe·(n/c) candidates, so the balanced choice is the
-  *    standard c ≈ √n ([[cellsFor]]); recall then tracks the FRACTION of
-  *    cells probed, so nprobe scales with c ([[nprobeFor]]) instead of
-  *    staying an absolute count.
-  *  - **SemDeDup** ([[graft.dedup.Dedup.semanticDedup]]): the dominant
-  *    term is the within-cell pair verify, (n/c)² per cell × c cells =
-  *    n²/c total — LINEAR in n only if c grows with n. [[cellsForPairs]]
-  *    fixes the expected CELL SIZE (pair work = n·targetCell), the
-  *    SemDeDup paper's own deployment shape (cluster count ∝ corpus).
-  *    The n·c·d assignment term then grows super-linearly in flops, but
-  *    it is a shuffle-free broadcast scan (and `fitFraction` keeps the
-  *    FIT cost off the full corpus) — compute, not coordination.
+  *  - **IVF search** ([[Ivf.ivfKnn]]): assignment costs n·c·d flops and
+  *    a probe scans nprobe·(n/c) candidates. [[cellsFor]] picks the
+  *    standard balanced c ≈ √n; [[nprobeFor]] grows nprobe as √c
+  *    (anchored at the gate's 4-of-16), so per-probe candidate work is
+  *    nprobe·n/c = n/√c = n^(3/4) at c = √n — SHRINKING as a fraction
+  *    of the corpus. A constant-FRACTION nprobe would make per-probe
+  *    work 0.25·n at every scale (brute force / 4); a constant-count
+  *    nprobe loses recall as the true neighbor's cell rank grows with
+  *    c. Bulk-kNN over n probes is O(n^(7/4)) on this rule — for
+  *    full-graph workloads use [[Knn.knnGraphAuto]] (banded LSH), the
+  *    near-linear path.
+  *  - **SemDeDup** ([[graft.dedup.Dedup.semanticDedup]]): the within-
+  *    cell pair verify is (n/c)² per cell × c cells = n²/c total —
+  *    linear in n only if c grows with n. [[cellsForPairs]] fixes the
+  *    expected CELL SIZE (pair work = n·targetCell, the SemDeDup
+  *    paper's own deployment shape) UP TO `maxCells`: the mandatory
+  *    full-corpus assignment is n·c·d flops against a c-row centroid
+  *    broadcast, so c must stay broadcast-sized — the default cap
+  *    (2^17 cells ≈ 34 MB at d=64 floats) bounds both. Beyond
+  *    n = targetCell·maxCells (~1.3e8 rows at defaults) cell size grows
+  *    past targetCell again; that regime needs two-level (coarse-then-
+  *    fine) assignment, which is out of scope and documented here
+  *    rather than papered over. `fitFraction` bounds only the FIT cost,
+  *    never the assignment.
   *
   * Gate queries keep their frozen knobs (specs pin recall/ground truth at
   * gate size); the `*Auto` entry points ([[Ivf.ivfKnnAuto]],
@@ -37,24 +49,34 @@ object CellKnobs {
     math.min(maxCells.toLong, math.max(minCells.toLong, c)).toInt
   }
 
-  /** Probe width holding the PROBED FRACTION of cells constant (recall
-    * tracks the fraction, not the absolute count, as c grows). */
-  def nprobeFor(cells: Int, frac: Double = 0.25): Int = {
+  /** Probe width growing as √c, anchored at the gate configuration
+    * (nprobe = √c gives exactly the gate's 4-of-16): per-probe
+    * candidates nprobe·(n/c) then FALL as the corpus grows (n/√c),
+    * while the probed cell count still rises for recall. `scale`
+    * multiplies the anchor (recall knob). */
+  def nprobeFor(cells: Int, scale: Double = 1.0): Int = {
     require(cells >= 1, s"cells must be >= 1: $cells")
-    require(frac > 0 && frac <= 1, s"frac must be in (0, 1]: $frac")
-    math.max(1, math.ceil(cells * frac).toInt)
+    require(scale > 0, s"scale must be positive: $scale")
+    math.max(1, math.min(cells.toLong,
+      math.round(math.sqrt(cells.toDouble) * scale)).toInt)
   }
 
   /** Pair-work-bounded cell count for quadratic within-cell operators:
     * smallest c with expected cell size ≤ targetCell (total verify work
-    * = n·targetCell, linear in n). Integer ceiling division — no
-    * floating-point boundary overshoot (the [[LshKnobs.bitsFor]]
-    * lesson). */
+    * = n·targetCell, linear in n), capped at `maxCells` (the centroid
+    * broadcast / assignment-cost bound — see the object doc for the
+    * envelope this implies). Overflow-safe integer ceiling division —
+    * no floating-point boundary overshoot (the [[LshKnobs.bitsFor]]
+    * lesson), no Long wrap near MaxValue. */
   def cellsForPairs(corpusRows: Long, targetCell: Long,
-                    minCells: Int = 1, maxCells: Int = 1 << 24): Int = {
+                    minCells: Int = 1, maxCells: Int = 1 << 17): Int = {
     require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
     require(targetCell > 0, s"targetCell must be positive: $targetCell")
-    val c = (corpusRows + targetCell - 1) / targetCell
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad clamp [$minCells, $maxCells]")
+    // a + b - 1 overflows near Long.MaxValue; divide first instead
+    val c = corpusRows / targetCell +
+      (if (corpusRows % targetCell == 0) 0L else 1L)
     math.min(maxCells.toLong, math.max(minCells.toLong, c)).toInt
   }
 }

@@ -117,11 +117,17 @@ object Ivf {
   def ivfKnnAuto(emb: DataFrame, idCol: String, vecCol: String,
                  probeFilter: Column, k: Int,
                  corpusRows: Option[Long] = None,
-                 probeFrac: Double = 0.25, iters: Int = 3,
+                 probeScale: Double = 1.0, iters: Int = 3,
                  fitFraction: Double = 1.0): DataFrame = {
-    val c = CellKnobs.cellsFor(corpusRows.getOrElse(emb.count()))
+    val n = corpusRows.getOrElse(emb.count())
+    val c = CellKnobs.cellsFor(n)
+    // the fit sample must be able to populate every cell (empty cells
+    // drop out of fitCentroids) — same guard as semanticDedupAuto
+    require(n * math.min(1.0, fitFraction) >= c,
+      s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
+        s"rows but sqrt-rule c=$c cells need at least that many fit rows")
     ivfKnn(emb, idCol, vecCol, probeFilter, k,
-      c = c, nprobe = CellKnobs.nprobeFor(c, probeFrac),
+      c = c, nprobe = CellKnobs.nprobeFor(c, probeScale),
       iters = iters, fitFraction = fitFraction)
   }
 }

@@ -53,8 +53,10 @@ object LshKnobs {
     require(targetBucket > 0, s"targetBucket must be positive: $targetBucket")
     require(minBits >= 1 && maxBits >= minBits,
       s"bad clamp [$minBits, $maxBits]")
-    // q = ceil(n / target); minimal b has 2^b >= q
-    val q = (corpusRows + targetBucket - 1) / targetBucket
+    // q = ceil(n / target); minimal b has 2^b >= q. Divide-then-adjust:
+    // n + target - 1 would wrap near Long.MaxValue.
+    val q = corpusRows / targetBucket +
+      (if (corpusRows % targetBucket == 0) 0L else 1L)
     val raw = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(maxBits, math.max(minBits, raw))
   }

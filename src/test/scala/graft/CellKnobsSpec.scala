@@ -22,21 +22,55 @@ class CellKnobsSpec extends AnyFunSuite {
     assert(seq == seq.sorted)
   }
 
-  test("nprobeFor holds the probed fraction as c grows") {
-    assert(CellKnobs.nprobeFor(16) == 4) // the s03 gate ratio
-    assert(CellKnobs.nprobeFor(100) == 25)
+  test("nprobeFor grows as sqrt(c) from the gate anchor; per-probe " +
+      "candidate work falls with corpus size") {
+    assert(CellKnobs.nprobeFor(16) == 4) // the s03 gate point exactly
+    assert(CellKnobs.nprobeFor(100) == 10)
+    assert(CellKnobs.nprobeFor(10000) == 100)
     assert(CellKnobs.nprobeFor(1, 0.01) == 1) // floor at 1
+    assert(CellKnobs.nprobeFor(4, 10.0) == 4) // ceiling at c
+    // the scale contract: per-probe candidates nprobe * n/c SHRINK as a
+    // fraction of n (a constant-fraction rule would keep them at 25% of
+    // the corpus forever — brute force in disguise)
+    def perProbeFrac(n: Long) = {
+      val c = CellKnobs.cellsFor(n)
+      CellKnobs.nprobeFor(c).toDouble / c
+    }
+    assert(perProbeFrac(1000000) < perProbeFrac(10000))
+    assert(perProbeFrac(100000000) < perProbeFrac(1000000))
   }
 
   test("cellsForPairs bounds the cell size with integer math") {
     assert(CellKnobs.cellsForPairs(500, 1000) == 1)
     assert(CellKnobs.cellsForPairs(8000, 500) == 16) // the d08 gate c
     assert(CellKnobs.cellsForPairs(1000000, 1000) == 1000)
-    // exact boundary stays minimal (no double overshoot)
-    assert(CellKnobs.cellsForPairs(1L << 40, 1L << 20) == (1 << 20))
+    // exact boundary stays minimal (no double overshoot), within the cap
+    assert(CellKnobs.cellsForPairs(1L << 30, 1L << 14) == (1 << 16))
     // pair work n * targetCell is scale-invariant: c grows linearly
     assert(CellKnobs.cellsForPairs(2000000, 1000) ==
       2 * CellKnobs.cellsForPairs(1000000, 1000))
+    // broadcast-size cap binds beyond the documented envelope
+    assert(CellKnobs.cellsForPairs(1L << 40, 1000) == (1 << 17))
+    // near-MaxValue must clamp at the cap, not wrap negative to minCells
+    assert(CellKnobs.cellsForPairs(Long.MaxValue, 1000) == (1 << 17))
+    assert(graft.sim.LshKnobs.bitsFor(Long.MaxValue, 1000) == 30)
+  }
+
+  test("auto entry points refuse a fit sample too small for the cells") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    // corpusRows=1e8 derives c=100000 pair cells / c=10000 ivf cells;
+    // a 20k-row fit cannot populate 100k cells — must fail loudly, not
+    // silently collapse the cell structure back to quadratic
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupAuto(emb, "vec_id", "embedding", tau = 0.25,
+        corpusRows = Some(100000000L), fitFraction = 0.0002)
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.ivfKnnAuto(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3,
+        corpusRows = Some(100000000L), fitFraction = 0.00001)
+    }
   }
 
   test("ivfKnnAuto keeps gate-level recall from the true corpus count") {
