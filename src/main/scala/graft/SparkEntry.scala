@@ -636,6 +636,20 @@ object SparkEntry {
         k = 64, nBands = 16, threshold = 0.02)
       .orderBy("id_a", "id_b")
 
+  /** Fuzzy decontamination (d09's MinHash sibling): eval docs (every
+    * 10th) near-duplicating some TRAIN doc at shingle-Jaccard >= 0.5,
+    * with the witness pair + exact jaccard exported so the DuckDB gate
+    * replica recomputes every emitted jaccard and asserts the bound and
+    * the split orientation (tools/oracle_check.py d13_soundness, the
+    * d02 recipe cross-split). */
+  private def d13(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossMinhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        evalFilter = col("doc_id") % 10 === 0,
+        k = 64, nBands = 16, threshold = 0.5)
+      .select(col("eval_id"), col("train_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("eval_id", "train_id")
+
   /** emitSigs: the gate output carries both signatures so the DuckDB side
     * of the correctness check recomputes every emitted hamming as
     * bit_count(xor(sig_a, sig_b)) and asserts the <= 3 soundness bound
@@ -1224,6 +1238,7 @@ object SparkEntry {
     "d10_dup_spans" -> (d10 _),
     "d11_bloom_decontam" -> (d11 _),
     "d12_remove_dup_spans" -> (d12 _),
+    "d13_fuzzy_decontam" -> (d13 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

@@ -82,6 +82,20 @@ object Dedup {
       .select("id", "g")
       .distinct()
 
+  /** Optional document-frequency cap on exploded (id, g) shingles: grams
+    * in more than `maxDf` docs leave the pipeline before any signature
+    * math (df computed once — one extra shuffle on the gram), so corpus-
+    * wide boilerplate can no longer align signatures and blow a
+    * (band, bucket) key up quadratically. None keeps exact semantics. */
+  private def dfCapped(all: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
+      case None => all
+      case Some(cap) =>
+        val keep = all.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("g")
+        all.join(keep, "g")
+    }
+
   /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
   private def rotl64(c: Column, s: Int): Column =
     if (s % 64 == 0) c
@@ -150,16 +164,8 @@ object Dedup {
                       k: Int, nBands: Int, threshold: Double,
                       maxDf: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / nBands
-    val all = explodedShingles(docs, idCol, textCol, n = 3)
-    val exploded = maxDf match {
-      case None => all
-      case Some(cap) =>
-        // df per shingle computed once (one extra shuffle on the shingle);
-        // hot shingles leave the index before any signature math.
-        val keep = all.groupBy("g").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select("g")
-        all.join(keep, "g")
-    }
+    val exploded =
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf)
     val sigs = sigAndShingles(exploded, k)
     val banded = sigs
       .select(col("id"),
@@ -176,6 +182,50 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** FUZZY benchmark decontamination — the near-duplicate (not exact-
+    * gram) eval-vs-train scrub of an LLM dataset build: every eval doc
+    * whose shingle-set Jaccard with some TRAIN doc clears `threshold`,
+    * as (eval_id, train_id, jaccard) witness pairs. [[contamination]]
+    * (d09) is the exact n-gram-overlap test; this is its MinHash+LSH
+    * sibling for paraphrase-level leakage.
+    *
+    * Scale shape = [[minhashNearDups]]' exactly — signatures are
+    * computed ONCE over the union (one aggregation pass), the banding
+    * equi-join is the only candidate generator (never eval × train), and
+    * the split membership rides the n-row signature frame as a flag, so
+    * restricting candidates to cross-split pairs costs one narrow join
+    * on the doc id and a filter on each banded side. Exact verification
+    * joins shingle sets back per candidate. */
+  def crossMinhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           evalFilter: Column, k: Int, nBands: Int,
+                           threshold: Double,
+                           maxDf: Option[Int] = None): DataFrame = {
+    val rowsPerBand = k / nBands
+    val exploded =
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf)
+    val sigs = sigAndShingles(exploded, k)
+    val flags = docs.select(col(idCol).as("id"), evalFilter.as("__ev"))
+    val banded = sigs.join(flags, "id")
+      .select(col("id"), col("__ev"),
+        posexplode(bands(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band", "bh")))
+    val cands = banded.filter(col("__ev"))
+      .select(col("id").as("eval_id"), col("band"), col("bh"))
+      .join(banded.filter(!col("__ev"))
+        .select(col("id").as("train_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    cands
+      .join(sigs.select(col("id").as("eval_id"), col("sh").as("sh_e")),
+        "eval_id")
+      .join(sigs.select(col("id").as("train_id"), col("sh").as("sh_t")),
+        "train_id")
+      .select(col("eval_id"), col("train_id"),
+        jaccard(col("sh_e"), col("sh_t")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

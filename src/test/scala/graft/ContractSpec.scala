@@ -11,7 +11,7 @@ class ContractSpec extends AnyFunSuite {
   /** LSH/IVF/k-means internals — not SQL-expressible; the driver records a
     * rows-only check and the specs assert semantics. */
   private val declaredRowsOnly = Set(
-    "d02_dedup_minhash", "d03_dedup_simhash",
+    "d02_dedup_minhash", "d03_dedup_simhash", "d13_fuzzy_decontam",
     "s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph", "d08_semantic_dedup")
 
   test("every query has an oracle or is a declared rows-only check") {

@@ -118,6 +118,38 @@ class DedupSpec extends AnyFunSuite {
       s"missed high-sim pairs: ${high -- got.keySet}")
   }
 
+  test("crossMinhashNearDups ground truth at sf0.001: exact cross-split " +
+      "verify, high-sim recall, no within-split pairs") {
+    import graft.sources.Tables
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val got = Dedup.crossMinhashNearDups(docs, "doc_id", "text",
+        evalFilter = col("doc_id") % 10 === 0,
+        k = 64, nBands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val (ev, tr) = sh.partition(_._1 % 10 == 0)
+    val brute = (for {
+      (e, se) <- ev; (t, st) <- tr
+      j = (se intersect st).size.toDouble / (se union st).size
+      if j >= 0.3
+    } yield (e, t) -> j).toMap
+    // orientation + precision: every emitted pair is eval -> train with
+    // the exact brute-force jaccard
+    for ((pair @ (e, t), j) <- got) {
+      assert(e % 10 == 0 && t % 10 != 0, s"split orientation: $pair")
+      assert(math.abs(j - brute(pair)) < 1e-12, s"$pair")
+    }
+    // recall: high-similarity cross-split pairs survive banding (same
+    // deterministic bound as the within-corpus d02 spec)
+    val high = brute.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty, "corpus must contain cross-split near-clones")
+    assert(high.subsetOf(got.keySet),
+      s"missed high-sim cross-split pairs: ${high -- got.keySet}")
+  }
+
   test("contamination ground truth at sf0.001: exact n-gram overlap") {
     import graft.sources.Tables
     val corpus = Tables(spark, TestSpark.sf, "documents")

@@ -165,6 +165,45 @@ def main(sfdir, outdir):
               f"vectors, {bad8 or 0} with a missing/invalid witness")
         if not ok8:
             n_ok -= 1
+    # d13 emits (eval_id, train_id, jaccard) cross-split near-dup pairs —
+    # every emitted pair must carry its true exact jaccard (recomputed
+    # from raw text, 6-dp rounded like the gate), clear the 0.5 threshold,
+    # and point eval -> train (eval = doc_id % 10 == 0). Recall stays with
+    # the DedupSpec cross-split ground truth.
+    d13 = f"{outdir}/d13_fuzzy_decontam"
+    if os.path.isdir(d13):
+        bad13, n13 = con.execute(f"""
+            WITH arrs AS (SELECT doc_id, string_split({norm}, ' ') AS arr
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(arr[i:i+2], ' ') AS g
+                   FROM arrs, unnest(generate_series(1,
+                     greatest(len(arr) - 2, 1))) AS u(i)),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            spark_out AS (SELECT * FROM read_parquet('{d13}/*.parquet')),
+            ix AS (SELECT o.eval_id, o.train_id, o.jaccard, COUNT(*) AS i
+                   FROM spark_out o
+                     JOIN sh a ON a.doc_id = o.eval_id
+                     JOIN sh b ON b.doc_id = o.train_id AND a.g = b.g
+                   GROUP BY 1, 2, 3),
+            chk AS (SELECT o.eval_id, o.train_id, o.jaccard,
+                      CAST(COALESCE(i, 0) AS DOUBLE)
+                        / (sa.sz + sb.sz - COALESCE(i, 0)) AS true_j
+                    FROM spark_out o
+                      LEFT JOIN ix USING (eval_id, train_id, jaccard)
+                      JOIN sz sa ON sa.doc_id = o.eval_id
+                      JOIN sz sb ON sb.doc_id = o.train_id)
+            SELECT SUM(CASE WHEN abs(jaccard - true_j) > 1e-6
+                         OR true_j < 0.5
+                         OR eval_id % 10 != 0 OR train_id % 10 = 0
+                         THEN 1 ELSE 0 END),
+                   COUNT(*) FROM chk""").fetchone()
+        ok13 = (bad13 or 0) == 0 and (n13 or 0) > 0
+        print(f"{'PASS' if ok13 else 'FAIL'} d13_soundness: "
+              f"{n13} emitted pairs, {bad13 or 0} with wrong jaccard, "
+              f"below-threshold, or wrong split orientation")
+        if not ok13:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
