@@ -574,33 +574,76 @@ object Dedup {
                     fitFraction: Double = 1.0): DataFrame = {
     val (cells, pairs) =
       semanticPairs(emb, idCol, vecCol, c, tau, iters, fitFraction)
+    keptFrom(cells, pairs, idCol)
+  }
+
+  /** Kept-set post-step shared by the one- and two-level paths: any id
+    * appearing as a pair's HIGHER side is dominated and dropped. */
+  private def keptFrom(cells: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
     val dominated = pairs.select(col("id_b").as("id")).distinct()
     cells.join(dominated, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
   }
 
+  /** Audit post-step shared by the one- and two-level paths: per-corpus
+    * row `kept` plus the minimum-id qualifying witness for each drop
+    * (see [[semanticDedupAudit]]). */
+  private def auditFrom(cells: DataFrame, pairs: DataFrame,
+                        idCol: String): DataFrame = {
+    val witness = pairs
+      .groupBy(col("id_b").as("id"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("w"))
+      .select(col("id"), col("w.id_a").as("witness_id"),
+        col("w.cos").as("witness_cos"))
+    cells.select(col("id"))
+      .join(witness, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("witness_id").isNull.as("kept"),
+        col("witness_id"), col("witness_cos"))
+  }
+
   /** [[semanticDedup]] with the cell count derived from corpus size
     * ([[graft.sim.CellKnobs.cellsForPairs]]: fixed expected cell size, so
     * the within-cell pair verify stays LINEAR in the corpus — the
-    * SemDeDup deployment shape, cluster count ∝ corpus). Pass
-    * `corpusRows` when known; None counts once. Lower `fitFraction` at
-    * scale: cells grow with the corpus, the fit should not. */
+    * SemDeDup deployment shape, cluster count ∝ corpus). Past the
+    * single-level envelope (needed cells > the broadcastable maximum,
+    * n ≈ 1.3e8 rows at defaults) it switches to
+    * [[semanticDedupTwoLevel]] with the [[graft.sim.CellKnobs
+    * .coarseFineForPairs]] split — same greedy rule, same linear pair
+    * bound, no broadcast cliff. Pass `corpusRows` when known; None
+    * counts once. Lower `fitFraction` at scale: cells grow with the
+    * corpus, the fit should not. */
   def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                         tau: Double, corpusRows: Option[Long] = None,
                         targetCell: Long = 1000, iters: Int = 3,
                         fitFraction: Double = 1.0): DataFrame = {
     val n = corpusRows.getOrElse(emb.count())
-    val c = graft.sim.CellKnobs.cellsForPairs(n, targetCell)
-    // k-means keeps at most one centroid per FIT row (empty cells drop
-    // out, Ivf.fitCentroids), so a fit sample smaller than c silently
-    // collapses the cell structure and re-opens the quadratic verify
-    // this derivation exists to bound. Fail loudly instead.
-    require(n * math.min(1.0, fitFraction) >= c,
-      s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
-        s"rows but the derivation needs c=$c cells; raise fitFraction " +
-        s"or targetCell so the fit can support every cell")
-    semanticDedup(emb, idCol, vecCol, c = c,
-      tau = tau, iters = iters, fitFraction = fitFraction)
+    if (graft.sim.CellKnobs.needsTwoLevelForPairs(n, targetCell)) {
+      // Past the single-level envelope (cellsForPairs would clamp and
+      // cell size would silently outgrow targetCell): split the needed
+      // cell count across two levels — coarse broadcast + coarse-keyed
+      // fine equi-join, so no broadcast ever exceeds the coarse count.
+      val (c1, c2) =
+        graft.sim.CellKnobs.coarseFineForPairs(n, targetCell)
+      require(n * math.min(1.0, fitFraction) >= c1.toLong * c2,
+        s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
+          s"rows but the two-level derivation needs c1*c2=${c1.toLong * c2} " +
+          s"cells; raise fitFraction or targetCell")
+      semanticDedupTwoLevel(emb, idCol, vecCol, c1 = c1, c2 = c2,
+        tau = tau, iters = iters, fitFraction = fitFraction)
+    } else {
+      val c = graft.sim.CellKnobs.cellsForPairs(n, targetCell)
+      // k-means keeps at most one centroid per FIT row (empty cells drop
+      // out, Ivf.fitCentroids), so a fit sample smaller than c silently
+      // collapses the cell structure and re-opens the quadratic verify
+      // this derivation exists to bound. Fail loudly instead.
+      require(n * math.min(1.0, fitFraction) >= c,
+        s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
+          s"rows but the derivation needs c=$c cells; raise fitFraction " +
+          s"or targetCell so the fit can support every cell")
+      semanticDedup(emb, idCol, vecCol, c = c,
+        tau = tau, iters = iters, fitFraction = fitFraction)
+    }
   }
 
   /** Cells + the qualifying drop pairs behind [[semanticDedup]]:
@@ -646,15 +689,104 @@ object Dedup {
                          fitFraction: Double = 1.0): DataFrame = {
     val (cells, pairs) =
       semanticPairs(emb, idCol, vecCol, c, tau, iters, fitFraction)
-    val witness = pairs
-      .groupBy(col("id_b").as("id"))
-      .agg(min(struct(col("id_a"), col("cos"))).as("w"))
-      .select(col("id"), col("w.id_a").as("witness_id"),
-        col("w.cos").as("witness_cos"))
-    cells.select(col("id"))
-      .join(witness, Seq("id"), "left_outer")
-      .select(col("id").as(idCol), col("witness_id").isNull.as("kept"),
-        col("witness_id"), col("witness_cos"))
+    auditFrom(cells, pairs, idCol)
+  }
+
+  /** Two-level (coarse-then-fine) SemDeDup — the path past the
+    * single-level envelope (`c` cells must fit one broadcast,
+    * [[graft.sim.CellKnobs]]): cluster into `c1` coarse cells with the
+    * usual broadcast assignment, then fit `c2` fine cells INSIDE each
+    * coarse cell simultaneously ([[graft.sim.Ivf.fitCentroidsWithin]])
+    * and assign each row to a fine cell by meeting only its own coarse
+    * cell's centroids via the coarse-keyed equi-join — never a
+    * broadcast of all c1·c2 centroids. The greedy keep-lowest-id rule
+    * then runs within (coarse, fine) cells exactly as [[semanticDedup]]
+    * runs it within cells.
+    *
+    * Cost shape at corpus n, dim d: assignment is n·(c1 + c2)·d flops —
+    * 2n·√cTotal·d instead of single-level's unbroadcastable n·cTotal·d —
+    * plus one extra corpus shuffle (the coarse-keyed fine-assignment
+    * join; its shuffle rows are the narrow (id, v, coarse) tuples).
+    * Pair verify stays n·targetCell when (c1, c2) come from
+    * [[graft.sim.CellKnobs.coarseFineForPairs]]. Fine seeds draw from
+    * the FULL corpus's coarse assignment, and a coarse cell whose fine
+    * set vanishes (zero FIT rows landed in it) falls back to the coarse
+    * centroid as its single fine cell — no corpus row is ever silently
+    * lost to an uncovered group ([[graft.sim.Ivf.assignWithin]]'s
+    * inner-join caveat). With c1 = 1 this degenerates to
+    * [[semanticDedup]] with c = c2 (same seeds, same iterations, same
+    * rule — the equivalence spec pins it). */
+  def semanticDedupTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                            c1: Int, c2: Int, tau: Double, iters: Int = 3,
+                            fitFraction: Double = 1.0): DataFrame = {
+    val (cells, pairs) = semanticPairsTwoLevel(
+      emb, idCol, vecCol, c1, c2, tau, iters, fitFraction)
+    keptFrom(cells, pairs, idCol)
+  }
+
+  /** [[semanticDedupTwoLevel]] with the per-row witness audit trail of
+    * [[semanticDedupAudit]] — the exported-evidence discipline follows
+    * the operator to the scale path. */
+  def semanticDedupTwoLevelAudit(emb: DataFrame, idCol: String,
+                                 vecCol: String, c1: Int, c2: Int,
+                                 tau: Double, iters: Int = 3,
+                                 fitFraction: Double = 1.0): DataFrame = {
+    val (cells, pairs) = semanticPairsTwoLevel(
+      emb, idCol, vecCol, c1, c2, tau, iters, fitFraction)
+    auditFrom(cells, pairs, idCol)
+  }
+
+  /** Cells + qualifying drop pairs behind [[semanticDedupTwoLevel]]:
+    * same contract as [[semanticPairs]] with the cell identity the
+    * composite (coarse, cluster) key. Fine cluster ids are seed-row ids
+    * (globally unique), but the pair join still keys on the composite:
+    * the vanished-group fallback reuses the coarse id as the fine id,
+    * and that id may elsewhere be a legitimate fine seed. */
+  private def semanticPairsTwoLevel(emb: DataFrame, idCol: String,
+                                    vecCol: String, c1: Int, c2: Int,
+                                    tau: Double, iters: Int,
+                                    fitFraction: Double)
+      : (DataFrame, DataFrame) = {
+    import graft.sim.Ivf
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val coarseCentroids = Ivf.fitCentroids(fitCorpus, c1, iters,
+      seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
+    // Lazy checkpoint: the coarse assignment feeds fine seeding, fine
+    // fitting (via the sample re-assignment below when sampling), the
+    // fine assignment, and the pair join — the iterative-frame
+    // discipline, one level up.
+    val coarseCells = Ivf.assign(corpus, coarseCentroids)
+      .select(col("id"), col("v"), col("cluster").as("coarse"))
+      .localCheckpoint(eager = false)
+    val fitCells =
+      if (fitFraction >= 1.0) coarseCells
+      else Ivf.assign(fitCorpus, coarseCentroids)
+        .select(col("id"), col("v"), col("cluster").as("coarse"))
+    // Fine seeds come from the FULL corpus's assignment, so every
+    // occupied coarse cell seeds its fine cells even when the fit
+    // sample missed it entirely (the seedCorpus discipline, grouped).
+    val fine = Ivf.fitCentroidsWithin(fitCells, "coarse", c2, iters,
+      seedCorpus = Some(coarseCells))
+    val fallback = coarseCentroids
+      .join(fine.select(col("coarse")).distinct(),
+        coarseCentroids("cluster") === col("coarse"), "left_anti")
+      .select(col("cluster").as("coarse"), col("cluster"), col("centroid"))
+    val cells = Ivf.assignWithin(coarseCells, "coarse",
+        fine.union(fallback))
+      .select(col("id"), col("v"), col("coarse"), col("cluster"))
+      .localCheckpoint(eager = false)
+    val pairs = cells.select(col("coarse"), col("cluster"),
+        col("id").as("id_a"), col("v").as("v_a"))
+      .join(cells.select(col("coarse"), col("cluster"),
+        col("id").as("id_b"), col("v").as("v_b")), Seq("coarse", "cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= tau)
+    (cells, pairs)
   }
 
   /** Embedding near-dup pairs: cosine >= threshold between a bounded probe

@@ -26,10 +26,13 @@ package graft.sim
   *    full-corpus assignment is n·c·d flops against a c-row centroid
   *    broadcast, so c must stay broadcast-sized — the default cap
   *    (2^17 cells ≈ 34 MB at d=64 floats) bounds both. Beyond
-  *    n = targetCell·maxCells (~1.3e8 rows at defaults) cell size grows
-  *    past targetCell again; that regime needs two-level (coarse-then-
-  *    fine) assignment, which is out of scope and documented here
-  *    rather than papered over. `fitFraction` bounds only the FIT cost,
+  *    n = targetCell·maxCells (~1.3e8 rows at defaults) a single-level
+  *    cell count can no longer be broadcast; [[coarseFineForPairs]]
+  *    splits the needed count across two levels (coarse broadcast +
+  *    per-coarse-cell fine equi-join,
+  *    [[graft.dedup.Dedup.semanticDedupTwoLevel]]), pushing the
+  *    envelope to n ≤ targetCell·maxCells² (~1.7e16 rows at defaults —
+  *    past any 100 TB corpus). `fitFraction` bounds only the FIT cost,
   *    never the assignment.
   *
   * Gate queries keep their frozen knobs (specs pin recall/ground truth at
@@ -78,5 +81,42 @@ object CellKnobs {
     val c = corpusRows / targetCell +
       (if (corpusRows % targetCell == 0) 0L else 1L)
     math.min(maxCells.toLong, math.max(minCells.toLong, c)).toInt
+  }
+
+  /** True when [[cellsForPairs]]'s clamp BINDS for this corpus — i.e. a
+    * single-level cell count can no longer hold expected cell size at
+    * `targetCell`, and the two-level path ([[coarseFineForPairs]]) is
+    * the one that preserves the linear pair-work bound. The auto entry
+    * point ([[graft.dedup.Dedup.semanticDedupAuto]]) switches on this
+    * predicate, so the envelope is a code path, not a footnote. */
+  def needsTwoLevelForPairs(corpusRows: Long, targetCell: Long,
+                            maxCells: Int = 1 << 17): Boolean = {
+    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    corpusRows / targetCell +
+      (if (corpusRows % targetCell == 0) 0L else 1L) > maxCells.toLong
+  }
+
+  /** Two-level split of the pair-work-bounded cell count: coarse count
+    * c1 = ceil(√cNeeded) and fine-per-coarse count c2 = ceil(cNeeded/c1),
+    * so c1·c2 ≥ cNeeded = ceil(n/targetCell) — expected FINE cell size
+    * stays ≤ targetCell under balanced assignment — while each LEVEL
+    * stays small: the broadcast is only the c1 coarse centroids, and a
+    * row's fine-assignment work is its own coarse cell's ~c2 centroids
+    * via the group equi-join. Both clamp at `maxCells`, which binds only
+    * past n ≈ targetCell·maxCells² (~1.7e16 rows at defaults); the
+    * clamp binding means expected cell size grows again — loud in the
+    * returned counts (c1 == c2 == maxCells), not silent. */
+  def coarseFineForPairs(corpusRows: Long, targetCell: Long,
+                         maxCells: Int = 1 << 17): (Int, Int) = {
+    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    val needed = corpusRows / targetCell +
+      (if (corpusRows % targetCell == 0) 0L else 1L)
+    val c1 = math.min(maxCells.toLong,
+      math.ceil(math.sqrt(needed.toDouble)).toLong)
+    val c2 = math.min(maxCells.toLong,
+      needed / c1 + (if (needed % c1 == 0) 0L else 1L))
+    (math.max(1L, c1).toInt, math.max(1L, c2).toInt)
   }
 }

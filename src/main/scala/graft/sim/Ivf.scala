@@ -61,6 +61,72 @@ object Ivf {
         max_by(col("cluster"), struct(col("cos"), -col("cluster")))
           .as("cluster"))
 
+  /** [[assign]]'s grouped sibling: `centroids` carries a group key next
+    * to (cluster, centroid), and each row of `df` (already carrying its
+    * own `groupCol`) meets ONLY its group's centroids — the match is an
+    * equi-join on the key, never a broadcast, so the TOTAL centroid
+    * count can exceed any broadcast cap; only the per-group count needs
+    * to stay modest. This is the assignment primitive of the two-level
+    * (coarse-then-fine) paths: per-row distance work is the group's
+    * centroid count, and the join's shuffle key doubles as the coarse
+    * cell, which downstream per-cell operators reuse.
+    *
+    * A `df` row whose group has no centroid row is DROPPED by the inner
+    * join — callers needing full coverage must guarantee every occupied
+    * group keeps at least one centroid (see
+    * [[graft.dedup.Dedup.semanticDedupTwoLevel]]'s fallback union). */
+  def assignWithin(df: DataFrame, groupCol: String,
+                   centroids: DataFrame): DataFrame =
+    df.join(centroids, Seq(groupCol))
+      .select(col(groupCol), col("id"), col("v"), col("cluster"),
+        Vectors.cosine(col("v"), col("centroid")).as("cos"))
+      .groupBy("id")
+      .agg(first(col(groupCol)).as(groupCol),
+        first(col("v")).as("v"),
+        max_by(col("cluster"), struct(col("cos"), -col("cluster")))
+          .as("cluster"))
+
+  /** Grouped deterministic spherical k-means: one independent
+    * [[fitCentroids]]-style fit per value of `groupCol`, all run
+    * simultaneously as keyed DataFrame aggregates — no per-group driver
+    * loop, so a million coarse cells fit in the same handful of jobs as
+    * one. Seeds are the `cPerGroup` LOWEST-id rows of each group of
+    * `seedCorpus` (default: the fit corpus), selected with the bounded
+    * top-k heap under a constant score — k-smallest-by-id exactly, no
+    * window and no double-precision id round-trip. Iterations follow
+    * [[fitCentroids]]: grouped assign ([[assignWithin]]), then a
+    * per-(group, cluster) mean; a cell (or a whole group) with no fit
+    * member drops out, as in standard k-means — coverage fallbacks are
+    * the caller's concern, as documented on [[assignWithin]].
+    * Returns (groupCol, cluster, centroid). */
+  def fitCentroidsWithin(corpus: DataFrame, groupCol: String,
+                         cPerGroup: Int, iters: Int,
+                         seedCorpus: Option[DataFrame] = None): DataFrame = {
+    val seedIds = seedCorpus.getOrElse(corpus)
+      .groupBy(groupCol)
+      .agg(TopK.topKByScore(lit(0.0), col("id"), cPerGroup).as("s"))
+      .select(col(groupCol), explode(col("s.id")).as("id"))
+    var centroids = seedCorpus.getOrElse(corpus)
+      .join(seedIds, Seq(groupCol, "id"))
+      .select(col(groupCol), col("id").as("cluster"),
+        col("v").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignWithin(corpus, groupCol, centroids)
+      centroids = assigned
+        .select(col(groupCol), col("cluster"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(groupCol, "cluster", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy(groupCol, "cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** IVF top-k: probes scan their `nprobe` nearest cells; ranking among
     * candidates is exact cosine via the bounded top-k aggregate. Output
     * (probe_id, neighbor_id, rank) like [[Knn.bruteForceKnn]] (approximate:
@@ -109,7 +175,10 @@ object Ivf {
   }
 
   /** [[ivfKnn]] with (c, nprobe) derived from corpus size
-    * ([[CellKnobs]]: c ≈ √n, nprobe a fixed fraction of c) — the
+    * ([[CellKnobs]]: c ≈ √n, nprobe growing as √c anchored at the
+    * gate's 4-of-16, so per-probe candidate work n/√c SHRINKS as a
+    * fraction of the corpus — a constant-fraction nprobe would be
+    * brute force / constant, see [[CellKnobs.nprobeFor]]) — the
     * deployment entry point at a new scale, [[Knn.lshKnnAuto]]'s IVF
     * sibling. Pass `corpusRows` when known; None counts once. At large
     * n also lower `fitFraction`: the k-means fit needs a sample, the

@@ -56,6 +56,30 @@ class CellKnobsSpec extends AnyFunSuite {
     assert(graft.sim.LshKnobs.bitsFor(Long.MaxValue, 1000) == 30)
   }
 
+  test("needsTwoLevelForPairs flips exactly where cellsForPairs clamps") {
+    val maxC = 1 << 17
+    val boundary = maxC.toLong * 1000L // largest n with needed == maxCells
+    assert(!CellKnobs.needsTwoLevelForPairs(boundary, 1000))
+    assert(CellKnobs.needsTwoLevelForPairs(boundary + 1, 1000))
+    assert(!CellKnobs.needsTwoLevelForPairs(500, 1000))
+    assert(CellKnobs.needsTwoLevelForPairs(Long.MaxValue, 1000))
+  }
+
+  test("coarseFineForPairs covers the needed cell count at both levels") {
+    // c1*c2 >= ceil(n/targetCell), with each level far below the cap
+    for (n <- Seq((1L << 17) * 1000L + 1L, 1000000000L, 100000000000L)) {
+      val needed = n / 1000L + (if (n % 1000L == 0) 0L else 1L)
+      val (c1, c2) = CellKnobs.coarseFineForPairs(n, 1000)
+      assert(c1.toLong * c2 >= needed, s"n=$n: $c1*$c2 < $needed")
+      assert(c1 <= (1 << 17) && c2 <= (1 << 17))
+      // balanced split: neither level degenerates toward single-level
+      assert(math.max(c1, c2).toDouble / math.min(c1, c2) < 2.0)
+    }
+    // the two-level envelope end clamps LOUDLY: both counts pin at max
+    val (h1, h2) = CellKnobs.coarseFineForPairs(Long.MaxValue, 1)
+    assert(h1 == (1 << 17) && h2 == (1 << 17))
+  }
+
   test("auto entry points refuse a fit sample too small for the cells") {
     import graft.sources.Tables
     val emb = Tables(spark, TestSpark.sf, "embeddings")

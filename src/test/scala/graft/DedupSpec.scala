@@ -324,6 +324,104 @@ class DedupSpec extends AnyFunSuite {
       "tau=0.25 must actually drop in-cell near-dups on this corpus")
   }
 
+  test("semanticDedupTwoLevel degenerates to single-level at c1=1") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val tau = 0.25
+    // One coarse cell means: coarse mean-of-corpus centroid, then a
+    // grouped fine fit whose seeds are exactly single-level's
+    // lowest-c ids and whose iterations see the same members — so the
+    // kept set must coincide with semanticDedup at c = c2.
+    val single = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        c = 16, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    val two = Dedup.semanticDedupTwoLevel(emb, "vec_id", "embedding",
+        c1 = 1, c2 = 16, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(two == single,
+      s"extra=${(two diff single).take(3)} missing=${(single diff two).take(3)}")
+  }
+
+  test("semanticDedupTwoLevel ground truth: greedy rule over composite cells") {
+    import graft.sources.Tables
+    import graft.sim.Ivf
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val tau = 0.25
+    val (c1, c2) = (4, 4)
+    val kept = Dedup.semanticDedupTwoLevel(emb, "vec_id", "embedding",
+        c1 = c1, c2 = c2, tau = tau)
+      .collect().map(_.getLong(0)).toSet
+    // Replay the deterministic two-level assignment with the public
+    // primitives (fitFraction = 1, so fit rows == corpus and the
+    // vanished-group fallback is inert), then brute-force the greedy
+    // rule within each (coarse, fine) cell.
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val coarseCentroids = Ivf.fitCentroids(corpus, c = c1, iters = 3)
+    val coarseCells = Ivf.assign(corpus, coarseCentroids)
+      .select(col("id"), col("v"), col("cluster").as("coarse"))
+    val fine = Ivf.fitCentroidsWithin(coarseCells, "coarse", c2, iters = 3,
+      seedCorpus = Some(coarseCells))
+    val cells = Ivf.assignWithin(coarseCells, "coarse", fine)
+      .select(col("id"), col("v"), col("coarse"), col("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        (r.getLong(2), r.getLong(3))))
+    assert(cells.length == emb.count(), "two-level assignment lost rows")
+    assert(cells.map(_._3._1).distinct.length > 1,
+      "coarse level must actually split this corpus")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedKept = (for {
+      byCell <- cells.groupBy(_._3).values
+      sorted = byCell.sortBy(_._1)
+      (id, v, _) <- sorted
+      if !sorted.exists { case (a, va, _) => a < id && cos(va, v) >= tau }
+    } yield id).toSet
+    assert(kept == expectedKept,
+      s"extra=${(kept diff expectedKept).take(3)} " +
+        s"missing=${(expectedKept diff kept).take(3)}")
+    assert(kept.size < cells.length,
+      "tau=0.25 must actually drop in-cell near-dups on this corpus")
+  }
+
+  test("semanticDedupTwoLevel: sampled fit never loses corpus rows (fallback)") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    // A 5% fit sample over 8 coarse cells leaves some coarse cells with
+    // zero fit rows; the coarse-centroid fallback must still give every
+    // corpus row a (coarse, fine) home — the audit covers the corpus
+    // exactly once, every drop carries a valid lower-id witness.
+    val audit = Dedup.semanticDedupTwoLevelAudit(emb, "vec_id", "embedding",
+        c1 = 8, c2 = 4, tau = 0.25, fitFraction = 0.05)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(audit.length == emb.count(),
+      s"audit covers ${audit.length} of ${emb.count()} corpus rows")
+    assert(audit.map(_._1).distinct.length == audit.length)
+    for ((id, kept, wid) <- audit if !kept)
+      assert(wid.exists(_ < id), s"drop $id lacks a lower-id witness")
+  }
+
+  test("semanticDedupAuto switches to two-level past the envelope") {
+    import graft.sources.Tables
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    // Claimed corpusRows past targetCell*maxCells forces the two-level
+    // branch (needsTwoLevelForPairs); the run must stay sound on the
+    // real (small) corpus: distinct kept ids, all from the corpus.
+    val n = (1L << 17) * 1000L + 1L
+    val kept = Dedup.semanticDedupAuto(emb, "vec_id", "embedding",
+        tau = 0.25, corpusRows = Some(n))
+      .collect().map(_.getLong(0))
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.distinct.length == kept.length)
+    assert(kept.forall(ids), "kept id outside the corpus")
+    assert(kept.nonEmpty)
+  }
+
   test("semanticDedupAudit: kept set matches, witnesses justify drops") {
     import graft.sources.Tables
     val emb = Tables(spark, TestSpark.sf, "embeddings")
