@@ -827,6 +827,54 @@ object OracleSql {
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
 
+    "q38_ingest_patterns" ->
+      """WITH lo AS (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                           AND TIMESTAMP '1995-01-31'),
+         ll AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+                FROM lineitem
+                WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01'
+                                     AND TIMESTAMP '1996-06-15'),
+         -- pattern roots are ID sets: the parents pass traverses the
+         -- DATABASE rows matching those ids (all of them — testdata has
+         -- duplicate lineitem id tuples whose other columns differ),
+         -- not the batch rows themselves
+         lrows AS (SELECT lineitem.l_orderkey, lineitem.l_linenumber,
+                     lineitem.l_partkey, lineitem.l_suppkey
+                   FROM lineitem
+                   JOIN (SELECT DISTINCT l_orderkey, l_linenumber FROM ll) s
+                   USING (l_orderkey, l_linenumber)),
+         -- parents pass, leaves first: loaded objects plus all ancestors
+         ord AS (SELECT o_orderkey FROM lo
+                 UNION SELECT l_orderkey FROM lrows),
+         prt AS (SELECT DISTINCT l_partkey FROM lrows),
+         supp AS (SELECT DISTINCT l_suppkey FROM lrows),
+         cust AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderkey IN (SELECT o_orderkey FROM ord)),
+         nat AS (SELECT c_nationkey AS nk FROM customer
+                 WHERE c_custkey IN (SELECT o_custkey FROM cust)
+                 UNION SELECT s_nationkey FROM supplier
+                 WHERE s_suppkey IN (SELECT l_suppkey FROM supp)),
+         reg AS (SELECT DISTINCT n_regionkey AS rk FROM nation
+                 WHERE n_nationkey IN (SELECT nk FROM nat))
+         SELECT object_type, id FROM (
+           SELECT 'region' AS object_type,
+             CAST(rk AS VARCHAR) AS id FROM reg
+           UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR)
+             FROM nation WHERE n_nationkey IN (SELECT nk FROM nat)
+           UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR)
+             FROM customer WHERE c_custkey IN (SELECT o_custkey FROM cust)
+           UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR)
+             FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM supp)
+           UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR)
+             FROM part WHERE p_partkey IN (SELECT l_partkey FROM prt)
+           UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR)
+             FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM ord)
+           UNION ALL SELECT 'lineitem',
+             CAST(l_orderkey AS VARCHAR) || '_' ||
+             CAST(l_linenumber AS VARCHAR) FROM lrows
+         ) ORDER BY object_type, id""",
+
     "t08_quality_percentiles" ->
       s"""WITH q AS (SELECT source, round($qualitySql, 6) AS q
                      FROM documents)

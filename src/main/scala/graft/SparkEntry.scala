@@ -928,6 +928,35 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** `Pattern.from_io` + the reference's ingest expansion `<*#`
+    * (orm/query.py:788-851; kcidb/__init__.py:493-531): a simulated
+    * just-loaded batch — an orders date window plus a lineitem
+    * ship-date window, the dump-window shape a feed delivers — derives
+    * its per-type roots ([[graft.model.Catalog.rootsFromBatch]]) and
+    * the matched set is the loaded objects PLUS all their ancestors
+    * ([[graft.model.Catalog.ingestClosure]]), the exact object set the
+    * reference generates notifications over after each load. Output is
+    * q29's (object_type, id) ledger shape. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val batch = Map(
+      "orders" -> t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31")),
+      "lineitem" -> t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-06-01", "1996-06-15")))
+    val m = TestCatalog.catalog.ingestClosure(s, dir, batch)
+    def part(tn: String, id: Column): DataFrame =
+      m(tn).select(lit(tn).as("object_type"), id.cast("string").as("id"))
+    part("region", col("r_regionkey"))
+      .union(part("nation", col("n_nationkey")))
+      .union(part("customer", col("c_custkey")))
+      .union(part("supplier", col("s_suppkey")))
+      .union(part("part", col("p_partkey")))
+      .union(part("orders", col("o_orderkey")))
+      .union(part("lineitem", concat(col("l_orderkey").cast("string"),
+        lit("_"), col("l_linenumber").cast("string"))))
+      .orderBy("object_type", "id")
+  }
+
   /** Per-source quality-score distribution: exact interpolated
     * percentiles via the bounded-state CDF form (operators/Percentiles) —
     * never Spark's value-buffering `percentile` aggregate. The score is
@@ -1204,6 +1233,7 @@ object SparkEntry {
     "q35_bucketed_join" -> (q35 _),
     "q36_all_descendants" -> (q36 _),
     "q37_sessionize" -> (q37 _),
+    "q38_ingest_patterns" -> (q38 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -351,6 +351,36 @@ final class Catalog(
     materialize(spark, dir,
       expandIds(spark, dir, rootIds(spark, dir, roots), children = false),
       withMetadata)
+
+  /** `Pattern.from_io` analog (reference kcidb/orm/query.py:788-851):
+    * derive per-type ROOT-ID frames from a just-loaded I/O batch — each
+    * type's roots are the distinct id tuples of its loaded rows, exactly
+    * the pattern set from_io builds over an I/O object list. Types absent
+    * from the batch contribute no roots (from_io skips empty lists);
+    * unknown type names fail loudly here, mirroring the reference's
+    * OO-types ⊇ I/O-types assertion. The returned map plugs directly
+    * into [[closure]]/[[childrenClosure]]/[[parentsClosure]] — or use
+    * [[ingestClosure]] for the reference's own ingest expansion. */
+  def rootsFromBatch(batch: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val unknown = batch.keys.filterNot(types.contains).toSeq.sorted
+    require(unknown.isEmpty,
+      s"unknown object types in batch: ${unknown.mkString(", ")}")
+    batch.map { case (tn, df) =>
+      tn -> df.select(types(tn).idCols.map(col): _*).distinct()
+    }
+  }
+
+  /** The reference ingest-notification expansion (kcidb/__init__.py:
+    * 493-531): every `Pattern.from_io` pattern is re-parsed with `<*#`
+    * appended, so the matched set is the loaded objects PLUS all their
+    * ancestors — i.e. the parents closure from the batch-derived roots.
+    * Feeding the result to [[graft.monitor.Subscriptions]] closes the
+    * load → query → notify loop. Scale shape is [[parentsClosure]]'s:
+    * the batch projects to narrow id tuples before anything shuffles. */
+  def ingestClosure(spark: SparkSession, dir: String,
+                    batch: Map[String, DataFrame],
+                    withMetadata: Boolean = true): Map[String, DataFrame] =
+    parentsClosure(spark, dir, rootsFromBatch(batch), withMetadata)
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors

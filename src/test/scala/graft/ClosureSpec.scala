@@ -239,4 +239,52 @@ class ClosureSpec extends AnyFunSuite {
     val m = cat.childrenClosure(spark, dir, Map("customer" -> roots))
     assert(m.values.forall(_.count() == 0))
   }
+
+  test("rootsFromBatch: distinct id tuples per type; unknown types fail") {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_orderkey") <= 3L)
+    // duplicated rows in the batch (a re-delivered load) still yield one
+    // root per id tuple, projected to exactly the type's id columns
+    val roots = cat.rootsFromBatch(Map("lineitem" -> li.union(li)))
+    assert(roots.keySet == Set("lineitem"))
+    assert(roots("lineitem").columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber"))
+    // testdata carries duplicate lineitem id tuples (kcidb retains
+    // duplicate-id rows), so the root count is the DISTINCT tuple count
+    assert(roots("lineitem").count() ==
+      li.select("l_orderkey", "l_linenumber").distinct().count())
+    assert(roots("lineitem").count() <= li.count())
+    val e = intercept[IllegalArgumentException] {
+      cat.rootsFromBatch(Map("widgets" -> li))
+    }
+    assert(e.getMessage.contains("widgets"))
+  }
+
+  test("ingestClosure = from_io roots + <*#: loaded objects and all " +
+      "their ancestors") {
+    val loaded = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 5L)
+    val viaIngest = cat.ingestClosure(spark, dir, Map("orders" -> loaded))
+    val explicit = cat.parentsClosure(spark, dir,
+      Map("orders" -> loaded.select("o_orderkey")))
+    assert(viaIngest.keySet == explicit.keySet)
+    for (tn <- viaIngest.keySet)
+      assert(viaIngest(tn).collect().toSet == explicit(tn).collect().toSet,
+        s"ingestClosure diverges from explicit parents closure for $tn")
+    // the loaded objects themselves are matched (the `#` in `<*#`) …
+    val gotOrders = viaIngest("orders").select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val loadedIds = loaded.select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(loadedIds.subsetOf(gotOrders))
+    // … and so are their ancestors, up to the root type
+    val custs = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 5L)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(viaIngest("customer").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet == custs)
+    assert(viaIngest("region").count() > 0)
+    // nothing travels DOWNWARD from a loaded order: lineitem was not in
+    // the batch and the parents pass never reaches it
+    assert(!viaIngest.contains("lineitem"))
+  }
 }
