@@ -352,18 +352,42 @@ object OracleSql {
 
     "q24_notifications" -> {
       def b64(e: String) = s"translate(to_base64(encode($e)), '/', '-')"
-      def sub(name: String, typ: String, idExpr: String, where: String) =
-        s"""SELECT '$name' || ':' || '$typ' || ':' || ${b64(idExpr)}
-              || ':' || ${b64("'m0'")} AS notification_id,
-            '$name' AS subscription, '$typ' AS object_type,
-            $idExpr AS object_id
-            FROM $typ WHERE $where"""
+      // The SQL form of Subscriptions.renderTemplate, generated from the
+      // SAME template strings the gate subscriptions carry (the shared-
+      // constant discipline): literals quoted, {col} -> null-safe
+      // VARCHAR cast. Gate templates are short and clean, so the
+      // subject clip/sanitize steps are identity here (spec-covered).
+      def tpl(t: String): String = {
+        val re = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+        val parts = Seq.newBuilder[String]
+        var last = 0
+        for (m <- re.findAllMatchIn(t)) {
+          if (m.start > last)
+            parts += s"'${t.substring(last, m.start).replace("'", "''")}'"
+          parts += s"COALESCE(CAST(${m.group(1)} AS VARCHAR), '')"
+          last = m.end
+        }
+        if (last < t.length)
+          parts += s"'${t.substring(last).replace("'", "''")}'"
+        val ps = parts.result()
+        if (ps.isEmpty) "''" else ps.mkString(" || ")
+      }
+      def sub(s: graft.monitor.Subscription, idExpr: String,
+              where: String) =
+        s"""SELECT '${s.name}' || ':' || '${s.objectType}' || ':' ||
+              ${b64(idExpr)} || ':' || ${b64("'m0'")} AS notification_id,
+            '${s.name}' AS subscription, '${s.objectType}' AS object_type,
+            $idExpr AS object_id,
+            ${tpl(s.subject)} AS subject,
+            md5(${tpl(s.body)}) AS body_md5
+            FROM ${s.objectType} WHERE $where"""
+      val Seq(bigOrders, negBal, returned) = SparkEntry.q24Subscriptions
       Seq(
-        sub("failed_big_orders", "orders", "CAST(o_orderkey AS VARCHAR)",
+        sub(bigOrders, "CAST(o_orderkey AS VARCHAR)",
           "o_orderstatus = 'F' AND o_totalprice > 200000"),
-        sub("negative_balance", "customer", "CAST(c_custkey AS VARCHAR)",
+        sub(negBal, "CAST(c_custkey AS VARCHAR)",
           "c_acctbal < -900"),
-        sub("returned_full_qty", "lineitem",
+        sub(returned,
           "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
           "l_returnflag = 'R' AND l_quantity >= 50"))
         .mkString("SELECT DISTINCT * FROM (", " UNION ALL ",

@@ -383,15 +383,26 @@ object SparkEntry {
   private[graft] val q24Subscriptions = Seq(
     graft.monitor.Subscription("failed_big_orders", "orders",
       col("o_orderstatus") === "F" && col("o_totalprice") > 200000,
-      Seq("o_orderkey")),
+      Seq("o_orderkey"),
+      subject = "Order {o_orderkey} failed ({o_orderpriority})",
+      body = "Order {o_orderkey} by customer {o_custkey} with priority " +
+        "{o_orderpriority} failed in status {o_orderstatus}."),
     graft.monitor.Subscription("negative_balance", "customer",
-      col("c_acctbal") < -900, Seq("c_custkey")),
+      col("c_acctbal") < -900, Seq("c_custkey"),
+      subject = "Customer {c_name} balance went negative",
+      body = "Customer {c_custkey} ({c_name}) of nation {c_nationkey}, " +
+        "segment {c_mktsegment}, has a negative account balance."),
     graft.monitor.Subscription("returned_full_qty", "lineitem",
       col("l_returnflag") === "R" && col("l_quantity") >= 50,
-      Seq("l_orderkey", "l_linenumber")))
+      Seq("l_orderkey", "l_linenumber"),
+      subject = "Full-quantity return on order {l_orderkey} " +
+        "line {l_linenumber}",
+      body = "Lineitem {l_orderkey}_{l_linenumber} of part {l_partkey} " +
+        "came back with return flag {l_returnflag} in status " +
+        "{l_linestatus}."))
 
   private def q24(s: SparkSession, dir: String): DataFrame =
-    graft.monitor.Subscriptions.matchNotifications(
+    graft.monitor.Subscriptions.matchNotificationsRendered(
       name => t(s, dir, name), q24Subscriptions)
       .orderBy("notification_id")
 

@@ -27,7 +27,9 @@ final case class Subscription(
     objectType: String,
     predicate: Column,
     idCols: Seq[String],
-    messageId: String = "m0")
+    messageId: String = "m0",
+    subject: String = "",
+    body: String = "")
 
 object Subscriptions {
 
@@ -62,6 +64,76 @@ object Subscriptions {
   def matchNotifications(load: String => DataFrame,
                          subs: Seq[Subscription]): DataFrame =
     matchRaw(load, subs).distinct()
+
+  /** `{column}` placeholders interpolated into a codegen'd concat of
+    * literals and string-cast column values — the deterministic,
+    * transport-free core of the reference's Jinja2 message rendering
+    * (output.py:180-203: templates render with the matched object's
+    * fields in scope). A null field renders empty, as Jinja renders
+    * undefined; a placeholder naming a column the object type lacks
+    * fails analysis loudly. No UDF anywhere: rendering a 100 TB load's
+    * matches is pure projected column arithmetic. */
+  private val PlaceholderRe = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+
+  def renderTemplate(tpl: String): Column = {
+    val parts = Seq.newBuilder[Column]
+    var last = 0
+    for (m <- PlaceholderRe.findAllMatchIn(tpl)) {
+      if (m.start > last) parts += lit(tpl.substring(last, m.start))
+      parts += coalesce(col(m.group(1)).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < tpl.length) parts += lit(tpl.substring(last))
+    val ps = parts.result()
+    if (ps.isEmpty) lit("") else concat(ps: _*)
+  }
+
+  private[monitor] val SubjectMaxLen = 256
+  private[monitor] val BodyMaxLen = 64 * 1024
+
+  /** Over-long rendering truncates to maxLen-2 characters plus the
+    * reference's scissors marker (output.py:190-195, 204-208). */
+  private[monitor] def clip(c: Column, maxLen: Int): Column =
+    when(length(c) > maxLen,
+      concat(substring(c, 1, maxLen - 2), lit("✂️"))).otherwise(c)
+
+  /** Rendered subject Column: template interpolation, then the
+    * reference's subject discipline in its order (output.py:190-202) —
+    * truncate past 256 characters, then replace control characters
+    * (x00-x1f, x7f) with the replacement glyph. */
+  def renderSubject(tpl: String): Column =
+    regexp_replace(clip(renderTemplate(tpl), SubjectMaxLen),
+      "[\\x00-\\x1f\\x7f]", "⯑")
+
+  /** Rendered body Column: interpolation + the 64 KiB body clip
+    * (output.py:203-208). Control characters are legal in bodies. */
+  def renderBody(tpl: String): Column =
+    clip(renderTemplate(tpl), BodyMaxLen)
+
+  /** [[matchRaw]] plus the rendered message columns — what a
+    * notification consumer reads beyond the spool id. Bodies travel as
+    * md5 (the spool stores digests; full bodies are a transport
+    * concern the survey scopes out, and the digest keeps wide text out
+    * of the dedup shuffle). */
+  def matchRendered(load: String => DataFrame,
+                    subs: Seq[Subscription]): DataFrame =
+    subs.map { sub =>
+      val df = load(sub.objectType)
+      val objId =
+        concat_ws(":", sub.idCols.map(c => col(c).cast("string")): _*)
+      df.filter(sub.predicate).select(
+        notificationId(sub, objId).as("notification_id"),
+        lit(sub.name).as("subscription"),
+        lit(sub.objectType).as("object_type"),
+        objId.as("object_id"),
+        renderSubject(sub.subject).as("subject"),
+        md5(renderBody(sub.body)).as("body_md5"))
+    }.reduce(_ unionByName _)
+
+  /** [[matchNotifications]] with rendered subject + body digest. */
+  def matchNotificationsRendered(load: String => DataFrame,
+                                 subs: Seq[Subscription]): DataFrame =
+    matchRendered(load, subs).distinct()
 
   final case class Notif(notification_id: String, subscription: String,
                          object_type: String, object_id: String)

@@ -118,6 +118,78 @@ class SubscriptionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("renderTemplate: interpolation, null fields render empty") {
+    import spark.implicits._
+    val df = Seq((1L, Option("Widget")), (2L, Option.empty[String]))
+      .toDF("id", "name")
+    val got = df.select(col("id"),
+        Subscriptions.renderTemplate("item {id}: {name}!").as("r"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("item 1: Widget!", "item 2: !"))
+    // no placeholders and empty templates are pure literals
+    assert(df.select(Subscriptions.renderTemplate("plain"))
+      .head.getString(0) == "plain")
+    assert(df.select(Subscriptions.renderTemplate(""))
+      .head.getString(0) == "")
+  }
+
+  test("renderSubject sanitizes and clips per the reference discipline") {
+    import spark.implicits._
+    val df = Seq((1L, "badsubject"), (2L, "x" * 300))
+      .toDF("id", "s")
+    // control characters -> replacement glyph (output.py:197-202)
+    assert(df.filter(col("id") === 1L)
+      .select(Subscriptions.renderSubject("{s}")).head.getString(0)
+      == "bad⯑subject⯑")
+    // over-long -> 254 chars + scissors = 256 (output.py:190-195)
+    val long = df.filter(col("id") === 2L)
+      .select(Subscriptions.renderSubject("{s}")).head.getString(0)
+    assert(long.length == 256 && long.endsWith("✂️"))
+    assert(long.startsWith("x" * 254))
+    // bodies keep control chars and clip only at 64 KiB
+    assert(df.filter(col("id") === 2L)
+      .select(Subscriptions.renderBody("{s}")).head.getString(0)
+      == "x" * 300)
+    assert(df.filter(col("id") === 1L)
+      .select(Subscriptions.renderBody("{s}")).head.getString(0)
+      == "badsubject")
+  }
+
+  test("matchRendered: base columns match matchRaw; digest is the real md5") {
+    import graft.sources.Tables
+    val load = (n: String) => Tables(spark, TestSpark.sf, n)
+    val rendered = Subscriptions
+      .matchNotificationsRendered(load, SparkEntry.q24Subscriptions)
+    val baseCols = Seq("notification_id", "subscription", "object_type",
+      "object_id")
+    assert(rendered.select(baseCols.map(col): _*).collect().toSet ==
+      Subscriptions.matchNotifications(load, SparkEntry.q24Subscriptions)
+        .collect().toSet)
+    // ground-truth one subscription end-to-end: render locally from the
+    // raw orders rows and md5 the body in the JVM (negative_balance
+    // matches no customer at sf0.001, so the orders sub is the probe)
+    val want = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+      .select("o_orderkey", "o_custkey", "o_orderpriority",
+        "o_orderstatus")
+      .collect().map { r =>
+        val body = s"Order ${r.getLong(0)} by customer ${r.getLong(1)} " +
+          s"with priority ${r.getString(2)} failed in status " +
+          s"${r.getString(3)}."
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getLong(0).toString,
+          s"Order ${r.getLong(0)} failed (${r.getString(2)})", md)
+      }.toSet
+    assert(want.nonEmpty)
+    val got = rendered.filter(col("subscription") === "failed_big_orders")
+      .select("object_id", "subject", "body_md5")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == want)
+  }
+
   test("streaming match + dedup composes (filter works on a stream)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, Double)]
