@@ -1136,18 +1136,20 @@ object SparkEntry {
 
   /** REAL multi-frame sampling: per-doc animated GIFs (frame pixels a
     * closed form of (doc_id, frame) — Binary.makeRealGif) demuxed by
-    * javax.imageio's multi-image reader (Binary.sampleFrames, every 2nd
-    * frame), each sampled frame decoded to exact channel sums. GIF
-    * stores the gray palette verbatim, so the round trip is lossless and
-    * the oracle recomputes frame set, dimensions, and mean arithmetically
+    * javax.imageio's multi-image reader and decoded to exact channel
+    * sums in ONE fused pass (Binary.frameStatsFused, every 2nd frame —
+    * no per-frame PNG re-encode/re-decode; the blob-emitting
+    * sampleFrames API remains for writers, parity-spec-pinned). GIF
+    * stores the gray palette verbatim, so decode is lossless and the
+    * oracle recomputes frame set, dimensions, and mean arithmetically
     * from doc_id — a demux bug (wrong frame count, frame/offset mixup,
     * colorspace shift) breaks the hash. */
   private def m04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
-    Binary.frameStats(Binary.sampleFrames(
+    Binary.frameStatsFused(
         src.map(id => Binary.PayloadRow(id, Binary.makeRealGif(id))),
-        stride = 2))
+        stride = 2)
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("n_pixels"),
@@ -1158,18 +1160,20 @@ object SparkEntry {
 
   /** REAL video frame sampling: per-doc RIFF/AVI containers carrying
     * Motion-PNG streams (Binary.makeRealAvi — frame pixels a closed form
-    * of (doc_id, frame)), demuxed by the pure-byte RIFF walker
-    * (Binary.aviFrames via sampleVideoFrames, every 2nd frame), each
-    * frame decoded to exact channel sums. The oracle recomputes frame
-    * sets/dims/means arithmetically — a demux bug (chunk walk, padding,
-    * frame order) or decode bug breaks the hash. Retires the video stub
-    * for AVI; only containers with no JVM demuxer (e.g. MP4) remain. */
+    * of (doc_id, frame)), demuxed by the pure-byte RIFF walker and
+    * decoded to exact channel sums in one fused pass
+    * (Binary.videoFrameStatsFused, every 2nd frame; the Frame-emitting
+    * sampleVideoFrames API remains for writers, parity-spec-pinned).
+    * The oracle recomputes frame sets/dims/means arithmetically — a
+    * demux bug (chunk walk, padding, frame order) or decode bug breaks
+    * the hash. Retires the video stub for AVI; only containers with no
+    * JVM demuxer (e.g. MP4) remain. */
   private def m05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
-    Binary.frameStats(Binary.sampleVideoFrames(
+    Binary.videoFrameStatsFused(
         src.map(id => Binary.PayloadRow(id, Binary.makeRealAvi(id))),
-        stride = 2))
+        stride = 2)
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         col("n_pixels"),

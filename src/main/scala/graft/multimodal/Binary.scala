@@ -415,8 +415,9 @@ object Binary {
     * per-frame ops ([[frameStats]], [[pixelStats]]) decode it exactly.
     * Partition-batched like [[decodePartitions]]; payloads with no
     * reader (true video containers — genuinely env-blocked, the ONLY
-    * remaining stub territory, see [[sampleFramesStub]]) emit no rows
-    * rather than failing the batch. Frame count per payload is bounded
+    * remaining stub territory, see [[sampleFramesStub]]) emit one
+    * doc-level sentinel row (frame_idx = -1, empty payload) rather than
+    * failing the batch or vanishing. Frame count per payload is bounded
     * (a decode, not a scan), so the per-row materialization is fine. */
   def sampleFrames(ds: Dataset[PayloadRow], stride: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -427,8 +428,15 @@ object Binary {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Iterator.empty }
-        else {
+        // An unreadable CONTAINER (no reader claims it, or its index is
+        // broken) emits ONE doc-level sentinel row at frame_idx = -1 with
+        // an empty payload — distinguishable from a zero-frame container
+        // (no rows) and from a corrupt FRAME (its own frame_idx, empty
+        // payload). Silent loss never.
+        if (!readers.hasNext) {
+          iis.close()
+          Iterator.single(Frame(r.doc_id, -1L, Array.empty[Byte]))
+        } else {
           val reader = readers.next()
           try {
             reader.setInput(iis)
@@ -456,8 +464,56 @@ object Binary {
                 } catch { case _: Exception => Array.empty[Byte] }
               Frame(r.doc_id, i.toLong, png)
             }.iterator
-          } catch { case _: Exception => Iterator.empty }
-          finally { reader.dispose(); iis.close() }
+          } catch {
+            case _: Exception =>
+              Iterator.single(Frame(r.doc_id, -1L, Array.empty[Byte]))
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+  }
+
+  /** [[sampleFrames]] fused with [[frameStats]]: demux → decode → channel
+    * sums in ONE pass, skipping the per-frame lossless-PNG re-encode and
+    * re-decode round trip the blob contract costs (the Frame-emitting API
+    * stays for writers; a stats consumer needs only the sums, computed on
+    * the SAME decoded image the blob path would encode — result-identical,
+    * parity-spec-pinned). Sentinel discipline matches the composed path:
+    * corrupt frame → -1 stats at its frame_idx; unreadable container →
+    * one doc-level row with frame_idx = -1. */
+  def frameStatsFused(ds: Dataset[PayloadRow], stride: Int)
+      : Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    def containerSentinel(id: Long) =
+      FrameStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) {
+          iis.close(); Iterator.single(containerSentinel(r.doc_id))
+        } else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              try {
+                val src = reader.read(i)
+                val (w, h, sr, sg, sb) = rgbSums(src)
+                FrameStats(r.doc_id, i.toLong, w, h, w * h, sr, sg, sb)
+              } catch {
+                case _: Exception =>
+                  FrameStats(r.doc_id, i.toLong, -1L, -1L, -1L, -1L, -1L,
+                    -1L)
+              }
+            }.iterator
+          } catch {
+            case _: Exception => Iterator.single(containerSentinel(r.doc_id))
+          } finally { reader.dispose(); iis.close() }
         }
       }
     }
@@ -576,17 +632,71 @@ object Binary {
     * every `stride`-th frame's codec payload becomes a row. Payloads pass
     * through verbatim (Motion-PNG frames feed [[frameStats]] directly);
     * decode stays a separate stage exactly like the GIF path. */
+  /** True when the payload doesn't even carry the RIFF/AVI magic — the
+    * container-level unreadability test (an on-magic container with a
+    * broken chunk walk yields zero frames instead: the walker stops at
+    * the first malformed size, which is all the information the bytes
+    * offer). */
+  private def notAvi(p: Array[Byte]): Boolean =
+    p.length < 12 ||
+      new String(p.slice(0, 4), "US-ASCII") != "RIFF" ||
+      new String(p.slice(8, 12), "US-ASCII") != "AVI "
+
   def sampleVideoFrames(ds: Dataset[PayloadRow], stride: Int)
       : Dataset[Frame] = {
     import ds.sparkSession.implicits._
     require(stride > 0, s"stride must be positive: $stride")
     ds.mapPartitions { rows =>
       rows.flatMap { r =>
-        val frames =
-          try aviFrames(r.payload)
-          catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
-        Iterator.range(0, frames.length, stride)
-          .map(i => Frame(r.doc_id, i.toLong, frames(i)))
+        // Not an AVI at all → one doc-level sentinel row (frame_idx = -1,
+        // empty payload), the sampleFrames unreadable-container rule.
+        if (notAvi(r.payload))
+          Iterator.single(Frame(r.doc_id, -1L, Array.empty[Byte]))
+        else {
+          val frames =
+            try aviFrames(r.payload)
+            catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+          Iterator.range(0, frames.length, stride)
+            .map(i => Frame(r.doc_id, i.toLong, frames(i)))
+        }
+      }
+    }
+  }
+
+  /** [[sampleVideoFrames]] fused with [[frameStats]]: demux → decode →
+    * channel sums in one pass, skipping the Frame-row hop between the
+    * two typed operators (no re-encode exists on the video path — frame
+    * payloads are the container's own codec bytes — so the fusion saves
+    * the intermediate row materialization, not a codec round trip).
+    * Sentinels: non-AVI payload → doc-level frame_idx = -1 row;
+    * an undecodable frame payload → -1 stats at its frame_idx. */
+  def videoFrameStatsFused(ds: Dataset[PayloadRow], stride: Int)
+      : Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        if (notAvi(r.payload))
+          Iterator.single(
+            FrameStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+        else {
+          val frames =
+            try aviFrames(r.payload)
+            catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+          Iterator.range(0, frames.length, stride).map { i =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frames(i)))
+              catch { case _: Exception => null }
+            if (img == null)
+              FrameStats(r.doc_id, i.toLong, -1L, -1L, -1L, -1L, -1L, -1L)
+            else {
+              val (w, h, sr, sg, sb) = rgbSums(img)
+              FrameStats(r.doc_id, i.toLong, w, h, w * h, sr, sg, sb)
+            }
+          }
+        }
       }
     }
   }

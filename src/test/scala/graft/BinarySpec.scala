@@ -180,8 +180,8 @@ class BinarySpec extends AnyFunSuite {
     }
   }
 
-  test("sampleFrames: stride 1 keeps every frame; unreadable bytes " +
-      "emit no rows") {
+  test("sampleFrames: stride 1 keeps every frame; unreadable containers " +
+      "emit one doc-level sentinel row") {
     import spark.implicits._
     val ds = Seq(
         Binary.PayloadRow(5L, Binary.makeRealGif(5L)),
@@ -190,7 +190,50 @@ class BinarySpec extends AnyFunSuite {
     val frames = Binary.sampleFrames(ds, stride = 1).collect()
     assert(frames.filter(_.doc_id == 5L).map(_.frame_idx).sorted.toSeq ==
       (0L until (2 + 5 % 4)).toSeq)
-    assert(!frames.exists(_.doc_id == 99L))
+    // an undecodable CONTAINER is distinguishable from a zero-frame one:
+    // exactly one frame_idx = -1 sentinel with an empty payload
+    val bad = frames.filter(_.doc_id == 99L)
+    assert(bad.map(f => (f.frame_idx, f.payload.length)).toSeq ==
+      Seq((-1L, 0)))
+  }
+
+  test("frameStatsFused == frameStats(sampleFrames) on GIFs, sentinels " +
+      "included") {
+    import spark.implicits._
+    val ds = Seq(5L, 6L, 7L, 8L)
+      .map(id => Binary.PayloadRow(id, Binary.makeRealGif(id)))
+      .toDS()
+    val composed = Binary.frameStats(Binary.sampleFrames(ds, stride = 2))
+      .collect().toSet
+    val fused = Binary.frameStatsFused(ds, stride = 2).collect().toSet
+    assert(fused == composed,
+      "fusing away the PNG round trip must not change a single stat")
+    // unreadable container: the composed path's -1-frame empty-payload
+    // row decodes to all -1s; fused emits the identical stats row
+    val bad = Seq(Binary.PayloadRow(99L, Array[Byte](1, 2, 3))).toDS()
+    assert(Binary.frameStatsFused(bad, stride = 1).collect().toSeq ==
+      Binary.frameStats(Binary.sampleFrames(bad, stride = 1))
+        .collect().toSeq)
+  }
+
+  test("videoFrameStatsFused == frameStats(sampleVideoFrames) on AVIs, " +
+      "non-AVI payloads sentinel both ways") {
+    import spark.implicits._
+    val ds = Seq(3L, 4L, 5L)
+      .map(id => Binary.PayloadRow(id, Binary.makeRealAvi(id)))
+      .toDS()
+    val composed = Binary
+      .frameStats(Binary.sampleVideoFrames(ds, stride = 2))
+      .collect().toSet
+    val fused = Binary.videoFrameStatsFused(ds, stride = 2)
+      .collect().toSet
+    assert(fused == composed)
+    val bad = Seq(Binary.PayloadRow(99L, "RIFFxxxxWAVE".getBytes("UTF-8")),
+        Binary.PayloadRow(7L, Binary.makeRealAvi(7L))).toDS()
+    val badFused = Binary.videoFrameStatsFused(bad, stride = 1).collect()
+    assert(badFused.filter(_.doc_id == 99L).map(_.frame_idx).toSeq ==
+      Seq(-1L), "a non-AVI payload must leave a doc-level sentinel")
+    assert(badFused.count(_.doc_id == 7L) == (2 + 7 % 3))
   }
 
   test("sampleVideoFrames: REAL AVI demux + Motion-PNG decode recovers " +
