@@ -821,6 +821,18 @@ object OracleSql {
          CAST(1 + doc_id * 7 % 480 AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
 
+    "m06_mp4_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+           ELSE 'avc1' END AS brand,
+         CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+         CAST(((1 + doc_id % 30) * (600 * (1 + doc_id % 4)) + doc_id % 7)
+           * 1000 // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+         CAST(320 + (doc_id % 5) * 16 AS BIGINT) AS width,
+         CAST(240 + (doc_id % 4) * 16 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

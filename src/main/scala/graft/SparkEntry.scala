@@ -927,6 +927,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL MP4 metadata: per-doc header-only ISO-BMFF containers
+    * (Binary.makeMp4 — every field a closed form of doc_id, v0 and v1
+    * box layouts alternating by parity) walked by the pure-byte box
+    * parser (Binary.mp4Header via videoHeaders): ftyp brand, mvhd
+    * timescale/duration, trak count, first track's fixed-point
+    * dimensions. The oracle recomputes every field arithmetically — a
+    * box-walk bug (offset, version layout, largesize, fixed-point
+    * shift) breaks the hash. Retires the MP4 stub's metadata half;
+    * only frame DECODE remains env-blocked (no JVM codec). */
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.videoHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeMp4(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Gap-based sessionization over the event stream (30-min gap) — the
     * canonical behavioral-analytics rollup. Both window passes share one
     * user_id partitioning (a single shuffle, per-key local sort — never a
@@ -1291,6 +1309,7 @@ object SparkEntry {
     "m03_pixel_stats" -> (m03 _),
     "m04_frame_sample" -> (m04 _),
     "m05_video_frames" -> (m05 _),
+    "m06_mp4_meta" -> (m06 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -222,6 +222,157 @@ object Binary {
     }
   }
 
+  final case class VideoHeader(doc_id: Long, brand: String,
+                               timescale: Long, duration_ms: Long,
+                               n_tracks: Long, width: Long, height: Long)
+
+  /** REAL ISO-BMFF (MP4) box walk — pure byte arithmetic, no codec:
+    * top-level boxes to `ftyp` (major brand) and `moov`, then one level
+    * down to `mvhd` (timescale, duration → duration_ms) and each
+    * `trak`'s `tkhd` (track count; width/height in 16.16 fixed point
+    * from the FIRST laid-out track, the [[aviFrames]] first-stream
+    * discipline). Handles v0 and v1 full boxes and 64-bit `largesize`;
+    * reads only declared sizes, so a header-only blob (metadata
+    * extraction without media data) parses. Non-MP4 or malformed bytes
+    * yield ("unknown", -1, …). This retires the metadata half of the
+    * MP4 stub — only FRAME DECODE remains env-blocked (no JVM codec),
+    * see [[sampleFramesStub]]. */
+  def mp4Header(p: Array[Byte])
+      : (String, Long, Long, Long, Long, Long) = {
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    val bad = ("unknown", -1L, -1L, -1L, -1L, -1L)
+    if (p.length < 8 || tag(4) != "ftyp") return bad
+    var brand: String = null
+    var timescale, duration = -1L
+    var nTracks = 0L
+    var width, height = -1L
+    // (start, end, headerLen) of a box at i within [i, limit); None stops
+    // the walk (malformed size — all the information the bytes offer)
+    def boxAt(i: Int, limit: Int): Option[(Long, Int)] = {
+      if (i + 8 > limit) return None
+      val sz0 = u32(i)
+      val (sz, hdr) =
+        if (sz0 == 1L && i + 16 <= limit) (u64(i + 8), 16)
+        else if (sz0 == 0L) ((limit - i).toLong, 8)
+        else (sz0, 8)
+      if (sz < hdr || i + sz > limit) None else Some((sz, hdr))
+    }
+    def walkTrak(i0: Int, limit: Int): Unit = {
+      var i = i0
+      while (i + 8 <= limit) boxAt(i, limit) match {
+        case None => i = limit
+        case Some((sz, hdr)) =>
+          if (tag(i + 4) == "tkhd" && width < 0) {
+            val b = i + hdr
+            val v = p(b) & 0xff
+            // v0: cre(4) mod(4) id(4) res(4) dur(4); v1: 8/8/4/4/8 —
+            // then res(8) layer(2) alt(2) vol(2) res(2) matrix(36)
+            val off = b + 4 + (if (v == 1) 32 else 20) + 52
+            if (off + 8 <= i + sz) {
+              width = u32(off) >> 16
+              height = u32(off + 4) >> 16
+            }
+          }
+          i += sz.toInt
+      }
+    }
+    def walkMoov(i0: Int, limit: Int): Unit = {
+      var i = i0
+      while (i + 8 <= limit) boxAt(i, limit) match {
+        case None => i = limit
+        case Some((sz, hdr)) =>
+          tag(i + 4) match {
+            case "mvhd" =>
+              val b = i + hdr
+              val v = p(b) & 0xff
+              if (v == 1 && b + 32 + 8 <= i + sz) {
+                timescale = u32(b + 20)
+                duration = u64(b + 24)
+              } else if (v == 0 && b + 20 + 4 <= i + sz) {
+                timescale = u32(b + 12)
+                duration = u32(b + 16)
+              }
+            case "trak" =>
+              nTracks += 1
+              walkTrak(i + hdr, i + sz.toInt)
+            case _ =>
+          }
+          i += sz.toInt
+      }
+    }
+    var i = 0
+    while (i + 8 <= p.length) boxAt(i, p.length) match {
+      case None => i = p.length
+      case Some((sz, hdr)) =>
+        tag(i + 4) match {
+          case "ftyp" => if (sz >= hdr + 4) brand = tag(i + hdr)
+          case "moov" => walkMoov(i + hdr, i + sz.toInt)
+          case _ =>
+        }
+        i += sz.toInt
+    }
+    if (brand == null || timescale <= 0 || duration < 0 || nTracks == 0)
+      bad
+    else (brand, timescale, duration * 1000L / timescale, nTracks,
+      width, height)
+  }
+
+  /** Deterministic header-only MP4: spec-shaped ISO-BMFF boxes (ftyp +
+    * moov{mvhd, trak{tkhd}×n}) with every field a closed form of the
+    * doc id, so the oracle recomputes them arithmetically — the
+    * [[makeWav]] analog for video containers. Odd ids use VERSION 1
+    * mvhd/tkhd (64-bit times), even ids version 0, so both layouts are
+    * exercised: brand = isom/mp42/avc1 by id%3, timescale =
+    * 600·(1 + id%4), duration = (1 + id%30)·timescale + id%7 units,
+    * 1 + id%3 tracks, first track (16.16 fixed) 320 + (id%5)·16 ×
+    * 240 + (id%4)·16, later tracks 0×0 (audio-shaped). */
+  def makeMp4(docId: Long): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ fourcc(typ) ++ body
+    val v1 = docId % 2 == 1
+    val brand = Seq("isom", "mp42", "avc1")((docId % 3).toInt)
+    val timescale = 600L * (1 + docId % 4)
+    val duration = (1 + docId % 30) * timescale + docId % 7
+    val nTracks = (1 + docId % 3).toInt
+    val ftyp = box("ftyp", fourcc(brand) ++ be32(0) ++ fourcc(brand))
+    val mvhd = box("mvhd",
+      (if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+         be32(timescale) ++ be64(duration)
+       else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+         be32(timescale) ++ be32(duration)) ++
+        be32(0x00010000L) ++ Array.fill(76)(0.toByte))
+    def tkhd(trackId: Int, w: Long, h: Long) = box("tkhd",
+      (if (v1) Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+         be32(trackId.toLong) ++ be32(0) ++ be64(duration)
+       else Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+         be32(trackId.toLong) ++ be32(0) ++ be32(duration)) ++
+        Array.fill(52)(0.toByte) ++ be32(w << 16) ++ be32(h << 16))
+    val traks = (1 to nTracks).map { t =>
+      box("trak", tkhd(t,
+        if (t == 1) 320 + (docId % 5) * 16 else 0,
+        if (t == 1) 240 + (docId % 4) * 16 else 0))
+    }
+    ftyp ++ box("moov", mvhd ++ traks.reduce(_ ++ _))
+  }
+
+  /** [[mp4Header]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup ([[audioHeaders]]' video sibling). */
+  def videoHeaders(ds: Dataset[PayloadRow]): Dataset[VideoHeader] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (brand, ts, ms, n, w, h) = mp4Header(r.payload)
+      VideoHeader(r.doc_id, brand, ts, ms, n, w, h)
+    }
+  }
+
   /** Deterministic FULLY-DECODABLE PNG: a w×h RGB image whose every pixel
     * is a closed-form function of (doc_id, x, y) — r = (doc_id+x+y)%256,
     * g = (doc_id+2x+y)%256, b = (doc_id+x+2y)%256, w = 8+doc_id%9,
@@ -732,8 +883,10 @@ object Binary {
     * discipline is the real thing: per-partition demux context, lazy
     * output, no per-row setup, no materialized frame lists. Superseded by
     * [[sampleFrames]] for every format `javax.imageio` can read (GIF
-    * sequences included); retained ONLY for true video containers, which
-    * have no JDK demuxer. */
+    * sequences included) and by [[sampleVideoFrames]] for RIFF/AVI;
+    * MP4-class metadata is real too ([[mp4Header]]), so the stub's
+    * remaining territory is ONLY frame decode of containers with no JVM
+    * codec (MP4/Matroska payload bytes). */
   def sampleFramesStub(ds: Dataset[PayloadRow], stride: Int,
                        frameBytes: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._

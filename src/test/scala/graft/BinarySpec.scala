@@ -197,6 +197,40 @@ class BinarySpec extends AnyFunSuite {
       Seq((-1L, 0)))
   }
 
+  test("mp4Header: closed-form fields recovered for v0 AND v1 layouts") {
+    for (id <- 0L to 12L) {
+      val (brand, ts, ms, n, w, h) = Binary.mp4Header(Binary.makeMp4(id))
+      val tsE = 600L * (1 + id % 4)
+      val dur = (1 + id % 30) * tsE + id % 7
+      assert(brand == Seq("isom", "mp42", "avc1")((id % 3).toInt))
+      assert(ts == tsE, s"timescale for doc $id")
+      assert(ms == dur * 1000L / tsE, s"duration_ms for doc $id")
+      assert(n == 1 + id % 3, s"track count for doc $id")
+      assert(w == 320 + (id % 5) * 16, s"width for doc $id")
+      assert(h == 240 + (id % 4) * 16, s"height for doc $id")
+    }
+    // non-MP4 payloads: unknown, never a throw
+    assert(Binary.mp4Header("not an mp4 at all".getBytes("UTF-8"))._1
+      == "unknown")
+    assert(Binary.mp4Header(Binary.makeRealAvi(3L))._1 == "unknown")
+    assert(Binary.mp4Header(Array.empty[Byte])._1 == "unknown")
+    // truncated mid-box: the declared-size guard stops the walk
+    assert(Binary.mp4Header(Binary.makeMp4(4L).dropRight(30))._1
+      == "unknown")
+  }
+
+  test("mp4Header: 64-bit largesize moov parses identically") {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    val std = Binary.makeMp4(4L)
+    val ftyp = std.slice(0, 20) // 8 hdr + brand + minor + compat
+    val moovBody = std.drop(20 + 8)
+    val large = be32(1L) ++ "moov".getBytes("US-ASCII") ++
+      be64(16L + moovBody.length) ++ moovBody
+    assert(Binary.mp4Header(ftyp ++ large) == Binary.mp4Header(std))
+  }
+
   test("frameStatsFused == frameStats(sampleFrames) on GIFs, sentinels " +
       "included") {
     import spark.implicits._
