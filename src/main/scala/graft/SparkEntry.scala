@@ -1201,8 +1201,48 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
-  private def st01(s: SparkSession, dir: String): DataFrame =
-    Streams.hourlyAgg(ev(s, dir)).orderBy("hour_sec", "event_type")
+  /** st01 runs REAL micro-batch streaming execution inside the
+    * driver-verified query: a file source over the events parquet
+    * (schema from a metadata-only batch peek, the same ns→µs
+    * normalization as Tables.events), watermarked windowed agg, one-shot
+    * AvailableNow trigger into a memory sink, and the returned frame IS
+    * the sink table. Complete output mode because a one-shot replay's
+    * watermark would hold back the newest (still-open) windows in
+    * append mode — the batch-parity contract wants every window; at
+    * production scale the same plan runs append-mode into a file sink
+    * with windows emitted as the watermark closes them (StreamingSpec
+    * exercises that path). Memory-sink state here is the aggregated
+    * windows only, never the raw events. */
+  private val st01Runs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def st01(s: SparkSession, dir: String): DataFrame = {
+    val run = st01Runs.incrementAndGet()
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The streaming file source requires a DIRECTORY (at scale that's
+    // the partitioned table root); testdata ships single-file tables, so
+    // expose the file through a scratch dir via symlink — no data copy.
+    val srcDir = java.nio.file.Paths
+      .get("target", s"st01_stream_src_$run")
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val sink = s"st01_gate_sink_$run"
+    val q = Streams.hourlyAggStream(events)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy("hour_sec", "event_type")
+  }
 
   private def st02(s: SparkSession, dir: String): DataFrame =
     Streams.firstFailureBatch(ev(s, dir)).orderBy("user_id")
