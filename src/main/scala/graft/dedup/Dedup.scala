@@ -851,6 +851,11 @@ object Dedup {
                             recallCos: Double = 0.9): DataFrame = {
     val kn = graft.sim.LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, NearDupBaseBits, NearDupBaseTables, recallCos)
+    require(!kn.tablesCapped,
+      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
+        "bound no longer holds — raise targetBucket, or accept the " +
+        "degraded bound explicitly via embeddingNearDups(bitsPerBand=" +
+        s"${kn.bits}, nBands=${kn.tables})")
     embeddingNearDups(emb, idCol, vecCol, probeFilter, threshold,
       bitsPerBand = kn.bits, nBands = kn.tables)
   }

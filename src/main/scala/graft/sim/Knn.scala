@@ -199,6 +199,11 @@ object Knn {
                  maxBucket: Option[Int] = None): DataFrame = {
     val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
+    require(!kn.tablesCapped,
+      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
+        "bound no longer holds — raise targetBucket, or accept the " +
+        s"degraded bound explicitly via lshKnn(bits=${kn.bits}, " +
+        s"tables=${kn.tables})")
     lshKnn(emb, idCol, vecCol, probeFilter, k, kn.bits, kn.tables, maxBucket)
   }
 
@@ -210,6 +215,11 @@ object Knn {
                    maxBucket: Option[Int] = None): DataFrame = {
     val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
+    require(!kn.tablesCapped,
+      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
+        "bound no longer holds — raise targetBucket, or accept the " +
+        s"degraded bound explicitly via knnGraph(bits=${kn.bits}, " +
+        s"tables=${kn.tables})")
     knnGraph(emb, idCol, vecCol, k, kn.bits, kn.tables, maxBucket)
   }
 }

@@ -31,7 +31,14 @@ package graft.sim
   */
 object LshKnobs {
 
-  final case class Knobs(bits: Int, tables: Int)
+  /** `tablesCapped` is true when the recall-preserving table count
+    * exceeded `maxTables` and was clamped — the pinned recall bound no
+    * longer holds at `recallCos`. Never silent: the `*Auto` entry
+    * points refuse capped knobs (raise targetBucket, or accept the
+    * degraded bound explicitly by calling the manual-knob entry point
+    * with the capped values). */
+  final case class Knobs(bits: Int, tables: Int,
+                         tablesCapped: Boolean = false)
 
   /** Per-bit signature-agreement probability of a pair at cosine `cos`
     * under sign-random-projection: p = 1 − arccos(cos)/π. */
@@ -61,26 +68,42 @@ object LshKnobs {
     math.min(maxBits, math.max(minBits, raw))
   }
 
-  /** Table count preserving the reference configuration's expected
-    * colliding-table count L·p^b for pairs at `recallCos`, after moving
-    * from `baseBits` to `bits`. Never returns below 1; capped at
-    * `maxTables` (signature cost is linear in L). */
-  def tablesFor(bits: Int, baseBits: Int, baseTables: Int,
-                recallCos: Double = 0.9, maxTables: Int = 128): Int = {
+  /** The UNCAPPED recall-preserving table count: smallest integer L'
+    * with L'·p^bits ≥ baseTables·p^baseBits for pairs at `recallCos`.
+    * [[tablesFor]] clamps this at its cap; exposing the raw value keeps
+    * the clamp observable ([[derive]]'s `tablesCapped`). */
+  def tablesForUncapped(bits: Int, baseBits: Int, baseTables: Int,
+                        recallCos: Double = 0.9): Double = {
     require(baseTables >= 1, s"baseTables must be >= 1: $baseTables")
     require(bits >= 1 && baseBits >= 1, s"bad bits: $bits / $baseBits")
     val p = srpCollisionProb(recallCos)
-    val scaled = baseTables * math.pow(p, (baseBits - bits).toDouble)
+    baseTables * math.pow(p, (baseBits - bits).toDouble)
+  }
+
+  /** Table count preserving the reference configuration's expected
+    * colliding-table count L·p^b for pairs at `recallCos`, after moving
+    * from `baseBits` to `bits`. Never returns below 1; capped at
+    * `maxTables` (signature cost is linear in L) — when the cap BINDS,
+    * the recall bound degrades: use [[derive]] and check `tablesCapped`,
+    * or [[tablesForUncapped]], rather than trusting this value blind. */
+  def tablesFor(bits: Int, baseBits: Int, baseTables: Int,
+                recallCos: Double = 0.9, maxTables: Int = 128): Int = {
+    val scaled = tablesForUncapped(bits, baseBits, baseTables, recallCos)
     math.min(maxTables, math.max(1, math.ceil(scaled).toInt))
   }
 
   /** One-stop derivation from corpus size: widen buckets to
     * `targetBucket` rows, then compensate tables to hold the reference
-    * configuration's recall bound at `recallCos`. */
+    * configuration's recall bound at `recallCos`. `tablesCapped` flags
+    * a binding `maxTables` clamp (degraded recall bound) — callers must
+    * not ignore it silently. */
   def derive(corpusRows: Long, targetBucket: Long,
              baseBits: Int, baseTables: Int,
              recallCos: Double = 0.9, maxTables: Int = 128): Knobs = {
     val bits = bitsFor(corpusRows, targetBucket)
-    Knobs(bits, tablesFor(bits, baseBits, baseTables, recallCos, maxTables))
+    val uncapped =
+      math.ceil(tablesForUncapped(bits, baseBits, baseTables, recallCos))
+    Knobs(bits, tablesFor(bits, baseBits, baseTables, recallCos, maxTables),
+      tablesCapped = uncapped > maxTables)
   }
 }

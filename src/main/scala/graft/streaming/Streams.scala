@@ -136,11 +136,16 @@ object Streams {
     * chunked-replay parity spec asserts set equality against the q37
     * gate. Callers must set a watermark on `ts` before calling.
     *
-    * Late data is DETERMINISTIC, not order-dependent: events strictly
-    * behind the current watermark are dropped on entry (ties with the
-    * watermark are kept, so in-order replay never loses a row) — a
-    * straggler can no longer split or renumber an already-closed
-    * session. After a timeout close, the per-user closed marker (n = 0,
+    * Late-data handling is deterministic FOR A FIXED watermark/batch
+    * sequence: events strictly behind the current watermark are dropped
+    * on entry (ties with the watermark are kept, so in-order replay
+    * never loses a row), and a straggler can never split or renumber an
+    * already-closed session. The watermark trajectory itself, though,
+    * depends on how the stream is chunked into micro-batches — an event
+    * near the boundary can be kept under one replay chunking and
+    * dropped under another (StreamingSpec pins one chunking). What IS
+    * chunking-invariant: no behind-watermark event ever mutates closed
+    * state. After a timeout close, the per-user closed marker (n = 0,
     * preserving the cumulative session counter) is itself TTL'd after
     * `markerTtlSec` of event time, bounding state by the ACTIVE-user set
     * rather than the lifetime-distinct one; a user returning after the

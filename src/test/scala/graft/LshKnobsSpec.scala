@@ -61,6 +61,29 @@ class LshKnobsSpec extends AnyFunSuite {
     assert(narrow >= 1 && narrow < 8, s"narrowing gave L=$narrow")
   }
 
+  test("a binding maxTables cap is LOUD: flagged in Knobs, refused by " +
+      "the auto entry points") {
+    import graft.dedup.Dedup
+    // NearDup anchor (baseBits=1, L=18, p(0.9)~0.856): the uncapped
+    // compensation crosses 128 around bits=14 (corpus ~16M at
+    // targetBucket=1000) — the ADVICE-flagged silent-degradation point
+    val capped = LshKnobs.derive(20000000L, 1000L, 1, 18)
+    assert(capped.tablesCapped, s"expected capped knobs, got $capped")
+    assert(capped.tables == 128)
+    // gate-scale derivations stay uncapped
+    assert(!LshKnobs.derive(2000L, 1000L, 1, 18).tablesCapped)
+    assert(!LshKnobs.derive(500L, 125L, 4, 8).tablesCapped)
+    // the deployment entry point refuses the degraded bound rather than
+    // silently shipping it
+    val emb = graft.sources.Tables(spark, TestSpark.sf, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("vec_id") % 20 === 0,
+        threshold = 0.25, corpusRows = Some(20000000L))
+    }
+    assert(e.getMessage.contains("capped"))
+  }
+
   test("srpCollisionProb matches the SRP geometry") {
     assert(math.abs(LshKnobs.srpCollisionProb(1.0) - 1.0) < 1e-12)
     assert(math.abs(LshKnobs.srpCollisionProb(0.0) - 0.5) < 1e-12)
