@@ -390,8 +390,17 @@ object OracleSql {
         sub(returned,
           "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
           "l_returnflag = 'R' AND l_quantity >= 50"))
-        .mkString("SELECT DISTINCT * FROM (", " UNION ALL ",
-          ") ORDER BY notification_id") // DISTINCT = spool register-once
+        // spool register-once: exactly one row per notification id, the
+        // kept rendering the minimum (subject, body_md5) struct — the
+        // same deterministic rule as matchNotificationsRendered
+        .mkString(
+          """SELECT notification_id, subscription, object_type, object_id,
+             (min(struct_pack(s := subject, b := body_md5))).s AS subject,
+             (min(struct_pack(s := subject, b := body_md5))).b AS body_md5
+             FROM (""",
+          " UNION ALL ",
+          """) GROUP BY notification_id, subscription, object_type,
+             object_id ORDER BY notification_id""")
     },
 
     "q25_schema_upgrade" ->

@@ -765,6 +765,10 @@ object Dedup {
       if (fitFraction >= 1.0) coarseCells
       else Ivf.assign(fitCorpus, coarseCentroids)
         .select(col("id"), col("v"), col("cluster").as("coarse"))
+        // every fine-fit iteration re-executes this frame's lineage
+        // (the sample scan + n·fitFraction·c1·d cosine flops) without
+        // materialization — same discipline as coarseCells above
+        .localCheckpoint(eager = false)
     // Fine seeds come from the FULL corpus's assignment, so every
     // occupied coarse cell seeds its fine cells even when the fit
     // sample missed it entirely (the seedCorpus discipline, grouped).
@@ -851,11 +855,7 @@ object Dedup {
                             recallCos: Double = 0.9): DataFrame = {
     val kn = graft.sim.LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, NearDupBaseBits, NearDupBaseTables, recallCos)
-    require(!kn.tablesCapped,
-      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
-        "bound no longer holds — raise targetBucket, or accept the " +
-        "degraded bound explicitly via embeddingNearDups(bitsPerBand=" +
-        s"${kn.bits}, nBands=${kn.tables})")
+    graft.sim.LshKnobs.requireUncapped(kn, "embeddingNearDups")
     embeddingNearDups(emb, idCol, vecCol, probeFilter, threshold,
       bitsPerBand = kn.bits, nBands = kn.tables)
   }

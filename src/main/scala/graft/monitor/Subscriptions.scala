@@ -130,10 +130,25 @@ object Subscriptions {
         md5(renderBody(sub.body)).as("body_md5"))
     }.reduce(_ unionByName _)
 
-  /** [[matchNotifications]] with rendered subject + body digest. */
+  /** [[matchNotifications]] with rendered subject + body digest. The
+    * spool invariant stays EXACTLY one row per notification id even
+    * when duplicate source rows share an id tuple but differ in
+    * template columns (testdata's duplicate lineitem ids do): the kept
+    * rendering is the minimum (subject, body_md5) pair — deterministic
+    * and engine-portable, where a bare distinct() would emit one row
+    * per distinct rendering of the same id. The non-id columns are
+    * grouped, not aggregated: the id embeds all three, so they are
+    * constant within a group. */
   def matchNotificationsRendered(load: String => DataFrame,
                                  subs: Seq[Subscription]): DataFrame =
-    matchRendered(load, subs).distinct()
+    matchRendered(load, subs)
+      .groupBy("notification_id", "subscription", "object_type",
+        "object_id")
+      .agg(min(struct(col("subject"), col("body_md5"))).as("__m"))
+      .select(col("notification_id"), col("subscription"),
+        col("object_type"), col("object_id"),
+        col("__m.subject").as("subject"),
+        col("__m.body_md5").as("body_md5"))
 
   final case class Notif(notification_id: String, subscription: String,
                          object_type: String, object_id: String)

@@ -266,7 +266,9 @@ object Binary {
       while (i + 8 <= limit) boxAt(i, limit) match {
         case None => i = limit
         case Some((sz, hdr)) =>
-          if (tag(i + 4) == "tkhd" && width < 0) {
+          // sz > hdr guarantees the version byte exists — a box whose
+          // size equals its header is empty, not a crash
+          if (tag(i + 4) == "tkhd" && width < 0 && sz > hdr) {
             val b = i + hdr
             val v = p(b) & 0xff
             // v0: cre(4) mod(4) id(4) res(4) dur(4); v1: 8/8/4/4/8 —
@@ -286,7 +288,7 @@ object Binary {
         case None => i = limit
         case Some((sz, hdr)) =>
           tag(i + 4) match {
-            case "mvhd" =>
+            case "mvhd" if sz > hdr =>
               val b = i + hdr
               val v = p(b) & 0xff
               if (v == 1 && b + 32 + 8 <= i + sz) {

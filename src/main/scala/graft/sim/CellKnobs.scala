@@ -31,15 +31,26 @@ package graft.sim
   *    splits the needed count across two levels (coarse broadcast +
   *    per-coarse-cell fine equi-join,
   *    [[graft.dedup.Dedup.semanticDedupTwoLevel]]), pushing the
-  *    envelope to n ≤ targetCell·maxCells² (~1.7e16 rows at defaults —
-  *    past any 100 TB corpus). `fitFraction` bounds only the FIT cost,
-  *    never the assignment.
+  *    envelope to n ≤ targetCell·maxCells² = 1000·2³⁴ ≈ 1.7e13 rows at
+  *    defaults — past any 100 TB corpus (~1e11 KB-sized docs).
+  *    `fitFraction` bounds only the FIT cost, never the assignment.
   *
   * Gate queries keep their frozen knobs (specs pin recall/ground truth at
   * gate size); the `*Auto` entry points ([[Ivf.ivfKnnAuto]],
   * [[graft.dedup.Dedup.semanticDedupAuto]]) are the deployment path.
   */
 object CellKnobs {
+
+  /** ceil(corpusRows / targetCell), the needed cell count every pair-
+    * bounded derivation shares. Overflow-safe: divide first (a + b - 1
+    * wraps near Long.MaxValue), no floating-point boundary overshoot
+    * (the [[LshKnobs.bitsFor]] lesson). */
+  private def neededCells(corpusRows: Long, targetCell: Long): Long = {
+    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
+    require(targetCell > 0, s"targetCell must be positive: $targetCell")
+    corpusRows / targetCell +
+      (if (corpusRows % targetCell == 0) 0L else 1L)
+  }
 
   /** Balanced IVF cell count: round(√n), clamped. */
   def cellsFor(corpusRows: Long, minCells: Int = 4,
@@ -73,13 +84,9 @@ object CellKnobs {
     * lesson), no Long wrap near MaxValue. */
   def cellsForPairs(corpusRows: Long, targetCell: Long,
                     minCells: Int = 1, maxCells: Int = 1 << 17): Int = {
-    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
-    require(targetCell > 0, s"targetCell must be positive: $targetCell")
     require(minCells >= 1 && maxCells >= minCells,
       s"bad clamp [$minCells, $maxCells]")
-    // a + b - 1 overflows near Long.MaxValue; divide first instead
-    val c = corpusRows / targetCell +
-      (if (corpusRows % targetCell == 0) 0L else 1L)
+    val c = neededCells(corpusRows, targetCell)
     math.min(maxCells.toLong, math.max(minCells.toLong, c)).toInt
   }
 
@@ -90,12 +97,8 @@ object CellKnobs {
     * point ([[graft.dedup.Dedup.semanticDedupAuto]]) switches on this
     * predicate, so the envelope is a code path, not a footnote. */
   def needsTwoLevelForPairs(corpusRows: Long, targetCell: Long,
-                            maxCells: Int = 1 << 17): Boolean = {
-    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
-    require(targetCell > 0, s"targetCell must be positive: $targetCell")
-    corpusRows / targetCell +
-      (if (corpusRows % targetCell == 0) 0L else 1L) > maxCells.toLong
-  }
+                            maxCells: Int = 1 << 17): Boolean =
+    neededCells(corpusRows, targetCell) > maxCells.toLong
 
   /** Two-level split of the pair-work-bounded cell count: coarse count
     * c1 = ceil(√cNeeded) and fine-per-coarse count c2 = ceil(cNeeded/c1),
@@ -104,15 +107,12 @@ object CellKnobs {
     * stays small: the broadcast is only the c1 coarse centroids, and a
     * row's fine-assignment work is its own coarse cell's ~c2 centroids
     * via the group equi-join. Both clamp at `maxCells`, which binds only
-    * past n ≈ targetCell·maxCells² (~1.7e16 rows at defaults); the
+    * past n ≈ targetCell·maxCells² ≈ 1.7e13 rows at defaults; the
     * clamp binding means expected cell size grows again — loud in the
     * returned counts (c1 == c2 == maxCells), not silent. */
   def coarseFineForPairs(corpusRows: Long, targetCell: Long,
                          maxCells: Int = 1 << 17): (Int, Int) = {
-    require(corpusRows > 0, s"corpusRows must be positive: $corpusRows")
-    require(targetCell > 0, s"targetCell must be positive: $targetCell")
-    val needed = corpusRows / targetCell +
-      (if (corpusRows % targetCell == 0) 0L else 1L)
+    val needed = neededCells(corpusRows, targetCell)
     val c1 = math.min(maxCells.toLong,
       math.ceil(math.sqrt(needed.toDouble)).toLong)
     val c2 = math.min(maxCells.toLong,

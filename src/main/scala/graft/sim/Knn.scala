@@ -199,11 +199,7 @@ object Knn {
                  maxBucket: Option[Int] = None): DataFrame = {
     val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
-    require(!kn.tablesCapped,
-      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
-        "bound no longer holds — raise targetBucket, or accept the " +
-        s"degraded bound explicitly via lshKnn(bits=${kn.bits}, " +
-        s"tables=${kn.tables})")
+    LshKnobs.requireUncapped(kn, "lshKnn")
     lshKnn(emb, idCol, vecCol, probeFilter, k, kn.bits, kn.tables, maxBucket)
   }
 
@@ -215,11 +211,7 @@ object Knn {
                    maxBucket: Option[Int] = None): DataFrame = {
     val kn = LshKnobs.derive(corpusRows.getOrElse(emb.count()),
       targetBucket, KnnBaseBits, KnnBaseTables, recallCos)
-    require(!kn.tablesCapped,
-      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
-        "bound no longer holds — raise targetBucket, or accept the " +
-        s"degraded bound explicitly via knnGraph(bits=${kn.bits}, " +
-        s"tables=${kn.tables})")
+    LshKnobs.requireUncapped(kn, "knnGraph")
     knnGraph(emb, idCol, vecCol, k, kn.bits, kn.tables, maxBucket)
   }
 }

@@ -92,6 +92,17 @@ object LshKnobs {
     math.min(maxTables, math.max(1, math.ceil(scaled).toInt))
   }
 
+  /** The `*Auto` entry points' shared cap policy: refuse capped knobs
+    * with an actionable message rather than silently shipping a
+    * degraded recall bound. `fallbackCall` names the manual-knob entry
+    * point a caller can use to accept the clamp explicitly. */
+  def requireUncapped(kn: Knobs, fallbackCall: String): Unit =
+    require(!kn.tablesCapped,
+      s"table compensation capped (bits=${kn.bits}): the pinned recall " +
+        "bound no longer holds — raise targetBucket, or accept the " +
+        s"degraded bound explicitly via $fallbackCall(bits=${kn.bits}, " +
+        s"tables=${kn.tables})")
+
   /** One-stop derivation from corpus size: widen buckets to
     * `targetBucket` rows, then compensate tables to hold the reference
     * configuration's recall bound at `recallCos`. `tablesCapped` flags

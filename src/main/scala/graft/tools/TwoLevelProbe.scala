@@ -27,10 +27,10 @@ object TwoLevelProbe {
     val emb = graft.sources.Tables(spark, dir, "embeddings")
     val n = emb.count()
     val c = graft.sim.CellKnobs.cellsForPairs(n, targetCell)
-    // the split the auto path would use were the envelope crossed, at
-    // this corpus's needed cell count
-    val c1 = math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
-    val c2 = math.max(1, math.ceil(c.toDouble / c1).toInt)
+    // the exact split the auto path would use were the envelope crossed
+    // at this corpus's needed cell count — the production derivation,
+    // never a re-implementation that could drift from it
+    val (c1, c2) = graft.sim.CellKnobs.coarseFineForPairs(n, targetCell)
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val out = f

@@ -217,6 +217,19 @@ class BinarySpec extends AnyFunSuite {
     // truncated mid-box: the declared-size guard stops the walk
     assert(Binary.mp4Header(Binary.makeMp4(4L).dropRight(30))._1
       == "unknown")
+    // a box whose size EQUALS its header (empty mvhd at buffer end) is
+    // empty, not an out-of-bounds read on the version byte
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val emptyMvhd = be32(8L) ++ "ftyp".getBytes("US-ASCII") ++
+      be32(16L) ++ "moov".getBytes("US-ASCII") ++
+      be32(8L) ++ "mvhd".getBytes("US-ASCII")
+    assert(Binary.mp4Header(emptyMvhd)._1 == "unknown")
+    val emptyTkhd = be32(8L) ++ "ftyp".getBytes("US-ASCII") ++
+      be32(24L) ++ "moov".getBytes("US-ASCII") ++
+      be32(16L) ++ "trak".getBytes("US-ASCII") ++
+      be32(8L) ++ "tkhd".getBytes("US-ASCII")
+    assert(Binary.mp4Header(emptyTkhd)._1 == "unknown")
   }
 
   test("mp4Header: 64-bit largesize moov parses identically") {
