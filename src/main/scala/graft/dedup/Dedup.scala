@@ -813,20 +813,33 @@ object Dedup {
                         bitsPerBand: Int = 1, nBands: Int = 18): DataFrame = {
     val bands = graft.sim.Knn.srpBands(vecCol, nBands, bitsPerBand)
     val probes = emb.filter(probeFilter)
-      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      .select(col(idCol).as("id_a"),
         posexplode(bands).as(Seq("band", "bucket")))
     val corpus = emb
-      .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      .select(col(idCol).as("id_b"),
         posexplode(bands).as(Seq("band", "bucket")))
     // No broadcast hint: the probe side is caller-filtered but
     // corpus-PROPORTIONAL (a `% 20` filter keeps 5% of the corpus — multi-TB
     // at embedding scale), so a forced broadcast would OOM the cluster. AQE
     // picks broadcast at runtime when the filtered side really is small,
     // exactly as lshKnn/knnGraph already rely on.
-    probes.join(corpus, Seq("band", "bucket"))
+    //
+    // NARROW candidates: the bucket join and the cross-band dedup carry
+    // only (id_a, id_b) — never the vectors. Candidate volume is
+    // probes × bucket × L rows BEFORE the distinct, and dragging two
+    // d-float vectors through that shuffle is what dies at scale (the
+    // 100× probe measured ~33× the shuffle bytes and filled local
+    // disk); the vectors re-join AFTER the distinct, against the
+    // (collision-deduped) pair set — s04's knnGraph discipline.
+    val cand = probes.join(corpus, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair colliding in several bands verifies once
+    cand
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
+        Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
