@@ -835,11 +835,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair colliding in several bands verifies once
+    // shuffle_hash on the vector side: sort-merge would SORT the
+    // candidate frame (per-pair vector attached after the first join) —
+    // the other half of the 100×-probe disk spill. Hashing the
+    // corpus-sized vector side keeps candidates streaming.
     cand
-      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
-        Seq("id_a"))
-      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b")),
-        Seq("id_b"))
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -132,11 +132,16 @@ object Knn {
       .select("probe_id", "neighbor_id")
       .distinct()
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // shuffle_hash on the VECTOR side: sort-merge would sort the huge
+    // candidate frame (with a vector attached after the first join) —
+    // measured as a local-disk-filling spill at the 100× probe. Hashing
+    // the corpus-sized vector side leaves the candidate side streaming:
+    // both sides still shuffle by id, nothing sorts.
     val scored = pairs
-      .join(v.select(col("id").as("probe_id"), col("v").as("v_p")),
-        "probe_id")
-      .join(v.select(col("id").as("neighbor_id"), col("v").as("v_c")),
-        "neighbor_id")
+      .join(v.select(col("id").as("probe_id"), col("v").as("v_p"))
+        .hint("shuffle_hash"), "probe_id")
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("v_c"))
+        .hint("shuffle_hash"), "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"),
         Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
     rankTopK(scored, k)
