@@ -176,9 +176,15 @@ class PlanSpec extends AnyFunSuite {
       val hints = SparkEntry.queries(name)(spark, dir)
         .queryExecution.analyzed.collect { case h: ResolvedHint => h }
       hints.foreach { h =>
-        val scans = h.child.collect { case r: LogicalRelation => r }
-        assert(scans.isEmpty,
-          s"$name broadcast-hints a parquet-derived frame:\n${h.treeString}")
+        // only BROADCAST strategies risk the driver/executor OOM this
+        // audit guards against; shuffle_hash on a parquet frame is the
+        // opposite fix (hash instead of sorting a huge streamed side)
+        if (h.hints.strategy.exists(
+            _.toString.toLowerCase.contains("broadcast"))) {
+          val scans = h.child.collect { case r: LogicalRelation => r }
+          assert(scans.isEmpty,
+            s"$name broadcast-hints a parquet-derived frame:\n${h.treeString}")
+        }
       }
     }
   }
