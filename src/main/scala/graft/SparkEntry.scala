@@ -1218,18 +1218,27 @@ object SparkEntry {
     val run = st01Runs.incrementAndGet()
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
-    // The streaming file source requires a DIRECTORY (at scale that's
-    // the partitioned table root); testdata ships single-file tables, so
-    // expose the file through a scratch dir via symlink — no data copy.
-    val srcDir = java.nio.file.Paths
-      .get("target", "st01_stream_src")
-      .toAbsolutePath
-    java.nio.file.Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val raw = s.readStream.schema(schema).parquet(srcDir.toString)
+    // The streaming file source requires a DIRECTORY. A table that is
+    // already directory-shaped (a Spark-written or partitioned table
+    // root — the only shape that exists at scale) streams directly from
+    // its own root; symlinking a directory INTO a scratch dir would
+    // leave the source listing zero files (it does not recurse) and
+    // silently emit nothing. Only the single-file testdata shape needs
+    // the scratch-dir symlink — no data copy either way.
+    val tablePath = java.nio.file.Paths.get(path).toAbsolutePath
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(tablePath)) tablePath
+      else {
+        val srcDir = java.nio.file.Paths
+          .get("target", "st01_stream_src")
+          .toAbsolutePath
+        java.nio.file.Files.createDirectories(srcDir)
+        val link = srcDir.resolve("events.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, tablePath)
+        srcDir
+      }
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

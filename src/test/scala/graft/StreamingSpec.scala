@@ -142,6 +142,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st01 gate streams a directory-shaped events table (the only shape " +
+      "at scale) with file-shaped parity") {
+    // A Spark-written table root is a DIRECTORY named events.parquet; the
+    // r10 10x probe caught st01 symlinking that dir into the scratch dir,
+    // where the file source listed zero files and silently emitted nothing.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st01-dir")
+    spark.read.parquet(TestSpark.sf + "/events.parquet")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("events.parquet").toString)
+    val viaDir = SparkEntry.queries("st01_stream_window")(spark, tmp.toString)
+      .collect().toSeq
+    val viaFile = SparkEntry.queries("st01_stream_window")(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(viaDir.nonEmpty, "dir-shaped table streamed zero rows")
+    assert(viaDir == viaFile,
+      s"dir/file shapes diverge: ${(viaDir diff viaFile).take(3)} / " +
+        s"${(viaFile diff viaDir).take(3)}")
+  }
+
   test("q37 streaming twin: chunked in-order replay equals the batch " +
       "sessionizer, watermark closes idle sessions") {
     implicit val sql = spark.sqlContext
