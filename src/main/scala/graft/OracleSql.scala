@@ -842,6 +842,18 @@ object OracleSql {
          CAST(240 + (doc_id % 4) * 16 AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
 
+    "m07_mkv_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 2 WHEN 0 THEN 'matroska' ELSE 'webm' END
+           AS doc_type,
+         CAST(1000000 * (1 + doc_id % 3) AS BIGINT) AS timescale_ns,
+         CAST(((1 + doc_id % 30) * 1000 + doc_id % 7) * (1 + doc_id % 3)
+           AS BIGINT) AS duration_ms,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+         CAST(160 + (doc_id % 6) * 32 AS BIGINT) AS width,
+         CAST(120 + (doc_id % 5) * 24 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

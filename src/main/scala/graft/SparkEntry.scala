@@ -945,6 +945,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL Matroska/WebM metadata: per-doc header-only EBML containers
+    * (Binary.makeMkv — every field a closed form of doc_id; webm
+    * 4-byte-float vs matroska 8-byte-float Duration by parity,
+    * unknown-size Segments for id%5==0, non-minimal size VINTs for
+    * id%3==0) walked by the pure-byte EBML parser (Binary.mkvHeader
+    * via mkvHeaders): DocType, TimestampScale, Duration → ms, track
+    * count, first video track's pixel dims. The oracle recomputes
+    * every field arithmetically — a VINT-length, float-width,
+    * unknown-size, or first-video-track bug breaks the hash. Retires
+    * the Matroska stub's metadata half; only frame DECODE remains
+    * env-blocked (no JVM codec). */
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.mkvHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeMkv(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Gap-based sessionization over the event stream (30-min gap) — the
     * canonical behavioral-analytics rollup. Both window passes share one
     * user_id partitioning (a single shuffle, per-key local sort — never a
@@ -1365,6 +1385,7 @@ object SparkEntry {
     "m04_frame_sample" -> (m04 _),
     "m05_video_frames" -> (m05 _),
     "m06_mp4_meta" -> (m06 _),
+    "m07_mkv_meta" -> (m07 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

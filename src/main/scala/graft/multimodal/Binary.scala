@@ -375,6 +375,198 @@ object Binary {
     }
   }
 
+  final case class MkvMeta(doc_id: Long, doc_type: String,
+                           timescale_ns: Long, duration_ms: Long,
+                           n_tracks: Long, width: Long, height: Long)
+
+  /** REAL Matroska/WebM metadata — a pure-byte EBML walk (RFC 8794
+    * element grammar: VINT id with the marker kept, VINT size with the
+    * marker stripped, all-value-bits-set size = unknown/streaming), no
+    * codec: EBML header → DocType; Segment → Info (TimestampScale in ns
+    * — spec default 1e6 when absent — and Duration, a 4- or 8-byte
+    * float in timescale ticks → duration_ms) and Tracks (TrackEntry
+    * count; pixel dims from the FIRST video-type track's Video child,
+    * the [[mp4Header]] first-track discipline). Unknown-size masters
+    * are read to the parent's limit (the live-stream Segment shape —
+    * RFC 8794 §6.2, simplified to parent-bounded, which is exact for
+    * the last child). Reads only declared extents; non-EBML or
+    * malformed bytes yield ("unknown", -1, …). This retires the
+    * metadata half of the Matroska stub — only frame decode remains
+    * env-blocked (no JVM codec), see [[sampleFramesStub]]. */
+  def mkvHeader(p: Array[Byte])
+      : (String, Long, Long, Long, Long, Long) = {
+    val bad = ("unknown", -1L, -1L, -1L, -1L, -1L)
+    // VINT length = leading-zero count of the first byte + 1; 0x00 is
+    // reserved (would mean >8 bytes) — malformed here.
+    def vintLen(b: Int): Int =
+      if (b == 0) -1 else Integer.numberOfLeadingZeros(b) - 23
+    def uint(b0: Int, n: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 8) | (p(b0 + k) & 0xffL); k += 1 }
+      v
+    }
+    // Element ID: stored bytes kept verbatim (marker included) — the
+    // form the spec tables list ids in (0x1A45DFA3 etc.).
+    def readId(i: Int): Option[(Long, Int)] = {
+      if (i >= p.length) return None
+      val len = vintLen(p(i) & 0xff)
+      if (len < 1 || len > 4 || i + len > p.length) None
+      else Some((uint(i, len), len))
+    }
+    // Data size: marker bit stripped; all value bits set = unknown.
+    def readSize(i: Int): Option[(Long, Int, Boolean)] = {
+      if (i >= p.length) return None
+      val len = vintLen(p(i) & 0xff)
+      if (len < 1 || len > 8 || i + len > p.length) return None
+      var v = (p(i) & 0xffL) & ((1L << (8 - len)) - 1)
+      var k = 1
+      while (k < len) { v = (v << 8) | (p(i + k) & 0xffL); k += 1 }
+      Some((v, len, v == (1L << (7 * len)) - 1))
+    }
+    def float(b0: Int, n: Int): Double = n match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(b0, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(b0, 8))
+      case _ => -1.0
+    }
+    var docType: String = null
+    var tscale = -1L
+    var durTicks = -1.0
+    var nTracks = 0L
+    var width, height = -1L
+    var sawInfo = false
+    // Children of a master body in [i0, limit); f sees (id, start, end).
+    def children(i0: Int, limit: Int)(f: (Long, Int, Int) => Unit): Unit = {
+      var i = i0
+      while (i < limit) {
+        readId(i) match {
+          case None => i = limit
+          case Some((id, idLen)) =>
+            readSize(i + idLen) match {
+              case None => i = limit
+              case Some((sz, szLen, unknown)) =>
+                val b0 = i + idLen + szLen
+                if (!unknown && sz > limit - b0) i = limit
+                else {
+                  val b1 = if (unknown) limit else (b0 + sz).toInt
+                  f(id, b0, b1)
+                  i = b1
+                }
+            }
+        }
+      }
+    }
+    def walkTrackEntry(b0: Int, b1: Int): Unit = {
+      var ttype = -1L
+      var vS, vE = -1
+      children(b0, b1) { (id, s, e) =>
+        if (id == 0x83L) ttype = uint(s, e - s)
+        else if (id == 0xE0L && vS < 0) { vS = s; vE = e }
+      }
+      if (ttype == 1L && vS >= 0 && width < 0)
+        children(vS, vE) { (id, s, e) =>
+          if (id == 0xB0L) width = uint(s, e - s)
+          else if (id == 0xBAL) height = uint(s, e - s)
+        }
+    }
+    def walkSegment(b0: Int, b1: Int): Unit = children(b0, b1) {
+      (id, s, e) =>
+        if (id == 0x1549A966L) { // Info
+          sawInfo = true
+          children(s, e) { (cid, cs, ce) =>
+            if (cid == 0x2AD7B1L) tscale = uint(cs, ce - cs)
+            else if (cid == 0x4489L) durTicks = float(cs, ce - cs)
+          }
+        } else if (id == 0x1654AE6BL) // Tracks
+          children(s, e) { (cid, cs, ce) =>
+            if (cid == 0xAEL) { nTracks += 1; walkTrackEntry(cs, ce) }
+          }
+    }
+    if (p.length < 4) return bad
+    children(0, p.length) { (id, s, e) =>
+      if (id == 0x1A45DFA3L) // EBML header
+        children(s, e) { (cid, cs, ce) =>
+          if (cid == 0x4282L && docType == null)
+            docType = new String(p, cs, ce - cs, "US-ASCII")
+        }
+      else if (id == 0x18538067L) walkSegment(s, e)
+    }
+    if (tscale < 0 && sawInfo) tscale = 1000000L // spec default
+    if (docType == null || !sawInfo || tscale <= 0 || durTicks < 0 ||
+        nTracks == 0) bad
+    else (docType, tscale,
+      math.rint(durTicks * tscale / 1e6).toLong, nTracks, width, height)
+  }
+
+  /** Deterministic header-only Matroska/WebM: spec-shaped EBML elements
+    * (EBML{DocType} + Segment{Info{TimestampScale, Duration},
+    * Tracks{TrackEntry×n}}) with every field a closed form of the doc
+    * id — the [[makeMp4]] analog for the EBML family, exercising the
+    * format's own layout variance: odd ids are webm with a 4-byte
+    * float Duration, even ids matroska with 8-byte (tick counts stay
+    * < 2^24 so float32 is exact); ids %5==0 write the Segment with an
+    * UNKNOWN size (the live-stream shape); ids %3==0 write Info's size
+    * as a non-minimal 2-byte VINT. doc_type = matroska/webm by id%2,
+    * timescale = 1e6·(1 + id%3) ns, duration = ((1 + id%30)·1000 +
+    * id%7) ticks → duration_ms = ticks·(1 + id%3), 1 + id%3 tracks,
+    * first track video 160 + (id%6)·32 × 120 + (id%5)·24, later tracks
+    * audio-shaped (SamplingFrequency, no dims). */
+  def makeMkv(docId: Long): Array[Byte] = {
+    def beN(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    def sizeV(n: Int, wide: Boolean): Array[Byte] =
+      if (!wide && n < 127) Array((0x80 | n).toByte)
+      else { require(n < (1 << 14) - 1); beN(0x4000L | n, 2) }
+    def el(id: Long, idLen: Int, body: Array[Byte],
+           wide: Boolean = false): Array[Byte] =
+      beN(id, idLen) ++ sizeV(body.length, wide) ++ body
+    val webm = docId % 2 == 1
+    val docType = if (webm) "webm" else "matroska"
+    val tscale = 1000000L * (1 + docId % 3)
+    val ticks = (1 + docId % 30) * 1000 + docId % 7
+    val nTracks = (1 + docId % 3).toInt
+    val w = 160 + (docId % 6) * 32
+    val h = 120 + (docId % 5) * 24
+    val ebml =
+      el(0x1A45DFA3L, 4, el(0x4282L, 2, docType.getBytes("US-ASCII")))
+    val info = el(0x1549A966L, 4,
+      el(0x2AD7B1L, 3, beN(tscale, 4)) ++
+        (if (webm)
+           el(0x4489L, 2,
+             beN(java.lang.Float.floatToIntBits(ticks.toFloat) &
+               0xffffffffL, 4))
+         else
+           el(0x4489L, 2,
+             beN(java.lang.Double.doubleToLongBits(ticks.toDouble), 8))),
+      wide = docId % 3 == 0)
+    def trackEntry(t: Int): Array[Byte] =
+      el(0xAEL, 1,
+        el(0x83L, 1, beN(if (t == 1) 1L else 2L, 1)) ++
+          (if (t == 1)
+             el(0xE0L, 1, el(0xB0L, 1, beN(w, 2)) ++
+               el(0xBAL, 1, beN(h, 2)))
+           else // SamplingFrequency 44100.0, the audio-track shape
+             el(0xE1L, 1, el(0xB5L, 1,
+               beN(java.lang.Double.doubleToLongBits(44100.0), 8)))))
+    val tracks =
+      el(0x1654AE6BL, 4, (1 to nTracks).map(trackEntry).reduce(_ ++ _))
+    val segBody = info ++ tracks
+    val segment =
+      if (docId % 5 == 0) // unknown-size Segment: marker-only VINT
+        beN(0x18538067L, 4) ++ Array(0xff.toByte) ++ segBody
+      else el(0x18538067L, 4, segBody)
+    ebml ++ segment
+  }
+
+  /** [[mkvHeader]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup ([[videoHeaders]]' EBML sibling). */
+  def mkvHeaders(ds: Dataset[PayloadRow]): Dataset[MkvMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (dt, ts, ms, n, w, h) = mkvHeader(r.payload)
+      MkvMeta(r.doc_id, dt, ts, ms, n, w, h)
+    }
+  }
+
   /** Deterministic FULLY-DECODABLE PNG: a w×h RGB image whose every pixel
     * is a closed-form function of (doc_id, x, y) — r = (doc_id+x+y)%256,
     * g = (doc_id+2x+y)%256, b = (doc_id+x+2y)%256, w = 8+doc_id%9,

@@ -232,6 +232,54 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.mp4Header(emptyTkhd)._1 == "unknown")
   }
 
+  test("mkvHeader: closed-form fields recovered across float widths, " +
+      "unknown-size segments, and non-minimal size VINTs") {
+    // 0..29 covers every variant: id%2 (webm/float32 vs matroska/
+    // float64), id%5==0 (unknown-size Segment), id%3==0 (2-byte VINT
+    // on Info), id%3 track counts, id%6/id%5 dims
+    for (id <- 0L to 29L) {
+      val (dt, ts, ms, n, w, h) = Binary.mkvHeader(Binary.makeMkv(id))
+      val ticks = (1 + id % 30) * 1000 + id % 7
+      assert(dt == (if (id % 2 == 1) "webm" else "matroska"),
+        s"doc_type for doc $id")
+      assert(ts == 1000000L * (1 + id % 3), s"timescale for doc $id")
+      assert(ms == ticks * (1 + id % 3), s"duration_ms for doc $id")
+      assert(n == 1 + id % 3, s"track count for doc $id")
+      assert(w == 160 + (id % 6) * 32, s"width for doc $id")
+      assert(h == 120 + (id % 5) * 24, s"height for doc $id")
+    }
+    // non-EBML payloads: unknown, never a throw
+    assert(Binary.mkvHeader("not matroska".getBytes("UTF-8"))._1
+      == "unknown")
+    assert(Binary.mkvHeader(Binary.makeMp4(3L))._1 == "unknown")
+    assert(Binary.mkvHeader(Array.empty[Byte])._1 == "unknown")
+    assert(Binary.mkvHeader(Array[Byte](0, 0, 0, 0))._1 == "unknown")
+    // truncated mid-element: the declared-extent guard stops the walk
+    assert(Binary.mkvHeader(Binary.makeMkv(4L).dropRight(25))._1
+      == "unknown")
+  }
+
+  test("mkvHeader: TimestampScale absent falls back to the spec default " +
+      "1e6, and audio-only tracks leave dims at -1") {
+    def beN(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    def el(id: Long, idLen: Int, body: Array[Byte]): Array[Byte] =
+      beN(id, idLen) ++ Array((0x80 | body.length).toByte) ++ body
+    val ebml = el(0x1A45DFA3L, 4,
+      el(0x4282L, 2, "matroska".getBytes("US-ASCII")))
+    // Info with ONLY Duration (500 ticks, float64); one audio track
+    val info = el(0x1549A966L, 4, el(0x4489L, 2,
+      beN(java.lang.Double.doubleToLongBits(500.0), 8)))
+    val track = el(0xAEL, 1, el(0x83L, 1, beN(2L, 1)))
+    val seg = el(0x18538067L, 4, info ++ el(0x1654AE6BL, 4, track))
+    val (dt, ts, ms, n, w, h) = Binary.mkvHeader(ebml ++ seg)
+    assert(dt == "matroska")
+    assert(ts == 1000000L)
+    assert(ms == 500L) // 500 ticks x 1e6 ns = 500 ms
+    assert(n == 1L)
+    assert(w == -1L && h == -1L)
+  }
+
   test("mp4Header: 64-bit largesize moov parses identically") {
     def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
