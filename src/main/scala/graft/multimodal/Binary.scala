@@ -455,6 +455,12 @@ object Binary {
         }
       }
     }
+    // First-wins throughout (the [[mp4Header]] first-track discipline,
+    // extended to masters): only the FIRST Segment, and within it the
+    // first Info and first Tracks, are read — resilience-style repeated
+    // headers and concatenated init segments neither inflate the track
+    // count nor overwrite earlier fields.
+    var dimsLocked = false
     def walkTrackEntry(b0: Int, b1: Int): Unit = {
       var ttype = -1L
       var vS, vE = -1
@@ -462,33 +468,46 @@ object Binary {
         if (id == 0x83L) ttype = uint(s, e - s)
         else if (id == 0xE0L && vS < 0) { vS = s; vE = e }
       }
-      if (ttype == 1L && vS >= 0 && width < 0)
+      // The first video-type track with a Video child claims the dims
+      // ATOMICALLY — whatever subset it declares is the answer; a later
+      // track never fills in a missing half (no cross-track chimera).
+      if (ttype == 1L && vS >= 0 && !dimsLocked) {
+        dimsLocked = true
         children(vS, vE) { (id, s, e) =>
-          if (id == 0xB0L) width = uint(s, e - s)
-          else if (id == 0xBAL) height = uint(s, e - s)
+          if (id == 0xB0L && width < 0) width = uint(s, e - s)
+          else if (id == 0xBAL && height < 0) height = uint(s, e - s)
         }
+      }
     }
+    var sawTracks = false
     def walkSegment(b0: Int, b1: Int): Unit = children(b0, b1) {
       (id, s, e) =>
-        if (id == 0x1549A966L) { // Info
+        if (id == 0x1549A966L && !sawInfo) { // first Info
           sawInfo = true
           children(s, e) { (cid, cs, ce) =>
-            if (cid == 0x2AD7B1L) tscale = uint(cs, ce - cs)
-            else if (cid == 0x4489L) durTicks = float(cs, ce - cs)
+            if (cid == 0x2AD7B1L && tscale < 0) tscale = uint(cs, ce - cs)
+            else if (cid == 0x4489L && durTicks < 0)
+              durTicks = float(cs, ce - cs)
           }
-        } else if (id == 0x1654AE6BL) // Tracks
+        } else if (id == 0x1654AE6BL && !sawTracks) { // first Tracks
+          sawTracks = true
           children(s, e) { (cid, cs, ce) =>
             if (cid == 0xAEL) { nTracks += 1; walkTrackEntry(cs, ce) }
           }
+        }
     }
     if (p.length < 4) return bad
+    var sawSegment = false
     children(0, p.length) { (id, s, e) =>
       if (id == 0x1A45DFA3L) // EBML header
         children(s, e) { (cid, cs, ce) =>
           if (cid == 0x4282L && docType == null)
             docType = new String(p, cs, ce - cs, "US-ASCII")
         }
-      else if (id == 0x18538067L) walkSegment(s, e)
+      else if (id == 0x18538067L && !sawSegment) {
+        sawSegment = true
+        walkSegment(s, e)
+      }
     }
     if (tscale < 0 && sawInfo) tscale = 1000000L // spec default
     if (docType == null || !sawInfo || tscale <= 0 || durTicks < 0 ||

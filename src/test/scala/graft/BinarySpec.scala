@@ -278,6 +278,33 @@ class BinarySpec extends AnyFunSuite {
     assert(ms == 500L) // 500 ticks x 1e6 ns = 500 ms
     assert(n == 1L)
     assert(w == -1L && h == -1L)
+
+    // FIRST-WINS discipline: a resilience-style repeated Tracks master,
+    // a second concatenated Segment, and a second video track must not
+    // inflate n_tracks, overwrite Info fields, or chimera the dims
+    val videoTrk = el(0xAEL, 1,
+      el(0x83L, 1, beN(1L, 1)) ++
+        el(0xE0L, 1, el(0xBAL, 1, beN(100L, 2)))) // height ONLY
+    val videoTrk2 = el(0xAEL, 1,
+      el(0x83L, 1, beN(1L, 1)) ++
+        el(0xE0L, 1, el(0xB0L, 1, beN(200L, 2)) ++
+          el(0xBAL, 1, beN(50L, 2))))
+    val tracksTwice = el(0x1654AE6BL, 4, videoTrk ++ videoTrk2) ++
+      el(0x1654AE6BL, 4, videoTrk ++ videoTrk2) // duplicated header
+    val info2 = el(0x1549A966L, 4,
+      el(0x2AD7B1L, 3, beN(2000000L, 4)) ++
+        el(0x4489L, 2, beN(java.lang.Double.doubleToLongBits(9.0), 8)))
+    val seg1 = el(0x18538067L, 4, info ++ tracksTwice)
+    val seg2 = el(0x18538067L, 4, info2 ++ el(0x1654AE6BL, 4, videoTrk))
+    val (dt2, ts2, ms2, n2, w2, h2) = Binary.mkvHeader(ebml ++ seg1 ++ seg2)
+    assert(dt2 == "matroska")
+    assert(ts2 == 1000000L && ms2 == 500L,
+      "second Segment's Info must not overwrite the first's")
+    assert(n2 == 2L,
+      "duplicated Tracks master / second Segment must not inflate n_tracks")
+    assert(w2 == -1L && h2 == 100L,
+      "dims belong ATOMICALLY to the first video track (no chimera from " +
+        s"track 2): got ($w2, $h2)")
   }
 
   test("mp4Header: 64-bit largesize moov parses identically") {

@@ -176,11 +176,15 @@ class PlanSpec extends AnyFunSuite {
       val hints = SparkEntry.queries(name)(spark, dir)
         .queryExecution.analyzed.collect { case h: ResolvedHint => h }
       hints.foreach { h =>
-        // only BROADCAST strategies risk the driver/executor OOM this
-        // audit guards against; shuffle_hash on a parquet frame is the
-        // opposite fix (hash instead of sorting a huge streamed side)
-        if (h.hints.strategy.exists(
-            _.toString.toLowerCase.contains("broadcast"))) {
+        // shuffle_hash / shuffle_merge on a parquet frame are the SAFE
+        // strategies (both partition-parallel; shuffle_hash is the fix
+        // for sorting a huge streamed side) — everything else that can
+        // name a parquet frame (broadcast, shuffle_replicate_nl) ships
+        // one corpus-proportional side whole to every consumer and is
+        // exactly the blow-up this audit guards against
+        val safe = Set("shuffle_hash", "merge") // strategy toString names
+        if (h.hints.strategy.exists(st =>
+            !safe.contains(st.toString.toLowerCase))) {
           val scans = h.child.collect { case r: LogicalRelation => r }
           assert(scans.isEmpty,
             s"$name broadcast-hints a parquet-derived frame:\n${h.treeString}")
