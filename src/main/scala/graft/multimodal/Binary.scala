@@ -1097,7 +1097,8 @@ object Binary {
     * output, no per-row setup, no materialized frame lists. Superseded by
     * [[sampleFrames]] for every format `javax.imageio` can read (GIF
     * sequences included) and by [[sampleVideoFrames]] for RIFF/AVI;
-    * MP4-class metadata is real too ([[mp4Header]]), so the stub's
+    * MP4- and Matroska-class metadata is real too ([[mp4Header]],
+    * [[mkvHeader]]), so the stub's
     * remaining territory is ONLY frame decode of containers with no JVM
     * codec (MP4/Matroska payload bytes). */
   def sampleFramesStub(ds: Dataset[PayloadRow], stride: Int,
