@@ -1221,72 +1221,104 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** st01 runs REAL micro-batch streaming execution inside the
-    * driver-verified query: a file source over the events parquet
-    * (schema from a metadata-only batch peek, the same ns→µs
-    * normalization as Tables.events), watermarked windowed agg, one-shot
-    * AvailableNow trigger into a memory sink, and the returned frame IS
-    * the sink table. Complete output mode because a one-shot replay's
-    * watermark would hold back the newest (still-open) windows in
-    * append mode — the batch-parity contract wants every window; at
-    * production scale the same plan runs append-mode into a file sink
-    * with windows emitted as the watermark closes them (StreamingSpec
-    * exercises that path). Memory-sink state here is the aggregated
-    * windows only, never the raw events. */
-  private val st01Runs = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def st01(s: SparkSession, dir: String): DataFrame = {
-    val run = st01Runs.incrementAndGet()
-    val path = s"$dir/events.parquet"
+  private val stGateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming file source over a testdata table, schema from a
+    * metadata-only batch peek. The file source requires a DIRECTORY. A
+    * table that is already directory-shaped (a Spark-written or
+    * partitioned table root — the only shape that exists at scale)
+    * streams directly from its own root; symlinking a directory INTO a
+    * scratch dir would leave the source listing zero files (it does not
+    * recurse) and silently emit nothing — the r10 10x-probe catch. Only
+    * the single-file testdata shape needs the scratch-dir symlink — no
+    * data copy either way. */
+  private def streamTable(s: SparkSession, dir: String,
+                          table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
     val schema = s.read.parquet(path).schema
-    // The streaming file source requires a DIRECTORY. A table that is
-    // already directory-shaped (a Spark-written or partitioned table
-    // root — the only shape that exists at scale) streams directly from
-    // its own root; symlinking a directory INTO a scratch dir would
-    // leave the source listing zero files (it does not recurse) and
-    // silently emit nothing. Only the single-file testdata shape needs
-    // the scratch-dir symlink — no data copy either way.
     val tablePath = java.nio.file.Paths.get(path).toAbsolutePath
     val streamDir =
       if (java.nio.file.Files.isDirectory(tablePath)) tablePath
       else {
         val srcDir = java.nio.file.Paths
-          .get("target", "st01_stream_src")
+          .get("target", s"stream_src_$table")
           .toAbsolutePath
         java.nio.file.Files.createDirectories(srcDir)
-        val link = srcDir.resolve("events.parquet")
+        val link = srcDir.resolve(s"$table.parquet")
         java.nio.file.Files.deleteIfExists(link)
         java.nio.file.Files.createSymbolicLink(link, tablePath)
         srcDir
       }
-    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    s.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** One-shot micro-batch execution of a streaming frame into a memory
+    * sink; returns the sink's contents. The memory sink holds only the
+    * query's OUTPUT (aggregated windows / admitted ids — never raw
+    * input); at production scale the same plan runs continuously into a
+    * file sink. Dropping the catalog name keeps repeated runs (bench
+    * loops, re-verifies) from accumulating registered tables. */
+  private def runStreamOnce(s: SparkSession, out: DataFrame,
+                            mode: org.apache.spark.sql.streaming.OutputMode)
+      : DataFrame = {
+    val sink = s"st_gate_sink_${stGateRuns.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.table(sink)
+    s.catalog.dropTempView(sink)
+    res
+  }
+
+  /** st01 runs REAL micro-batch streaming execution inside the
+    * driver-verified query: a file source over the events table (the
+    * same ns→µs normalization as Tables.events), watermarked windowed
+    * agg, one-shot AvailableNow trigger into a memory sink. Complete
+    * output mode because a one-shot replay's watermark would hold back
+    * the newest (still-open) windows in append mode — the batch-parity
+    * contract wants every window; at production scale the same plan
+    * runs append-mode into a file sink with windows emitted as the
+    * watermark closes them (StreamingSpec exercises that path). */
+  private def st01(s: SparkSession, dir: String): DataFrame = {
+    val raw = streamTable(s, dir, "events")
+    val schema = raw.schema
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    val sink = s"st01_gate_sink_$run"
-    val q = Streams.hourlyAggStream(events)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // The returned plan holds the sink's data directly; dropping the
-    // catalog name keeps repeated runs (bench loops, re-verifies) from
-    // accumulating one registered in-memory table per run. The scratch
-    // dir is likewise reused across runs (single driver per target/).
-    val out = s.table(sink).orderBy("hour_sec", "event_type")
-    s.catalog.dropTempView(sink)
-    out
+    runStreamOnce(s, Streams.hourlyAggStream(events),
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      .orderBy("hour_sec", "event_type")
   }
 
   private def st02(s: SparkSession, dir: String): DataFrame =
     Streams.firstFailureBatch(ev(s, dir)).orderBy("user_id")
 
-  /** Batch anchor of the streaming incremental dedup (the stream variant's
-    * spec asserts chunked-replay parity with exactly this frame). */
-  private def st03(s: SparkSession, dir: String): DataFrame =
-    Streams.firstPerFingerprintBatch(t(s, dir, "documents"))
+  /** st03 runs REAL micro-batch streaming through the STATEFUL path —
+    * `flatMapGroupsWithState` admission state, the machinery st01's
+    * stateless windowed agg does not exercise: file source over the
+    * documents table → fingerprint → one-boolean-per-key admission
+    * (Streams.firstPerFingerprintStream) → AvailableNow → memory sink.
+    * Append mode (admissions are final the moment they are emitted).
+    * The oracle stays `firstPerFingerprintBatch`'s min-doc_id-per-fp:
+    * exact parity because a one-shot AvailableNow replay of the gate
+    * table is a single micro-batch, so every key group sees all its
+    * rows at once and admits the minimum (the chunked-replay parity
+    * spec covers multi-batch arrival; at production scale first-seen
+    * admission IS the contract, and the batch frame is the oracle only
+    * at gate scale). */
+  private def st03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = streamTable(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .as[Streams.DocFp]
+    runStreamOnce(s, Streams.firstPerFingerprintStream(docs).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
       .orderBy("doc_id")
+  }
 
   /** Batch anchor of the streaming contamination detector (the stream
     * variant is the SAME function over a readStream frame — parity spec

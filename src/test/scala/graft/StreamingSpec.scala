@@ -161,6 +161,24 @@ class StreamingSpec extends AnyFunSuite {
         s"${(viaFile diff viaDir).take(3)}")
   }
 
+  test("st03 gate (stateful flatMapGroupsWithState streaming) streams a " +
+      "directory-shaped documents table with file-shaped parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st03-dir")
+    spark.read.parquet(TestSpark.sf + "/documents.parquet")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val viaDir =
+      SparkEntry.queries("st03_incr_dedup_stream")(spark, tmp.toString)
+        .collect().toSeq
+    val viaFile =
+      SparkEntry.queries("st03_incr_dedup_stream")(spark, TestSpark.sf)
+        .collect().toSeq
+    assert(viaDir.nonEmpty, "dir-shaped table streamed zero rows")
+    assert(viaDir == viaFile,
+      s"dir/file shapes diverge: ${(viaDir diff viaFile).take(3)} / " +
+        s"${(viaFile diff viaDir).take(3)}")
+  }
+
   test("q37 streaming twin: chunked in-order replay equals the batch " +
       "sessionizer, watermark closes idle sessions") {
     implicit val sql = spark.sqlContext
