@@ -1324,13 +1324,24 @@ object SparkEntry {
     * variant is the SAME function over a readStream frame — parity spec
     * in StreamingSpec): eval-split docs emit the positional 3-gram spans
     * they share with the static train-gram index. */
+  /** st04 runs REAL micro-batch streaming through the STREAM-STATIC
+    * JOIN path — the third machinery class after st01 (stateless
+    * windowed agg) and st03 (stateful admission): the eval documents
+    * arrive as a stream, the train gram index is a STATIC batch frame,
+    * and `Streams.contaminationHits` — literally the same function as
+    * the batch anchor — joins them left-semi per micro-batch (stateless,
+    * append mode, no watermark). Row-identical to the batch plan by
+    * construction, so the shared d09 oracle is exact. */
   private def st04(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    Streams.contaminationHits(
-        d.filter(col("doc_id") % 10 === 0),
-        Streams.trainGramIndex(
-          d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
-        "doc_id", "text", n = 3)
+    val evalStream = streamTable(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val trainIdx = Streams.trainGramIndex(
+      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", n = 3)
+    runStreamOnce(s,
+        Streams.contaminationHits(evalStream, trainIdx,
+          "doc_id", "text", n = 3),
+        org.apache.spark.sql.streaming.OutputMode.Append)
       .orderBy("doc_id", "pos")
   }
 
