@@ -160,6 +160,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("container walkers (mp4Header, mkvHeader) are total on arbitrary " +
+      "and mutated bytes") {
+    import graft.multimodal.Binary
+    val rng = new scala.util.Random(29)
+    // pure fuzz: random blobs of every small length
+    for (len <- 0 to 64; _ <- 1 to 5) {
+      val p = Array.fill(len)(rng.nextInt(256).toByte)
+      Binary.mp4Header(p)
+      Binary.mkvHeader(p)
+    }
+    // structured fuzz: valid containers with one mutated byte — size
+    // fields, VINT markers, float widths, ids all get hit; walkers must
+    // degrade (possibly to "unknown"/garbage fields), never throw or
+    // read out of bounds
+    for (id <- Seq(0L, 1L, 5L, 6L)) {
+      val mp4 = Binary.makeMp4(id)
+      val mkv = Binary.makeMkv(id)
+      for (i <- mp4.indices; delta <- Seq(1, 0x80)) {
+        val m = mp4.clone(); m(i) = (m(i) + delta).toByte
+        Binary.mp4Header(m)
+      }
+      for (i <- mkv.indices; delta <- Seq(1, 0x80)) {
+        val m = mkv.clone(); m(i) = (m(i) + delta).toByte
+        Binary.mkvHeader(m)
+      }
+      // truncations at every length
+      for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
+      for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
+    }
+  }
+
   test("parser rejects truncated/garbled patterns") {
     for (bad <- Seq(">", "customer", ">customer[", ">customer[\"x]",
         ">customer]#", "> cust omer", "<>", ">customer[a,]#"))
