@@ -100,12 +100,18 @@ final class Catalog(
                    cands: DataFrame): DataFrame = {
     val sorted = types.values.toSeq.sortBy(_.name)
     val known = col("object_type").isin(types.keys.toSeq: _*)
+    // One load per type, shared by the shape check (schema) and the
+    // existence probe (scan): each spark.read re-infers the parquet
+    // schema from footers, and the doubled footer pass was the dominant
+    // cost of this metadata-heavy query (measured 1.1-1.8 s of frame
+    // BUILD vs 0.5 s of execution at sf0.1).
+    val tables = sorted.map(t => t.name -> load(spark, dir, t.name)).toMap
     def perType(f: GraftType => Column): Column =
       sorted.foldLeft(lit(null).cast("boolean")) { (acc, t) =>
         when(col("object_type") === t.name, f(t)).otherwise(acc)
       }
     val shapeOk = perType { t =>
-      val tbl = load(spark, dir, t.name).schema
+      val tbl = tables(t.name).schema
       val parts = t.idCols.zipWithIndex.map { case (c, i) =>
         val dt = tbl(tbl.fieldIndex(c)).dataType.sql
         expr(s"try_cast(try_element_at(split(id, '_'), ${i + 1}) AS $dt)")
@@ -115,7 +121,7 @@ final class Catalog(
     }
     val candKeys = broadcast(cands.select("object_type", "id"))
     val hits = sorted.map { t =>
-        load(spark, dir, t.name).select(
+        tables(t.name).select(
             lit(t.name).as("object_type"),
             concat_ws("_", t.idCols.map(c => col(c).cast("string")): _*)
               .as("id"))
