@@ -155,27 +155,37 @@ final class Catalog(
     }
   }
 
-  /** Re-project to the table's declared column order: using-column joins
-    * move key columns to the front, and callers may union the returned
-    * frames POSITIONALLY — a silently misaligned union would produce
-    * garbage rows that survive distinct(). */
-  private def canon(spark: SparkSession, dir: String, tn: String,
-                    df: DataFrame): DataFrame =
-    df.select(load(spark, dir, tn).columns.map(col).toSeq: _*)
+  /** Per-query-construction table memo: every `spark.read` re-infers the
+    * parquet schema from footers, and the closure chain (root validation →
+    * id expansion → width-restoring materialize) touched the same tables
+    * up to four times each — the build phase of the closure queries was
+    * footer-dominated (the q33 finding, measured 1.1-1.8 s vs 0.5 s of
+    * execution). One memo per top-level call keeps a query's view of each
+    * table to ONE load — also one consistent file-listing snapshot. */
+  private def tableCache(spark: SparkSession,
+                         dir: String): String => DataFrame = {
+    val m = scala.collection.mutable.Map.empty[String, DataFrame]
+    tn => m.getOrElseUpdate(tn, load(spark, dir, tn))
+  }
 
   /** Matched id sets → full rows, one width-restoring semi-join per
     * reached type (rows with duplicate id tuples are all retained, as in
     * the reference's final `FROM t INNER JOIN (…ids…) USING (id)`).
+    * Output is re-projected to the table's declared column order:
+    * using-column joins move key columns to the front, and callers may
+    * union the returned frames POSITIONALLY — a silently misaligned
+    * union would produce garbage rows that survive distinct().
     * `withMetadata = false` drops each type's declared [[GraftType.metaCols]]
     * from the output (query_iter's with_metadata flag,
     * db/abstract.py:283-315) — the scan then never READS them either
     * (column pruning reaches parquet). */
-  private def materialize(spark: SparkSession, dir: String,
+  private def materialize(tbl: String => DataFrame,
                           ids: Map[String, DataFrame],
                           withMetadata: Boolean = true): Map[String, DataFrame] =
     ids.map { case (tn, idDf) =>
-      val full = canon(spark, dir, tn,
-        load(spark, dir, tn).join(idDf, types(tn).idCols, "left_semi"))
+      val t = tbl(tn)
+      val full = t.join(idDf, types(tn).idCols, "left_semi")
+        .select(t.columns.map(col).toSeq: _*)
       tn -> (if (withMetadata) full else full.drop(types(tn).metaCols: _*))
     }
 
@@ -213,7 +223,7 @@ final class Catalog(
     * reaches the parquet scan), and [[materialize]] restores width with one
     * final semi-join per type. Each derivation is one key-bounded shuffle;
     * nothing is row-at-a-time. */
-  private def expandIds(spark: SparkSession, dir: String,
+  private def expandIds(tbl: String => DataFrame,
                         start: Map[String, DataFrame],
                         children: Boolean): Map[String, DataFrame] = {
     var ids = start
@@ -221,7 +231,7 @@ final class Catalog(
     // holds the (child id, parent ref) mapping: children expansion keeps
     // its idCols, parents expansion projects its refCols to parent ids.
     def childNarrow(rel: GraftRelation): DataFrame =
-      load(spark, dir, rel.child)
+      tbl(rel.child)
         .select((types(rel.child).idCols ++ rel.refCols).distinct
           .map(col): _*)
     for (tn <- topoOrder(children)) {
@@ -269,10 +279,12 @@ final class Catalog(
   def childrenClosure(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame],
-      withMetadata: Boolean = true): Map[String, DataFrame] =
-    materialize(spark, dir,
-      expandIds(spark, dir, rootIds(spark, dir, roots), children = true),
+      withMetadata: Boolean = true): Map[String, DataFrame] = {
+    val tbl = tableCache(spark, dir)
+    materialize(tbl,
+      expandIds(tbl, rootIds(spark, dir, roots), children = true),
       withMetadata)
+  }
 
   /** The full `query(ids, children=…, parents=…)` entry point
     * (/root/reference/kcidb/__init__.py:255-338). Pass order is faithful
@@ -288,10 +300,11 @@ final class Catalog(
               roots: Map[String, DataFrame],
               parents: Boolean, children: Boolean,
               withMetadata: Boolean = true): Map[String, DataFrame] = {
+    val tbl = tableCache(spark, dir)
     var ids = rootIds(spark, dir, roots)
-    if (parents) ids = expandIds(spark, dir, ids, children = false)
-    if (children) ids = expandIds(spark, dir, ids, children = true)
-    materialize(spark, dir, ids, withMetadata)
+    if (parents) ids = expandIds(tbl, ids, children = false)
+    if (children) ids = expandIds(tbl, ids, children = true)
+    materialize(tbl, ids, withMetadata)
   }
 
   /** Constraint validation, generated from catalog metadata — the Spark
@@ -303,6 +316,7 @@ final class Catalog(
     * rules. Returns (check_name, violations) sorted by name. */
   def validate(spark: SparkSession, dir: String,
                extra: Seq[(String, DataFrame)] = Seq.empty): DataFrame = {
+    val tbl = tableCache(spark, dir)
     def cnt(name: String, df: DataFrame): DataFrame =
       df.groupBy().agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
@@ -324,7 +338,7 @@ final class Catalog(
         val kvs = checks.zipWithIndex.flatMap { case ((n, _), i) =>
           Seq(lit(n), col(s"__c$i"))
         }
-        Some(load(spark, dir, t.name)
+        Some(tbl(t.name)
           .agg(aliased.head, aliased.tail: _*)
           .select(explode(map(kvs: _*)).as(Seq("check_name", "violations"))))
       }
@@ -334,9 +348,9 @@ final class Catalog(
     // Both sides project to just the key columns before the join — the
     // anti-join only needs the refs, so nothing wider ever crosses a shuffle.
     val orphanChecks = relations.map { rel =>
-      val child = load(spark, dir, rel.child)
+      val child = tbl(rel.child)
         .select(rel.refCols.map(col): _*)
-      val parent = load(spark, dir, rel.parent)
+      val parent = tbl(rel.parent)
         .select(types(rel.parent).idCols.map(col): _*)
       val cond = rel.refCols.zip(types(rel.parent).idCols)
         .map { case (rc, ic) => child(rc) === parent(ic) }
@@ -353,10 +367,12 @@ final class Catalog(
   def parentsClosure(
       spark: SparkSession, dir: String,
       roots: Map[String, DataFrame],
-      withMetadata: Boolean = true): Map[String, DataFrame] =
-    materialize(spark, dir,
-      expandIds(spark, dir, rootIds(spark, dir, roots), children = false),
+      withMetadata: Boolean = true): Map[String, DataFrame] = {
+    val tbl = tableCache(spark, dir)
+    materialize(tbl,
+      expandIds(tbl, rootIds(spark, dir, roots), children = false),
       withMetadata)
+  }
 
   /** `Pattern.from_io` analog (reference kcidb/orm/query.py:788-851):
     * derive per-type ROOT-ID frames from a just-loaded I/O batch — each
