@@ -606,6 +606,23 @@ object SparkEntry {
       .orderBy("label", "pred_label")
   }
 
+  /** Product-quantization kNN with exact refine ([[graft.sim.Pq]]):
+    * the vector-COMPRESSION scale path next to s02's LSH and s03's IVF
+    * candidate reduction — the corpus is stored as m=16 codes from
+    * per-subspace 32-entry L2 codebooks (16× smaller than the float
+    * vectors), the ADC pass scores candidates via per-probe lookup
+    * tables (m array lookups each, no explode, no per-pair shuffle),
+    * and an 8·k shortlist is exactly re-ranked on the true vectors.
+    * Rows-only gate (the k-means fit is not SQL-expressible); PqSpec
+    * carries the ground truth: lossless-corpus EXACTNESS vs brute
+    * inner-product ranking, knob-swept recall pinned on this corpus,
+    * shape and loud-failure invariants. */
+  private def s07(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Pq.pqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3, m = 16, ksub = 32,
+        refine = 8)
+      .orderBy("probe_id", "rank")
+
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
     * VALUES list from this constant, as t01 does with the language
@@ -1397,6 +1414,7 @@ object SparkEntry {
     "s04_knn_graph" -> (s04 _),
     "s05_knn_classify" -> (s05 _),
     "s06_class_centroids" -> (s06 _),
+    "s07_knn_pq" -> (s07 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

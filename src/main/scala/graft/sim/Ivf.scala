@@ -76,10 +76,12 @@ object Ivf {
     * group keeps at least one centroid (see
     * [[graft.dedup.Dedup.semanticDedupTwoLevel]]'s fallback union). */
   def assignWithin(df: DataFrame, groupCol: String,
-                   centroids: DataFrame): DataFrame =
+                   centroids: DataFrame,
+                   score: (Column, Column) => Column = Vectors.cosine)
+      : DataFrame =
     df.join(centroids, Seq(groupCol))
       .select(col(groupCol), col("id"), col("v"), col("cluster"),
-        Vectors.cosine(col("v"), col("centroid")).as("cos"))
+        score(col("v"), col("centroid")).as("cos"))
       .groupBy("id")
       .agg(first(col(groupCol)).as(groupCol),
         first(col("v")).as("v"),
@@ -101,7 +103,9 @@ object Ivf {
     * Returns (groupCol, cluster, centroid). */
   def fitCentroidsWithin(corpus: DataFrame, groupCol: String,
                          cPerGroup: Int, iters: Int,
-                         seedCorpus: Option[DataFrame] = None): DataFrame = {
+                         seedCorpus: Option[DataFrame] = None,
+                         score: (Column, Column) => Column = Vectors.cosine)
+      : DataFrame = {
     val seedIds = seedCorpus.getOrElse(corpus)
       .groupBy(groupCol)
       .agg(TopK.topKByScore(lit(0.0), col("id"), cPerGroup).as("s"))
@@ -112,7 +116,7 @@ object Ivf {
         col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val assigned = assignWithin(corpus, groupCol, centroids)
+      val assigned = assignWithin(corpus, groupCol, centroids, score)
       centroids = assigned
         .select(col(groupCol), col("cluster"),
           posexplode(col("v")).as(Seq("pos", "x")))

@@ -1,0 +1,178 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TopK, Vectors}
+
+/** Product quantization (PQ) — the vector-COMPRESSION scale path next to
+  * the candidate-REDUCTION paths (banded LSH [[Knn.lshKnn]], inverted
+  * files [[Ivf.ivfKnn]]): split each d-dim vector into `m` subspaces of
+  * d/m dims, learn an independent `ksub`-centroid codebook per subspace
+  * (one grouped L2 k-means — [[Ivf.fitCentroidsWithin]] with the L2
+  * metric, all subspaces fit simultaneously as keyed aggregates), and
+  * store each vector as `m` small codes. A scan then reads m bytes-ish
+  * per vector instead of 4·d — at 100 TB of embeddings that is the
+  * difference between scanning the corpus and scanning a 32× smaller
+  * code table, and the asymmetric-distance (ADC) score is `m` array
+  * lookups per candidate instead of a d-element dot product.
+  *
+  * Semantics: ADC approximates the INNER PRODUCT dot(probe, v) ≈
+  * Σ_s lut[s][code_s], where lut[s][c] = dot(probe_s, centroid[s][c]) —
+  * on unit-normalized embeddings this is cosine. Everything is
+  * deterministic (lowest-id seeds, fixed iterations, ascending-index
+  * double accumulation) and distributed: the per-probe lookup table is
+  * built by a broadcast join against the m·ksub codebook rows — never a
+  * driver-side collect — and scoring is pure whole-stage-codegen array
+  * arithmetic (no explode, no per-pair shuffle; ranking is the bounded
+  * [[TopK]] heap).
+  *
+  * Knob guidance (standard PQ practice): dsub = d/m of 4-16 dims; ksub
+  * = 16 at gate scale, 256 (one byte per code) in production, with
+  * fitFraction chosen so the fit sample has ≥ ksub rows per subspace.
+  */
+object Pq {
+
+  /** L2 assignment score: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2). The
+    * codebooks quantize SUBvectors, which are not unit vectors even when
+    * the full embeddings are — cosine assignment would ignore their
+    * magnitude, so PQ fits with the standard L2 rule. */
+  private[sim] val l2Score: (Column, Column) => Column =
+    (v, c) => Vectors.dot(v, c) - Vectors.dot(c, c) / lit(2.0)
+
+  /** One row per (vector, subspace): `sub` ∈ [0, m), `id` = vec_id·m +
+    * sub (the unique Long row id the grouped k-means seed heap needs —
+    * requires vec ids ≥ 0), `v` = that subspace's slice. A vector whose
+    * length is not divisible by m fails LOUDLY per row (silently
+    * truncating the tail dims would be the silent-loss class). */
+  private def subVectors(corpus: DataFrame, m: Int): DataFrame =
+    corpus
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), (col("id") * m + col("sub")).as("id"),
+        when(size(col("v")) % m === 0,
+          slice(col("v"), col("sub") * (size(col("v")) / m) + 1,
+            size(col("v")) / m))
+          .otherwise(raise_error(concat(lit(
+            s"PQ: vector length not divisible by m=$m for id "),
+            col("id"))))
+          .as("v"))
+
+  /** PQ codebooks: (sub, code ∈ [0, ksub), centroid). One independent
+    * L2 k-means per subspace, run simultaneously as keyed aggregates;
+    * k-means cluster labels (seed row ids) are densified to codes via
+    * per-sub sorted label arrays — `array_position` on a ksub-element
+    * array, no window. A subspace can end with fewer than ksub codes
+    * (empty cells drop out, standard k-means), which only shrinks the
+    * codebook. */
+  def fitCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int, ksub: Int, iters: Int = 3,
+                   fitFraction: Double = 1.0): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val fit =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val raw = Ivf.fitCentroidsWithin(subVectors(fit, m), "sub", ksub,
+      iters, score = l2Score)
+    val labels = raw.groupBy("sub")
+      .agg(array_sort(collect_list(col("cluster"))).as("labels"))
+    raw.join(labels, Seq("sub"))
+      .select(col("sub"),
+        (array_position(col("labels"), col("cluster")) - 1).cast("int")
+          .as("code"),
+        col("centroid"))
+  }
+
+  /** Encode the corpus: (id, codes) with `codes(s)` = the L2-nearest
+    * code of subspace s — the m-byte representation an ADC scan reads
+    * instead of the full vector. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             codebooks: DataFrame, m: Int): DataFrame =
+    Ivf.assignWithin(
+        subVectors(emb.select(col(idCol).as("id"), col(vecCol).as("v")), m),
+        "sub",
+        codebooks.select(col("sub"), col("code").as("cluster"),
+          col("centroid")),
+        score = l2Score)
+      .select(expr(s"id div $m").as("id"), col("sub"),
+        col("cluster").as("code"))
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** ADC top-k over the encoded corpus with exact REFINE: every probe's
+    * m·ksub lookup table is built once by a broadcast join with the
+    * codebooks; each candidate then scores as m `element_at` lookups
+    * inside whole-stage codegen, the ADC pass keeps a `refine`·k
+    * shortlist per probe (bounded TopK heap), and the shortlist alone —
+    * narrow (probe_id, id) pairs — is re-joined to the full vectors for
+    * an EXACT inner-product re-rank (the standard ADC+refine pipeline:
+    * quantization error decides only which candidates make the
+    * shortlist, never their final order). The probe set is
+    * caller-bounded and streamed against the CODE table (the
+    * [[Knn.knnBrute]] contract made 4·d/m× cheaper to read and O(m) to
+    * score; compose with IVF cells when candidate REDUCTION is also
+    * needed); the refine join touches |probes|·refine·k full vectors —
+    * negligible at any scale. Ties break toward the lower id. Returns
+    * (probe_id, neighbor_id, rank). */
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String,
+            probeFilter: Column, k: Int, m: Int, ksub: Int,
+            iters: Int = 3, fitFraction: Double = 1.0,
+            refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
+      fitFraction)
+    val codes = encode(emb, idCol, vecCol, codebooks, m)
+    val dsub = size(col("v_p")) / m
+    // Nested layout — lut(sub)(code) — instead of a flat sub·ksub+code
+    // array: a subspace that converged below ksub codes would leave GAPS
+    // in flat slot space and silently misalign every later subspace's
+    // entries, while per-sub arrays stay dense by construction (the
+    // array_position densification makes codes contiguous from 0 within
+    // each sub). Scoring is two O(1) element_at lookups.
+    val lut = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+      .crossJoin(broadcast(codebooks))
+      .select(col("probe_id"), col("sub"), col("code"),
+        Vectors.dot(
+          slice(col("v_p"), col("sub") * dsub + 1, dsub),
+          col("centroid")).as("s"))
+      .groupBy("probe_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("s")))),
+        e => e.getField("s").cast("double")).as("subLut"))
+      .groupBy("probe_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("subLut")))),
+        e => e.getField("subLut")).as("lut"))
+    val scored = codes
+      .crossJoin(broadcast(lut))
+      .select(col("probe_id"), col("id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(
+              element_at(col("lut"), (s + 1).cast("int")),
+              (c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+      .filter(col("probe_id") =!= col("id"))
+    val shortlist = scored.groupBy("probe_id")
+      .agg(TopK.topKByScore(col("score"), col("id"), refine * k).as("nn"))
+      .select(col("probe_id"), explode(col("nn.id")).as("id"))
+    // Exact re-rank: restore both vectors onto the NARROW shortlist
+    // pairs (the id-only-through-the-shuffle discipline) and rank by
+    // the true inner product.
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    shortlist
+      .join(vecs, Seq("id"))
+      .join(broadcast(emb.filter(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("id"),
+        Vectors.dot(col("v_p"), col("v")).as("s"))
+      .groupBy("probe_id")
+      .agg(TopK.topKByScore(col("s"), col("id"), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -78,9 +78,12 @@ class PlanSpec extends AnyFunSuite {
     // failing this sweep first).
     // t10 zips in the 1-row corpus-count frame (t05's scalar class).
     // t11 zips in the 1-row train-vocabulary frame (same scalar class).
+    // s07 joins the m·ksub-row broadcast codebook (s03's c-row class)
+    // and streams the bounded probe set's LUTs against the CODE table
+    // (s01's bounded-probe class, 4·d/m× cheaper to read).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
-      "t10_tfidf_terms", "t11_lm_score")
+      "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -168,7 +171,10 @@ class PlanSpec extends AnyFunSuite {
     // s05_knn_classify shares that contract: its probe frame is
     // `emb.filter(vec_id < 100)` — <=100 rows at ANY corpus size (bounded
     // by the predicate, not proportional to it), the same class as s01.
-    val exempt = Set("s01_knn_brute", "s05_knn_classify")
+    // s07_knn_pq broadcasts per-probe LUTs built over the same
+    // predicate-bounded probe frame (`vec_id < 5`) — s01's class; its
+    // corpus-sized side is the CODE table, never broadcast.
+    val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Vectors
+import graft.sim.Pq
+
+/** Product-quantization ground truth: codebook/code shape, LOSSLESS
+  * exactness on a quantizable corpus (when every subspace has at most
+  * ksub distinct subvectors, PQ reconstruction is exact and ADC ranking
+  * must equal brute-force inner-product ranking exactly), and recall on
+  * the real gate corpus. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val m = 4
+  private val ksub = 4
+
+  /** 16-dim vectors over a tiny per-subspace alphabet: subspace s of
+    * vector i uses pattern (i + s) % 4, and each pattern is a
+    * well-separated corner so k-means recovers the alphabet exactly.
+    * The first ksub rows cover every pattern in every subspace (seeds
+    * see the whole alphabet). */
+  private def quantizable(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      val v = (0 until m).flatMap { s =>
+        val pat = (i + s) % 4
+        Seq.tabulate(4)(j => if (j == pat) 10f + pat else 0f)
+      }
+      (i.toLong, v)
+    }
+
+  private def bruteDotTopK(rows: Seq[(Long, Seq[Float])], probes: Set[Long],
+                           k: Int): Map[Long, Seq[Long]] = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    probes.toSeq.map { p =>
+      val pv = rows.find(_._1 == p).get._2
+      p -> rows.filter(_._1 != p)
+        .map { case (id, v) => (dot(pv, v), id) }
+        .sortBy { case (s, id) => (-s, id) }
+        .take(k).map(_._2)
+    }.toMap
+  }
+
+  test("codebooks and codes have the declared shape") {
+    val emb = quantizable(40).toDF("vec_id", "embedding")
+    val cb = Pq.fitCodebooks(emb, "vec_id", "embedding", m, ksub)
+      .collect()
+    assert(cb.nonEmpty)
+    val bySub = cb.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet, "every subspace has codes")
+    for ((sub, rows) <- bySub) {
+      val codes = rows.map(_.getInt(1)).sorted.toSeq
+      assert(codes == (0 until rows.length).toSeq,
+        s"sub $sub codes must be contiguous from 0: $codes")
+      assert(rows.forall(_.getSeq[Float](2).length == 4),
+        s"sub $sub centroid width")
+    }
+    val codes = Pq.encode(emb, "vec_id", "embedding",
+      Pq.fitCodebooks(emb, "vec_id", "embedding", m, ksub), m).collect()
+    assert(codes.length == 40)
+    assert(codes.forall(_.getSeq[Int](1).length == m),
+      "every vector carries m codes")
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < ksub)))
+  }
+
+  test("ADC ranking is EXACT on a quantizable corpus (lossless codebooks)") {
+    val rows = quantizable(40)
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Pq.pqKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 6, k = 5, m = m, ksub = ksub)
+      .orderBy("probe_id", "rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val want = bruteDotTopK(rows, (0L until 6L).toSet, 5)
+    for (p <- 0L until 6L)
+      assert(got(p) == want(p),
+        s"probe $p: pq=${got(p)} brute=${want(p)}")
+  }
+
+  test("vector length not divisible by m fails loudly, never truncates") {
+    val emb = Seq((1L, Seq.fill(10)(1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.encode(emb, "vec_id", "embedding",
+        Pq.fitCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 2),
+        m = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("gate-config recall@3 vs brute-force inner product on sf0.001 " +
+      "embeddings, and determinism across runs") {
+    val emb = spark.read.parquet(TestSpark.sf + "/embeddings.parquet")
+    val run = () => Pq.pqKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3, m = 16, ksub = 32,
+        refine = 8)
+      .orderBy("probe_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = run()
+    assert(a == run(), "pqKnn must be deterministic")
+    // brute-force inner-product ground truth, computed in-plan
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("v_p"))
+    val truth = probes.crossJoin(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id"),
+        Vectors.dot(col("v_p"), col("v")).as("s"))
+      .groupBy("probe_id")
+      .agg(graft.functions.TopK.topKByScore(col("s"), col("id"), 3).as("nn"))
+      .select(col("probe_id"), explode(col("nn.id")).as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.map { case (p, n, _) => (p, n) }.toSet
+    val recall = (hits intersect truth).size.toDouble / truth.size
+    // knob sweep measured 2026-08-13 on the gate corpus (recall@3 vs
+    // brute dot): m=8/ksub=16/refine=4 0.40, m=8/ksub=16/refine=8 0.53,
+    // m=16/ksub=16/refine=8 0.67, m=8/ksub=64/refine=8 0.87,
+    // m=16/ksub=32/refine=8 1.00 — total codebook capacity (m·log2 ksub
+    // bits) drives recall; the gate config compresses 64 floats to 16
+    // codes (16x) and recalls perfectly here. Pinned below 1.0 only to
+    // survive a reseeded testdata corpus.
+    assert(recall >= 0.85, s"recall@3 $recall below pinned bound")
+  }
+}
