@@ -213,4 +213,56 @@ class SubscriptionsSpec extends AnyFunSuite {
       assert(got == Seq("1", "3"), "user 1 must notify once, user 3 once")
     } finally q.stop()
   }
+
+  test("the reference ingest loop end to end: load → from_io roots → " +
+      "<*# closure → match → render → spool-dedup") {
+    // kcidb/__init__.py:493-531: after each load, notifications are
+    // generated over the loaded objects PLUS all their ancestors. This
+    // wires graft's pieces exactly as a consumer would: a simulated
+    // loaded batch, Catalog.ingestClosure, and the rendered spool over
+    // the CLOSURE frames (not the raw tables).
+    import graft.sources.Tables
+    val dir = TestSpark.sf
+    val cat = graft.model.TestCatalog.catalog
+    val loaded = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 5L)
+    val matched = cat.ingestClosure(spark, dir, Map("orders" -> loaded))
+    val loopSubs = Seq(
+      // ancestor-type subscription: fires only because <*# pulls the
+      // loaded orders' customers into the matched set
+      Subscription("cust_watch", "customer", col("c_custkey") >= 0L,
+        Seq("c_custkey"), subject = "customer {c_name}",
+        body = "customer {c_custkey} touched by load"),
+      Subscription("order_watch", "orders", col("o_orderkey") >= 0L,
+        Seq("o_orderkey"), subject = "order {o_orderkey}",
+        body = "order {o_orderkey} loaded"))
+    val notifs = Subscriptions.matchNotificationsRendered(
+      tn => matched(tn), loopSubs).collect()
+    // exactly-once per notification id (the spool invariant)
+    assert(notifs.map(_.getString(0)).distinct.length == notifs.length)
+    // order notifications = exactly the loaded window, nothing else —
+    // the subscription predicate matches EVERY order, so the scope came
+    // from the closure
+    val loadedIds = loaded.select("o_orderkey")
+      .collect().map(_.getLong(0).toString).toSet
+    val orderIds = notifs.filter(_.getString(2) == "orders")
+      .map(_.getString(3)).toSet
+    assert(orderIds == loadedIds,
+      s"order notifications must cover exactly the loaded window: " +
+        s"got $orderIds want $loadedIds")
+    // customer notifications = exactly the loaded orders' ancestors
+    val custIds = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 5L).select("o_custkey")
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    val gotCusts = notifs.filter(_.getString(2) == "customer")
+      .map(_.getString(3)).toSet
+    assert(gotCusts == custIds,
+      s"ancestor notifications must be the loaded orders' customers: " +
+        s"got $gotCusts want $custIds")
+    // rendered subjects carry the interpolated object fields
+    val subj = notifs.filter(_.getString(2) == "customer")
+      .map(_.getString(4))
+    assert(subj.forall(_.startsWith("customer Customer#")),
+      s"subject must interpolate c_name: ${subj.take(2).toSeq}")
+  }
 }
