@@ -57,6 +57,11 @@ final class Catalog(
     * list; empty = valid. Metadata-only — no job runs. */
   def rootIdViolations(spark: SparkSession, dir: String,
                        roots: Map[String, DataFrame]): Seq[String] =
+    rootIdViolationsWith(tableCache(spark, dir), roots)
+
+  private def rootIdViolationsWith(tbl: String => DataFrame,
+                                   roots: Map[String, DataFrame])
+      : Seq[String] =
     roots.toSeq.sortBy(_._1).flatMap { case (tn, df) =>
       types.get(tn) match {
         case None => Seq(s"unknown object type '$tn'")
@@ -67,7 +72,7 @@ final class Catalog(
               missing.mkString("(", ", ", ")") +
               s" — expected arity ${t.idCols.size}")
           else {
-            val tblSchema = load(spark, dir, tn).schema
+            val tblSchema = tbl(tn).schema
             t.idCols.flatMap { c =>
               val from = df.schema(df.schema.fieldIndex(c)).dataType
               val to = tblSchema(tblSchema.fieldIndex(c)).dataType
@@ -146,9 +151,9 @@ final class Catalog(
     * reference asserts the same on every query, abstract.py:310) — an
     * invalid map fails HERE with the full violation list instead of as a
     * bare Map-key error inside plan construction. */
-  private def rootIds(spark: SparkSession, dir: String,
+  private def rootIds(tbl: String => DataFrame,
                       roots: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val errs = rootIdViolations(spark, dir, roots)
+    val errs = rootIdViolationsWith(tbl, roots)
     require(errs.isEmpty, s"invalid root ids: ${errs.mkString("; ")}")
     roots.map { case (tn, ids) =>
       tn -> broadcast(ids.select(types(tn).idCols.map(col): _*).distinct())
@@ -238,11 +243,11 @@ final class Catalog(
       val incoming: Seq[DataFrame] =
         if (children) parentsOf(tn).flatMap { rel =>
           ids.get(rel.parent).map { pIds =>
-            val tbl = childNarrow(rel)
+            val narrow = childNarrow(rel)
             val cond = rel.refCols.zip(types(rel.parent).idCols)
-              .map { case (rc, ic) => tbl(rc) === pIds(ic) }
+              .map { case (rc, ic) => narrow(rc) === pIds(ic) }
               .reduce(_ && _)
-            tbl.join(pIds, cond, "left_semi")
+            narrow.join(pIds, cond, "left_semi")
               .select(types(tn).idCols.map(col): _*).distinct()
           }
         } else childrenOf(tn).flatMap { rel =>
@@ -282,7 +287,7 @@ final class Catalog(
       withMetadata: Boolean = true): Map[String, DataFrame] = {
     val tbl = tableCache(spark, dir)
     materialize(tbl,
-      expandIds(tbl, rootIds(spark, dir, roots), children = true),
+      expandIds(tbl, rootIds(tbl, roots), children = true),
       withMetadata)
   }
 
@@ -301,7 +306,7 @@ final class Catalog(
               parents: Boolean, children: Boolean,
               withMetadata: Boolean = true): Map[String, DataFrame] = {
     val tbl = tableCache(spark, dir)
-    var ids = rootIds(spark, dir, roots)
+    var ids = rootIds(tbl, roots)
     if (parents) ids = expandIds(tbl, ids, children = false)
     if (children) ids = expandIds(tbl, ids, children = true)
     materialize(tbl, ids, withMetadata)
@@ -370,7 +375,7 @@ final class Catalog(
       withMetadata: Boolean = true): Map[String, DataFrame] = {
     val tbl = tableCache(spark, dir)
     materialize(tbl,
-      expandIds(tbl, rootIds(spark, dir, roots), children = false),
+      expandIds(tbl, rootIds(tbl, roots), children = false),
       withMetadata)
   }
 

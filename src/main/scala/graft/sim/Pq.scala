@@ -46,7 +46,17 @@ object Pq {
     * truncating the tail dims would be the silent-loss class). */
   private def subVectors(corpus: DataFrame, m: Int): DataFrame =
     corpus
-      .select(col("id"), col("v"),
+      .select(
+        // the id*m+sub packing decodes with `div`, which truncates
+        // toward zero — a negative id would fold its subvectors into
+        // its neighbor's group and corrupt codes SILENTLY, so the
+        // documented precondition is enforced as loudly as the
+        // length-divisibility guard below
+        when(col("id") >= 0, col("id"))
+          .otherwise(raise_error(concat(
+            lit("PQ: vector ids must be >= 0, got "), col("id"))))
+          .as("id"),
+        col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("sub"), (col("id") * m + col("sub")).as("id"),
         when(size(col("v")) % m === 0,
@@ -123,6 +133,8 @@ object Pq {
     val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
       fitFraction)
     val codes = encode(emb, idCol, vecCol, codebooks, m)
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
     val dsub = size(col("v_p")) / m
     // Nested layout — lut(sub)(code) — instead of a flat sub·ksub+code
     // array: a subspace that converged below ksub codes would leave GAPS
@@ -130,8 +142,7 @@ object Pq {
     // entries, while per-sub arrays stay dense by construction (the
     // array_position densification makes codes contiguous from 0 within
     // each sub). Scoring is two O(1) element_at lookups.
-    val lut = emb.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+    val lut = probes
       .crossJoin(broadcast(codebooks))
       .select(col("probe_id"), col("sub"), col("code"),
         Vectors.dot(
@@ -164,9 +175,7 @@ object Pq {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     shortlist
       .join(vecs, Seq("id"))
-      .join(broadcast(emb.filter(probeFilter)
-        .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))),
-        Seq("probe_id"))
+      .join(broadcast(probes), Seq("probe_id"))
       .select(col("probe_id"), col("id"),
         Vectors.dot(col("v_p"), col("v")).as("s"))
       .groupBy("probe_id")
