@@ -101,10 +101,20 @@ object Ivf {
     * member drops out, as in standard k-means — coverage fallbacks are
     * the caller's concern, as documented on [[assignWithin]].
     * Returns (groupCol, cluster, centroid). */
+  /** `hintBroadcast`: set when the caller KNOWS the total centroid
+    * count (groups × cPerGroup) is broadcast-small — e.g. PQ codebooks,
+    * m·ksub ≤ a few thousand rows. The grouped equi-join then becomes a
+    * broadcast hash join instead of hash-partitioning the corpus by
+    * `groupCol` — decisive when groupCol has FEW distinct values (PQ's
+    * m subspaces would cap shuffle parallelism at m and sort-merge the
+    * exploded corpus). Leave false when total centroids can exceed the
+    * broadcast cap (the two-level semantic-dedup case this primitive
+    * was built for). */
   def fitCentroidsWithin(corpus: DataFrame, groupCol: String,
                          cPerGroup: Int, iters: Int,
                          seedCorpus: Option[DataFrame] = None,
-                         score: (Column, Column) => Column = Vectors.cosine)
+                         score: (Column, Column) => Column = Vectors.cosine,
+                         hintBroadcast: Boolean = false)
       : DataFrame = {
     val seedIds = seedCorpus.getOrElse(corpus)
       .groupBy(groupCol)
@@ -116,7 +126,8 @@ object Ivf {
         col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val assigned = assignWithin(corpus, groupCol, centroids, score)
+      val assigned = assignWithin(corpus, groupCol,
+        if (hintBroadcast) broadcast(centroids) else centroids, score)
       centroids = assigned
         .select(col(groupCol), col("cluster"),
           posexplode(col("v")).as(Seq("pos", "x")))

@@ -82,7 +82,10 @@ object Pq {
       if (fitFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
     val raw = Ivf.fitCentroidsWithin(subVectors(fit, m), "sub", ksub,
-      iters, score = l2Score)
+      iters, score = l2Score,
+      // m*ksub centroids of d/m floats always fit a broadcast; a keyed
+      // join on `sub` would cap shuffle parallelism at m distinct keys
+      hintBroadcast = true)
     val labels = raw.groupBy("sub")
       .agg(array_sort(collect_list(col("cluster"))).as("labels"))
     raw.join(labels, Seq("sub"))
@@ -100,8 +103,10 @@ object Pq {
     Ivf.assignWithin(
         subVectors(emb.select(col(idCol).as("id"), col(vecCol).as("v")), m),
         "sub",
-        codebooks.select(col("sub"), col("code").as("cluster"),
-          col("centroid")),
+        // broadcast for the same reason as the fit: tiny codebook, few
+        // distinct join keys
+        broadcast(codebooks.select(col("sub"), col("code").as("cluster"),
+          col("centroid"))),
         score = l2Score)
       .select(expr(s"id div $m").as("id"), col("sub"),
         col("cluster").as("code"))
