@@ -81,6 +81,27 @@ class PqSpec extends AnyFunSuite {
         s"probe $p: pq=${got(p)} brute=${want(p)}")
   }
 
+  test("refine covering the whole corpus is EXACT regardless of " +
+      "quantization quality (random vectors)") {
+    // With refine·k >= n-1 the ADC shortlist is the entire corpus and
+    // the exact re-rank must reproduce brute-force inner-product
+    // ranking bit-for-bit — however lossy the codebooks. Random
+    // (seeded) vectors make the codebooks maximally lossy.
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2f - 1f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Pq.pqKnn(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 4, k = 5, m = 2, ksub = 4,
+        refine = 6) // 6*5 = 30 >= n-1
+      .orderBy("probe_id", "rank").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val want = bruteDotTopK(rows, (0L until 4L).toSet, 5)
+    for (p <- 0L until 4L)
+      assert(got(p) == want(p), s"probe $p: pq=${got(p)} brute=${want(p)}")
+  }
+
   test("vector length not divisible by m fails loudly, never truncates") {
     val emb = Seq((1L, Seq.fill(10)(1f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
