@@ -623,6 +623,19 @@ object SparkEntry {
         refine = 8)
       .orderBy("probe_id", "rank")
 
+  /** IVFADC ([[graft.sim.Pq.ivfPqKnn]]) — candidate REDUCTION (s03's
+    * IVF cells, same c=16/nprobe=4 anchors) composed with vector
+    * COMPRESSION (s07's codebooks) and exact refine: the full
+    * production ANN shape, proving the two scale axes compose. Rows-
+    * only; PqSpec pins recall, determinism, and probed-cell soundness
+    * (every returned neighbor lives in one of its probe's nprobe
+    * cells). */
+  private def s08(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Pq.ivfPqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4,
+        m = 16, ksub = 32, refine = 8)
+      .orderBy("probe_id", "rank")
+
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
     * VALUES list from this constant, as t01 does with the language
@@ -1415,6 +1428,7 @@ object SparkEntry {
     "s05_knn_classify" -> (s05 _),
     "s06_class_centroids" -> (s06 _),
     "s07_knn_pq" -> (s07 _),
+    "s08_knn_ivfpq" -> (s08 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

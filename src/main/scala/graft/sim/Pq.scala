@@ -140,14 +140,21 @@ object Pq {
     val codes = encode(emb, idCol, vecCol, codebooks, m)
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+    val cands = codes.crossJoin(broadcast(probeLuts(probes, codebooks, m)))
+    adcShortlistRefine(emb, idCol, vecCol, probes, cands, k, m, refine)
+  }
+
+  /** Per-probe nested lookup tables — lut(sub)(code) — instead of a
+    * flat sub·ksub+code array: a subspace that converged below ksub
+    * codes would leave GAPS in flat slot space and silently misalign
+    * every later subspace's entries, while per-sub arrays stay dense by
+    * construction (the array_position densification makes codes
+    * contiguous from 0 within each sub). Scoring is two O(1)
+    * element_at lookups. Returns (probe_id, lut). */
+  private def probeLuts(probes: DataFrame, codebooks: DataFrame,
+                        m: Int): DataFrame = {
     val dsub = size(col("v_p")) / m
-    // Nested layout — lut(sub)(code) — instead of a flat sub·ksub+code
-    // array: a subspace that converged below ksub codes would leave GAPS
-    // in flat slot space and silently misalign every later subspace's
-    // entries, while per-sub arrays stay dense by construction (the
-    // array_position densification makes codes contiguous from 0 within
-    // each sub). Scoring is two O(1) element_at lookups.
-    val lut = probes
+    probes
       .crossJoin(broadcast(codebooks))
       .select(col("probe_id"), col("sub"), col("code"),
         Vectors.dot(
@@ -161,8 +168,19 @@ object Pq {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("subLut")))),
         e => e.getField("subLut")).as("lut"))
-    val scored = codes
-      .crossJoin(broadcast(lut))
+  }
+
+  /** The shared ADC tail: score candidates (probe_id, id, codes, lut)
+    * with m codegen'd lookups, keep a refine·k shortlist per probe, and
+    * exactly re-rank the shortlist on true vectors restored by a
+    * narrow-id join (the id-only-through-the-shuffle discipline).
+    * Quantization error can only cost shortlist MEMBERSHIP, never final
+    * order. */
+  private def adcShortlistRefine(emb: DataFrame, idCol: String,
+                                 vecCol: String, probes: DataFrame,
+                                 cands: DataFrame, k: Int, m: Int,
+                                 refine: Int): DataFrame = {
+    val scored = cands
       .select(col("probe_id"), col("id"),
         aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
@@ -174,9 +192,6 @@ object Pq {
     val shortlist = scored.groupBy("probe_id")
       .agg(TopK.topKByScore(col("score"), col("id"), refine * k).as("nn"))
       .select(col("probe_id"), explode(col("nn.id")).as("id"))
-    // Exact re-rank: restore both vectors onto the NARROW shortlist
-    // pairs (the id-only-through-the-shuffle discipline) and rank by
-    // the true inner product.
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     shortlist
       .join(vecs, Seq("id"))
@@ -188,5 +203,48 @@ object Pq {
       .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("probe_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** IVFADC — the full composition (FAISS's deployment shape): IVF
+    * coarse cells bound the CANDIDATE set (each probe scans its nprobe
+    * nearest cells, [[Ivf.ivfKnn]]'s selection), PQ codes make each
+    * candidate O(m) to score and the code table 4·d/m× smaller to read,
+    * and the refine·k shortlist is exactly re-ranked. The cell
+    * assignment travels as a narrow (id, cluster) pair joined to the
+    * codes once; per-probe work is (n/c)·nprobe lookups of m adds.
+    * Same determinism and tie-break rules as [[pqKnn]]. Returns
+    * (probe_id, neighbor_id, rank). */
+  def ivfPqKnn(emb: DataFrame, idCol: String, vecCol: String,
+               probeFilter: Column, k: Int, c: Int, nprobe: Int,
+               m: Int, ksub: Int, iters: Int = 3,
+               fitFraction: Double = 1.0, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = Ivf.fitCentroids(corpus, c, iters)
+    val cells = Ivf.assign(corpus, centroids)
+      .select(col("id"), col("cluster"))
+    val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
+      fitFraction)
+    val codes = encode(emb, idCol, vecCol, codebooks, m)
+      .join(cells, Seq("id"))
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+    // nprobe nearest cells per probe (cosine against the c-row
+    // broadcast centroid table — Ivf.ivfKnn's selection), then the
+    // candidate set is an equi-join on the cell key.
+    val probeCells = probes
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"),
+        col("cluster"))
+      .groupBy("probe_id")
+      .agg(TopK.topKByScore(col("cos"), col("cluster"), nprobe).as("cells"))
+      .select(col("probe_id"), explode(col("cells.id")).as("cluster"))
+      .join(broadcast(probeLuts(probes, codebooks, m)), Seq("probe_id"))
+    // broadcast the bounded probe side so the corpus-sized code table
+    // never shuffles (a keyed join on `cluster` would also cap
+    // parallelism at c distinct keys)
+    val cands = codes.join(broadcast(probeCells), Seq("cluster"))
+    adcShortlistRefine(emb, idCol, vecCol, probes, cands, k, m, refine)
   }
 }

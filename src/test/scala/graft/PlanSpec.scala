@@ -83,7 +83,7 @@ class PlanSpec extends AnyFunSuite {
     // (s01's bounded-probe class, 4·d/m× cheaper to read).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
-      "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq")
+      "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -174,7 +174,8 @@ class PlanSpec extends AnyFunSuite {
     // s07_knn_pq broadcasts per-probe LUTs built over the same
     // predicate-bounded probe frame (`vec_id < 5`) — s01's class; its
     // corpus-sized side is the CODE table, never broadcast.
-    val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq")
+    val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq",
+      "s08_knn_ivfpq")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)
