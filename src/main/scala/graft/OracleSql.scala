@@ -382,14 +382,16 @@ object OracleSql {
             md5(${tpl(s.body)}) AS body_md5
             FROM ${s.objectType} WHERE $where"""
       val Seq(bigOrders, negBal, returned) = SparkEntry.q24Subscriptions
+      // WHERE strings come from the SAME constant the spec checks against
+      // the Column predicates (SparkEntry.q24PredicateSql) — no dual
+      // hand-written predicate to drift.
+      val Seq(bigOrdersW, negBalW, returnedW) = SparkEntry.q24PredicateSql
       Seq(
-        sub(bigOrders, "CAST(o_orderkey AS VARCHAR)",
-          "o_orderstatus = 'F' AND o_totalprice > 200000"),
-        sub(negBal, "CAST(c_custkey AS VARCHAR)",
-          "c_acctbal < -900"),
+        sub(bigOrders, "CAST(o_orderkey AS VARCHAR)", bigOrdersW),
+        sub(negBal, "CAST(c_custkey AS VARCHAR)", negBalW),
         sub(returned,
           "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
-          "l_returnflag = 'R' AND l_quantity >= 50"))
+          returnedW))
         // spool register-once: exactly one row per notification id, the
         // kept rendering the minimum (subject, body_md5) struct — the
         // same deterministic rule as matchNotificationsRendered

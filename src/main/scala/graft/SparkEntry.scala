@@ -401,6 +401,17 @@ object SparkEntry {
         "came back with return flag {l_returnflag} in status " +
         "{l_linestatus}."))
 
+  /** The oracle-side WHERE string for each q24 subscription, in
+    * [[q24Subscriptions]] order. Parsed by BOTH engines: DuckDB runs it
+    * in the oracle SQL and SubscriptionsSpec filters the same table with
+    * `expr(...)` vs the Column predicate and asserts identical row sets —
+    * so a predicate edited on only one side fails the suite instead of
+    * drifting (the predicates stay ANSI-portable by this contract). */
+  private[graft] val q24PredicateSql: Seq[String] = Seq(
+    "o_orderstatus = 'F' AND o_totalprice > 200000",
+    "c_acctbal < -900",
+    "l_returnflag = 'R' AND l_quantity >= 50")
+
   private def q24(s: SparkSession, dir: String): DataFrame =
     graft.monitor.Subscriptions.matchNotificationsRendered(
       name => t(s, dir, name), q24Subscriptions)
@@ -1270,13 +1281,24 @@ object SparkEntry {
     val streamDir =
       if (java.nio.file.Files.isDirectory(tablePath)) tablePath
       else {
+        // Scratch dir keyed by a digest of the SOURCE path, not just the
+        // table name: concurrent runs (bench + verify loops) over
+        // different data dirs would otherwise race on the same symlink
+        // and a stream could silently read the other run's table.
+        val pathKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(tablePath.toString.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString
         val srcDir = java.nio.file.Paths
-          .get("target", s"stream_src_$table")
+          .get("target", s"stream_src_${table}_$pathKey")
           .toAbsolutePath
         java.nio.file.Files.createDirectories(srcDir)
         val link = srcDir.resolve(s"$table.parquet")
         java.nio.file.Files.deleteIfExists(link)
-        java.nio.file.Files.createSymbolicLink(link, tablePath)
+        // Two same-source runs racing between delete and create would
+        // both be writing the SAME link target (the dir is keyed by it),
+        // so losing the race is benign.
+        try java.nio.file.Files.createSymbolicLink(link, tablePath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
         srcDir
       }
     s.readStream.schema(schema).parquet(streamDir.toString)

@@ -406,18 +406,21 @@ object Binary {
       v
     }
     // Element ID: stored bytes kept verbatim (marker included) — the
-    // form the spec tables list ids in (0x1A45DFA3 etc.).
-    def readId(i: Int): Option[(Long, Int)] = {
-      if (i >= p.length) return None
+    // form the spec tables list ids in (0x1A45DFA3 etc.). Bounded by the
+    // ENCLOSING master's limit, not p.length: a child header straddling
+    // its parent's declared end must stop the walk there, never parse
+    // itself out of the next sibling's bytes.
+    def readId(i: Int, limit: Int): Option[(Long, Int)] = {
+      if (i >= limit) return None
       val len = vintLen(p(i) & 0xff)
-      if (len < 1 || len > 4 || i + len > p.length) None
+      if (len < 1 || len > 4 || i + len > limit) None
       else Some((uint(i, len), len))
     }
     // Data size: marker bit stripped; all value bits set = unknown.
-    def readSize(i: Int): Option[(Long, Int, Boolean)] = {
-      if (i >= p.length) return None
+    def readSize(i: Int, limit: Int): Option[(Long, Int, Boolean)] = {
+      if (i >= limit) return None
       val len = vintLen(p(i) & 0xff)
-      if (len < 1 || len > 8 || i + len > p.length) return None
+      if (len < 1 || len > 8 || i + len > limit) return None
       var v = (p(i) & 0xffL) & ((1L << (8 - len)) - 1)
       var k = 1
       while (k < len) { v = (v << 8) | (p(i + k) & 0xffL); k += 1 }
@@ -438,10 +441,10 @@ object Binary {
     def children(i0: Int, limit: Int)(f: (Long, Int, Int) => Unit): Unit = {
       var i = i0
       while (i < limit) {
-        readId(i) match {
+        readId(i, limit) match {
           case None => i = limit
           case Some((id, idLen)) =>
-            readSize(i + idLen) match {
+            readSize(i + idLen, limit) match {
               case None => i = limit
               case Some((sz, szLen, unknown)) =>
                 val b0 = i + idLen + szLen

@@ -49,12 +49,16 @@ object Pq {
       .select(
         // the id*m+sub packing decodes with `div`, which truncates
         // toward zero — a negative id would fold its subvectors into
-        // its neighbor's group and corrupt codes SILENTLY, so the
-        // documented precondition is enforced as loudly as the
-        // length-divisibility guard below
-        when(col("id") >= 0, col("id"))
+        // its neighbor's group, and an id past (Long.MaxValue-(m-1))/m
+        // would overflow the multiply and (m being even) wrap
+        // NON-injectively, two vectors silently sharing packed row ids;
+        // both corrupt codes SILENTLY, so the documented preconditions
+        // are enforced as loudly as the length-divisibility guard below
+        when(col("id") >= 0 && col("id") <= (Long.MaxValue - (m - 1)) / m,
+            col("id"))
           .otherwise(raise_error(concat(
-            lit("PQ: vector ids must be >= 0, got "), col("id"))))
+            lit(s"PQ: vector ids must be in [0, ${(Long.MaxValue - (m - 1)) / m}], got "),
+            col("id"))))
           .as("id"),
         col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))

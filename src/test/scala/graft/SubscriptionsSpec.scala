@@ -118,6 +118,27 @@ class SubscriptionsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q24 oracle WHERE strings match the Column predicates row-for-row") {
+    // The oracle SQL builds its WHERE clauses from
+    // SparkEntry.q24PredicateSql; this pins each string to the gate's
+    // Column predicate by filtering the SAME table both ways (the string
+    // through Spark's own parser) and comparing id sets — a predicate
+    // edited on only one side diverges here instead of drifting quietly.
+    import graft.sources.Tables
+    assert(SparkEntry.q24PredicateSql.size ==
+      SparkEntry.q24Subscriptions.size)
+    for ((sub, where) <- SparkEntry.q24Subscriptions
+        .zip(SparkEntry.q24PredicateSql)) {
+      val df = Tables(spark, TestSpark.sf, sub.objectType)
+      val ids = (f: org.apache.spark.sql.Column) =>
+        df.filter(f)
+          .select(concat_ws(":", sub.idCols.map(c => col(c).cast("string")): _*))
+          .collect().map(_.getString(0)).toSet
+      assert(ids(sub.predicate) == ids(expr(where)),
+        s"${sub.name}: Column predicate and oracle WHERE diverge")
+    }
+  }
+
   test("renderTemplate: interpolation, null fields render empty") {
     import spark.implicits._
     val df = Seq((1L, Option("Widget")), (2L, Option.empty[String]))
