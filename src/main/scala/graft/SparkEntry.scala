@@ -647,6 +647,63 @@ object SparkEntry {
         m = 16, ksub = 32, refine = 8)
       .orderBy("probe_id", "rank")
 
+  /** Fit-once / apply-many ANN lifecycle ([[graft.sim.ModelStore]]) —
+    * the production posture the reference's persistent-DB driver
+    * lifecycle implies (kcidb/db/abstract.py: a driver OPENS existing
+    * state and loads incrementally against it; it never rebuilds the
+    * database per query): IVF coarse centroids and PQ codebooks are
+    * fitted on the INITIAL batch only (even vec_ids), round-tripped
+    * through ModelStore parquet, and the later batch (odd vec_ids) is
+    * admitted by encode + cell-assignment against the LOADED models —
+    * both applications are row-local given the model frames, so
+    * batch-at-a-time admission agrees bit-for-bit with a one-shot pass
+    * (ModelStoreSpec pins it, d07's incremental discipline on vectors).
+    * Probes then query the unioned code table via
+    * [[graft.sim.Pq.ivfPqKnnFromModel]] with NO refit anywhere on the
+    * query path. Rows-only gate (the k-means fits are not
+    * SQL-expressible); ModelStoreSpec carries the ground truth:
+    * save/load identity, incremental==full-encode equality, and
+    * from-model==end-to-end result equality. */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ivf, ModelStore, Pq}
+    val e = t(s, dir, "embeddings")
+    val m = 16; val ksub = 32
+    val fitBatch = e.filter(col("vec_id") % 2 === 0)
+    val nextBatch = e.filter(col("vec_id") % 2 === 1)
+    // model paths keyed by a digest of the data dir (the streamTable
+    // scratch-dir discipline: concurrent runs over different dirs must
+    // not read each other's models)
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        .getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val base = s"target/model_store_gate_$pathKey"
+    ModelStore.save(
+      Ivf.fitCentroids(
+        fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
+        c = 16, iters = 3),
+      "ivf_centroids", s"$base/ivf_centroids")
+    ModelStore.save(
+      Pq.fitCodebooks(fitBatch, "vec_id", "embedding", m, ksub),
+      "pq_codebooks", s"$base/pq_codebooks")
+    val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
+    val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
+    // per-batch admission against the loaded models — at production this
+    // runs once per arriving batch and appends to the code table
+    def admit(batch: DataFrame): DataFrame =
+      Pq.encode(batch, "vec_id", "embedding", codebooks, m)
+        .join(
+          Ivf.assign(
+            batch.select(col("vec_id").as("id"), col("embedding").as("v")),
+            centroids).select(col("id"), col("cluster")),
+          Seq("id"))
+    val codes = admit(fitBatch).union(admit(nextBatch))
+    Pq.ivfPqKnnFromModel(e, "vec_id", "embedding", centroids, codebooks,
+        codes, probeFilter = col("vec_id") < 5, k = 3, nprobe = 4, m = m,
+        refine = 8)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
     * VALUES list from this constant, as t01 does with the language
@@ -1451,6 +1508,7 @@ object SparkEntry {
     "s06_class_centroids" -> (s06 _),
     "s07_knn_pq" -> (s07 _),
     "s08_knn_ivfpq" -> (s08 _),
+    "s09_incr_encode" -> (s09 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

@@ -1,0 +1,61 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fit-once / apply-many persistence for the ANN model frames — the
+  * production posture the reference's persistent-DB lifecycle implies
+  * (kcidb/db/abstract.py: a driver opens existing state and loads
+  * incrementally against it, it does not rebuild the database per
+  * query): [[Ivf.fitCentroids]] and [[Pq.fitCodebooks]] results are
+  * saved as plain parquet and loaded back for incremental encode /
+  * assignment of later batches ([[Pq.encode]], [[Ivf.assign]]) and for
+  * query-time reuse ([[Pq.pqKnnFromModel]], [[Pq.ivfPqKnnFromModel]]).
+  *
+  * Both save and load validate the frame SHAPE loudly — a path mix-up
+  * (pointing a codebook load at a centroid dump, or at arbitrary
+  * parquet) must fail at the API boundary, not surface as a wrong-code
+  * join downstream. Parquet is the storage format on purpose: the
+  * models are DataFrames, so they inherit every property the data path
+  * already has (schema'd, splittable, readable by any engine — the
+  * DuckDB oracle can audit a saved model directly).
+  */
+object ModelStore {
+
+  /** kind → exact column set of the model frame. */
+  private[sim] val Shapes: Map[String, Set[String]] = Map(
+    // per-subspace PQ codebooks (Pq.fitCodebooks)
+    "pq_codebooks" -> Set("sub", "code", "centroid"),
+    // coarse IVF cells (Ivf.fitCentroids)
+    "ivf_centroids" -> Set("cluster", "centroid"))
+
+  private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
+    val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(
+      s"ModelStore: unknown model kind '$kind' " +
+        s"(known: ${Shapes.keys.toSeq.sorted.mkString(", ")})"))
+    val got = df.columns.toSet
+    require(got == want,
+      s"ModelStore: $kind frame at $path has columns " +
+        s"${got.toSeq.sorted.mkString(",")}, want " +
+        s"${want.toSeq.sorted.mkString(",")}")
+    df
+  }
+
+  /** Persist a fitted model frame. Overwrites: a model path names ONE
+    * model version; versioning is the caller's path discipline (the
+    * same contract as a warehouse table). */
+  def save(model: DataFrame, kind: String, path: String): Unit =
+    validate(model, kind, path)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a fitted model frame, shape-checked. The tiny model frames
+    * (m·ksub codebook rows, c centroid rows) feed SEVERAL joins in a
+    * consumer plan (per-batch encode, per-probe LUTs, cell selection),
+    * so the frame is localCheckpoint'd like [[Ivf.fitCentroids]]'
+    * output: one parquet read total instead of one per consumer, and
+    * downstream broadcast hints wrap a size-bounded materialized frame
+    * rather than a raw parquet scan (PlanSpec's broadcast audit
+    * distinguishes exactly this). */
+  def load(spark: SparkSession, kind: String, path: String): DataFrame =
+    validate(spark.read.parquet(path), kind, path)
+      .localCheckpoint(eager = false)
+}

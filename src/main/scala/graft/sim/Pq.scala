@@ -138,10 +138,27 @@ object Pq {
             probeFilter: Column, k: Int, m: Int, ksub: Int,
             iters: Int = 3, fitFraction: Double = 1.0,
             refine: Int = 4): DataFrame = {
-    require(refine >= 1, s"refine=$refine must be >= 1")
     val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
       fitFraction)
     val codes = encode(emb, idCol, vecCol, codebooks, m)
+    pqKnnFromModel(emb, idCol, vecCol, codebooks, codes, probeFilter, k,
+      m, refine)
+  }
+
+  /** [[pqKnn]]'s fit-once / apply-many form: the codebooks (typically
+    * [[ModelStore.load]]ed) and an already-encoded code table come from
+    * the caller, so a production deployment fits once, persists, encodes
+    * arriving batches incrementally ([[encode]] against the same
+    * codebooks — row-local, so incremental and full encodes agree
+    * bit-for-bit), and queries against the union of code batches without
+    * ever refitting. Same plan shape, determinism, and tie-break rules
+    * as [[pqKnn]] — identical results for codes produced by the same
+    * codebooks (PqSpec pins it). */
+  def pqKnnFromModel(emb: DataFrame, idCol: String, vecCol: String,
+                     codebooks: DataFrame, codes: DataFrame,
+                     probeFilter: Column, k: Int, m: Int,
+                     refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
     val cands = codes.crossJoin(broadcast(probeLuts(probes, codebooks, m)))
@@ -222,7 +239,6 @@ object Pq {
                probeFilter: Column, k: Int, c: Int, nprobe: Int,
                m: Int, ksub: Int, iters: Int = 3,
                fitFraction: Double = 1.0, refine: Int = 4): DataFrame = {
-    require(refine >= 1, s"refine=$refine must be >= 1")
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = Ivf.fitCentroids(corpus, c, iters)
     val cells = Ivf.assign(corpus, centroids)
@@ -231,6 +247,23 @@ object Pq {
       fitFraction)
     val codes = encode(emb, idCol, vecCol, codebooks, m)
       .join(cells, Seq("id"))
+    ivfPqKnnFromModel(emb, idCol, vecCol, centroids, codebooks, codes,
+      probeFilter, k, nprobe, m, refine)
+  }
+
+  /** [[ivfPqKnn]]'s fit-once / apply-many form — the full production
+    * IVFADC lifecycle: coarse centroids and PQ codebooks (typically
+    * [[ModelStore.load]]ed) plus the celled code table
+    * ((id, codes, cluster) — [[encode]] joined with [[Ivf.assign]]'s
+    * narrow (id, cluster) pairs, both incrementally appendable per
+    * arriving batch) come from the caller. Both model applications are
+    * row-local given the frames, so batch-at-a-time encode/assign agrees
+    * bit-for-bit with a one-shot pass, and querying never refits. */
+  def ivfPqKnnFromModel(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, codebooks: DataFrame,
+                        codes: DataFrame, probeFilter: Column, k: Int,
+                        nprobe: Int, m: Int, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
     // nprobe nearest cells per probe (cosine against the c-row

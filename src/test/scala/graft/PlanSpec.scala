@@ -81,9 +81,13 @@ class PlanSpec extends AnyFunSuite {
     // s07 joins the m·ksub-row broadcast codebook (s03's c-row class)
     // and streams the bounded probe set's LUTs against the CODE table
     // (s01's bounded-probe class, 4·d/m× cheaper to read).
+    // s09 is s08's composition queried from PERSISTED models — the same
+    // m·ksub codebook / c-row centroid broadcast classes, loaded via
+    // ModelStore (checkpointed, size-bounded by the fit knobs).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
-      "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq")
+      "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
+      "s09_incr_encode")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -173,9 +177,12 @@ class PlanSpec extends AnyFunSuite {
     // by the predicate, not proportional to it), the same class as s01.
     // s07_knn_pq broadcasts per-probe LUTs built over the same
     // predicate-bounded probe frame (`vec_id < 5`) — s01's class; its
-    // corpus-sized side is the CODE table, never broadcast.
+    // corpus-sized side is the CODE table, never broadcast. s09 is s08
+    // queried from persisted models: the model frames themselves are
+    // checkpointed (no parquet scan under those hints) and the only
+    // parquet under a hint is the same predicate-bounded probe frame.
     val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq",
-      "s08_knn_ivfpq")
+      "s08_knn_ivfpq", "s09_incr_encode")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)
