@@ -412,10 +412,28 @@ object SparkEntry {
     "c_acctbal < -900",
     "l_returnflag = 'R' AND l_quantity >= 50")
 
-  private def q24(s: SparkSession, dir: String): DataFrame =
-    graft.monitor.Subscriptions.matchNotificationsRendered(
-      name => t(s, dir, name), q24Subscriptions)
+  /** q24 runs REAL micro-batch streaming through the rendered
+    * notification spool — the reference's full monitor loop
+    * (__init__.py:493-531 load → match → notify) as a streaming query:
+    * all three object tables arrive as file-source streams, matching +
+    * rendering are the stateless per-row projections of
+    * [[graft.monitor.Subscriptions.matchRendered]] (they run unchanged
+    * on streaming frames), and the spool's register-once guarantee is
+    * per-id state (`dedupRenderedStream`, st03's machinery class).
+    * Exact parity with the batch `matchNotificationsRendered` oracle:
+    * the one-shot AvailableNow replay is a single micro-batch, so each
+    * id's group carries every duplicate rendering and keeps the same
+    * min (subject, body_md5) pair the batch min-of-struct keeps. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rendered = graft.monitor.Subscriptions.matchRendered(
+        name => streamTable(s, dir, name), q24Subscriptions)
+      .as[graft.monitor.Subscriptions.NotifRendered]
+    runStreamOnce(s,
+        graft.monitor.Subscriptions.dedupRenderedStream(rendered).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
       .orderBy("notification_id")
+  }
 
   /** The events-table schema lineage used by q25 and its spec: v1.0 is the
     * raw legacy layout; v2.0 adds a derived `status` enum (kcidb v05's
@@ -1402,8 +1420,30 @@ object SparkEntry {
       .orderBy("hour_sec", "event_type")
   }
 
-  private def st02(s: SparkSession, dir: String): DataFrame =
-    Streams.firstFailureBatch(ev(s, dir)).orderBy("user_id")
+  /** st02 runs REAL micro-batch streaming through the stateful
+    * first-occurrence path (st03's `flatMapGroupsWithState` machinery
+    * on the MONITOR side): file source over the events table (st01's
+    * ns→µs normalization), one boolean of state per user
+    * (Streams.firstFailureStream), AvailableNow → memory sink, append
+    * mode. The oracle stays `firstFailureBatch`'s min-of-struct: exact
+    * parity because the one-shot replay is a single micro-batch, so
+    * every user group sees all its error rows at once and emits the
+    * earliest (ts, event_id) — the chunked-replay parity spec covers
+    * multi-batch arrival. */
+  private def st02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = streamTable(s, dir, "events")
+    val events =
+      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+       else raw)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Streams.EventRow]
+    runStreamOnce(s, Streams.firstFailureStream(events).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("user_id")
+  }
 
   /** st03 runs REAL micro-batch streaming through the STATEFUL path —
     * `flatMapGroupsWithState` admission state, the machinery st01's

@@ -168,6 +168,36 @@ object Subscriptions {
           else { state.update(true); rows.take(1) })
   }
 
+  final case class NotifRendered(notification_id: String,
+                                 subscription: String, object_type: String,
+                                 object_id: String, subject: String,
+                                 body_md5: String)
+
+  /** Streaming RENDERED spool ([[dedupStream]] carrying the message
+    * columns): exactly-once per notification id via one boolean of
+    * state, keeping the minimum (subject, body_md5) rendering among the
+    * rows the id's first micro-batch carries — the batch
+    * [[matchNotificationsRendered]] pick rule, so a single-batch replay
+    * (the gate's AvailableNow shape) reproduces the batch spool
+    * exactly; across batches, register-once wins as in the reference
+    * spool (monitor/spool/__init__.py). The min compares Scala string
+    * order (UTF-16 code units) where the batch min-of-struct compares
+    * UTF-8 bytes — identical on BMP-only text like the rendered gate
+    * subjects; both are deterministic regardless. */
+  def dedupRenderedStream(ds: Dataset[NotifRendered]): Dataset[NotifRendered] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.notification_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[NotifRendered],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.subject, r.body_md5)))
+          })
+  }
+
   final case class NotifTs(notification_id: String, subscription: String,
                            object_type: String, object_id: String,
                            ts: java.sql.Timestamp)
