@@ -934,6 +934,27 @@ object OracleSql {
              CAST(l_linenumber AS VARCHAR) FROM lrows
          ) ORDER BY object_type, id""",
 
+    // q39's Spark side round-trips constructed JSON through
+    // from_json + array explode; the oracle computes the same URL
+    // aggregate RELATIONALLY, so a wrong parse/explode hash-mismatches.
+    "q39_json_files" ->
+      """WITH files AS (
+           SELECT 'orders.output_files.url' AS path,
+             'https://files.example.org/' || l_orderkey || '/' ||
+             l_linenumber || '/part_' || l_partkey || '.' ||
+             CASE CAST(l_linenumber % 3 AS INTEGER)
+               WHEN 0 THEN 'log' WHEN 1 THEN 'json' ELSE 'tar' END AS url
+           FROM lineitem
+           UNION ALL
+           SELECT DISTINCT 'orders.config_url',
+             'https://cfg.example.org/' || l_orderkey || '.cfg'
+           FROM lineitem),
+         dedup AS (SELECT DISTINCT path, url FROM files)
+         SELECT path, regexp_extract(url, '\.([a-z0-9]+)$', 1) AS ext,
+           COUNT(*) AS n_urls,
+           CAST(SUM(LENGTH(url)) AS BIGINT) AS total_len
+         FROM dedup GROUP BY path, ext ORDER BY path, ext""",
+
     "t08_quality_percentiles" ->
       s"""WITH q AS (SELECT source, round($qualitySql, 6) AS q
                      FROM documents)

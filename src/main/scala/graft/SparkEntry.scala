@@ -435,6 +435,68 @@ object SparkEntry {
       .orderBy("notification_id")
   }
 
+  /** Array-of-struct JSON extraction — the reference's `get-url-stats`
+    * OBJECT_SPECS shape (get-url-stats:12-26: `output_files: [{url}]`
+    * arrays of {name, url} objects next to scalar url fields, extracted
+    * per dotted path, deduped on (path, url), then aggregated): the one
+    * reference extraction pattern q26's scalar paths don't cover. The
+    * JSON documents are CONSTRUCTED deterministically inside the query
+    * (one per order, its lineitems as the files array — props carries
+    * only scalar JSON in testdata), then round-tripped through the real
+    * extraction operator: `from_json` with an array<struct> schema +
+    * array-field explode — all codegen'd expressions, no UDF. The
+    * DuckDB oracle computes the same aggregate RELATIONALLY (no JSON),
+    * so a wrong parse/explode hash-mismatches: the round trip itself is
+    * what's verified. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ext = element_at(array(lit("log"), lit("json"), lit("tar")),
+      (col("l_linenumber") % 3 + 1).cast("int"))
+    val fileUrl = concat(lit("https://files.example.org/"),
+      col("l_orderkey").cast("string"), lit("/"),
+      col("l_linenumber").cast("string"), lit("/part_"),
+      col("l_partkey").cast("string"), lit("."), ext)
+    val docs = li
+      .select(col("l_orderkey"),
+        struct(
+          concat(lit("part_"), col("l_partkey").cast("string"), lit("."),
+            ext).as("name"),
+          fileUrl.as("url")).as("f"))
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("f")).as("output_files"))
+      .select(to_json(struct(
+        col("l_orderkey").as("id"),
+        concat(lit("https://cfg.example.org/"),
+          col("l_orderkey").cast("string"), lit(".cfg")).as("config_url"),
+        col("output_files"))).as("doc"))
+    val parsed = docs.select(from_json(col("doc"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "id BIGINT, config_url STRING, " +
+          "output_files ARRAY<STRUCT<name: STRING, url: STRING>>"))
+      .as("o"))
+    // Single extraction pass: a union of two selects over `parsed` would
+    // plan the whole doc-construction subtree TWICE (one scan + one
+    // collect_list shuffle per branch — 2× the work at any scale), so
+    // both dotted paths are emitted from one row-local projection and
+    // one explode instead.
+    parsed
+      .select(explode(concat(
+        transform(col("o.output_files.url"),
+          u => struct(lit("orders.output_files.url").as("path"),
+            u.as("url"))),
+        array(struct(lit("orders.config_url").as("path"),
+          col("o.config_url").as("url"))))).as("e"))
+      .select(col("e.path").as("path"), col("e.url").as("url"))
+      .distinct()
+      .select(col("path"),
+        regexp_extract(col("url"), "\\.([a-z0-9]+)$", 1).as("ext"),
+        length(col("url")).as("len"))
+      .groupBy("path", "ext")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("len")).cast("bigint").as("total_len"))
+      .orderBy("path", "ext")
+  }
+
   /** The events-table schema lineage used by q25 and its spec: v1.0 is the
     * raw legacy layout; v2.0 adds a derived `status` enum (kcidb v05's
     * valid→status migration, sqlite/v05_00.py:176-184); v2.1 adds `score`
@@ -1534,6 +1596,7 @@ object SparkEntry {
     "q36_all_descendants" -> (q36 _),
     "q37_sessionize" -> (q37 _),
     "q38_ingest_patterns" -> (q38 _),
+    "q39_json_files" -> (q39 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
