@@ -32,6 +32,66 @@ object OracleSql {
     graft.text.TextOps.profiles.toMap.apply(lang)
       .map(p => occ(padded, p)).mkString("(", " + ", ")")
 
+  // -- Notification-oracle generators (q24 + q40), built from the SAME
+  // subscription constants the gate queries carry (shared-constant
+  // discipline): literals quoted, {col} -> null-safe VARCHAR cast. Gate
+  // templates are short and clean, so the subject clip/sanitize steps
+  // are identity here (spec-covered).
+  private def notifB64(e: String) =
+    s"translate(to_base64(encode($e)), '/', '-')"
+
+  /** The SQL form of Subscriptions.renderTemplate. */
+  private def notifTpl(t: String): String = {
+    val re = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+    val parts = Seq.newBuilder[String]
+    var last = 0
+    for (m <- re.findAllMatchIn(t)) {
+      if (m.start > last)
+        parts += s"'${t.substring(last, m.start).replace("'", "''")}'"
+      parts += s"COALESCE(CAST(${m.group(1)} AS VARCHAR), '')"
+      last = m.end
+    }
+    if (last < t.length)
+      parts += s"'${t.substring(last).replace("'", "''")}'"
+    val ps = parts.result()
+    if (ps.isEmpty) "''" else ps.mkString(" || ")
+  }
+
+  /** One subscription's raw-match SELECT over `from` (the object table
+    * for q24; a closure-restricted CTE for q40). */
+  private def notifSub(s: graft.monitor.Subscription, idExpr: String,
+                       where: String, from: String) =
+    s"""SELECT '${s.name}' || ':' || '${s.objectType}' || ':' ||
+          ${notifB64(idExpr)} || ':' || ${notifB64("'m0'")}
+            AS notification_id,
+        '${s.name}' AS subscription, '${s.objectType}' AS object_type,
+        $idExpr AS object_id,
+        ${notifTpl(s.subject)} AS subject,
+        md5(${notifTpl(s.body)}) AS body_md5
+        FROM $from WHERE $where"""
+
+  /** Spool register-once over unioned raw matches: exactly one row per
+    * notification id, the kept rendering the minimum (subject, body_md5)
+    * struct — the same deterministic rule as
+    * matchNotificationsRendered. */
+  private def notifSpool(selects: Seq[String]): String =
+    selects.mkString(
+      """SELECT notification_id, subscription, object_type, object_id,
+         (min(struct_pack(s := subject, b := body_md5))).s AS subject,
+         (min(struct_pack(s := subject, b := body_md5))).b AS body_md5
+         FROM (""",
+      " UNION ALL ",
+      """) GROUP BY notification_id, subscription, object_type,
+         object_id ORDER BY notification_id""")
+
+  private lazy val Seq(q24BigOrders, q24NegBal, q24Returned) =
+    SparkEntry.q24Subscriptions
+  // WHERE strings come from the SAME constant the spec checks against
+  // the Column predicates (SparkEntry.q24PredicateSql) — no dual
+  // hand-written predicate to drift.
+  private lazy val Seq(q24BigOrdersW, q24NegBalW, q24ReturnedW) =
+    SparkEntry.q24PredicateSql
+
   private def dotD(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a)+1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (s, x) -> s + x)"
@@ -350,60 +410,15 @@ object OracleSql {
            COUNT(*) AS n_tests
          FROM p GROUP BY node_path ORDER BY node_path""",
 
-    "q24_notifications" -> {
-      def b64(e: String) = s"translate(to_base64(encode($e)), '/', '-')"
-      // The SQL form of Subscriptions.renderTemplate, generated from the
-      // SAME template strings the gate subscriptions carry (the shared-
-      // constant discipline): literals quoted, {col} -> null-safe
-      // VARCHAR cast. Gate templates are short and clean, so the
-      // subject clip/sanitize steps are identity here (spec-covered).
-      def tpl(t: String): String = {
-        val re = "\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
-        val parts = Seq.newBuilder[String]
-        var last = 0
-        for (m <- re.findAllMatchIn(t)) {
-          if (m.start > last)
-            parts += s"'${t.substring(last, m.start).replace("'", "''")}'"
-          parts += s"COALESCE(CAST(${m.group(1)} AS VARCHAR), '')"
-          last = m.end
-        }
-        if (last < t.length)
-          parts += s"'${t.substring(last).replace("'", "''")}'"
-        val ps = parts.result()
-        if (ps.isEmpty) "''" else ps.mkString(" || ")
-      }
-      def sub(s: graft.monitor.Subscription, idExpr: String,
-              where: String) =
-        s"""SELECT '${s.name}' || ':' || '${s.objectType}' || ':' ||
-              ${b64(idExpr)} || ':' || ${b64("'m0'")} AS notification_id,
-            '${s.name}' AS subscription, '${s.objectType}' AS object_type,
-            $idExpr AS object_id,
-            ${tpl(s.subject)} AS subject,
-            md5(${tpl(s.body)}) AS body_md5
-            FROM ${s.objectType} WHERE $where"""
-      val Seq(bigOrders, negBal, returned) = SparkEntry.q24Subscriptions
-      // WHERE strings come from the SAME constant the spec checks against
-      // the Column predicates (SparkEntry.q24PredicateSql) — no dual
-      // hand-written predicate to drift.
-      val Seq(bigOrdersW, negBalW, returnedW) = SparkEntry.q24PredicateSql
-      Seq(
-        sub(bigOrders, "CAST(o_orderkey AS VARCHAR)", bigOrdersW),
-        sub(negBal, "CAST(c_custkey AS VARCHAR)", negBalW),
-        sub(returned,
+    "q24_notifications" ->
+      notifSpool(Seq(
+        notifSub(q24BigOrders, "CAST(o_orderkey AS VARCHAR)",
+          q24BigOrdersW, q24BigOrders.objectType),
+        notifSub(q24NegBal, "CAST(c_custkey AS VARCHAR)",
+          q24NegBalW, q24NegBal.objectType),
+        notifSub(q24Returned,
           "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
-          returnedW))
-        // spool register-once: exactly one row per notification id, the
-        // kept rendering the minimum (subject, body_md5) struct — the
-        // same deterministic rule as matchNotificationsRendered
-        .mkString(
-          """SELECT notification_id, subscription, object_type, object_id,
-             (min(struct_pack(s := subject, b := body_md5))).s AS subject,
-             (min(struct_pack(s := subject, b := body_md5))).b AS body_md5
-             FROM (""",
-          " UNION ALL ",
-          """) GROUP BY notification_id, subscription, object_type,
-             object_id ORDER BY notification_id""")
-    },
+          q24ReturnedW, q24Returned.objectType))),
 
     "q25_schema_upgrade" ->
       """SELECT event_id, user_id, event_type,
@@ -933,6 +948,37 @@ object OracleSql {
              CAST(l_orderkey AS VARCHAR) || '_' ||
              CAST(l_linenumber AS VARCHAR) FROM lrows
          ) ORDER BY object_type, id""",
+
+    // q40 = q38's ingest closure feeding q24's rendered spool — the
+    // reference's full post-load loop in one statement: the closure CTEs
+    // restrict each watched object table to loaded objects + ancestors,
+    // then the shared notification generators run over THOSE rows.
+    "q40_ingest_notify" ->
+      ("""WITH lo AS (SELECT o_orderkey, o_custkey FROM orders
+                      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                            AND TIMESTAMP '1995-01-31'),
+         ll AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01'
+                                     AND TIMESTAMP '1996-06-15'),
+         -- closure lineitem rows: DATABASE rows matching the batch ids
+         -- (duplicate id tuples all surface, as in q38)
+         li_rows AS (SELECT lineitem.* FROM lineitem
+                     JOIN ll USING (l_orderkey, l_linenumber)),
+         ordk AS (SELECT o_orderkey FROM lo
+                  UNION SELECT l_orderkey FROM li_rows),
+         o_rows AS (SELECT * FROM orders WHERE o_orderkey IN
+                    (SELECT o_orderkey FROM ordk)),
+         c_rows AS (SELECT * FROM customer WHERE c_custkey IN
+                    (SELECT o_custkey FROM orders WHERE o_orderkey IN
+                     (SELECT o_orderkey FROM ordk)))
+         """ + notifSpool(Seq(
+           notifSub(q24BigOrders, "CAST(o_orderkey AS VARCHAR)",
+             q24BigOrdersW, "o_rows"),
+           notifSub(q24NegBal, "CAST(c_custkey AS VARCHAR)",
+             q24NegBalW, "c_rows"),
+           notifSub(q24Returned,
+             "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+             q24ReturnedW, "li_rows")))),
 
     // q39's Spark side round-trips constructed JSON through
     // from_json + array explode; the oracle computes the same URL

@@ -1184,6 +1184,27 @@ object SparkEntry {
       .orderBy("object_type", "id")
   }
 
+  /** The reference's FULL post-load loop as one gate query
+    * (kcidb/__init__.py:493-531: load → from_io roots → `<*#` closure →
+    * match → render → spool): q38's ingest closure (loaded batch windows
+    * + ALL their ancestors, Catalog.ingestClosure) feeds q24's rendered
+    * subscription spool — the subscriptions run over the CLOSURE frames,
+    * not the raw tables, so the notification scope is exactly the
+    * objects the load touched. Composes two already-verified operators;
+    * the oracle re-derives the same composition in SQL from the shared
+    * subscription constants. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val batch = Map(
+      "orders" -> t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31")),
+      "lineitem" -> t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-06-01", "1996-06-15")))
+    val m = TestCatalog.catalog.ingestClosure(s, dir, batch)
+    graft.monitor.Subscriptions.matchNotificationsRendered(
+        tn => m(tn), q24Subscriptions)
+      .orderBy("notification_id")
+  }
+
   /** Per-source quality-score distribution: exact interpolated
     * percentiles via the bounded-state CDF form (operators/Percentiles) —
     * never Spark's value-buffering `percentile` aggregate. The score is
@@ -1597,6 +1618,7 @@ object SparkEntry {
     "q37_sessionize" -> (q37 _),
     "q38_ingest_patterns" -> (q38 _),
     "q39_json_files" -> (q39 _),
+    "q40_ingest_notify" -> (q40 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
