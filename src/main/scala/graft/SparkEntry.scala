@@ -750,14 +750,14 @@ object SparkEntry {
     val m = 16; val ksub = 32
     val fitBatch = e.filter(col("vec_id") % 2 === 0)
     val nextBatch = e.filter(col("vec_id") % 2 === 1)
-    // model paths keyed by a digest of the data dir (the streamTable
-    // scratch-dir discipline: concurrent runs over different dirs must
-    // not read each other's models)
-    val pathKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString
-        .getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val base = s"target/model_store_gate_$pathKey"
+    // fresh model dir per invocation: an overwrite at a shared path
+    // would race concurrent bench/verify runs destructively (the
+    // delete-then-write window is not benign like the stream_src
+    // symlink's), and would invalidate a previous invocation's
+    // still-lazy plan; unique dirs remove both hazards (model frames
+    // are tiny, the leak is negligible)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "model_store_gate_").toString
     ModelStore.save(
       Ivf.fitCentroids(
         fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
@@ -1462,6 +1462,16 @@ object SparkEntry {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** [[streamTable]] over the events table with Tables.events' ns→µs
+    * normalization — ONE definition of the rule for the streaming gates
+    * (st01/st02), next to the batch reader's. */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = streamTable(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** One-shot micro-batch execution of a streaming frame into a memory
     * sink; returns the sink's contents. The memory sink holds only the
     * query's OUTPUT (aggregated windows / admitted ids — never raw
@@ -1491,17 +1501,10 @@ object SparkEntry {
     * contract wants every window; at production scale the same plan
     * runs append-mode into a file sink with windows emitted as the
     * watermark closes them (StreamingSpec exercises that path). */
-  private def st01(s: SparkSession, dir: String): DataFrame = {
-    val raw = streamTable(s, dir, "events")
-    val schema = raw.schema
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    runStreamOnce(s, Streams.hourlyAggStream(events),
+  private def st01(s: SparkSession, dir: String): DataFrame =
+    runStreamOnce(s, Streams.hourlyAggStream(streamEvents(s, dir)),
         org.apache.spark.sql.streaming.OutputMode.Complete)
       .orderBy("hour_sec", "event_type")
-  }
 
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
@@ -1515,14 +1518,10 @@ object SparkEntry {
     * multi-batch arrival. */
   private def st02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = streamTable(s, dir, "events")
-    val events =
-      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-       else raw)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[Streams.EventRow]
+    val events = streamEvents(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.EventRow]
     runStreamOnce(s, Streams.firstFailureStream(events).toDF(),
         org.apache.spark.sql.streaming.OutputMode.Append)
       .orderBy("user_id")

@@ -138,6 +138,8 @@ object Pq {
             probeFilter: Column, k: Int, m: Int, ksub: Int,
             iters: Int = 3, fitFraction: Double = 1.0,
             refine: Int = 4): DataFrame = {
+    // validate before the eager k-means fit, not after it
+    require(refine >= 1, s"refine=$refine must be >= 1")
     val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
       fitFraction)
     val codes = encode(emb, idCol, vecCol, codebooks, m)
@@ -239,8 +241,21 @@ object Pq {
                probeFilter: Column, k: Int, c: Int, nprobe: Int,
                m: Int, ksub: Int, iters: Int = 3,
                fitFraction: Double = 1.0, refine: Int = 4): DataFrame = {
+    // validate before the eager k-means fits, not after them
+    require(refine >= 1, s"refine=$refine must be >= 1")
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val centroids = Ivf.fitCentroids(corpus, c, iters)
+    // fitFraction bounds BOTH k-means fits (IVF centroids here, PQ
+    // codebooks below via fitCodebooks): fitting on a bounded sample is
+    // what keeps total fit work sub-linear at scale — assignment of the
+    // FULL corpus stays exact and linear regardless. The r11 octave
+    // probe measured the full-corpus fit (fitFraction=1) going
+    // super-linear exactly as the n·c cost model predicts (c = √n ⇒
+    // n^1.5); the sampled fit is the standard deployment recipe
+    // (bounded points-per-centroid, FAISS-style).
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val centroids = Ivf.fitCentroids(fitCorpus, c, iters)
     val cells = Ivf.assign(corpus, centroids)
       .select(col("id"), col("cluster"))
     val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,

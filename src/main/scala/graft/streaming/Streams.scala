@@ -259,7 +259,14 @@ object Streams {
           if (state.exists) Iterator.empty
           else {
             // Within a micro-batch, pick the earliest deterministically.
-            val first = rows.minBy(r => (r.ts.getTime, r.event_id))
+            // Compare full Timestamps (compareTo includes nanos): getTime
+            // drops sub-ms precision, so two same-millisecond errors
+            // could tie-break to a DIFFERENT event than the batch
+            // min-of-struct oracle, which compares µs timestamps.
+            implicit val tsOrd: Ordering[java.sql.Timestamp] =
+              Ordering.comparatorToOrdering(
+                java.util.Comparator.naturalOrder[java.sql.Timestamp]())
+            val first = rows.minBy(r => (r.ts, r.event_id))
             state.update(true)
             Iterator.single(FirstFailure(
               userId, first.event_id, first.ts.getTime / 1000))

@@ -134,9 +134,8 @@ class ModelStoreSpec extends AnyFunSuite {
   }
 
   test("s09 gate query: shape, k rows per probe, deterministic") {
-    // collect run 1 BEFORE invoking run 2: each invocation re-saves the
-    // model parquet (overwrite), so a still-lazy earlier plan would read
-    // deleted files — the gate contract is invoke → execute.
+    // each invocation fits into its own fresh model dir, so the two runs
+    // are fully independent (no shared-path overwrite)
     val r1 = SparkEntry.queries("s09_incr_encode")(spark, TestSpark.sf)
     assert(r1.columns.toSeq == Seq("probe_id", "neighbor_id", "rank"))
     val rows = r1.collect()

@@ -69,6 +69,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstFailureStream breaks same-millisecond ties at full precision") {
+    // Two errors for one user in the SAME millisecond, differing only in
+    // sub-ms nanos, with the µs-EARLIER event carrying the HIGHER id:
+    // the pick must match the batch min-of-struct oracle, which compares
+    // µs timestamps and so keeps event 9 — a getTime-based (ms)
+    // tie-break would fall through to the id and wrongly keep event 8.
+    implicit val sql = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val early = new Timestamp(t0.getTime); early.setNanos(123000)
+    val late = new Timestamp(t0.getTime); late.setNanos(999000)
+    val input = MemoryStream[EventRow]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-tie").toString
+    val q = Streams.firstFailureStream(input.toDS)
+      .writeStream.format("memory").queryName("monitor_tie")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        EventRow(8L, late, 1L, "error", 1.0),
+        EventRow(9L, early, 1L, "error", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("monitor_tie").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 9L)),
+        s"must pick the µs-earlier event, got $got")
+    } finally q.stop()
+  }
+
   test("st03 gate parity: streaming incremental dedup equals batch anchor") {
     implicit val sql = spark.sqlContext
     import graft.streaming.Streams.DocFp
