@@ -756,8 +756,14 @@ object SparkEntry {
     // symlink's), and would invalidate a previous invocation's
     // still-lazy plan; unique dirs remove both hazards (model frames
     // are tiny, the leak is negligible)
-    val base = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("target"), "model_store_gate_").toString
+    val base = {
+      val parent = java.nio.file.Paths.get("target")
+      // createTempDirectory does not create missing parents (a driver
+      // run from outside the repo root has no ./target yet)
+      java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.createTempDirectory(parent, "model_store_gate_")
+        .toString
+    }
     ModelStore.save(
       Ivf.fitCentroids(
         fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),

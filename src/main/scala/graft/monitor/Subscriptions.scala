@@ -220,7 +220,10 @@ object Subscriptions {
         (_: String, rows: Iterator[NotifTs], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val r = rows.minBy(x => (x.ts.getTime, x.object_id))
+            // full-precision pick (Streams.TsOrdering — the getTime
+            // ms-truncation tie-break trap)
+            import graft.streaming.Streams.TsOrdering
+            val r = rows.minBy(x => (x.ts, x.object_id))
             if (state.exists && r.ts.getTime < state.get + ttlMs)
               Iterator.empty
             else {

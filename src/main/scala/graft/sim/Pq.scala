@@ -255,7 +255,12 @@ object Pq {
     val fitCorpus =
       if (fitFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
-    val centroids = Ivf.fitCentroids(fitCorpus, c, iters)
+    // seeds from the FULL corpus (Ivf.ivfKnn's rule): the fit starts
+    // from exactly c centroids even when the approximate-size sample
+    // yields fewer than c rows — a sample-seeded fit would silently
+    // open with fewer cells than requested
+    val centroids = Ivf.fitCentroids(fitCorpus, c, iters,
+      seedCorpus = Some(corpus))
     val cells = Ivf.assign(corpus, centroids)
       .select(col("id"), col("cluster"))
     val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,

@@ -17,6 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Full-precision Timestamp ordering for every streaming pick-one
+    * rule: Timestamp.compareTo includes nanos, while getTime truncates
+    * to milliseconds — a getTime-based tie-break can pick a DIFFERENT
+    * row than a µs-comparing batch oracle when two rows share a
+    * millisecond (the r11 st02 finding, regression-spec'd). Implicit
+    * here so every minBy over (ts, id) tuples in this file and the
+    * monitor spool compares full timestamps. */
+  private[graft] implicit val TsOrdering: Ordering[java.sql.Timestamp] =
+    Ordering.comparatorToOrdering(
+      java.util.Comparator.naturalOrder[java.sql.Timestamp]())
+
   /** Hourly windowed aggregate per event_type. Window emitted as epoch
     * seconds so batch/stream/oracle all agree. Works on batch and streaming
     * DataFrames alike. */
@@ -104,7 +115,7 @@ object Streams {
         (fp: String, rows: Iterator[DocFpTs], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val first = rows.minBy(r => (r.ts.getTime, r.doc_id))
+            val first = rows.minBy(r => (r.ts, r.doc_id))
             if (state.exists && first.ts.getTime < state.get + ttlMs)
               Iterator.empty
             else {
@@ -258,14 +269,8 @@ object Streams {
          state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
           else {
-            // Within a micro-batch, pick the earliest deterministically.
-            // Compare full Timestamps (compareTo includes nanos): getTime
-            // drops sub-ms precision, so two same-millisecond errors
-            // could tie-break to a DIFFERENT event than the batch
-            // min-of-struct oracle, which compares µs timestamps.
-            implicit val tsOrd: Ordering[java.sql.Timestamp] =
-              Ordering.comparatorToOrdering(
-                java.util.Comparator.naturalOrder[java.sql.Timestamp]())
+            // Within a micro-batch, pick the earliest deterministically
+            // ([[TsOrdering]]: full-precision compare, nanos included).
             val first = rows.minBy(r => (r.ts, r.event_id))
             state.update(true)
             Iterator.single(FirstFailure(

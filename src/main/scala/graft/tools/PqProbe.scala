@@ -86,13 +86,19 @@ object PqProbe {
           f""""total":${tFitIvf + tFitPq + tEncode + tQuery}%.2f}""")
 
       case "ksub256" =>
-        val (m, ksub, k, refine) = (16, 256, 3, 8)
+        // optional args(2) = refine (shortlist width) for the recall-
+        // recovery sweep: re-ranking is exact, so wider shortlists
+        // recover recall monotonically
+        val (m, ksub, k) = (16, 256, 3)
+        val refine = if (args.length > 2) args(2).toInt else 8
         var result: org.apache.spark.sql.DataFrame = null
         val t = timed {
+          // eager localCheckpoint materializes the plan ONCE; the recall
+          // intersect below then reads the checkpoint instead of
+          // re-running the whole encode+ADC+refine pipeline
           result = Pq.pqKnn(emb, "vec_id", "embedding",
             probeFilter = col("vec_id") < 5, k = k, m = m, ksub = ksub,
-            refine = refine)
-          noop(result)
+            refine = refine).localCheckpoint()
         }
         val brute = graft.sim.Knn.bruteForceKnn(emb, "vec_id", "embedding",
           probeFilter = col("vec_id") < 5, k = k)
@@ -100,6 +106,7 @@ object PqProbe {
           .intersect(brute.select("probe_id", "neighbor_id")).count()
         val total = brute.count()
         println(f"""{"probe":"pq_ksub256","dir":"$dir","n":$n,""" +
+          f""""refine":$refine,""" +
           f""""sec":$t%.2f,"recall":${hits.toDouble / total}%.3f,""" +
           f""""hits":$hits,"k_total":$total}""")
 
@@ -111,6 +118,9 @@ object PqProbe {
         // plan shape for a fraction of the wall-clock)
         val c = CellKnobs.cellsFor(n)
         val nprobe = CellKnobs.nprobeFor(c)
+        require(dim >= 4 && dim % 4 == 0,
+          s"auto mode derives m = dim/4 (dsub=4) and needs 4 | dim; " +
+            s"got dim=$dim — pick m by hand for this corpus")
         val m = dim / 4
         val ksub = if (args.length > 2) args(2).toInt else 256
         // bounded fit sample — the deployment recipe that keeps total
