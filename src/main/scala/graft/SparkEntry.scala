@@ -750,20 +750,7 @@ object SparkEntry {
     val m = 16; val ksub = 32
     val fitBatch = e.filter(col("vec_id") % 2 === 0)
     val nextBatch = e.filter(col("vec_id") % 2 === 1)
-    // fresh model dir per invocation: an overwrite at a shared path
-    // would race concurrent bench/verify runs destructively (the
-    // delete-then-write window is not benign like the stream_src
-    // symlink's), and would invalidate a previous invocation's
-    // still-lazy plan; unique dirs remove both hazards (model frames
-    // are tiny, the leak is negligible)
-    val base = {
-      val parent = java.nio.file.Paths.get("target")
-      // createTempDirectory does not create missing parents (a driver
-      // run from outside the repo root has no ./target yet)
-      java.nio.file.Files.createDirectories(parent)
-      java.nio.file.Files.createTempDirectory(parent, "model_store_gate_")
-        .toString
-    }
+    val base = modelScratchDir()
     ModelStore.save(
       Ivf.fitCentroids(
         fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
@@ -788,6 +775,21 @@ object SparkEntry {
         codes, probeFilter = col("vec_id") < 5, k = 3, nprobe = 4, m = m,
         refine = 8)
       .orderBy("probe_id", "rank")
+  }
+
+  /** Fresh model dir per gate invocation (s09/st05): an overwrite at a
+    * shared path would race concurrent bench/verify runs destructively
+    * (the delete-then-write window is not benign like the stream_src
+    * symlink's) and would invalidate a previous invocation's still-lazy
+    * plan; unique dirs remove both hazards (model frames are tiny, the
+    * leak is negligible). Parents created first — createTempDirectory
+    * does not, and a driver run from outside the repo root has no
+    * ./target yet. */
+  private def modelScratchDir(): String = {
+    val parent = java.nio.file.Paths.get("target")
+    java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.createTempDirectory(parent, "model_store_gate_")
+      .toString
   }
 
   /** Deliberately mixed valid/invalid composite root-id candidates for
@@ -1582,6 +1584,42 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** st05 — CONTINUOUS ANN-index ingestion, the streaming composition
+    * of s09's admission path and the production job that keeps an
+    * IVFADC index current: models are fitted on the initial batch and
+    * loaded via ModelStore (s09's fit-once lifecycle), then the
+    * arriving embedding feed is admitted by
+    * [[graft.sim.Pq.admitStateless]] — (id, cluster, codes) computed
+    * in ONE row-local projection against broadcast one-row nested
+    * model frames, so the streaming plan has NO shuffle, NO state
+    * store, and NO watermark anywhere on the feed path (the
+    * stream-static class reduced to a pure broadcast projection;
+    * PqSpec pins admitStateless == encode⋈assign bit-for-bit, and the
+    * stateless plan shape is spec-asserted). Rows-only gate (the
+    * k-means fits are not SQL-expressible). */
+  private def st05(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ivf, ModelStore, Pq}
+    val e = t(s, dir, "embeddings")
+    val m = 16; val ksub = 32
+    val fitBatch = e.filter(col("vec_id") % 2 === 0)
+    val base = modelScratchDir()
+    ModelStore.save(
+      Ivf.fitCentroids(
+        fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
+        c = 16, iters = 3),
+      "ivf_centroids", s"$base/ivf_centroids")
+    ModelStore.save(
+      Pq.fitCodebooks(fitBatch, "vec_id", "embedding", m, ksub),
+      "pq_codebooks", s"$base/pq_codebooks")
+    val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
+    val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
+    runStreamOnce(s,
+        Pq.admitStateless(streamTable(s, dir, "embeddings"),
+          "vec_id", "embedding", centroids, codebooks, m),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -1674,7 +1712,8 @@ object SparkEntry {
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),
-    "st04_contamination_stream" -> (st04 _)
+    "st04_contamination_stream" -> (st04 _),
+    "st05_index_ingest" -> (st05 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -119,6 +119,70 @@ object Pq {
         array_sort(collect_list(struct(col("sub"), col("code")))),
         e => e.getField("code")).as("codes"))
 
+  /** One-row nested form of a codebook frame — cb(sub)(code) = centroid
+    * (codes are contiguous from 0 within each sub by [[fitCodebooks]]'
+    * densification, so array index == code) — checkpointed for broadcast
+    * into the row-local admission path. */
+  private def nestedCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("centroid")))),
+        e => e.getField("centroid")).as("subCb"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("subCb")))),
+        e => e.getField("subCb")).as("cb"))
+      .localCheckpoint(eager = false)
+
+  /** Fully ROW-LOCAL admission of vectors into an IVFADC index:
+    * (id, cluster, codes) computed in ONE projection per row against
+    * broadcast one-row nested model frames — no shuffle, no groupBy, no
+    * state anywhere on the feed path, so the same frame runs unchanged
+    * on a `readStream` feed (st05's continuous-ingestion gate: the
+    * stream-static class reduced to a pure broadcast projection; at
+    * production this IS the admission job that keeps an ANN index
+    * current). Codes match [[encode]] and cluster matches
+    * [[Ivf.assign]] bit-for-bit on finite scores (same score
+    * expressions; ties break to the lowest code/cluster via min-struct
+    * over (-score, id) — spec-pinned; rows whose scores are all NaN —
+    * zero-norm vectors under cosine — may pick a different cell than
+    * the join path's max_by, which sorts NaN high). The per-sub score
+    * array is built ONCE per row (zip_with into (score, index)
+    * structs — no repeated lambda subexpression; codegen CSE does not
+    * reach inside lambdas). */
+  def admitStateless(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     m: Int): DataFrame = {
+    val nestedCents = centroids
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
+        .as("cents"))
+      .localCheckpoint(eager = false)
+    val v = col("v")
+    val dsub = size(v) / m
+    val codesExpr = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(v, s * dsub + 1, dsub)
+      val cbs = element_at(col("cb"), (s + 1).cast("int"))
+      array_min(zip_with(cbs, sequence(lit(0), size(cbs) - 1),
+        (c, i) => struct((-l2Score(sub, c)).as("s"), i.as("i"))))
+        .getField("i").cast("int")
+    })
+    val clusterExpr = array_min(transform(col("cents"), e =>
+      struct((-Vectors.cosine(v, e.getField("centroid"))).as("s"),
+        e.getField("cluster").as("i")))).getField("i")
+    emb
+      .select(col(idCol).as("id"),
+        // the same loud guard as [[subVectors]]: a vector length not
+        // divisible by m must fail, not silently truncate tail dims
+        when(size(col(vecCol)) % m === 0, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"PQ: vector length not divisible by m=$m for id "),
+            col(idCol)))).as("v"))
+      .crossJoin(broadcast(nestedCodebooks(codebooks)))
+      .crossJoin(broadcast(nestedCents))
+      .select(col("id"), clusterExpr.as("cluster"), codesExpr.as("codes"))
+  }
+
   /** ADC top-k over the encoded corpus with exact REFINE: every probe's
     * m·ksub lookup table is built once by a broadcast join with the
     * codebooks; each candidate then scores as m `element_at` lookups

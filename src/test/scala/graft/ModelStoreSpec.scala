@@ -149,4 +149,26 @@ class ModelStoreSpec extends AnyFunSuite {
     }
     assert(sortedRows(r2) == rows.map(_.toString).sorted.toSeq)
   }
+
+  test("st05 gate: streaming admission covers the corpus and equals the " +
+      "batch twin") {
+    val got = SparkEntry.queries("st05_index_ingest")(spark, TestSpark.sf)
+    assert(got.columns.toSeq == Seq("id", "cluster", "codes"))
+    val streamed = got.collect().map(_.toString).sorted.toSeq
+    // batch twin: same recipe (fit on even ids, admit the full table) —
+    // the fits are deterministic, so a fresh fit reproduces the gate's
+    // models exactly
+    val emb = spark.read.parquet(TestSpark.sf + "/embeddings.parquet")
+    val m = 16
+    val fitBatch = emb.filter(col("vec_id") % 2 === 0)
+    val cent = Ivf.fitCentroids(
+      fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
+      c = 16, iters = 3)
+    val cb = Pq.fitCodebooks(fitBatch, "vec_id", "embedding", m, ksub = 32)
+    val batch = Pq.admitStateless(emb, "vec_id", "embedding", cent, cb, m)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.length == emb.count(),
+      "every corpus row must be admitted exactly once")
+  }
 }

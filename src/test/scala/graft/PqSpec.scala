@@ -208,4 +208,52 @@ class PqSpec extends AnyFunSuite {
     // survive a reseeded testdata corpus.
     assert(recall >= 0.85, s"recall@3 $recall below pinned bound")
   }
+
+  test("admitStateless == encode ⋈ assign bit-for-bit (synthetic AND " +
+      "real corpus)") {
+    import graft.sim.Ivf
+    def check(emb: org.apache.spark.sql.DataFrame, idCol: String,
+              vecCol: String, mm: Int, kk: Int, c: Int): Unit = {
+      val cb = Pq.fitCodebooks(emb, idCol, vecCol, mm, kk)
+      val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      val cent = Ivf.fitCentroids(corpus, c, iters = 2)
+      val joined = Pq.encode(emb, idCol, vecCol, cb, mm)
+        .join(Ivf.assign(corpus, cent).select(col("id"), col("cluster")),
+          Seq("id"))
+        .select(col("id"), col("cluster"), col("codes"))
+        .collect().map(_.toString).sorted.toSeq
+      val admitted = Pq.admitStateless(emb, idCol, vecCol, cent, cb, mm)
+        .collect().map(_.toString).sorted.toSeq
+      assert(admitted == joined)
+    }
+    check(quantizable(40).toDF("vec_id", "embedding"), "vec_id",
+      "embedding", m, ksub, c = 4)
+    // real floats: same arithmetic, same tie-breaks, full-width vectors
+    check(spark.read.parquet(TestSpark.sf + "/embeddings.parquet"),
+      "vec_id", "embedding", mm = 16, kk = 8, c = 4)
+  }
+
+  test("admitStateless feed path is shuffle-free: no aggregate, only " +
+      "broadcast joins") {
+    import graft.sim.Ivf
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val emb = quantizable(40).toDF("vec_id", "embedding")
+    val cb = Pq.fitCodebooks(emb, "vec_id", "embedding", m, ksub)
+    val cent = Ivf.fitCentroids(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+      c = 4, iters = 2)
+    val df = Pq.admitStateless(emb, "vec_id", "embedding", cent, cb, m)
+    // the nested model builds are checkpointed (LogicalRDD), so the
+    // remaining plan must be projection + broadcast joins only — the
+    // zero-shuffle/zero-state property that makes st05's streaming
+    // admission a pure per-row job
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a
+    }
+    assert(aggs.isEmpty, "feed path must not aggregate")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("hashpartitioning"),
+      s"feed path must not shuffle:\n$p")
+  }
 }
