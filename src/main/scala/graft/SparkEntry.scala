@@ -1157,7 +1157,7 @@ object SparkEntry {
     * global sort); see operators/Sessionize. */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"), col("event_id"),
-      col("ts").cast("long").as("ts_sec"))
+      graft.util.epochSec(col("ts")).as("ts_sec"))
     graft.operators.Sessionize.sessionize(
         e, "user_id", "ts_sec", "event_id", gapSec = 1800)
       .orderBy("user_id", "session_idx")
@@ -1470,15 +1470,12 @@ object SparkEntry {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  /** [[streamTable]] over the events table with Tables.events' ns→µs
-    * normalization — ONE definition of the rule for the streaming gates
-    * (st01/st02), next to the batch reader's. */
-  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
-    val raw = streamTable(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** [[streamTable]] over the events table with Tables.events' ts
+    * normalization ([[graft.sources.Tables.normalizeTs]]) — ONE
+    * definition of the input-shape rule shared by the batch reader and
+    * the streaming gates (st01/st02). */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.normalizeTs(streamTable(s, dir, "events"))
 
   /** One-shot micro-batch execution of a streaming frame into a memory
     * sink; returns the sink's contents. The memory sink holds only the
@@ -1596,7 +1593,11 @@ object SparkEntry {
     * stream-static class reduced to a pure broadcast projection;
     * PqSpec pins admitStateless == encode⋈assign bit-for-bit, and the
     * stateless plan shape is spec-asserted). Rows-only gate (the
-    * k-means fits are not SQL-expressible). */
+    * k-means fits are not SQL-expressible). The gate serializes the
+    * PQ code array to a comma-joined string: the driver's rows-check
+    * sorts the dump in pandas, which cannot lexsort an array column
+    * (the r11 st05 ERR) — a scalar projection of the same bytes keeps
+    * the check sortable without weakening it. */
   private def st05(s: SparkSession, dir: String): DataFrame = {
     import graft.sim.{Ivf, ModelStore, Pq}
     val e = t(s, dir, "embeddings")
@@ -1617,6 +1618,7 @@ object SparkEntry {
         Pq.admitStateless(streamTable(s, dir, "embeddings"),
           "vec_id", "embedding", centroids, codebooks, m),
         org.apache.spark.sql.streaming.OutputMode.Append)
+      .withColumn("codes", concat_ws(",", col("codes")))
       .orderBy("id")
   }
 

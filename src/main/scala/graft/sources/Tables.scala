@@ -20,22 +20,37 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns]; normalize to a microsecond
-    * timestamp column named `ts` regardless of how the session reads it
-    * (Spark reads nanos as LongType when
-    * spark.sql.legacy.parquet.nanosAsLong=true, else errors on some
-    * versions). Keeping one canonical µs column makes every downstream
-    * window/dedup operator engine-portable.
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = apply(spark, dir, "events")
+  /** Normalize an events-shaped frame's `ts` to a canonical session-tz
+    * TIMESTAMP (µs) column, whatever parquet physical type the generator
+    * used. Three input shapes are handled — the input-shape TOTALITY is
+    * the contract (SmokeSpec asserts it), because the generator has
+    * shipped all three across rounds:
+    *   - LongType: epoch-nanos read via
+    *     spark.sql.legacy.parquet.nanosAsLong=true. `div` is exact
+    *     integer division (epoch-ns exceeds double's 2^53 exact range,
+    *     so `/ 1000` in double could be off by one µs), matching
+    *     DuckDB's ns→µs cast.
+    *   - TimestampNTZType: parquet timestamp[us] with
+    *     isAdjustedToUTC=false (Spark 4 infers NTZ). Cast to TIMESTAMP
+    *     re-interprets the wall-clock in the session timezone — every
+    *     graft session pins spark.sql.session.timeZone=UTC, so the
+    *     epoch value is preserved exactly, matching DuckDB's naive
+    *     TIMESTAMP epoch extraction.
+    *   - TimestampType: already canonical.
+    * Works on batch and streaming frames alike (pure projection). */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // nanos-as-long: `div` is exact integer division (epoch-ns values
-        // exceed double's 2^53 exact range, so `/ 1000` in double could be
-        // off by one µs), matching DuckDB's ns->µs cast.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
+
+  /** events.ts normalized to one canonical µs timestamp column
+    * ([[normalizeTs]]) — makes every downstream window/dedup operator
+    * engine-portable regardless of generator output shape. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(apply(spark, dir, "events"))
 }

@@ -166,6 +166,8 @@ class ModelStoreSpec extends AnyFunSuite {
       c = 16, iters = 3)
     val cb = Pq.fitCodebooks(fitBatch, "vec_id", "embedding", m, ksub = 32)
     val batch = Pq.admitStateless(emb, "vec_id", "embedding", cent, cb, m)
+      // the gate serializes codes to a driver-sortable csv string
+      .withColumn("codes", concat_ws(",", col("codes")))
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
     assert(streamed.length == emb.count(),

@@ -33,4 +33,49 @@ class SmokeSpec extends AnyFunSuite {
     assert(t == "timestamp", s"got $t")
     assert(ev.selectExpr("min(ts)").collect()(0).get(0) != null)
   }
+
+  // The generator has shipped events.ts as epoch-nanos int64 (r1-r10) and
+  // as timestamp[us] NTZ (r11) — normalizeTs must be TOTAL over every
+  // parquet shape it could ship, preserving the epoch instant exactly.
+  // Synthesizes all three shapes through a real parquet round-trip so the
+  // spec fails loudly if a future data-shape drift reopens the r11 hole.
+  test("ts normalization is total: ns-long, µs-NTZ and LTZ parquet " +
+      "shapes all yield the same epoch instant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val epochUs = 1735689600123456L // 2025-01-01T00:00:00.123456Z
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ts-shapes").toString
+
+    // shape 1: epoch-nanos as raw int64 (read back as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong sessions; the column IS long)
+    Seq(epochUs * 1000L).toDF("ts").write.mode("overwrite")
+      .parquet(s"$dir/ns_long")
+    // shape 2: TIMESTAMP_NTZ — parquet timestamp[us] isAdjustedToUTC=false
+    Seq(epochUs).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // shape 3: LTZ — parquet timestamp[us] isAdjustedToUTC=true
+    Seq(epochUs).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ltz")
+
+    for ((shape, expectType) <- Seq(
+        ("ns_long", LongType), ("ntz", TimestampNTZType),
+        ("ltz", TimestampType))) {
+      val raw = spark.read.parquet(s"$dir/$shape")
+      assert(raw.schema("ts").dataType == expectType,
+        s"$shape read-back type drifted: ${raw.schema("ts").dataType}")
+      val norm = Tables.normalizeTs(raw)
+      assert(norm.schema("ts").dataType == TimestampType,
+        s"$shape not normalized to TIMESTAMP")
+      val gotUs = norm.select(unix_micros(col("ts"))).as[Long].head()
+      assert(gotUs == epochUs,
+        s"$shape epoch drifted: got $gotUs want $epochUs")
+      // the downstream contract that broke in r11: epochSec must analyze
+      val sec = norm.select(util.epochSec(col("ts"))).as[Long].head()
+      assert(sec == epochUs / 1000000L, s"$shape epochSec: $sec")
+    }
+  }
 }
