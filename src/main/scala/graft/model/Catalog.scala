@@ -156,7 +156,14 @@ final class Catalog(
     val errs = rootIdViolationsWith(tbl, roots)
     require(errs.isEmpty, s"invalid root ids: ${errs.mkString("; ")}")
     roots.map { case (tn, ids) =>
-      tn -> broadcast(ids.select(types(tn).idCols.map(col): _*).distinct())
+      // Lazy localCheckpoint: a root id frame feeds every outgoing
+      // derivation of expandIds AND materialize's width-restoring
+      // semi-join — without it each consumer re-runs the frame's scan
+      // and distinct exchange (a leaf type with no incoming derivations
+      // stays the RAW batch projection through to materialize, so q40's
+      // plan scanned lineitem twice; PlanSpec pins the memoized shape).
+      tn -> broadcast(ids.select(types(tn).idCols.map(col): _*).distinct()
+        .localCheckpoint(eager = false))
     }
   }
 
