@@ -394,14 +394,40 @@ final class Catalog(
     * unknown type names fail loudly here, mirroring the reference's
     * OO-types ⊇ I/O-types assertion. The returned map plugs directly
     * into [[closure]]/[[childrenClosure]]/[[parentsClosure]] — or use
-    * [[ingestClosure]] for the reference's own ingest expansion. */
-  def rootsFromBatch(batch: Map[String, DataFrame]): Map[String, DataFrame] = {
+    * [[ingestClosure]] for the reference's own ingest expansion.
+    *
+    * `maxObjs` is the reference's `max_objs` parameter (query.py:797,
+    * `isliced(obj_list, max_objs)` at :841): there it bounds how many
+    * object IDs one pattern's driver-side id set may carry (SQL IN-list
+    * limits); here root-id frames are never driver lists, but they DO take
+    * the broadcast hint ([[rootIds]]'s bounded-input contract), so the
+    * analog is an admission cap — a type whose batch carries more than
+    * `maxObjs` distinct id tuples is REFUSED up front with the full
+    * offender list, instead of OOMing executors at broadcast time. Zero
+    * (the reference's default) means no limit and stays fully lazy; a
+    * positive cap runs one `limit(maxObjs+1)`-bounded count per type, so
+    * the guard's own cost never exceeds the cap it enforces. */
+  def rootsFromBatch(batch: Map[String, DataFrame],
+                     maxObjs: Int = 0): Map[String, DataFrame] = {
+    require(maxObjs >= 0, s"maxObjs must be >= 0, got $maxObjs")
     val unknown = batch.keys.filterNot(types.contains).toSeq.sorted
     require(unknown.isEmpty,
       s"unknown object types in batch: ${unknown.mkString(", ")}")
-    batch.map { case (tn, df) =>
+    val roots = batch.map { case (tn, df) =>
       tn -> df.select(types(tn).idCols.map(col): _*).distinct()
     }
+    if (maxObjs > 0) {
+      val over = roots.toSeq.sortBy(_._1).flatMap { case (tn, ids) =>
+        // limit() bounds the probe: the count job stops materializing the
+        // distinct at maxObjs+1 rows regardless of the batch's true size.
+        val n = ids.limit(maxObjs + 1).count()
+        if (n > maxObjs) Some(s"'$tn' exceeds max_objs=$maxObjs root ids")
+        else None
+      }
+      require(over.isEmpty,
+        s"bounded ingest refused: ${over.mkString("; ")}")
+    }
+    roots
   }
 
   /** The reference ingest-notification expansion (kcidb/__init__.py:
@@ -413,8 +439,9 @@ final class Catalog(
     * the batch projects to narrow id tuples before anything shuffles. */
   def ingestClosure(spark: SparkSession, dir: String,
                     batch: Map[String, DataFrame],
-                    withMetadata: Boolean = true): Map[String, DataFrame] =
-    parentsClosure(spark, dir, rootsFromBatch(batch), withMetadata)
+                    withMetadata: Boolean = true,
+                    maxObjs: Int = 0): Map[String, DataFrame] =
+    parentsClosure(spark, dir, rootsFromBatch(batch, maxObjs), withMetadata)
 }
 
 /** The testdata star schema as a graft catalog. The hierarchy mirrors

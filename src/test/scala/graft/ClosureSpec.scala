@@ -259,6 +259,34 @@ class ClosureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("widgets"))
   }
 
+  test("rootsFromBatch max_objs guard: over-cap batches are refused, " +
+      "at-cap batches pass, zero means no limit (from_io's default)") {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_orderkey") <= 3L)
+    val distinctIds = li.select("l_orderkey", "l_linenumber")
+      .distinct().count().toInt
+    // a cap below the distinct tuple count refuses, naming the type
+    val e = intercept[IllegalArgumentException] {
+      cat.rootsFromBatch(Map("lineitem" -> li), maxObjs = distinctIds - 1)
+    }
+    assert(e.getMessage.contains("lineitem") &&
+      e.getMessage.contains(s"max_objs=${distinctIds - 1}"))
+    // duplicate DELIVERIES don't count against the cap — the bound is on
+    // distinct id tuples, as from_io slices the deduplicated id set
+    val atCap = cat.rootsFromBatch(
+      Map("lineitem" -> li.union(li)), maxObjs = distinctIds)
+    assert(atCap("lineitem").count() == distinctIds)
+    // zero = unlimited (the reference default); negative caps are invalid
+    assert(cat.rootsFromBatch(Map("lineitem" -> li), maxObjs = 0)
+      .contains("lineitem"))
+    intercept[IllegalArgumentException] {
+      cat.rootsFromBatch(Map("lineitem" -> li), maxObjs = -1)
+    }
+    // the guard composes through the ingest entry point too
+    intercept[IllegalArgumentException] {
+      cat.ingestClosure(spark, dir, Map("lineitem" -> li), maxObjs = 1)
+    }
+  }
+
   test("ingestClosure = from_io roots + <*#: loaded objects and all " +
       "their ancestors") {
     val loaded = Tables(spark, dir, "orders")
