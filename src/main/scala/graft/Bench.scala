@@ -39,7 +39,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout capture windows can clip the (long) JSON line mid-object —
+    // the r11 bench artifact lost its whole first family that way. Also
+    // persist the full line in-tree so every round has a complete
+    // machine-readable record independent of how stdout was captured.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
