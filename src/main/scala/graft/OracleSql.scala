@@ -640,6 +640,20 @@ object OracleSql {
          QUALIFY row_number() OVER w <= 3
          ORDER BY probe_id, rank""",
 
+    "s10_random_projection" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1,
+               ${graft.SparkEntry.s10OutDim})) AS j),
+         prod AS (SELECT vec_id, j,
+             SUM(CAST(embedding[i] AS DOUBLE) *
+                 CASE WHEN substr(md5('${graft.SparkEntry.s10Seed}:'
+                     || i || ':' || j), 1, 1) <= '7'
+                   THEN 1.0 ELSE -1.0 END) AS v
+           FROM embeddings, dims,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+           GROUP BY 1, 2)
+         SELECT vec_id, CAST(j AS INT) AS dim, round(v, 6) AS value
+         FROM prod ORDER BY vec_id, dim""",
+
     "s05_knn_classify" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p,
                 label AS true_label FROM embeddings WHERE vec_id < 100),
@@ -1101,6 +1115,37 @@ object OracleSql {
          SELECT doc_id, COUNT(*) AS n_bigrams,
            round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
          FROM nll GROUP BY doc_id ORDER BY doc_id""",
+
+    "t13_entropy" ->
+      s"""WITH toks AS (SELECT doc_id,
+               unnest(string_split($normText, ' ')) AS token
+             FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   SUM(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))) AS stl
+                 FROM tf GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types,
+           round(log2(CAST(n_tokens AS DOUBLE)) - stl / n_tokens, 6)
+             AS entropy,
+           round(CASE WHEN n_types > 1
+             THEN (log2(CAST(n_tokens AS DOUBLE)) - stl / n_tokens)
+                  / log2(CAST(n_types AS DOUBLE))
+             ELSE 0.0 END, 6) AS entropy_norm
+         FROM agg ORDER BY doc_id""",
+
+    "p07_shuffle_shard" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('${
+               graft.SparkEntry.p07Seed}', CAST(doc_id AS VARCHAR))),
+               1, 15)) AS BIGINT) AS draw
+           FROM documents)
+         SELECT doc_id,
+           CAST(draw % ${graft.SparkEntry.p07Shards} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY draw % ${graft.SparkEntry.p07Shards}
+             ORDER BY draw, doc_id) AS INT) AS pos
+         FROM d ORDER BY doc_id""",
 
     "p06_group_sample" ->
       s"""WITH u AS (SELECT source, doc_id,

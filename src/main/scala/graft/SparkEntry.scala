@@ -923,6 +923,22 @@ object SparkEntry {
         probeFilter = col("vec_id") < 5, k = 3)
       .orderBy("probe_id", "rank")
 
+  /** s10 seed and output dim, shared with the oracle SQL generator. */
+  private[graft] val s10Seed = "graft-project-r12"
+  private[graft] val s10OutDim = 16
+
+  /** Seeded ±1 random projection 64 → 16 (Project.randomProjection): the
+    * Johnson–Lindenstrauss reduction a 100 TB ANN pipeline runs before
+    * building any index. Pure per-row codegen'd map — zero shuffles, no
+    * fitting pass, the seed IS the model — and the DuckDB oracle
+    * regenerates the identical md5-coin matrix cell by cell, so every
+    * projected value hash-matches. */
+  private def s10(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Project.randomProjection(t(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = s10OutDim,
+        seed = s10Seed)
+      .orderBy("vec_id", "dim")
+
   private def s02(s: SparkSession, dir: String): DataFrame =
     Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3,
@@ -1318,6 +1334,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Token-entropy quality signal (TextOps.tokenEntropy): Shannon entropy
+    * of each doc's token frequency distribution plus its normalized form —
+    * the information-density filter axis (template boilerplate scores low,
+    * uniform noise near 1.0) that t02's surface ratios and t06's
+    * repetition fractions don't measure. */
+  private def t13(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
     * chunks overlapping by 8): row-local explode, the oracle re-derives
     * every chunk boundary and md5 from the same token array. */
@@ -1340,6 +1365,21 @@ object SparkEntry {
         col("source"), col("doc_id"), k = p06K, seed = p06Seed)
       .select(col("grp").as("source"), col("id").as("doc_id"), col("rank"))
       .orderBy("source", "doc_id")
+
+  /** p07 seed and shard count, shared with the oracle SQL generator. */
+  private[graft] val p07Seed = "graft-shard-r12"
+  private[graft] val p07Shards = 8
+
+  /** Deterministic training-order shuffle (Pack.shuffleShard): every doc
+    * gets a shard and an ordered position within it from one seeded md5
+    * coin — the global-shuffle-then-shard step feeding a trainer's data
+    * loader. The draw stays an exact integer so the DuckDB oracle
+    * reproduces shard AND rank bit-for-bit. */
+  private def p07(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.shuffleShard(t(s, dir, "documents"), col("doc_id"),
+        nShards = p07Shards, seed = p07Seed)
+      .select(col("id").as("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
 
   /** p04 seed, shared with the oracle SQL generator. */
   private[graft] val p04Seed = "graft-split-r8"
@@ -1679,6 +1719,7 @@ object SparkEntry {
     "s07_knn_pq" -> (s07 _),
     "s08_knn_ivfpq" -> (s08 _),
     "s09_incr_encode" -> (s09 _),
+    "s10_random_projection" -> (s10 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),
@@ -1691,8 +1732,10 @@ object SparkEntry {
     "t10_tfidf_terms" -> (t10 _),
     "t11_lm_score" -> (t11 _),
     "t12_pii_redact" -> (t12 _),
+    "t13_entropy" -> (t13 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
+    "p07_shuffle_shard" -> (p07 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

@@ -26,6 +26,38 @@ object Pack {
       16, 10).cast("long").cast("double") /
       lit(1152921504606846976d) // 2^60
 
+  /** The raw 60-bit integer draw behind [[uniformDraw]] — kept exact
+    * (no double division) where the draw feeds ORDERING, so rank
+    * comparisons are bit-identical across engines by construction
+    * instead of relying on both engines rounding the quotient alike. */
+  def integerDraw(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Deterministic global training-order shuffle + shard assignment — the
+    * "shuffle the corpus once, write N ordered shards" step between a
+    * curated corpus and the trainer's data loader. Each row draws a
+    * 60-bit [[integerDraw]] coin; its shard is `draw % nShards` and its
+    * position is the rank of (draw, key) within the shard. Seeded, so the
+    * order is reproducible across reruns and engines, and re-shuffling is
+    * just a new seed.
+    *
+    * Scale shape: shard assignment is per-row hashing (zero shuffles);
+    * position ranks WITHIN each shard — one exchange on the shard key
+    * plus an in-partition sort, which is exactly the work the ordered
+    * shard files require; never a global sort, no driver state. The
+    * hash-uniform draw makes shard sizes even (no skew salting needed). */
+  def shuffleShard(df: DataFrame, keyCol: Column, nShards: Int,
+                   seed: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__draw"), col("id"))
+    df.select(keyCol.as("id"), integerDraw(seed, keyCol).as("__draw"))
+      .withColumn("shard", (col("__draw") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
   /** Weighted mixture sampling: keep a row iff its [[uniformDraw]] falls
     * under its source's weight — the per-example hash-mod sampling of a
     * data-mixture pipeline (each source kept at an independent rate, e.g.

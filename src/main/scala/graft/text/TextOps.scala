@@ -102,6 +102,45 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Per-document token-distribution Shannon entropy — the
+    * gibberish/boilerplate axis the length (t02) and repetition (t06)
+    * filters don't capture: natural prose sits in a band of bits/token,
+    * template boilerplate falls far below it, and noise saturates toward
+    * log2(n_types). Per doc:
+    *   n_tokens     whitespace tokens of the normalized text
+    *   n_types      distinct tokens
+    *   entropy      -Σ p·log2(p) over the token frequency distribution,
+    *                computed algebraically as log2(n) - Σ tf·log2(tf)/n
+    *                so only integer tf aggregates feed the formula
+    *   entropy_norm entropy / log2(n_types) in [0,1] ("efficiency");
+    *                0.0 for single-type docs (entropy is 0 there)
+    *
+    * Shape: the t10 tf shape — explode → count keyed by (doc, token)
+    * with map-side combine, then one per-doc aggregate; no windows, no
+    * corpus-global state, repeated docs at 100 TB stay one shuffle per
+    * stage. Values round to 6 places so the DuckDB oracle (same formula,
+    * same rounding) hash-matches despite last-ulp libm drift. */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as(idCol),
+        explode(graft.dedup.Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("tf"))
+    val n = col("n_tokens").cast("double")
+    val ent = log2(n) - col("__stl") / n
+    tf.groupBy(idCol)
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf").cast("double") * log2(col("tf").cast("double")))
+          .as("__stl"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(ent, 6).as("entropy"),
+        round(when(col("n_types") > 1,
+            ent / log2(col("n_types").cast("double")))
+          .otherwise(lit(0.0)), 6).as("entropy_norm"))
+  }
+
   /** PII patterns shared with the oracle SQL — RE2/Java-regex common
     * subset only (no lookaround, no backrefs), so both engines match the
     * same spans. */

@@ -161,4 +161,38 @@ class PackSpec extends AnyFunSuite {
     // every doc chunked, full coverage: chunk 0 always exists
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(id => got.contains((id, 0L))))
   }
+
+  test("shuffleShard: shard = draw mod n, positions contiguous in draw " +
+      "order, seed-reproducible") {
+    val out = Pack.shuffleShard(docs, col("doc_id"), nShards = 8,
+      seed = "spec-seed")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = docs.count()
+    assert(rows.length == nDocs, "every doc assigned exactly once")
+    // reference: recompute the integer draw driver-side
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(id: Long) =
+      java.lang.Long.parseLong(md5hex("spec-seed" + id).take(15), 16)
+    for ((id, shard, _) <- rows)
+      assert(shard == (draw(id) % 8).toInt, s"shard of doc $id")
+    // per shard: pos is 1..count and ordered by (draw, id)
+    for ((shard, grp) <- rows.groupBy(_._2)) {
+      val byPos = grp.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1 to grp.length),
+        s"shard $shard positions not contiguous")
+      val keys = byPos.map { case (id, _, _) => (draw(id), id) }
+      assert(keys.toSeq == keys.sortBy(identity).toSeq,
+        s"shard $shard not in draw order")
+    }
+    // deterministic: re-running with the same seed is identical; a new
+    // seed produces a different order
+    val again = Pack.shuffleShard(docs, col("doc_id"), 8, "spec-seed")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again == rows.toSet)
+    val reseeded = Pack.shuffleShard(docs, col("doc_id"), 8, "other-seed")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(reseeded != rows.toSet)
+  }
 }

@@ -30,6 +30,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(3L) == ((5L, 0.4, 3.0 / 5, 2.0 / 4)))
   }
 
+  test("tokenEntropy: hand-computed bits, degenerate docs, norm bounds") {
+    val docs = Seq(
+      (1L, "a a b b"),    // uniform over 2 types: H = 1 bit, norm = 1
+      (2L, "a a a b"),    // H = 2 - 3*log2(3)/4 ≈ 0.811278
+      (3L, "Hello!"),     // 1 token, 1 type: H = 0, norm = 0 (guarded)
+      (4L, "a b c d")     // uniform over 4: H = 2, norm = 1
+    ).toDF("doc_id", "text")
+    val m = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 2L, 1.0, 1.0)))
+    val h2 = BigDecimal(2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(2L) == ((4L, 2L, h2, h2)))
+    assert(m(3L) == ((1L, 1L, 0.0, 0.0)))
+    assert(m(4L) == ((4L, 4L, 2.0, 1.0)))
+    // entropy_norm is a [0,1] efficiency on the real corpus
+    val corpus = TextOps.tokenEntropy(
+      graft.sources.Tables(spark, TestSpark.sf, "documents"),
+      "doc_id", "text")
+    assert(corpus.filter(col("entropy_norm") < 0 ||
+      col("entropy_norm") > 1).count() == 0)
+  }
+
   test("bpeEstimate is ceil(len/4)") {
     assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefgh") == 2L)
     assert(one[Long](TextOps.bpeEstimate(col("t")), "abcdefghi") == 3L)
