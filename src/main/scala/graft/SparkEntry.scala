@@ -1167,6 +1167,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup detection by perceptual hash (Binary.aHashes +
+    * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
+    * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
+    * re-encode under id+1000000 — the transformed-asset duplicate a byte
+    * hash (m01/d01) can never see. aHash runs at the codec boundary
+    * (pixelStats' mapPartitions discipline), pairing is d03's pigeonhole
+    * band join over the 64-bit signatures — the m-family's decode meets
+    * the d-family's blocking in one operator. Rows-only: no SQL engine
+    * decodes PNG; BinarySpec pins planted-pair recall, pair soundness
+    * (recomputed hamming <= maxDist), and that noise images of distinct
+    * docs never collide. */
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    val payloads = ids.flatMap { id =>
+      val base = Binary.PayloadRow(id, Binary.makeNoisePng(id))
+      if (id % 25 == 0)
+        Seq(base, Binary.PayloadRow(id + 1000000L,
+          Binary.makeNoisePng(id, variant = 1)))
+      else Seq(base)
+    }
+    graft.dedup.Dedup.hammingNearDups(Binary.aHashes(payloads).toDF(),
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Gap-based sessionization over the event stream (30-min gap) — the
     * canonical behavioral-analytics rollup. Both window passes share one
     * user_id partitioning (a single shuffle, per-key local sort — never a
@@ -1754,6 +1780,7 @@ object SparkEntry {
     "m05_video_frames" -> (m05 _),
     "m06_mp4_meta" -> (m06 _),
     "m07_mkv_meta" -> (m07 _),
+    "m08_phash_neardup" -> (m08 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

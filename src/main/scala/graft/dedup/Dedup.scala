@@ -255,10 +255,20 @@ object Dedup {
     *                 assert the <= maxDist soundness bound on every pair
     *                 (the d03 gate does exactly that in the DuckDB check). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int, emitSigs: Boolean = false): DataFrame =
+    hammingNearDups(simhashSignatures(docs, idCol, textCol),
+      maxDist, emitSigs)
+
+  /** The pigeonhole blocking core of [[simhashNearDups]], over ANY
+    * (id, sig) frame of 64-bit signatures — SimHash text signatures and
+    * perceptual image hashes ([[graft.multimodal.Binary.aHashes]]) pair
+    * through the identical plan: chunk-equality self-joins (shuffle on
+    * the chunk value, never a cross join), exact hamming re-check, and
+    * canonical (id_a < id_b) distinct pairs. */
+  def hammingNearDups(withSig: DataFrame,
                       maxDist: Int, emitSigs: Boolean = false): DataFrame = {
     val nChunks = maxDist + 1
     val chunkBits = 64 / nChunks
-    val withSig = simhashSignatures(docs, idCol, textCol)
     val chunks = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(j =>
         shiftright(col("sig"), chunkBits * j)

@@ -669,6 +669,102 @@ object Binary {
     bos.toByteArray
   }
 
+  /** splitmix64-style pixel noise — a cheap deterministic PRNG over
+    * (doc_id, x, y), so [[makeNoisePng]] images have DIVERSE content
+    * (unlike [[makeRealPng]]'s gradient, whose mean-relative shape — and
+    * therefore its perceptual hash — is the same for every doc). */
+  def noise(docId: Long, x: Int, y: Int): Int = {
+    var z = docId * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+      y * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & 0xffL).toInt
+  }
+
+  /** Deterministic grayscale noise PNG for the perceptual-hash dedup
+    * gate: pixel (x, y) carries [[noise]](doc_id, x, y) on all three
+    * channels. `variant > 0` applies a monotone brightness/contrast
+    * transform (v → min(255, 29v/32 + 12)) to every pixel — the classic
+    * re-encoded-asset perturbation a perceptual hash must see through
+    * (block-mean ORDER is nearly preserved, so the aHash moves at most a
+    * few bits), while content hashes (md5 of bytes) break completely. */
+  def makeNoisePng(docId: Long, variant: Int = 0): Array[Byte] = {
+    val w = (16 + docId % 9).toInt
+    val h = (16 + docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = noise(docId, x, y)
+        val v = if (variant == 0) v0 else math.min(255, (v0 * 29) / 32 + 12)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class HashSig(id: Long, sig: Long)
+
+  /** 64-bit average perceptual hash (aHash) of a decoded image: luma
+    * block-means on an 8×8 grid, bit set iff the block mean exceeds the
+    * mean of block means. Robust to monotone brightness/contrast changes
+    * and resizing — the image-level near-dup signature, paired at corpus
+    * scale by [[graft.dedup.Dedup.hammingNearDups]]'s pigeonhole band
+    * join exactly like SimHash text signatures. Runs at the codec
+    * boundary ([[pixelStats]]' mapPartitions discipline); undecodable
+    * payloads are dropped (no sentinel rows to pair). */
+  def aHashes(ds: Dataset[PayloadRow]): Dataset[HashSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val by = math.min(y * 8 / h, 7)
+            var x = 0
+            while (x < w) {
+              val bx = math.min(x * 8 / w, 7)
+              val rgb = img.getRGB(x, y)
+              // integer ITU-R 601 luma ×1000 — exact, no float rounding
+              val luma = ((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
+              sums(by * 8 + bx) += luma
+              cnts(by * 8 + bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // images smaller than 8×8 leave empty blocks; treat as mean 0
+          val means = Array.tabulate(64)(i =>
+            if (cnts(i) == 0) 0.0 else sums(i).toDouble / cnts(i))
+          val global = means.sum / 64.0
+          var sig = 0L
+          var i = 0
+          while (i < 64) {
+            if (means(i) > global) sig |= (1L << i)
+            i += 1
+          }
+          Some(HashSig(r.doc_id, sig))
+        }
+      }
+    }
+  }
+
   final case class PixelStats(doc_id: Long, width: Long, height: Long,
                               n_pixels: Long, sum_r: Long, sum_g: Long,
                               sum_b: Long)

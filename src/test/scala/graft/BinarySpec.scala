@@ -523,4 +523,63 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.wavHeader("RIFFxxxxAVI ".getBytes)._1 == "unknown")
     assert(Binary.wavHeader("plain text".getBytes)._1 == "unknown")
   }
+
+  test("aHash: invariant under monotone transforms, diverse across docs, " +
+      "m08 pairs are exactly the planted re-encodes (sound + complete)") {
+    import spark.implicits._
+    // driver-side reference hash, independent of the Spark path
+    def refHash(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = math.min(y * 8 / h, 7) * 8 + math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        sums(b) += ((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
+        cnts(b) += 1
+      }
+      val means = Array.tabulate(64)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / cnts(i))
+      val g = means.sum / 64.0
+      (0 until 64).foldLeft(0L)((s, i) =>
+        if (means(i) > g) s | (1L << i) else s)
+    }
+    val ids = (0L until 100L).toSeq
+    val got = Binary.aHashes(ids.toDS().map(id =>
+        Binary.PayloadRow(id, Binary.makeNoisePng(id))))
+      .collect().map(h => h.id -> h.sig).toMap
+    for (id <- ids)
+      assert(got(id) == refHash(Binary.makeNoisePng(id)), s"doc $id")
+    // perceptual robustness: the monotone variant moves <= 3 bits...
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (id <- ids.take(20)) {
+      val v = refHash(Binary.makeNoisePng(id, variant = 1))
+      assert(ham(got(id), v) <= 3, s"variant of $id drifted ${ham(got(id), v)}")
+      // ...while the bytes (a content hash's view) changed completely
+      assert(!java.util.Arrays.equals(Binary.makeNoisePng(id),
+        Binary.makeNoisePng(id, variant = 1)))
+    }
+    // diversity: distinct docs' noise hashes never come within the m08
+    // pairing threshold of each other
+    val hs = ids.map(got)
+    val close = (for (i <- hs.indices; j <- i + 1 until hs.size
+      if ham(hs(i), hs(j)) <= 3) yield (i, j))
+    assert(close.isEmpty, s"noise collisions: $close")
+    // the m08 gate end-to-end: exactly the planted pairs, each sound
+    val pairs = SparkEntry.queries("m08_phash_neardup")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docIds = Tables(spark, TestSpark.sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docIds.filter(_ % 25 == 0).map(id => (id, id + 1000000L))
+    assert(pairs.map(p => (p._1, p._2)).toSet == planted.toSet,
+      "emitted pairs != planted re-encodes")
+    for ((a, b, d) <- pairs) {
+      assert(d <= 3)
+      assert(d == ham(refHash(Binary.makeNoisePng(a)),
+        refHash(Binary.makeNoisePng(a, variant = 1))),
+        s"emitted dist of ($a,$b) wrong")
+    }
+  }
 }
