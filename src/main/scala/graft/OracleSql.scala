@@ -644,10 +644,10 @@ object OracleSql {
       s"""WITH dims AS (SELECT unnest(generate_series(1,
                ${graft.SparkEntry.s10OutDim})) AS j),
          prod AS (SELECT vec_id, j,
-             SUM(CAST(embedding[i] AS DOUBLE) *
+             CAST(SUM(CAST(embedding[i] AS DOUBLE) *
                  CASE WHEN substr(md5('${graft.SparkEntry.s10Seed}:'
                      || i || ':' || j), 1, 1) <= '7'
-                   THEN 1.0 ELSE -1.0 END) AS v
+                   THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
            FROM embeddings, dims,
              unnest(generate_series(1, len(embedding))) AS u(i)
            GROUP BY 1, 2)
@@ -1123,7 +1123,7 @@ object OracleSql {
          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
          agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
                    COUNT(*) AS n_types,
-                   SUM(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))) AS stl
+                   CAST(SUM(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))) AS DOUBLE) AS stl
                  FROM tf GROUP BY 1)
          SELECT doc_id, n_tokens, n_types,
            round(log2(CAST(n_tokens AS DOUBLE)) - stl / n_tokens, 6)
