@@ -895,6 +895,30 @@ object OracleSql {
            AS duration_ms
          FROM documents ORDER BY doc_id""",
 
+    // Regenerates m09's closed-form PCM waveform sample by sample and
+    // aggregates the same integer moments the Spark-side decoder folds —
+    // a byte-level decode bug (endianness, chunk offset, sign extension)
+    // breaks the hash.
+    "m09_audio_stats" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+         s AS (SELECT doc_id, n, i,
+               (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+               FROM d, unnest(generate_series(0, CAST(n - 1 AS BIGINT)))
+                 AS u(i)),
+         w AS (SELECT doc_id, n, v,
+               CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i)
+                      IS NOT NULL
+                 AND (v < 0) != (lag(v) OVER (PARTITION BY doc_id
+                                              ORDER BY i) < 0)
+                 THEN 1 ELSE 0 END AS zc
+               FROM s)
+         SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(zc) AS BIGINT) AS zcr,
+           round(CAST(SUM(v) AS DOUBLE) / MAX(n), 6) AS dc,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
+
     "q37_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
                      FROM events),

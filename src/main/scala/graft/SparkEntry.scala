@@ -1193,6 +1193,31 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** REAL audio decode + feature extraction (Binary.makeWavPcm →
+    * Binary.pcmStats): per-doc WAVs with MATERIALIZED closed-form 16-bit
+    * PCM — sample i = ((doc_id·7919 + i·104729) mod 65536) − 32768,
+    * 64 + doc_id mod 193 samples — decoded back by the real RIFF walk +
+    * sample loop into the speech-pipeline summary features: peak, zero
+    * crossings, DC offset, RMS energy. The decoder folds exact INTEGER
+    * Σv / Σv² moments; only this projection divides and rounds, so the
+    * DuckDB oracle (which regenerates the waveform arithmetically and
+    * aggregates the same integers) matches bit-for-bit. Retires the
+    * audio family's decode stub the way m03 retired the image one:
+    * m02 proves the header walk, m09 proves the samples. */
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.audioStatsOf(
+        src.map(id => Binary.PayloadRow(id,
+          Binary.makeWavPcm(id, (64 + id % 193).toInt))))
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("peak"), col("zcr"),
+        round(col("sum_amp").cast("double") / col("n_samples"), 6).as("dc"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6)
+          .as("rms"))
+      .orderBy("doc_id")
+  }
+
   /** Gap-based sessionization over the event stream (30-min gap) — the
     * canonical behavioral-analytics rollup. Both window passes share one
     * user_id partitioning (a single shuffle, per-key local sort — never a
@@ -1781,6 +1806,7 @@ object SparkEntry {
     "m06_mp4_meta" -> (m06 _),
     "m07_mkv_meta" -> (m07 _),
     "m08_phash_neardup" -> (m08 _),
+    "m09_audio_stats" -> (m09 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -166,6 +166,104 @@ object Binary {
     b.array()
   }
 
+  final case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
+                              zcr: Long, sum_amp: Long, sum_sq: Long)
+
+  /** Deterministic WAV with MATERIALIZED 16-bit mono PCM — the real-decode
+    * sibling of the header-only [[makeWav]]: sample i is the closed form
+    * ((docId·7919 + i·104729) mod 65536) − 32768, so the verify oracle
+    * regenerates the exact waveform arithmetically and any byte-level
+    * encode/decode bug (endianness, chunk offset, sign) breaks the hash. */
+  def makeWavPcm(docId: Long, nSamples: Int): Array[Byte] = {
+    val rate = (8000L * (1 + docId % 3)).toInt
+    val dataLen = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(rate).putInt(rate * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort(((docId * 7919 + i.toLong * 104729) % 65536 - 32768).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL PCM decode + feature extraction — the audio analog of
+    * [[pixelStats]]'s decode half: walks the RIFF chunk list (the
+    * [[wavHeader]] byte discipline) to the `fmt `/`data` chunks, then
+    * reads every interleaved 16-bit little-endian sample and folds the
+    * speech/VAD-style summary features in ONE pass: sample count, peak
+    * |amplitude|, zero-crossing count (sign = v ≥ 0, the textbook ZCR),
+    * and the exact integer Σv / Σv² moments from which DC offset and RMS
+    * energy derive. Integer sums (not floats) so batch, stream, and the
+    * DuckDB oracle agree bit-for-bit; Σv² ≤ 2³⁰·n never overflows a Long
+    * for any realistic clip. A declared data size past the payload end is
+    * clamped to the bytes present (truncated-download tolerance, same
+    * rule as the header walkers); non-WAV / non-PCM16 payloads yield the
+    * (-1, …) sentinel row rather than throwing — per-row totality is the
+    * codec-boundary contract at scale. */
+  def pcmStats(p: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    def u16le(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    val bad = (-1L, -1L, -1L, -1L, -1L)
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
+    else {
+      var i = 12
+      var fmtCode, bits = -1
+      var dataOff, dataLen = -1L
+      while (i + 8 <= p.length && (fmtCode < 0 || dataOff < 0)) {
+        val id = tag(i)
+        val sz = u32le(i + 4)
+        if (id == "fmt " && sz >= 16 && i + 24 <= p.length) {
+          fmtCode = u16le(i + 8)
+          bits = u16le(i + 22)
+        } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+        if (sz > Int.MaxValue - 16) i = p.length
+        else i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (fmtCode != 1 || bits != 16 || dataOff < 0) bad
+      else {
+        val end = math.min(dataOff + dataLen, p.length.toLong).toInt
+        var j = dataOff.toInt
+        var n, zc, peak, sumA, sumSq = 0L
+        var prevNeg = false
+        while (j + 1 < end) {
+          val v = ((p(j) & 0xff) | (p(j + 1) << 8)).toShort.toLong
+          val neg = v < 0
+          if (n > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          n += 1
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumA += v
+          sumSq += v * v
+          j += 2
+        }
+        (n, peak, zc, sumA, sumSq)
+      }
+    }
+  }
+
+  /** [[pcmStats]] over a payload Dataset — typed map, Tungsten encoders,
+    * zero shuffle: the whole decode+reduce is row-local, so the operator
+    * scales linearly with the corpus and parallelizes to any partition
+    * count (the 100 TB posture for per-file feature extraction). */
+  def audioStatsOf(ds: Dataset[PayloadRow]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (n, peak, zc, sumA, sumSq) = pcmStats(r.payload)
+      AudioStats(r.doc_id, n, peak, zc, sumA, sumSq)
+    }
+  }
+
   /** Deterministic image header blob — PNG, JPEG, or GIF rotating on the
     * doc id, built byte-for-byte per the public format specs (PNG
     * signature + IHDR chunk; JPEG SOI + APP0/JFIF + SOF0 + EOI; GIF89a

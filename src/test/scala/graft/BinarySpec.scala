@@ -524,6 +524,44 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.wavHeader("plain text".getBytes)._1 == "unknown")
   }
 
+  test("pcmStats: real PCM decode matches an independent reference loop, " +
+      "clamps truncated data, rejects non-PCM16") {
+    // exactness: recompute the closed-form waveform independently and
+    // fold the same stats — a byte-level encode/decode bug on either
+    // side (endianness, chunk offset, sign extension) diverges here
+    for (id <- Seq(0L, 1L, 7L, 123L, 499L)) {
+      val n = (64 + id % 193).toInt
+      val samples = (0 until n)
+        .map(i => (id * 7919 + i.toLong * 104729) % 65536 - 32768)
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      val expected = (n.toLong, samples.map(math.abs).max, zc.toLong,
+        samples.sum, samples.map(v => v * v).sum)
+      assert(Binary.pcmStats(Binary.makeWavPcm(id, n)) == expected,
+        s"doc $id")
+      // the PCM blob still satisfies the m02 header contract (mono 16-bit)
+      assert(Binary.wavHeader(Binary.makeWavPcm(id, n)) ==
+        (("wav", 1L, 8000L * (1 + id % 3), 16L, n.toLong,
+          n * 1000L / (8000L * (1 + id % 3)))))
+    }
+    // declared data size past the payload end: stats over the bytes
+    // present (truncated-download tolerance), never an exception
+    val full = Binary.makeWavPcm(7L, 100)
+    val cut = full.take(44 + 40) // 20 of 100 samples survive
+    val ref = (0 until 20)
+      .map(i => (7L * 7919 + i.toLong * 104729) % 65536 - 32768)
+    assert(Binary.pcmStats(cut) ==
+      ((20L, ref.map(math.abs).max,
+        ref.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong,
+        ref.sum, ref.map(v => v * v).sum)))
+    // non-WAV and non-PCM16 payloads yield the sentinel row, not a throw
+    assert(Binary.pcmStats("plain text".getBytes)._1 == -1L)
+    val hdrOnly = Binary.makeWav(3L, 50L) // header-only: data bytes absent
+    assert(Binary.pcmStats(hdrOnly)._1 == 0L) // parses, zero samples present
+    val eightBit = full.clone()
+    eightBit(34) = 8 // bits-per-sample 16 -> 8: not the PCM16 contract
+    assert(Binary.pcmStats(eightBit)._1 == -1L)
+  }
+
   test("aHash: invariant under monotone transforms, diverse across docs, " +
       "m08 pairs are exactly the planted re-encodes (sound + complete)") {
     import spark.implicits._
