@@ -127,6 +127,29 @@ object OracleSql {
       .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
       .mkString("CASE source ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
 
+  /** Gap-based sessionization (30-min gap, per-user numbering) - the
+    * shared oracle of the q37 batch gate and its st06 streaming twin
+    * (exact parity on a one-shot in-order replay). */
+  private val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
+                     FROM events),
+         f AS (SELECT user_id, event_id, ts_sec,
+               CASE WHEN ts_sec - lag(ts_sec) OVER w <= 1800
+                 THEN 0 ELSE 1 END AS new_s
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_sec, event_id)),
+         s AS (SELECT user_id, ts_sec,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec, event_id) AS BIGINT)
+                 AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+           MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx"""
+
   val all: Map[String, String] = Map(
     "q01_summary_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -919,25 +942,12 @@ object OracleSql {
            round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms
          FROM w GROUP BY doc_id ORDER BY doc_id""",
 
-    "q37_sessionize" ->
-      s"""WITH e AS (SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
-                     FROM events),
-         f AS (SELECT user_id, event_id, ts_sec,
-               CASE WHEN ts_sec - lag(ts_sec) OVER w <= 1800
-                 THEN 0 ELSE 1 END AS new_s
-               FROM e
-               WINDOW w AS (PARTITION BY user_id
-                            ORDER BY ts_sec, event_id)),
-         s AS (SELECT user_id, ts_sec,
-               CAST(SUM(new_s) OVER (PARTITION BY user_id
-                                ORDER BY ts_sec, event_id) AS BIGINT)
-                 AS session_idx
-               FROM f)
-         SELECT user_id, session_idx, COUNT(*) AS n_events,
-           MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
-           MAX(ts_sec) - MIN(ts_sec) AS duration_sec
-         FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_idx""",
+    "q37_sessionize" -> sessionizeSql,
+
+    // The streaming sessionizer's one-shot in-order replay (st06) closes
+    // exactly the batch operator's sessions - same SQL oracle as q37.
+    "st06_sessionize_stream" -> sessionizeSql,
+
 
     "q38_ingest_patterns" ->
       """WITH lo AS (SELECT o_orderkey, o_custkey FROM orders

@@ -13,6 +13,7 @@ import graft.text.TextOps
 import graft.multimodal.Binary
 import graft.streaming.Streams
 import graft.util._
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, with
   * a DuckDB-equivalent `oracleSql` for every SQL-expressible one.
@@ -1713,6 +1714,103 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** st06 — STREAMING SESSIONIZATION as a driver-verified gate: the 4th
+    * stateful machinery class (`flatMapGroupsWithState` with
+    * EventTimeTimeout session state, [[graft.streaming.Streams
+    * .sessionizeStream]]) promoted from spec-only to driver verify. The
+    * file source replays the events table through the real micro-batch
+    * engine; the oracle is q37's batch sessionization SQL — exact parity
+    * because the replay is in event-time order (one file per sf dir, the
+    * TESTDATA shape; a production feed is time-ordered by construction)
+    * and the watermark delay (35 d > the table's 30 d span) means no
+    * event is ever late, for ANY file chunking.
+    *
+    * Closing the last open session per user is the part a one-shot
+    * replay cannot get from data alone (the watermark never passes an
+    * open session's gap), so the gate plants two far-future SENTINEL
+    * files (user −1, max ts + 37 d/+1 s) in a dedicated scratch stream
+    * dir and caps the source at one file per micro-batch: sentinel 1's
+    * batch advances the watermark past every real timeout, sentinel 2's
+    * batch fires them — deterministic session close without relying on
+    * no-data-batch semantics. The sentinel user is filtered from the
+    * output (its own session is never closed). */
+  private def st06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val raw = s.read.parquet(path)
+    val tsType = raw.schema("ts").dataType
+    val maxUs = graft.sources.Tables.normalizeTs(raw)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    def farLit(k: Int): Column = {
+      val us = maxUs + 37L * 86400 * 1000000L + k * 1000000L
+      tsType match {
+        case org.apache.spark.sql.types.LongType => lit(us * 1000L)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          lit(java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+            ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+        case _ => lit(new java.sql.Timestamp(us / 1000L))
+      }
+    }
+    // dedicated scratch dir (streamTable's digest-keyed discipline, its
+    // own prefix: st01/st02 share the plain events stream dir and must
+    // not see the sentinels)
+    val tablePath = java.nio.file.Paths.get(path).toAbsolutePath
+    val pathKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(tablePath.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val srcDir = java.nio.file.Paths
+      .get("target", s"stream_src6_events_$pathKey").toAbsolutePath
+    java.nio.file.Files.createDirectories(srcDir)
+    val dataFiles =
+      if (java.nio.file.Files.isDirectory(tablePath))
+        java.nio.file.Files.list(tablePath).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .toSeq
+      else Seq(tablePath)
+    for (f <- dataFiles) {
+      val link = srcDir.resolve(s"data_${f.getFileName}")
+      java.nio.file.Files.deleteIfExists(link)
+      try java.nio.file.Files.createSymbolicLink(link, f)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    for (k <- 0 to 1) {
+      val tmp = java.nio.file.Files.createTempDirectory(srcDir, "sentinel_w")
+      raw.limit(1)
+        .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
+        .withColumn("event_id",
+          lit(2000000000L + k).cast(raw.schema("event_id").dataType))
+        .withColumn("ts", farLit(k))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = srcDir.resolve(s"zz_sentinel_$k.parquet")
+      java.nio.file.Files.move(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // mtime orders the file source: data (testdata mtimes) < s0 < s1
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + k * 2000L))
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(tmp.toFile)
+    }
+    val events = graft.sources.Tables.normalizeTs(
+        s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "35 days")
+      .as[Streams.SessionEvent]
+    runStreamOnce(s,
+        Streams.sessionizeStream(events, gapSec = 1800).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_idx")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summary_agg" -> (q01 _),
@@ -1811,7 +1909,8 @@ object SparkEntry {
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),
     "st04_contamination_stream" -> (st04 _),
-    "st05_index_ingest" -> (st05 _)
+    "st05_index_ingest" -> (st05 _),
+    "st06_sessionize_stream" -> (st06 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -208,6 +208,33 @@ class StreamingSpec extends AnyFunSuite {
         s"${(viaFile diff viaDir).take(3)}")
   }
 
+  test("st06 gate (streaming sessionization) equals the q37 batch gate " +
+      "and streams a directory-shaped events table with parity") {
+    val viaFile =
+      SparkEntry.queries("st06_sessionize_stream")(spark, TestSpark.sf)
+        .collect().toSeq
+    val batch = SparkEntry.queries("q37_sessionize")(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(viaFile.nonEmpty, "st06 gate emitted zero sessions")
+    assert(viaFile == batch,
+      s"stream/batch sessions diverge: ${(viaFile diff batch).take(3)} / " +
+        s"${(batch diff viaFile).take(3)}")
+    // dir shape exercises the per-file symlink + sentinel listing; one
+    // part file keeps the replay a single in-order batch (multi-file
+    // time-disorder is outside the gate's contract — production feeds
+    // arrive time-ordered)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st06-dir")
+    spark.read.parquet(TestSpark.sf + "/events.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("events.parquet").toString)
+    val viaDir =
+      SparkEntry.queries("st06_sessionize_stream")(spark, tmp.toString)
+        .collect().toSeq
+    assert(viaDir == viaFile,
+      s"dir/file shapes diverge: ${(viaDir diff viaFile).take(3)} / " +
+        s"${(viaFile diff viaDir).take(3)}")
+  }
+
   test("q37 streaming twin: chunked in-order replay equals the batch " +
       "sessionizer, watermark closes idle sessions") {
     implicit val sql = spark.sqlContext
