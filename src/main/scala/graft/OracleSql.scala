@@ -1168,6 +1168,40 @@ object OracleSql {
              ELSE 0.0 END, 6) AS entropy_norm
          FROM agg ORDER BY doc_id""",
 
+    // DSIR hashed-bigram importance weights: the oracle re-derives the
+    // bucket of every bigram (same md5-hex-integer convention as p06/p07)
+    // and both smoothed distributions, then the per-doc log-ratio sum.
+    "t14_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id,
+               source = '${graft.SparkEntry.t14Target}' AS is_t,
+               string_split($normText, ' ') AS t
+             FROM documents),
+         bg AS (SELECT doc_id, is_t,
+               CAST(concat('0x', substr(md5(t[i] || ' ' || t[i + 1]),
+                 1, 15)) AS BIGINT) % ${graft.SparkEntry.t14Buckets} AS b
+             FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+             WHERE len(t) >= 2),
+         cnt AS (SELECT b,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+             FROM bg GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                        CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+         w AS (SELECT b,
+               ln(((ct + 0.5) / (nt + 0.5 * ${graft.SparkEntry.t14Buckets}))
+                / ((cr + 0.5) / (nr + 0.5 * ${graft.SparkEntry.t14Buckets})))
+                 AS w
+             FROM cnt, tot),
+         sc AS (SELECT doc_id, COUNT(*) AS n_feats,
+               round(CAST(SUM(w) AS DOUBLE), 6) AS logw
+             FROM bg JOIN w USING (b) WHERE NOT is_t GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           coalesce(sc.logw, 0.0) AS logw
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         WHERE d.source != '${graft.SparkEntry.t14Target}'
+         ORDER BY doc_id""",
+
     "p07_shuffle_shard" ->
       s"""WITH d AS (SELECT doc_id,
              CAST(concat('0x', substr(md5(concat('${

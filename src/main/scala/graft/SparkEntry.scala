@@ -1395,6 +1395,20 @@ object SparkEntry {
     graft.text.TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  private[graft] val t14Buckets = 1024
+  private[graft] val t14Target = "src0"
+
+  /** DSIR importance weights (TextOps.dsirWeights): how much each raw-pool
+    * doc looks like the `src0` target domain, via hashed-bigram
+    * distribution log ratios — the data-SELECTION axis (which docs to
+    * train on) next to t02/t06/t13's intrinsic quality axes. The fitted
+    * model is a B-row table independent of corpus size (the reason this
+    * is the 100 TB selection tool), broadcast on the apply pass. */
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === t14Target, buckets = t14Buckets)
+      .orderBy("doc_id")
+
   /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
     * chunks overlapping by 8): row-local explode, the oracle re-derives
     * every chunk boundary and md5 from the same token array. */
@@ -1882,6 +1896,7 @@ object SparkEntry {
     "t11_lm_score" -> (t11 _),
     "t12_pii_redact" -> (t12 _),
     "t13_entropy" -> (t13 _),
+    "t14_dsir_weights" -> (t14 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -217,6 +217,62 @@ object TextOps {
       .select(col("id").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** DSIR-style importance weights for target-distribution data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): every bigram hashes into one of `buckets` fixed slots
+    * (the first-15-hex-chars md5 integer — the Pack.integerDraw
+    * convention, identical in Spark and DuckDB — mod B), the target and
+    * raw corpora each induce an add-alpha-smoothed distribution over the
+    * B slots, and a raw doc's weight is Σ log(p_target(b)/p_raw(b)) over
+    * its bigrams. Docs scoring high look like the target domain; sampling
+    * raw ∝ exp(weight) is the DSIR selection step.
+    *
+    * Scale shape: this is why DSIR (and not a vocab LM like [[lmScore]])
+    * is the 100 TB selection tool — the fitted model is O(B) rows
+    * regardless of corpus size, so the fit is one map-side-combined
+    * aggregate to B keys and the apply is a BROADCAST join of the B-row
+    * weight table against the bigram stream (no vocab-sized shuffle on
+    * either pass; two corpus scans total, the fit-then-apply lifecycle).
+    * Zero-feature docs (< 2 tokens) keep weight 0 via the final left
+    * join, so the output covers the whole raw pool. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int = 1024,
+                  alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import graft.dedup.Dedup
+    val bg = docs
+      .select(col(idCol).as("id"), targetFilter.as("is_t"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), col("is_t"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"),
+        col("toks"))
+      .select(col("id"), col("is_t"),
+        pmod(conv(substring(md5(concat(
+            element_at(col("toks"), col("pos")), lit(" "),
+            element_at(col("toks"), col("pos") + 1))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("b"))
+    // both distributions in ONE pass: B keys, map-side combined
+    val cnt = bg.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val wtab = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("ct") + alpha) / (col("nt") + alpha * buckets)) /
+            ((col("cr") + alpha) / (col("nr") + alpha * buckets))).as("w"))
+    val scored = bg.filter(!col("is_t"))
+      .join(broadcast(wtab), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("w")), 6).as("logw"))
+    docs.filter(!targetFilter).select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw"), lit(0d)).as("logw"))
+  }
+
   /** Quality score in [0,1]-ish: rewards mid-length docs, word lengths near
     * natural language, and stopword presence. Single-expression double
     * arithmetic (one division per term, fixed order). */

@@ -151,4 +151,57 @@ class TextOpsSpec extends AnyFunSuite {
     // in-distribution text scores strictly better than unseen-gram text
     assert(got(1L)._2 < got(20L)._2)
   }
+
+  test("dsirWeights: target-like raw docs outscore off-target ones; " +
+      "hand-check of the hashed log-ratio model") {
+    import spark.implicits._
+    // target (t*): pure "alpha beta" bigram mass; raw pool: doc 10 repeats
+    // the target bigram, doc 20 is disjoint, doc 30 has < 2 tokens
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta alpha beta", "tgt"),
+      (10L, "alpha beta alpha beta", "raw"),
+      (20L, "gamma delta gamma delta", "raw"),
+      (30L, "solo", "raw")
+    ).toDF("doc_id", "text", "source")
+    val B = 64
+    val got = TextOps.dsirWeights(docs, "doc_id", "text",
+        col("source") === "tgt", buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // only the raw pool is scored; the zero-feature doc is present with 0
+    assert(got.keySet == Set(10L, 20L, 30L))
+    assert(got(30L) == ((0L, 0.0)))
+    // target-like content must outscore off-target content
+    assert(got(10L)._2 > 0, s"target-like weight not positive: ${got(10L)}")
+    assert(got(20L)._2 < 0, s"off-target weight not negative: ${got(20L)}")
+    assert(got(10L)._2 > got(20L)._2)
+    // hand-check doc 20 against the closed form: its bigrams hash to
+    // buckets with ct=0, and every count is reproducible driver-side
+    def bucket(bg: String): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(m.take(15), 16) % B
+    }
+    def bigrams(text: String) =
+      text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    // per-doc bigram bucket counts (never across doc boundaries)
+    val tgtBuckets = Seq("alpha beta alpha beta alpha beta",
+        "alpha beta alpha beta")
+      .flatMap(bigrams).map(bucket)
+    val rawBuckets = Seq("alpha beta alpha beta", "gamma delta gamma delta")
+      .flatMap(bigrams).map(bucket)
+    val nt = tgtBuckets.size.toDouble
+    val nr = rawBuckets.size.toDouble
+    def w(b: Long): Double = {
+      val ct = tgtBuckets.count(_ == b)
+      val cr = rawBuckets.count(_ == b)
+      math.log(((ct + 0.5) / (nt + 0.5 * B)) / ((cr + 0.5) / (nr + 0.5 * B)))
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expected20 = r6(bigrams("gamma delta gamma delta").map(b => w(bucket(b))).sum)
+    assert(got(20L) == ((3L, expected20)))
+    val expected10 = r6(bigrams("alpha beta alpha beta").map(b => w(bucket(b))).sum)
+    assert(got(10L) == ((3L, expected10)))
+  }
 }
