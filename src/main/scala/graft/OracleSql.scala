@@ -663,6 +663,27 @@ object OracleSql {
          QUALIFY row_number() OVER w <= 3
          ORDER BY probe_id, rank""",
 
+    // SQ8 codes are floor((v-lo)*255/(hi-lo) + 0.5): one stated double
+    // operation order, so both engines produce identical integers and the
+    // per-vector md5 over the comma-joined code sequence hash-matches.
+    "s11_sq8_encode" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS u(i)),
+         mm AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY i),
+         codes AS (SELECT vec_id, ex.i,
+             CASE WHEN hi = lo THEN 0
+               ELSE CAST(least(greatest(
+                 floor((v - lo) * 255.0 / (hi - lo) + 0.5), 0), 255) AS INT)
+             END AS code
+           FROM ex JOIN mm ON ex.i = mm.i)
+         SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           MIN(code) AS code_min, MAX(code) AS code_max,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i))
+             AS codes_md5
+         FROM codes GROUP BY vec_id ORDER BY vec_id""",
+
     "s10_random_projection" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1,
                ${graft.SparkEntry.s10OutDim})) AS j),

@@ -940,6 +940,16 @@ object SparkEntry {
         seed = s10Seed)
       .orderBy("vec_id", "dim")
 
+  /** SQ8 scalar quantization (Sq.sq8Summary): per-dim [min,max] fit —
+    * one map-side-combined d-key aggregate — zipped into the scan as a
+    * 1-row broadcast, then a single codegen'd per-row transform encodes
+    * every float to a byte. The 4× compression rung BEFORE PQ at 100 TB;
+    * codes use floor(x+0.5) so Spark and DuckDB agree bit-for-bit, and
+    * the gate pins each vector's full code sequence via md5. */
+  private def s11(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Sq.sq8Summary(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   private def s02(s: SparkSession, dir: String): DataFrame =
     Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3,
@@ -1883,6 +1893,7 @@ object SparkEntry {
     "s08_knn_ivfpq" -> (s08 _),
     "s09_incr_encode" -> (s09 _),
     "s10_random_projection" -> (s10 _),
+    "s11_sq8_encode" -> (s11 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),
