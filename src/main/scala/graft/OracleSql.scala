@@ -127,6 +127,12 @@ object OracleSql {
       .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS DOUBLE)" }
       .mkString("CASE source ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
 
+  /** p08's integer weight CASE chain (same map the Spark side bakes in). */
+  private lazy val budgetWeightSql: String =
+    graft.SparkEntry.p08Weights.toSeq.sorted
+      .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS BIGINT)" }
+      .mkString("CASE source ", " ", " ELSE CAST(0 AS BIGINT) END")
+
   /** Gap-based sessionization (30-min gap, per-user numbering) - the
     * shared oracle of the q37 batch gate and its st06 streaming twin
     * (exact parity on a one-shot in-order replay). */
@@ -851,6 +857,26 @@ object OracleSql {
              AS n_kept
          FROM flags GROUP BY source, weight ORDER BY source""",
 
+    // Token-budget mixture plan: all allocation arithmetic integer
+    // (// is floor division on non-negative BIGINTs, Spark's div), the
+    // one double is a single division of two exact integers.
+    "p08_token_budget" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM($wordCountSql) AS BIGINT) AS avail_tokens
+            FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS budget
+                 FROM per),
+         plan AS (SELECT source, n_docs, avail_tokens,
+             CAST(budget * ($budgetWeightSql) // ${
+               graft.SparkEntry.p08Weights.values.sum} AS BIGINT)
+               AS desired_tokens
+           FROM per, tot)
+         SELECT source, n_docs, avail_tokens, desired_tokens,
+           CAST(desired_tokens // avail_tokens AS BIGINT) AS full_epochs,
+           round(CAST(desired_tokens AS DOUBLE) / avail_tokens, 6)
+             AS epochs
+         FROM plan ORDER BY source""",
+
     "d10_dup_spans" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
                         FROM documents),
@@ -1322,6 +1348,34 @@ object OracleSql {
            round(CAST(SUM((doc_id + 17 * f + x + 2 * y) % 256) AS DOUBLE)
              / (w * h), 6) AS mean_b
          FROM px GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx""",
+
+    // Scene-cut frames: solid-color closed-form frames (no modular wrap
+    // by construction), deltas on the exact integer SUM scale — pure
+    // integer arithmetic end to end.
+    "m10_scene_cuts" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(3 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h,
+             CAST(4 + doc_id % 3 AS BIGINT) AS nf
+           FROM documents),
+         fr AS (SELECT doc_id, w, h, fs.f AS f,
+             20 + (11 * doc_id) % 100 + 5 * (f % 8)
+               + CASE WHEN (doc_id + f) % 4 = 0 THEN 100 ELSE 0 END AS r,
+             10 + (13 * doc_id) % 100 + 3 * (f % 8)
+               + CASE WHEN (doc_id + f) % 4 = 0 THEN 110 ELSE 0 END AS g,
+             5 + (17 * doc_id) % 100 + 7 * (f % 8)
+               + CASE WHEN (doc_id + f) % 4 = 0 THEN 90 ELSE 0 END AS b
+           FROM d, unnest(generate_series(0, nf - 1)) AS fs(f))
+         SELECT cur.doc_id, cur.f AS frame_idx, cur.w * cur.h AS n_pixels,
+           cur.w * cur.h * abs(cur.r - pre.r) AS d_r,
+           cur.w * cur.h * abs(cur.g - pre.g) AS d_g,
+           cur.w * cur.h * abs(cur.b - pre.b) AS d_b,
+           CAST(CASE WHEN cur.w * cur.h *
+               (abs(cur.r - pre.r) + abs(cur.g - pre.g) + abs(cur.b - pre.b))
+               > 64 * cur.w * cur.h THEN 1 ELSE 0 END AS INT) AS is_cut
+         FROM fr cur JOIN fr pre
+           ON cur.doc_id = pre.doc_id AND cur.f = pre.f + 1
+         ORDER BY cur.doc_id, frame_idx""",
 
     "st01_stream_window" ->
       s"""SELECT date_diff('second', $epoch1970,

@@ -986,6 +986,23 @@ object SparkEntry {
     }.toMap
   private[graft] val p02Seed = "mix-v1"
 
+  /** p08's integer mixture weights (percent), shared with the oracle
+    * CASE chain — p02's regime spread (keep-all / partial / drop-all)
+    * restated as integers so every allocation stays exact. */
+  private[graft] val p08Weights: Map[String, Int] =
+    (0 until 20).map { i => s"src$i" -> Seq(100, 70, 40, 15, 0)(i % 5) }
+      .toMap
+
+  /** Token-budget mixture plan (Pack.tokenBudget): per-source available
+    * vs desired tokens and the implied repeat factor under the target
+    * mixture — one map-side-combined aggregate to |sources| keys plus a
+    * 1-row totals zip; all allocation arithmetic integer, so the DuckDB
+    * oracle reproduces the plan bit-for-bit. */
+  private def p08(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.tokenBudget(t(s, dir, "documents"), col("source"),
+        TextOps.wordCount(col("text")), p08Weights)
+      .orderBy("source")
+
   /** Concat-and-chunk sequence packing over 8 buckets at 256 tokens per
     * training sequence ([[graft.pack.Pack.packSequences]]). */
   private def p01(s: SparkSession, dir: String): DataFrame =
@@ -1529,6 +1546,22 @@ object SparkEntry {
     * demux bug (chunk walk, padding, frame order) or decode bug breaks
     * the hash. Retires the video stub for AVI; only containers with no
     * JVM demuxer (e.g. MP4) remain. */
+  /** Scene-cut detection (Binary.videoSceneCuts) over synthesized
+    * multi-shot AVIs: real demux + decode, consecutive-frame mean deltas
+    * computed row-locally (zero shuffles — all frames of a clip live in
+    * one payload), cut flagged at >64 counts/pixel summed over channels.
+    * Deltas stay on the exact integer SUM scale, so the DuckDB oracle
+    * re-derives every frame color, delta and flag arithmetically. */
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.videoSceneCuts(
+        src.map(id => Binary.PayloadRow(id, Binary.makeSceneAvi(id))),
+        threshold = 64L)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private def m05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -1911,6 +1944,7 @@ object SparkEntry {
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),
+    "p08_token_budget" -> (p08 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),
@@ -1927,6 +1961,7 @@ object SparkEntry {
     "m03_pixel_stats" -> (m03 _),
     "m04_frame_sample" -> (m04 _),
     "m05_video_frames" -> (m05 _),
+    "m10_scene_cuts" -> (m10 _),
     "m06_mp4_meta" -> (m06 _),
     "m07_mkv_meta" -> (m07 _),
     "m08_phash_neardup" -> (m08 _),

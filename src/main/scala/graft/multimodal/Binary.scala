@@ -1113,6 +1113,15 @@ object Binary {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    aviContainer(w, h, frames)
+  }
+
+  /** Assemble a minimal RIFF/AVI container around already-encoded frame
+    * payloads (Motion-PNG). Shared by the synthetic gate sources
+    * ([[makeRealAvi]], [[makeSceneAvi]]). */
+  private def aviContainer(w: Int, h: Int,
+                           frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     def fourcc(s: String) = s.getBytes("US-ASCII")
     def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
       (v >> 24).toByte)
@@ -1265,6 +1274,93 @@ object Binary {
   final case class FrameStats(doc_id: Long, frame_idx: Long, width: Long,
                               height: Long, n_pixels: Long, sum_r: Long,
                               sum_g: Long, sum_b: Long)
+
+  /** Synthetic multi-shot AVI for the scene-cut gate: solid-color
+    * Motion-PNG frames whose per-channel color is a closed form of
+    * (doc_id, frame) — base hue drifts a few counts per frame, and
+    * frames where (doc_id + f) % 4 == 0 jump ~100 counts per channel (a
+    * "shot change"). All color terms stay under 255 by construction, so
+    * no modular wrap obscures the delta and the DuckDB oracle re-derives
+    * every frame color, delta and cut flag with pure integer arithmetic. */
+  def makeSceneAvi(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 5).toInt
+    val h = (3 + docId % 4).toInt
+    val nFrames = (4 + docId % 3).toInt
+    def jump(f: Int): Int = if ((docId + f) % 4 == 0) 1 else 0
+    val frames = (0 until nFrames).map { f =>
+      val r = (20 + (11 * docId) % 100 + 5 * (f % 8) + 100 * jump(f)).toInt
+      val g = (10 + (13 * docId) % 100 + 3 * (f % 8) + 110 * jump(f)).toInt
+      val b = (5 + (17 * docId) % 100 + 7 * (f % 8) + 90 * jump(f)).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    aviContainer(w, h, frames)
+  }
+
+  final case class SceneDelta(doc_id: Long, frame_idx: Long,
+                              n_pixels: Long, d_r: Long, d_g: Long,
+                              d_b: Long, is_cut: Int)
+
+  /** Scene-cut detection over a demuxed video: the standard mean-frame-
+    * difference heuristic (flag frame f a cut when the summed per-channel
+    * absolute difference of frame means against frame f−1 exceeds
+    * `threshold` counts/pixel). Fused demux → decode → delta in ONE
+    * row-local pass: all frames of a video live in its row's payload, so
+    * consecutive-frame state is a local variable — no window, no
+    * self-join, no shuffle anywhere (the exact property that makes this
+    * viable over billions of clips: cost is one linear decode per
+    * payload). Deltas are emitted as exact integers on the SUM scale
+    * (|Σc_f − Σc_{f−1}|, with is_cut compared against
+    * threshold·n_pixels), so cross-engine float division never enters.
+    * Sentinels: non-AVI payload → one frame_idx −1 row; a delta pair
+    * with an undecodable side → −1 deltas and is_cut −1. */
+  def videoSceneCuts(ds: Dataset[PayloadRow], threshold: Long)
+      : Dataset[SceneDelta] = {
+    import ds.sparkSession.implicits._
+    require(threshold >= 0, s"threshold must be non-negative: $threshold")
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        if (notAvi(r.payload))
+          Iterator.single(SceneDelta(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1))
+        else {
+          val frames =
+            try aviFrames(r.payload)
+            catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+          val sums = frames.map { p =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(p))
+              catch { case _: Exception => null }
+            if (img == null) None
+            else Some(rgbSums(img))
+          }
+          Iterator.range(1, sums.length).map { f =>
+            (sums(f - 1), sums(f)) match {
+              case (Some((w, h, pr, pg, pb)), Some((_, _, cr, cg, cb))) =>
+                val np = w * h
+                val (dr, dg, db) =
+                  (math.abs(cr - pr), math.abs(cg - pg), math.abs(cb - pb))
+                SceneDelta(r.doc_id, f.toLong, np, dr, dg, db,
+                  if (dr + dg + db > threshold * np) 1 else 0)
+              case _ =>
+                SceneDelta(r.doc_id, f.toLong, -1L, -1L, -1L, -1L, -1)
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Per-frame pixel stats: [[pixelStats]] keyed by (doc, frame) — the
     * decode step after [[sampleFrames]]. Undecodable frame payloads get

@@ -183,4 +183,42 @@ object Pack {
         md5(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize))))
           .as("chunk_md5"))
   }
+
+  /** Token-budget mixture plan (the Llama/Dolma-style data recipe step):
+    * given integer target weights per source and a total token budget,
+    * report per source how many tokens the recipe wants
+    * (`desired_tokens = budget · w_s / Σw`, floor), how many one corpus
+    * pass offers (`avail_tokens`), and the implied repeat factor
+    * (`full_epochs` whole passes + `epochs` as the exact ratio) — the
+    * numbers a trainer needs to decide up-/down-sampling before any doc
+    * is touched. The budget here is the corpus' own token total
+    * ("rebalance the same volume to the target mixture").
+    *
+    * Scale shape: ONE map-side-combined aggregate to |sources| keys,
+    * then a 1-row totals zip (the t05 scalar class) — the corpus is
+    * scanned once and never shuffled. All allocation arithmetic is
+    * integer (weights are integers, divisions are `div`), so the plan is
+    * bit-identical across engines; the single double (`epochs`) is one
+    * division of two exact integers. */
+  def tokenBudget(docs: DataFrame, sourceCol: Column, tokensCol: Column,
+                  weights: Map[String, Int]): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0, "at least one positive weight")
+    val per = docs
+      .select(sourceCol.as("source"), tokensCol.cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail_tokens"))
+    val tot = per.agg(sum(col("avail_tokens")).as("budget"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("w",
+        coalesce(element_at(typedLit(weights), col("source")), lit(0))
+          .cast("long"))
+      .withColumn("desired_tokens", expr(s"budget * w div $wsum"))
+      .withColumn("full_epochs", expr("desired_tokens div avail_tokens"))
+      .withColumn("epochs",
+        round(col("desired_tokens").cast("double") / col("avail_tokens"), 6))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("desired_tokens"), col("full_epochs"), col("epochs"))
+  }
 }

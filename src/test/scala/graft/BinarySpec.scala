@@ -620,4 +620,43 @@ class BinarySpec extends AnyFunSuite {
         s"emitted dist of ($a,$b) wrong")
     }
   }
+
+  test("videoSceneCuts: deltas match the closed-form frame colors, cuts " +
+      "flag exactly the jump toggles, sentinels for non-AVI") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 11L, 42L)
+    val out = Binary.videoSceneCuts(
+        ids.toDS().map(id => Binary.PayloadRow(id, Binary.makeSceneAvi(id))),
+        threshold = 64L)
+      .collect().map(s => (s.doc_id, s.frame_idx) -> s).toMap
+    def color(id: Long, f: Int): (Long, Long, Long) = {
+      val j = if ((id + f) % 4 == 0) 1 else 0
+      (20 + (11 * id) % 100 + 5 * (f % 8) + 100 * j,
+        10 + (13 * id) % 100 + 3 * (f % 8) + 110 * j,
+        5 + (17 * id) % 100 + 7 * (f % 8) + 90 * j)
+    }
+    for (id <- ids) {
+      val np = (3 + id % 5) * (3 + id % 4)
+      val nf = (4 + id % 3).toInt
+      for (f <- 1 until nf) {
+        val s = out((id, f.toLong))
+        val (pr, pg, pb) = color(id, f - 1)
+        val (cr, cg, cb) = color(id, f)
+        assert(s.n_pixels == np)
+        assert(s.d_r == np * math.abs(cr - pr), s"doc $id frame $f d_r")
+        assert(s.d_g == np * math.abs(cg - pg))
+        assert(s.d_b == np * math.abs(cb - pb))
+        // a cut is exactly a jump toggle: the drift terms sum to 15 < 64
+        val toggled = ((id + f) % 4 == 0) != ((id + f - 1) % 4 == 0)
+        assert(s.is_cut == (if (toggled) 1 else 0),
+          s"doc $id frame $f cut flag")
+      }
+      assert(!out.contains((id, 0L)), "frame 0 has no predecessor")
+    }
+    val bad = Binary.videoSceneCuts(
+        Seq(Binary.PayloadRow(9L, "not a video".getBytes("UTF-8"))).toDS(),
+        threshold = 64L).collect()
+    assert(bad.toSeq == Seq(Binary.SceneDelta(9L, -1L, -1L, -1L, -1L, -1L,
+      -1)))
+  }
 }

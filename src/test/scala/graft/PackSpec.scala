@@ -195,4 +195,26 @@ class PackSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(reseeded != rows.toSet)
   }
+
+  test("tokenBudget: allocations are exact integer floor shares of the " +
+      "corpus total and epochs is their ratio") {
+    import spark.implicits._
+    // a:10+20 tokens, b:30, c:40 -> budget=100; weights a:50 b:30 c:0,
+    // wsum=80 -> desired a: 100*50 div 80 = 62, b: 37, c: 0
+    val docs = Seq(("a", 10L), ("a", 20L), ("b", 30L), ("c", 40L))
+      .toDF("source", "toks")
+    val out = Pack.tokenBudget(docs, col("source"), col("toks"),
+        Map("a" -> 50, "b" -> 30, "c" -> 0))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(out("a") == ((2L, 30L, 62L, 2L, 2.066667)))
+    assert(out("b") == ((1L, 30L, 37L, 1L, 1.233333)))
+    assert(out("c") == ((1L, 40L, 0L, 0L, 0.0)))
+    // a source absent from the weight map is allocated nothing
+    val out2 = Pack.tokenBudget(docs, col("source"), col("toks"),
+        Map("a" -> 1)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out2("b") == 0L && out2("c") == 0L && out2("a") == 100L)
+  }
 }

@@ -87,10 +87,12 @@ class PlanSpec extends AnyFunSuite {
     // t14 zips in the 1-row corpus-totals frame (t05's scalar class; the
     // B-row weight table itself joins on the equi bucket key).
     // s11 zips in the 1-row per-dim [lo,hi] envelope frame (same class).
+    // p08 zips in the 1-row token-budget totals frame (same class).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
-      "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode")
+      "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
+      "p08_token_budget")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
