@@ -186,8 +186,11 @@ class PlanSpec extends AnyFunSuite {
     // queried from persisted models: the model frames themselves are
     // checkpointed (no parquet scan under those hints) and the only
     // parquet under a hint is the same predicate-bounded probe frame.
+    // s11_sq8_encode hints its fit frame: ONE row of two d-length
+    // arrays (aggregate to zero keys) — bounded by dimensionality, not
+    // corpus, the same class as s07's m·ksub-row codebook.
     val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq",
-      "s08_knn_ivfpq", "s09_incr_encode")
+      "s08_knn_ivfpq", "s09_incr_encode", "s11_sq8_encode")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)
