@@ -46,8 +46,11 @@ object Bench {
     // the r11 bench artifact lost its whole first family that way. Also
     // persist the full line in-tree so every round has a complete
     // machine-readable record independent of how stdout was captured.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Full-tree runs only: a SPARK_GRAFT_ONLY subset re-measure must not
+    // clobber the canonical full-tree record.
+    if (!sys.env.contains("SPARK_GRAFT_ONLY"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
