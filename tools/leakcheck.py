@@ -67,7 +67,10 @@ def tracked_files():
                          capture_output=True, text=True).stdout
     for rel in out.splitlines():
         p = ROOT / rel
-        if p.suffix in SCAN_SUFFIXES and p.is_file() and p.name != "LEAKCHECK.json":
+        # the scanner's own pattern definitions are not leaks
+        if (p.suffix in SCAN_SUFFIXES and p.is_file()
+                and p.name != "LEAKCHECK.json"
+                and rel != "tools/leakcheck.py"):
             yield rel, p
 
 
