@@ -877,6 +877,34 @@ object OracleSql {
              AS epochs
          FROM plan ORDER BY source""",
 
+    // CDC chunk boundaries re-derived positionally (window-gram md5 ≤
+    // the boundary digit, doc end always closes); the window join walks
+    // consecutive boundary ranks — fine in the oracle, while the Spark
+    // side segments row-locally inside array HOFs.
+    "d14_cdc_chunks" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                        FROM documents),
+         nn AS (SELECT doc_id, arr, len(arr) AS n FROM arrs),
+         ends AS (
+           SELECT doc_id, i AS e
+           FROM nn, unnest(generate_series(3, n - 1)) AS u(i)
+           WHERE substr(md5(array_to_string(arr[i-2:i], ' ')), 1, 1) <= '1'
+           UNION ALL SELECT doc_id, n FROM nn),
+         ordered AS (SELECT doc_id, e,
+             row_number() OVER (PARTITION BY doc_id ORDER BY e) AS k
+           FROM ends),
+         chunks AS (SELECT o.doc_id,
+             md5(array_to_string(arr[COALESCE(p.e + 1, 1):o.e], ' '))
+               AS chunk_md5
+           FROM ordered o JOIN nn USING (doc_id)
+             LEFT JOIN ordered p
+               ON p.doc_id = o.doc_id AND p.k = o.k - 1),
+         per AS (SELECT chunk_md5, doc_id, COUNT(*) AS c
+                 FROM chunks GROUP BY 1, 2)
+         SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_occurs
+         FROM per GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY chunk_md5""",
+
     "d10_dup_spans" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
                         FROM documents),

@@ -1023,6 +1023,17 @@ object SparkEntry {
       .orderBy("source")
 
   /** Duplicated-span profiling: 5-gram spans occurring in ≥ 2 docs. */
+  /** Content-defined chunking dedup (Dedup.cdcChunkDups): variable-
+    * length content-aligned chunks (rolling 3-gram md5 boundary rule,
+    * first hex ≤ '1' → p=1/8, mean ~8-token chunks), duplicated-chunk
+    * profile
+    * across docs. Segmentation is one row-local codegen'd projection;
+    * the only shuffles are the two narrow md5-keyed aggregates. */
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkDups(t(s, dir, "documents"), "doc_id", "text",
+        window = 3, hexBoundary = "1")
+      .orderBy("chunk_md5")
+
   private def d10(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 5)
       .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"),
@@ -1954,6 +1965,7 @@ object SparkEntry {
     "d11_bloom_decontam" -> (d11 _),
     "d12_remove_dup_spans" -> (d12 _),
     "d13_fuzzy_decontam" -> (d13 _),
+    "d14_cdc_chunks" -> (d14 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

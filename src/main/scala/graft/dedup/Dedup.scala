@@ -859,6 +859,56 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Content-defined chunking (CDC) duplicate-chunk profile — the
+    * storage-dedup standard (LBFS/FastCDC lineage) applied to corpus
+    * text: chunk boundaries are set by CONTENT (a rolling window-gram
+    * hash condition), not by position, so an insertion near a doc's
+    * head shifts only the chunk containing it — every later chunk
+    * re-aligns and still dedups, the property fixed-offset spans
+    * (d10's class) structurally lack. A token position i (1-based,
+    * window ≤ i < n) ends a chunk when the md5 of the window-gram
+    * ending at i starts with a hex digit ≤ `hexBoundary` (each digit
+    * admitted adds 1/16 boundary probability; expected chunk length is
+    * its reciprocal), and the doc end always ends the last chunk. The
+    * gate reports chunks whose exact content recurs across ≥ 2 docs.
+    *
+    * Scale shape: segmentation is ONE row-local codegen'd projection
+    * (boundary scan + chunk md5s inside array HOFs — no window
+    * function, no self-join, nothing sequential outside the row), then
+    * explode → two map-side-combined aggregates ((md5, doc) then md5).
+    * The only corpus-wide shuffles are those narrow md5-keyed aggs —
+    * the same bound as exact dedup, for variable-length chunks. */
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3, hexBoundary: String = "1"): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    require(hexBoundary.length == 1 &&
+        "0123456789abcdef".contains(hexBoundary),
+      s"hexBoundary must be one lowercase hex digit: $hexBoundary")
+    val segmented = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("ends", concat(
+        when(col("n") - 1 >= window,
+          filter(sequence(lit(window), greatest(col("n") - 1, lit(window))),
+            i => substring(md5(concat_ws(" ",
+              slice(col("toks"), i - (window - 1), lit(window)))), 1, 1)
+              <= hexBoundary))
+          .otherwise(expr("array()").cast("array<int>")),
+        array(col("n"))))
+      .select(col("id"), explode(transform(col("ends"), (e, k) =>
+        md5(concat_ws(" ", slice(col("toks"),
+          when(k === 0, lit(1))
+            .otherwise(element_at(col("ends"), k) + 1),
+          e - when(k === 0, lit(0))
+            .otherwise(element_at(col("ends"), k))))))).as("chunk_md5"))
+    segmented
+      .groupBy(col("chunk_md5"), col("id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Gate reference configuration for embedding near-dup LSH (d05/d06):
     * b=1, L=18 — reproduced by the derivation at both gate corpus sizes
     * (500 and 2000 rows at targetBucket=1000), and the anchor

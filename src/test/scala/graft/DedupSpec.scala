@@ -492,4 +492,55 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  // Driver-side replica of cdcChunkDups' segmentation (window 3,
+  // boundary digit <= bound): chunk md5s of one doc in order.
+  private def refCdcChunks(text: String, bound: Char): Seq[String] = {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ", -1).toSeq
+    val n = toks.length
+    val ends = (3 until n).filter(i =>
+      md5(toks.slice(i - 3, i).mkString(" ")).charAt(0) <= bound) :+ n
+    ends.foldLeft((Seq.empty[String], 0)) { case ((acc, prev), e) =>
+      (acc :+ md5(toks.slice(prev, e).mkString(" ")), e)
+    }._1
+  }
+
+  test("cdcChunkDups: chunks re-align after an insertion (the CDC " +
+      "property) and the dup set matches a driver-side reference") {
+    val tail = (1 to 60).map(i => s"w${i % 13}q$i").mkString(" ")
+    val docs = Seq(1L -> s"alpha $tail", 2L -> s"beta gamma $tail")
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDups(docs, "doc_id", "text",
+        window = 3, hexBoundary = "3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // reference: multiset intersection of the two docs' chunk md5s
+    val a = refCdcChunks(s"alpha $tail", '3')
+    val b = refCdcChunks(s"beta gamma $tail", '3')
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.nonEmpty,
+      "CDC must re-align the shared tail into identical chunks")
+    assert(got.map(_._1).toSet == shared)
+    for ((m, nDocs, nOcc) <- got) {
+      assert(nDocs == 2L)
+      assert(nOcc == (a.count(_ == m) + b.count(_ == m)).toLong)
+    }
+    // and the re-aligned chunks cover the tail: only the head chunk(s)
+    // before the first post-divergence boundary may differ
+    assert(a.takeRight(shared.size).toSet == shared,
+      "shared chunks are the trailing ones")
+  }
+
+  test("cdcChunkDups: tiny docs segment to one whole-doc chunk; " +
+      "identical tiny docs dedup") {
+    val docs = Seq(1L -> "a b", 2L -> "a b", 3L -> "c")
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq((md5("a b"), 2L, 2L)))
+  }
 }
