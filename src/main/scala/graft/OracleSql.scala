@@ -877,6 +877,34 @@ object OracleSql {
              AS epochs
          FROM plan ORDER BY source""",
 
+    // Epoch expansion re-derived coin by coin: the plan CTEs are p08's,
+    // the fractional-copy coin is p02's md5-double convention, and the
+    // acceptance bound divides two exact integers — both sides of the
+    // comparison bit-identical across engines.
+    "p09_mixture_expand" ->
+      s"""WITH d AS (SELECT doc_id, source,
+              CAST($wordCountSql AS BIGINT) AS n_tokens FROM documents),
+         per AS (SELECT source, SUM(n_tokens) AS avail
+                 FROM d GROUP BY source),
+         tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS budget FROM per),
+         plan AS (SELECT source, avail,
+             CAST(budget * ($budgetWeightSql) // ${
+               graft.SparkEntry.p08Weights.values.sum} AS BIGINT) AS desired
+           FROM per, tot),
+         ex AS (SELECT d.doc_id, d.source, d.n_tokens,
+             CAST(desired // avail AS BIGINT) +
+               CASE WHEN CAST(concat('0x', substr(md5('${
+                 graft.SparkEntry.p09Seed}' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) / 1152921504606846976.0
+                 < CAST(desired - (desired // avail) * avail AS DOUBLE)
+                   / avail
+               THEN 1 ELSE 0 END AS copies
+           FROM d JOIN plan ON d.source = plan.source)
+         SELECT source, CAST(SUM(copies) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tokens * copies) AS BIGINT) AS realized_tokens,
+           CAST(MAX(copies) AS BIGINT) AS max_epoch
+         FROM ex WHERE copies >= 1 GROUP BY source ORDER BY source""",
+
     // CDC chunk boundaries re-derived positionally (window-gram md5 ≤
     // the boundary digit, doc end always closes); the window join walks
     // consecutive boundary ranks — fine in the oracle, while the Spark

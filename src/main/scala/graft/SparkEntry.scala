@@ -1003,6 +1003,23 @@ object SparkEntry {
         TextOps.wordCount(col("text")), p08Weights)
       .orderBy("source")
 
+  /** p09's coin seed, shared with the oracle SQL generator. */
+  private[graft] val p09Seed = "graft-expand-r12"
+
+  /** Epoch-expanded training mix (Pack.mixtureExpand): the p08 plan
+    * materialized — full epochs per source plus a seeded fractional
+    * copy, emitted at scan parallelism (plan broadcast, coin + sequence
+    * explode row-local). Gate folds the expansion back to per-source
+    * realized counts the oracle re-derives coin by coin. */
+  private def p09(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.mixtureExpand(t(s, dir, "documents"), col("source"),
+        col("doc_id"), TextOps.wordCount(col("text")), p08Weights, p09Seed)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tokens")).as("realized_tokens"),
+        max(col("epoch")).as("max_epoch"))
+      .orderBy("source")
+
   /** Concat-and-chunk sequence packing over 8 buckets at 256 tokens per
     * training sequence ([[graft.pack.Pack.packSequences]]). */
   private def p01(s: SparkSession, dir: String): DataFrame =
@@ -1956,6 +1973,7 @@ object SparkEntry {
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),
     "p08_token_budget" -> (p08 _),
+    "p09_mixture_expand" -> (p09 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

@@ -221,4 +221,42 @@ object Pack {
       .select(col("source"), col("n_docs"), col("avail_tokens"),
         col("desired_tokens"), col("full_epochs"), col("epochs"))
   }
+
+  /** Materialize a [[tokenBudget]] plan into the actual epoch-expanded
+    * training mix: every doc of source s appears `full_epochs(s)` times,
+    * plus one extra copy with probability `remainder/avail` on a seeded
+    * per-doc coin — so each source's realized token count is
+    * `desired_tokens` in expectation, with only the fractional epoch
+    * randomized (the standard up-/down-sampling materialization behind
+    * Llama-style recipes). Output one row per (doc, epoch).
+    *
+    * Scale shape: the plan is the tokenBudget aggregate (|sources| rows)
+    * broadcast back onto the corpus scan; the expansion itself is a
+    * row-local seeded coin + sequence explode — no shuffle beyond the
+    * plan's own fit aggregate, and the output is emitted directly at
+    * scan parallelism. Determinism: the coin is [[uniformDraw]]'s
+    * md5-derived double and the acceptance bound divides two exact
+    * integers, so both sides of the comparison are bit-identical across
+    * engines (the p02 gate convention). */
+  def mixtureExpand(docs: DataFrame, sourceCol: Column, keyCol: Column,
+                    tokensCol: Column, weights: Map[String, Int],
+                    seed: String): DataFrame = {
+    val plan = tokenBudget(docs, sourceCol, tokensCol, weights)
+      .select(col("source"), col("avail_tokens"), col("desired_tokens"),
+        col("full_epochs"))
+    docs
+      .select(sourceCol.as("source"), keyCol.as("id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("rem",
+        col("desired_tokens") - col("full_epochs") * col("avail_tokens"))
+      .withColumn("n_copies", col("full_epochs") +
+        when(uniformDraw(seed, col("id")) <
+            col("rem").cast("double") / col("avail_tokens"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("id"), col("n_tokens"),
+        explode(when(col("n_copies") >= 1,
+            sequence(lit(1L), col("n_copies")))
+          .otherwise(expr("array()").cast("array<bigint>"))).as("epoch"))
+  }
 }

@@ -217,4 +217,45 @@ class PackSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(out2("b") == 0L && out2("c") == 0L && out2("a") == 100L)
   }
+
+  test("mixtureExpand: whole epochs replicate every doc, the fractional " +
+      "epoch flips a seeded per-doc coin, zero-weight sources vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+        (4L, "c", 40L)).toDF("doc_id", "source", "toks")
+    // budget=100; weights a:60 b:20 c:0 (wsum=80):
+    //   a: desired 75, avail 30 -> full 2, rem 15 (p = 0.5)
+    //   b: desired 25, avail 30 -> full 0, rem 25 (p = 5/6)
+    //   c: desired 0 -> no rows
+    val rows = Pack.mixtureExpand(docs, col("source"), col("doc_id"),
+        col("toks"), Map("a" -> 60, "b" -> 20, "c" -> 0), "spec-exp")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._2)
+    assert(!byDoc.contains(4L), "zero-weight source emits nothing")
+    for (id <- Seq(1L, 2L)) {
+      val copies = byDoc.getOrElse(id, Array.empty).length
+      assert(copies == 2 || copies == 3, s"doc $id copies=$copies")
+      assert(byDoc(id).map(_._4).sorted.toSeq ==
+        (1 to copies).map(_.toLong), s"doc $id epochs contiguous")
+    }
+    assert(byDoc.getOrElse(3L, Array.empty).length <= 1,
+      "b has no whole epoch, at most the fractional copy")
+    // coin matches the driver-side uniformDraw replica
+    def draw(id: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("spec-exp" + id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) / math.pow(2, 60)
+    for (id <- Seq(1L, 2L))
+      assert((byDoc(id).length == 3) == (draw(id) < 15.0 / 30.0),
+        s"doc $id fractional coin")
+    assert((byDoc.getOrElse(3L, Array.empty).length == 1) ==
+      (draw(3L) < 25.0 / 30.0), "doc 3 fractional coin")
+    // deterministic across reruns
+    val again = Pack.mixtureExpand(docs, col("source"), col("doc_id"),
+        col("toks"), Map("a" -> 60, "b" -> 20, "c" -> 0), "spec-exp")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == rows.toSet)
+  }
 }

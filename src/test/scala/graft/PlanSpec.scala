@@ -92,7 +92,7 @@ class PlanSpec extends AnyFunSuite {
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
       "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
-      "p08_token_budget")
+      "p08_token_budget", "p09_mixture_expand")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
