@@ -690,6 +690,58 @@ object OracleSql {
              AS codes_md5
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
 
+    // Code-space cosines are integer-derived (dot and norms of byte
+    // codes are exact in double under any summation order), so both
+    // rankings and every recall are reproduced bit-for-bit.
+    "s12_sq8_recall" ->
+      s"""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS u(i)),
+         mm AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY i),
+         codes AS (SELECT vec_id, ex.i,
+             CASE WHEN hi = lo THEN 0
+               ELSE CAST(least(greatest(
+                 floor((v - lo) * 255.0 / (hi - lo) + 0.5), 0), 255) AS INT)
+             END AS code
+           FROM ex JOIN mm ON ex.i = mm.i),
+         nrm AS (SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS n2
+                 FROM codes GROUP BY vec_id),
+         cd AS (SELECT pc.vec_id AS probe_id, cc.vec_id AS neighbor_id,
+             CAST(SUM(pc.code * cc.code) AS BIGINT) AS dot
+           FROM codes pc JOIN codes cc
+             ON pc.i = cc.i AND pc.vec_id < 5 AND pc.vec_id <> cc.vec_id
+           GROUP BY 1, 2),
+         ck AS (SELECT probe_id, neighbor_id
+           FROM (SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY
+                 CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(np.n2 AS DOUBLE)) *
+                    sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+                 neighbor_id ASC) AS rn
+             FROM cd
+               JOIN nrm np ON np.vec_id = cd.probe_id
+               JOIN nrm nc ON nc.vec_id = cd.neighbor_id)
+           WHERE rn <= 5),
+         p AS (SELECT vec_id AS probe_id, embedding AS v_p
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS v_c
+               FROM embeddings),
+         bk AS (SELECT probe_id, neighbor_id
+           FROM (SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY ${cosD("v_p", "v_c")} DESC, neighbor_id ASC)
+                 AS rn
+             FROM p JOIN c ON probe_id <> neighbor_id)
+           WHERE rn <= 5),
+         hits AS (SELECT bk.probe_id, COUNT(ck.neighbor_id) AS n_hits
+           FROM bk LEFT JOIN ck
+             ON bk.probe_id = ck.probe_id
+               AND bk.neighbor_id = ck.neighbor_id
+           GROUP BY 1)
+         SELECT probe_id, CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
+         FROM hits ORDER BY probe_id""",
+
     "s10_random_projection" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1,
                ${graft.SparkEntry.s10OutDim})) AS j),

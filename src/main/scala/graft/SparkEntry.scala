@@ -950,6 +950,17 @@ object SparkEntry {
     graft.sim.Sq.sq8Summary(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** SQ8 recall audit (Sq.sq8Recall): float-space brute top-5 vs
+    * code-space top-5 for the bounded probe set — the quality
+    * measurement a production SQ8 deployment ships with. Code-space
+    * cosines are integer-derived (exact in double under any summation
+    * order), so both rankings and every recall are bit-deterministic
+    * and the DuckDB oracle reproduces them exactly. */
+  private def s12(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Sq.sq8Recall(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5)
+      .orderBy("probe_id")
+
   private def s02(s: SparkSession, dir: String): DataFrame =
     Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 3,
@@ -1955,6 +1966,7 @@ object SparkEntry {
     "s09_incr_encode" -> (s09 _),
     "s10_random_projection" -> (s10 _),
     "s11_sq8_encode" -> (s11 _),
+    "s12_sq8_recall" -> (s12 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

@@ -25,7 +25,7 @@ object Knn {
 
   /** (probe_id, neighbor_id, rank) from scored candidate rows
     * (probe_id, neighbor_id, cos): rank 1..k by cos desc, id asc. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("probe_id")
       .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
       .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))

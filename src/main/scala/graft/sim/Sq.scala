@@ -57,6 +57,53 @@ object Sq {
             lit(0L)), lit(255L)).cast("int"))
       }).as("codes"))
 
+  /** Recall@k of kNN run in the SQ8 CODE space against float-space
+    * brute-force kNN — the quality audit a production deployment runs
+    * before trading 4× memory for quantized search ("measure, don't
+    * guess" as an operator). Per probe: how many of the float-space
+    * top-k survive in the code-space top-k.
+    *
+    * Cross-engine exactness is the design point: code-space cosines are
+    * built ONLY from integer aggregates (dot and norms of byte codes —
+    * every partial sum an integer exactly representable in double, so
+    * ANY summation order yields the same value; sqrt and the final
+    * division are single correctly-rounded IEEE ops). Rankings therefore
+    * carry no float-accumulation ambiguity at all, and the DuckDB oracle
+    * reproduces both top-k sets and every recall bit-for-bit — unlike
+    * LSH/IVF paths whose internals are declared non-SQL.
+    *
+    * Scale shape: the probe side is bounded by construction (s01's
+    * declared class) and broadcast against the code table; the fit is
+    * [[fitMinMax]]'s d-key aggregate; ranking is the bounded top-k
+    * aggregate, never a window. */
+  def sq8Recall(df: DataFrame, idCol: String, vecCol: String,
+                probeFilter: org.apache.spark.sql.Column, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val brute = Knn.bruteForceKnn(df, idCol, vecCol, probeFilter, k)
+    val codes = encode(df, idCol, vecCol, fitMinMax(df, vecCol))
+    val probes = codes.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col("codes").as("c_p"))
+    val corpus = codes
+      .select(col(idCol).as("neighbor_id"), col("codes").as("c_c"))
+    val scored = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.Vectors.cosineHof(col("c_p"), col("c_c"))
+          .as("cos"))
+    val codeKnn = Knn.rankTopK(scored, k)
+    val hits = brute
+      .join(codeKnn.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** The driver-checkable gate projection: per vector, exact-integer
     * code aggregates plus an md5 over the full code sequence (scalar
     * columns per the rows-gate rule; the md5 pins every code exactly

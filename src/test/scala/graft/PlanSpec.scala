@@ -92,7 +92,7 @@ class PlanSpec extends AnyFunSuite {
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
       "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
-      "p08_token_budget", "p09_mixture_expand")
+      "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -189,8 +189,11 @@ class PlanSpec extends AnyFunSuite {
     // s11_sq8_encode hints its fit frame: ONE row of two d-length
     // arrays (aggregate to zero keys) — bounded by dimensionality, not
     // corpus, the same class as s07's m·ksub-row codebook.
+    // s12_sq8_recall composes s11's fit zip with s01's bounded probe
+    // broadcast (vec_id < 5 on both the float and code sides).
     val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq",
-      "s08_knn_ivfpq", "s09_incr_encode", "s11_sq8_encode")
+      "s08_knn_ivfpq", "s09_incr_encode", "s11_sq8_encode",
+      "s12_sq8_recall")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)

@@ -56,6 +56,33 @@ class SqSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8Recall: well-separated directions survive quantization at " +
+      "recall 1.0; output is bounded and covers every probe") {
+    import org.apache.spark.sql.functions.col
+    // 4 clusters along distinct axes over a zero background: every
+    // active dim spans the same [0, 6] corpus range, so per-dim
+    // normalization preserves the cluster structure exactly (a fixture
+    // with uneven per-dim ranges would be legitimately re-weighted by
+    // SQ8 — that is the operator working, not failing); dims 4-7 stay
+    // constant and exercise the hi = lo → 0 rule
+    val rows = for (c <- 0 until 4; j <- 0 until 3) yield {
+      val v = Array.fill(8)(0f)
+      v(c) = 4f + j
+      ((c * 3 + j).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Sq.sq8Recall(df, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      "one row per probe")
+    for ((p, hits, rec) <- out) {
+      assert(hits >= 0 && hits <= 2)
+      assert(rec == hits / 2.0)
+      assert(rec == 1.0, s"probe $p lost a neighbor to quantization")
+    }
+  }
+
   test("gate summary pins the full code sequence via md5") {
     val df = Seq(1L -> Array(0f, -1f), 2L -> Array(2f, 1f))
       .toDF("vec_id", "embedding")
