@@ -936,7 +936,7 @@ object OracleSql {
     "p09_mixture_expand" ->
       s"""WITH d AS (SELECT doc_id, source,
               CAST($wordCountSql AS BIGINT) AS n_tokens FROM documents),
-         per AS (SELECT source, SUM(n_tokens) AS avail
+         per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
                  FROM d GROUP BY source),
          tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS budget FROM per),
          plan AS (SELECT source, avail,

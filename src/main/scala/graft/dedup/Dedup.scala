@@ -878,13 +878,17 @@ object Dedup {
     * explode → two map-side-combined aggregates ((md5, doc) then md5).
     * The only corpus-wide shuffles are those narrow md5-keyed aggs —
     * the same bound as exact dedup, for variable-length chunks. */
-  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
-                   window: Int = 3, hexBoundary: String = "1"): DataFrame = {
+  /** [[cdcChunkDups]]' segmentation alone: one row per chunk,
+    * (id, chunk_idx, chunk_len, chunk_md5) in document order — entirely
+    * row-local (the boundary scan and chunk md5s evaluate inside array
+    * HOFs in one codegen'd projection). */
+  def cdcSegment(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int = 3, hexBoundary: String = "1"): DataFrame = {
     require(window >= 1, s"window must be positive: $window")
     require(hexBoundary.length == 1 &&
         "0123456789abcdef".contains(hexBoundary),
       s"hexBoundary must be one lowercase hex digit: $hexBoundary")
-    val segmented = docs
+    docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("ends", concat(
@@ -895,19 +899,26 @@ object Dedup {
               <= hexBoundary))
           .otherwise(expr("array()").cast("array<int>")),
         array(col("n"))))
-      .select(col("id"), explode(transform(col("ends"), (e, k) =>
-        md5(concat_ws(" ", slice(col("toks"),
-          when(k === 0, lit(1))
-            .otherwise(element_at(col("ends"), k) + 1),
-          e - when(k === 0, lit(0))
-            .otherwise(element_at(col("ends"), k))))))).as("chunk_md5"))
-    segmented
+      .select(col("id"), posexplode(transform(col("ends"), (e, k) => {
+        val start = when(k === 0, lit(1))
+          .otherwise(element_at(col("ends"), k) + 1)
+        struct((e - start + 1).as("len"),
+          md5(concat_ws(" ", slice(col("toks"), start, e - start + 1)))
+            .as("m5"))
+      })).as(Seq("chunk_idx", "ch")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("ch.len").cast("long").as("chunk_len"),
+        col("ch.m5").as("chunk_md5"))
+  }
+
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3, hexBoundary: String = "1"): DataFrame =
+    cdcSegment(docs, idCol, textCol, window, hexBoundary)
       .groupBy(col("chunk_md5"), col("id"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("chunk_md5"))
       .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurs"))
       .filter(col("n_docs") >= 2)
-  }
 
   /** Gate reference configuration for embedding near-dup LSH (d05/d06):
     * b=1, L=18 — reproduced by the derivation at both gate corpus sizes

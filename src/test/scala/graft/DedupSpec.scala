@@ -533,6 +533,42 @@ class DedupSpec extends AnyFunSuite {
       "shared chunks are the trailing ones")
   }
 
+  test("cdcSegment equals the driver replica on seeded random token " +
+      "streams, and the chunks partition every doc exactly") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1 to 60).map { i =>
+      val n = rng.nextInt(30)
+      val t =
+        if (n == 0) "" // whitespace-only edge: one empty-token chunk
+        else Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, t)
+    }
+    val got = Dedup.cdcSegment(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = 3, hexBoundary = "3")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1).toSeq
+      val n = toks.length
+      val ends = (3 until n).filter(i =>
+        md5(toks.slice(i - 3, i).mkString(" ")).charAt(0) <= '3') :+ n
+      val ref = ends.foldLeft((Seq.empty[(Long, String)], 0)) {
+        case ((acc, prev), e) =>
+          (acc :+ ((e - prev).toLong, md5(toks.slice(prev, e).mkString(" "))),
+            e)
+      }._1
+      assert(got(id) == ref, s"doc $id: ${got(id)} != $ref")
+      assert(got(id).map(_._1).sum == n.toLong,
+        s"doc $id chunks must partition all $n tokens")
+    }
+  }
+
   test("cdcChunkDups: tiny docs segment to one whole-doc chunk; " +
       "identical tiny docs dedup") {
     val docs = Seq(1L -> "a b", 2L -> "a b", 3L -> "c")
