@@ -1485,6 +1485,23 @@ object OracleSql {
            ON cur.doc_id = pre.doc_id AND cur.f = pre.f + 1
          ORDER BY cur.doc_id, frame_idx""",
 
+    // Quota admission replicated as a window cumsum: admit while the
+    // PRIOR admitted-token total is under quota (the crossing doc is
+    // still taken) — exactly the stream's greedy rule on a one-shot
+    // doc_id-ordered replay.
+    "st07_quota_admit" ->
+      s"""WITH d AS (SELECT doc_id, source,
+              CAST($wordCountSql AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prior
+           FROM d)
+         SELECT doc_id, source, n_tokens FROM c
+         WHERE prior < ${graft.SparkEntry.st07Quota}
+         ORDER BY source, doc_id""",
+
     "st01_stream_window" ->
       s"""SELECT date_diff('second', $epoch1970,
            date_trunc('hour', $tsUs)) AS hour_sec,

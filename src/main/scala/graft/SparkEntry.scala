@@ -1830,6 +1830,29 @@ object SparkEntry {
     * batch fires them — deterministic session close without relying on
     * no-data-batch semantics. The sentinel user is filtered from the
     * output (its own session is never closed). */
+  /** st07's per-source token quota, shared with the oracle SQL — sized
+    * to bind hard at the gate corpus (~40% of a source's tokens), so
+    * the admission cutoff is exercised in every source. */
+  private[graft] val st07Quota = 600L
+
+  /** Streaming token-budget quota admission
+    * ([[graft.streaming.Streams.quotaAdmitStream]]): real micro-batch
+    * streaming in verify — the documents table replays through the file
+    * source and each source greedily admits docs in doc_id order until
+    * its running token total fills the quota (one Long of state per
+    * source). The one-shot replay equals the batch window-cumsum the
+    * DuckDB oracle runs; chunked-replay parity is spec-asserted. */
+  private def st07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = streamTable(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.wordCount(col("text")).as("n_tokens"))
+      .as[Streams.DocTok]
+    runStreamOnce(s, Streams.quotaAdmitStream(docs, st07Quota).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("source", "doc_id")
+  }
+
   private def st06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"$dir/events.parquet"
@@ -2013,7 +2036,8 @@ object SparkEntry {
     "st03_incr_dedup_stream" -> (st03 _),
     "st04_contamination_stream" -> (st04 _),
     "st05_index_ingest" -> (st05 _),
-    "st06_sessionize_stream" -> (st06 _)
+    "st06_sessionize_stream" -> (st06 _),
+    "st07_quota_admit" -> (st07 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

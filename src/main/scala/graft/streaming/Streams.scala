@@ -256,6 +256,45 @@ object Streams {
     graft.dedup.Dedup.positionalGrams(train, idCol, textCol, n)
       .select("g").distinct()
 
+  final case class DocTok(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Streaming token-budget quota admission: docs stream in and each
+    * SOURCE admits greedily until its running admitted-token total
+    * reaches `quota` (admit while `used < quota`, then count the
+    * admitted doc's tokens — the doc that crosses the line is still
+    * taken, later ones are not). The streaming half of the p08/p09
+    * recipe axis: budget-capped ingestion that stops paying for a
+    * source the moment its allocation is filled, without ever
+    * buffering documents.
+    *
+    * State is ONE Long per source (the filled token count) — the same
+    * bounded-state discipline as [[firstPerFingerprintStream]]'s
+    * boolean, and the reason this holds at any stream length. Within a
+    * micro-batch, rows are processed in (doc_id) order so admission is
+    * deterministic under any shuffle arrival order; across batches the
+    * carried state makes a chunked doc_id-ordered replay equal the
+    * one-shot replay (spec-asserted), and the one-shot replay equals
+    * the batch window cumsum the DuckDB oracle runs. */
+  def quotaAdmitStream(docs: Dataset[DocTok], quota: Long)
+      : Dataset[DocTok] = {
+    import docs.sparkSession.implicits._
+    require(quota > 0, s"quota must be positive: $quota")
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[DocTok], state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          // materialize before state.update — flatMap laziness would
+          // otherwise snapshot `used` pre-fill
+          val admitted = rows.toVector.sortBy(_.doc_id).flatMap { r =>
+            if (used < quota) { used += r.n_tokens; Vector(r) }
+            else Vector.empty
+          }
+          state.update(used)
+          admitted.iterator
+        })
+  }
+
   /** Streaming form: stateful first-occurrence detection. State is one
     * boolean per user (bounded; at scale this is why we don't buffer events
     * — kcidb's notification spool dedups the same way). */

@@ -132,6 +132,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st07 quota admission: chunked in-order replay equals the window " +
+      "cumsum; the cutoff binds and carries across batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.DocTok
+    val quota = 120L
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.wordCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id").as[DocTok].collect().toSeq
+    // batch anchor: greedy prefix per source while prior < quota
+    val anchor = docs.groupBy(_.source).flatMap { case (_, ds) =>
+      ds.sortBy(_.doc_id)
+        .foldLeft((Vector.empty[DocTok], 0L)) { case ((acc, used), d) =>
+          if (used < quota) (acc :+ d, used + d.n_tokens) else (acc, used)
+        }._1
+    }.map(d => (d.doc_id, d.source)).toSet
+    assert(anchor.nonEmpty && anchor.size < docs.size,
+      "quota must bind: some docs admitted, some rejected")
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    val input = MemoryStream[DocTok]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st07-ckpt").toString
+    val q = Streams.quotaAdmitStream(input.toDS, quota)
+      .writeStream.format("memory").queryName("st07_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st07_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == anchor,
+        s"stream/batch diverge: ${(streamed diff anchor).take(3)} / " +
+          s"${(anchor diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("st04 gate parity: stream-static contamination equals the batch") {
     implicit val sql = spark.sqlContext
     val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
