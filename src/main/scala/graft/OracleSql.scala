@@ -1493,10 +1493,10 @@ object OracleSql {
       s"""WITH d AS (SELECT doc_id, source,
               CAST($wordCountSql AS BIGINT) AS n_tokens FROM documents),
          c AS (SELECT doc_id, source, n_tokens,
-             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
                ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS prior
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS prior
            FROM d)
          SELECT doc_id, source, n_tokens FROM c
          WHERE prior < ${graft.SparkEntry.st07Quota}
