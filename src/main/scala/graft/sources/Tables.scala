@@ -17,8 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Every load dispatches through the table's shape normalizer, so NO
+    * call site can see a generator-drifted physical type (the r11
+    * lesson: `events.ts` silently became TIMESTAMP_NTZ and every raw
+    * consumer threw at analysis time — the engine owns input-shape
+    * totality, not the generator). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" => normalizeTs(raw)
+      case "embeddings" => normalizeEmbedding(raw)
+      case _ => raw
+    }
+  }
 
   /** Normalize an events-shaped frame's `ts` to a canonical session-tz
     * TIMESTAMP (µs) column, whatever parquet physical type the generator
@@ -48,9 +59,29 @@ object Tables {
       case _ => raw
     }
 
+  /** Normalize an embeddings-shaped frame's `embedding` to the canonical
+    * `array<float>` — the type every typed consumer compiles against
+    * (Array[Float] encoders, the native Float vector expressions). A
+    * generator drift to `list<double>` (or any numeric element) would
+    * otherwise fail encoder resolution at analysis time in the whole
+    * s/d-family — the same totality class as [[normalizeTs]]. Numeric
+    * widening/narrowing is a cast; an already-float column passes
+    * through untouched. */
+  def normalizeEmbedding(raw: DataFrame): DataFrame =
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => raw
+      case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.NumericType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+
   /** events.ts normalized to one canonical µs timestamp column
     * ([[normalizeTs]]) — makes every downstream window/dedup operator
-    * engine-portable regardless of generator output shape. */
+    * engine-portable regardless of generator output shape.
+    * ([[apply]] already normalizes; kept as the documented entry point
+    * and for callers holding a raw frame.) */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(apply(spark, dir, "events"))
+    apply(spark, dir, "events")
 }

@@ -78,4 +78,37 @@ class SmokeSpec extends AnyFunSuite {
       assert(sec == epochUs / 1000000L, s"$shape epochSec: $sec")
     }
   }
+
+  test("embedding normalization is total: float-list, double-list and " +
+      "int-list parquet shapes all normalize to array<float>") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-shapes").toString
+    Seq((1L, Seq(1.5f, -2.0f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/flt")
+    Seq((1L, Seq(1.5d, -2.0d, 0.25d), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/dbl")
+    Seq((1L, Seq(1, -2, 3), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/int")
+    for (shape <- Seq("flt", "dbl", "int")) {
+      val norm = Tables.normalizeEmbedding(spark.read.parquet(s"$dir/$shape"))
+      assert(norm.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true) ||
+        norm.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = false),
+        s"$shape not normalized: ${norm.schema("embedding").dataType}")
+      // the typed-consumer contract: Array[Float] encoders must resolve
+      val v = norm.select(col("embedding")).as[Array[Float]].head()
+      assert(v.length == 3, s"$shape values: ${v.toSeq}")
+      // and the native Float vector kernel must evaluate
+      val c = norm.select(graft.functions.Vectors.cosine(
+        col("embedding"), col("embedding"))).as[Double].head()
+      assert(math.abs(c - 1.0) < 1e-6, s"$shape cosine: $c")
+    }
+  }
 }
