@@ -929,6 +929,32 @@ object OracleSql {
              AS epochs
          FROM plan ORDER BY source""",
 
+    // Greedy no-straddle packing replayed as a recursive CTE: the bin
+    // state (index, fill) steps doc by doc within each bucket — all
+    // integer, bit-identical to the Spark fold.
+    "p10_pack_greedy" ->
+      s"""WITH RECURSIVE
+         d AS (SELECT doc_id, doc_id % 8 AS bucket,
+              CAST($wordCountSql AS BIGINT) AS n FROM documents),
+         r AS (SELECT doc_id, bucket, n,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+               AS rk
+           FROM d),
+         rec AS (
+           SELECT bucket, rk, doc_id, n, CAST(1 AS BIGINT) AS bin,
+             n AS used
+           FROM r WHERE rk = 1
+           UNION ALL
+           SELECT r.bucket, r.rk, r.doc_id, r.n,
+             CASE WHEN rec.used + r.n <= 256 THEN rec.bin
+               ELSE rec.bin + 1 END,
+             CASE WHEN rec.used + r.n <= 256 THEN rec.used + r.n
+               ELSE r.n END
+           FROM rec JOIN r ON r.bucket = rec.bucket AND r.rk = rec.rk + 1)
+         SELECT doc_id, bucket, bin AS bin_idx,
+           CAST(used - n AS BIGINT) AS "offset"
+         FROM rec ORDER BY doc_id""",
+
     // Epoch expansion re-derived coin by coin: the plan CTEs are p08's,
     // the fractional-copy coin is p02's md5-double convention, and the
     // acceptance bound divides two exact integers — both sides of the

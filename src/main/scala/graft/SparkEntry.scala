@@ -1031,6 +1031,17 @@ object SparkEntry {
         max(col("epoch")).as("max_epoch"))
       .orderBy("source")
 
+  /** Boundary-respecting greedy packing (Pack.packNoStraddle): p01's
+    * buckets and capacity, but docs never straddle a sequence — the
+    * SFT packing mode. Per-bucket sequential fold after one bucket
+    * shuffle; all-integer, so the DuckDB oracle replays the fold with
+    * a recursive CTE bit-for-bit. */
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.packNoStraddle(t(s, dir, "documents"), "doc_id",
+        TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(8)),
+        capacity = 256L)
+      .orderBy("doc_id")
+
   /** Concat-and-chunk sequence packing over 8 buckets at 256 tokens per
     * training sequence ([[graft.pack.Pack.packSequences]]). */
   private def p01(s: SparkSession, dir: String): DataFrame =
@@ -2009,6 +2020,7 @@ object SparkEntry {
     "p07_shuffle_shard" -> (p07 _),
     "p08_token_budget" -> (p08 _),
     "p09_mixture_expand" -> (p09 _),
+    "p10_pack_greedy" -> (p10 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

@@ -184,6 +184,51 @@ object Pack {
           .as("chunk_md5"))
   }
 
+  /** Boundary-respecting greedy packing — the OTHER standard packing
+    * mode next to [[packSequences]]' concat-and-chunk: documents never
+    * straddle a training sequence (the SFT/instruction-tuning
+    * requirement, where an example split across sequences is corrupted).
+    * Within each bucket, docs pack in doc_id order into capacity-L bins
+    * sequentially: a doc joins the current bin iff it fits, else it
+    * opens the next bin (a doc longer than L gets a bin alone and
+    * overflows it — flagged by its offset 0 + length, never silently
+    * truncated). Output per doc: its bucket, 1-based bin index within
+    * the bucket, and token offset within the bin.
+    *
+    * Scale shape: one shuffle on the bucket key, then a per-bucket
+    * sequential fold over the sorted docs (`flatMapGroups`) — the same
+    * bucket-bounded memory discipline as packSequences' window sort
+    * (tokens-per-bucket ≈ corpus/B; B is the scale knob). The fold is
+    * inherently sequential PER BUCKET — greedy packing's bin state has
+    * no prefix-sum form — which is exactly why the bucket decomposition
+    * is the contract: the corpus-global variant would serialize through
+    * one partition, and this operator refuses that shape. */
+  def packNoStraddle(docs: DataFrame, idCol: String, tokensCol: Column,
+                     bucketCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        bucketCol.cast("long").as("bucket"),
+        tokensCol.cast("long").as("n"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long)]) =>
+        val sorted = rows.toVector.sortBy(_._1)
+        var bin = 0L
+        var used = capacity // forces the first doc to open bin 1
+        sorted.iterator.map { case (id, _, n) =>
+          if (used + n <= capacity) {
+            val off = used; used += n; (id, bucket, bin, off)
+          } else {
+            bin += 1; used = n; (id, bucket, bin, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "bucket", "bin_idx", "offset")
+  }
+
   /** Token-budget mixture plan (the Llama/Dolma-style data recipe step):
     * given integer target weights per source and a total token budget,
     * report per source how many tokens the recipe wants

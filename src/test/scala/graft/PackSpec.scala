@@ -218,6 +218,52 @@ class PackSpec extends AnyFunSuite {
     assert(out2("b") == 0L && out2("c") == 0L && out2("a") == 100L)
   }
 
+  test("packNoStraddle: greedy fill, new bin on overflow, oversize doc " +
+      "alone in its bin; invariants hold on the real corpus") {
+    import spark.implicits._
+    // bucket 0: 100+100 fit bin 1; 80 overflows -> bin 2; 300 oversize
+    //   -> bin 3 alone; 50 can't join the overflowed bin -> bin 4
+    val docs = Seq((1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 80L),
+        (4L, 0L, 300L), (5L, 0L, 50L), (6L, 1L, 10L))
+      .toDF("doc_id", "bucket", "toks")
+    val out = Pack.packNoStraddle(docs, "doc_id", col("toks"),
+        col("bucket"), capacity = 256L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((0L, 1L, 0L)))
+    assert(out(2L) == ((0L, 1L, 100L)))
+    assert(out(3L) == ((0L, 2L, 0L)))
+    assert(out(4L) == ((0L, 3L, 0L)), "oversize doc gets its own bin")
+    assert(out(5L) == ((0L, 4L, 0L)),
+      "nothing packs after an oversize bin is open")
+    assert(out(6L) == ((1L, 1L, 0L)), "buckets pack independently")
+    // real-corpus invariants: per (bucket, bin) the fill equals the max
+    // offset+len, fills only exceed capacity for singleton oversize
+    // bins, and bin indexes are contiguous from 1
+    val docs2 = graft.sources.Tables(spark, TestSpark.sf, "documents")
+    val packed = Pack.packNoStraddle(docs2, "doc_id",
+        graft.text.TextOps.wordCount(col("text")),
+        pmod(col("doc_id"), lit(8)), capacity = 256L)
+      .join(docs2.select(col("doc_id"),
+        graft.text.TextOps.wordCount(col("text")).as("n")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    for (((bucket, bin), grp) <- packed.groupBy(p => (p._2, p._3))) {
+      val fill = grp.map(_._5).sum
+      assert(grp.forall(p => p._4 + p._5 <= fill))
+      if (fill > 256L)
+        assert(grp.length == 1 && grp.head._5 > 256L,
+          s"bucket $bucket bin $bin over capacity without being oversize")
+    }
+    for ((bucket, grp) <- packed.groupBy(_._2)) {
+      val bins = grp.map(_._3).distinct.sorted.toSeq
+      assert(bins == (1L to bins.length.toLong).toSeq,
+        s"bucket $bucket bins not contiguous: $bins")
+    }
+  }
+
   test("mixtureExpand: whole epochs replicate every doc, the fractional " +
       "epoch flips a seeded per-doc coin, zero-weight sources vanish") {
     import spark.implicits._
