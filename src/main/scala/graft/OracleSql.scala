@@ -1246,6 +1246,21 @@ object OracleSql {
          SELECT token, COUNT(*) AS freq FROM toks
          GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25""",
 
+    // BPE pair counts re-derived off the word-frequency table exactly
+    // as Spark builds them (overlapping adjacent pairs, weighted by
+    // word frequency); ties break on pair ASC in both engines.
+    "t15_bpe_merges" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normText, ' ')) AS w
+                        FROM documents),
+         words AS (SELECT w, COUNT(*) AS f FROM toks
+                   WHERE length(w) >= 2 GROUP BY w),
+         pairs AS (SELECT substr(w, i, 2) AS pair, f
+                   FROM words,
+                     unnest(generate_series(1, length(w) - 1)) AS u(i))
+         SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+         FROM pairs GROUP BY pair
+         ORDER BY cnt DESC, pair ASC LIMIT 20""",
+
     "t10_tfidf_terms" ->
       s"""WITH toks AS (SELECT doc_id,
                unnest(string_split($normText, ' ')) AS token

@@ -1486,6 +1486,13 @@ object SparkEntry {
         col("source") === t14Target, buckets = t14Buckets)
       .orderBy("doc_id")
 
+  /** First-round BPE merge candidates (TextOps.bpeMergeCandidates):
+    * tokenizer-training's inner counting step — corpus collapses to the
+    * word-frequency table first, pairs explode off the vocab, top-20 by
+    * (count, pair); full SQL oracle re-counts every weighted pair. */
+  private def t15(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMergeCandidates(t(s, dir, "documents"), "text", k = 20)
+
   /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
     * chunks overlapping by 8): row-local explode, the oracle re-derives
     * every chunk boundary and md5 from the same token array. */
@@ -2015,6 +2022,7 @@ object SparkEntry {
     "t12_pii_redact" -> (t12 _),
     "t13_entropy" -> (t13 _),
     "t14_dsir_weights" -> (t14 _),
+    "t15_bpe_merges" -> (t15 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -289,4 +289,38 @@ object TextOps {
       when(avgWordLen >= 3.0 && avgWordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
     lengthTerm * 0.5 + wordLenTerm * 0.3 + least(stopRatio * 2.0, lit(1.0)) * 0.2
   }
+
+  /** First-round BPE merge candidates — the inner step of tokenizer
+    * TRAINING (Sennrich et al. 2016), which a 100 TB pipeline runs on
+    * its own corpus before any token count in it means anything: count
+    * every adjacent character pair inside every word (frequency-
+    * weighted, overlapping occurrences counted — "aaa" contributes
+    * ("aa", 2)), and surface the top-k merge candidates. Iterating this
+    * (merge the winner, recount) IS the BPE trainer; the per-round
+    * counting is the part with corpus-scale cost and the part that
+    * distributes.
+    *
+    * Scale shape: the corpus collapses FIRST to the word-frequency
+    * table (one map-side-combined aggregate — vocabulary-sized, the
+    * classic BPE-trainer preprocessing), pairs explode off the VOCAB
+    * (corpus-size-independent), and the final ranking is a bounded
+    * TakeOrderedAndProject over pair counts (alphabet²-bounded keys).
+    * No shuffle ever carries corpus-proportional rows beyond the first
+    * word count. */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+                         k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val words = docs
+      .select(explode(graft.dedup.Dedup.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    words
+      .select(col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
 }

@@ -204,4 +204,22 @@ class TextOpsSpec extends AnyFunSuite {
     val expected10 = r6(bigrams("alpha beta alpha beta").map(b => w(bucket(b))).sum)
     assert(got(10L) == ((3L, expected10)))
   }
+
+  test("bpeMergeCandidates: overlapping pairs weighted by word freq, " +
+      "single-char words excluded, ties break on pair ASC") {
+    import spark.implicits._
+    // "aaa" x2 docs -> ("aa", 2 per occurrence x 2 words) = 4
+    // "abab" -> ab:2, ba:1; "ab" once more -> ab:3 total
+    // "z" single char contributes nothing
+    val docs = Seq("aaa ab z", "aaa abab").toDF("text")
+    val out = TextOps.bpeMergeCandidates(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("aa", 4L), ("ab", 3L), ("ba", 1L)),
+      out.toSeq.toString)
+    // tie order: "xy" and "yx" both 1 -> alphabetical
+    val tied = TextOps.bpeMergeCandidates(
+        Seq("xy yx").toDF("text"), "text", k = 2)
+      .collect().map(_.getString(0))
+    assert(tied.toSeq == Seq("xy", "yx"))
+  }
 }
