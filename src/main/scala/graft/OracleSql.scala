@@ -811,6 +811,21 @@ object OracleSql {
          FROM scored ORDER BY doc_id"""
     },
 
+    // The t01 scoring CTE grouped against the ground-truth lang column;
+    // tie order (first-listed profile wins) is identical in the CASE.
+    "t16_langid_eval" -> {
+      val scoreCols = graft.text.TextOps.profiles
+        .map { case (l, _) => s"${langScore(l)} AS s_$l" }.mkString(",\n")
+      val langs = graft.text.TextOps.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseExpr = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (SELECT lang AS lang_true, $scoreCols
+              FROM documents)
+         SELECT lang_true, $caseExpr AS lang_pred, COUNT(*) AS n
+         FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     "t02_quality" ->
       s"""SELECT doc_id, $qualitySql AS quality
          FROM documents ORDER BY doc_id""",

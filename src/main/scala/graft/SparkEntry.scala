@@ -1493,6 +1493,19 @@ object SparkEntry {
   private def t15(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeMergeCandidates(t(s, dir, "documents"), "text", k = 20)
 
+  /** Language-ID quality audit (s12's "measure, don't guess" theme on
+    * the text axis): t01's n-gram detector scored against the corpus'
+    * ground-truth lang column as a confusion matrix — one map-side-
+    * combined aggregate to ≤|langs|² keys; full SQL oracle re-derives
+    * every prediction. */
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang").as("lang_true"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_true", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+
   /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
     * chunks overlapping by 8): row-local explode, the oracle re-derives
     * every chunk boundary and md5 from the same token array. */
@@ -2023,6 +2036,7 @@ object SparkEntry {
     "t13_entropy" -> (t13 _),
     "t14_dsir_weights" -> (t14 _),
     "t15_bpe_merges" -> (t15 _),
+    "t16_langid_eval" -> (t16 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),
