@@ -204,6 +204,51 @@ def main(sfdir, outdir):
               f"below-threshold, or wrong split orientation")
         if not ok13:
             n_ok -= 1
+    # ANN ordering soundness (s02/s03/s04, rows-only): the emitted
+    # (probe, neighbor, rank) lists must agree with the TRUE cosine
+    # order — rank r's true cosine >= rank r+1's (1e-9 slack for the
+    # cross-engine fold), every neighbor id must exist, and ranks must
+    # be contiguous from 1. Recall (the other half) stays with the
+    # KnnSpec ground truth; this pins that whatever the candidate
+    # generation surfaced was RANKED correctly at gate scale.
+    def dot(a, b):
+        return (f"list_reduce(list_transform(range(1, len({a})+1), "
+                f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+                f"(s, x) -> s + x)")
+    cos = (f"({dot('p.embedding', 'n.embedding')} / "
+           f"(sqrt({dot('p.embedding', 'p.embedding')}) * "
+           f"sqrt({dot('n.embedding', 'n.embedding')})))")
+    for ann in ("s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph"):
+        d = f"{outdir}/{ann}"
+        if not os.path.isdir(d):
+            continue
+        inversions, n_rows, n_scored, bad_rank = con.execute(f"""
+            WITH o AS (SELECT * FROM read_parquet('{d}/*.parquet')),
+            sc AS (SELECT o.probe_id, o.rank, o.neighbor_id, {cos} AS cos
+                   FROM o
+                     JOIN embeddings p ON p.vec_id = o.probe_id
+                     JOIN embeddings n ON n.vec_id = o.neighbor_id),
+            inv AS (SELECT SUM(CASE WHEN a.cos < b.cos - 1e-9
+                              THEN 1 ELSE 0 END) AS inversions
+                    FROM sc a JOIN sc b
+                      ON a.probe_id = b.probe_id AND b.rank = a.rank + 1),
+            rk AS (SELECT SUM(CASE WHEN rank != rn THEN 1 ELSE 0 END)
+                     AS bad_rank
+                   FROM (SELECT rank, row_number() OVER (
+                       PARTITION BY probe_id ORDER BY rank) AS rn
+                     FROM o))
+            SELECT (SELECT inversions FROM inv),
+                   (SELECT COUNT(*) FROM o),
+                   (SELECT COUNT(*) FROM sc),
+                   (SELECT bad_rank FROM rk)""").fetchone()
+        ok_ann = ((inversions or 0) == 0 and (bad_rank or 0) == 0
+                  and n_rows == n_scored and (n_rows or 0) > 0)
+        print(f"{'PASS' if ok_ann else 'FAIL'} {ann}_soundness: "
+              f"{n_rows} emitted rows, {inversions or 0} true-cosine "
+              f"inversions, {bad_rank or 0} non-contiguous ranks, "
+              f"{n_rows - n_scored} dangling neighbor ids")
+        if not ok_ann:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
