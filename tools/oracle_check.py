@@ -218,7 +218,10 @@ def main(sfdir, outdir):
     cos = (f"({dot('p.embedding', 'n.embedding')} / "
            f"(sqrt({dot('p.embedding', 'p.embedding')}) * "
            f"sqrt({dot('n.embedding', 'n.embedding')})))")
-    for ann in ("s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph"):
+    # s07/s08/s09 share the schema AND the exact-refine contract (final
+    # order IS true-cosine order), so the audit is even tighter there.
+    for ann in ("s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph",
+                "s07_knn_pq", "s08_knn_ivfpq", "s09_incr_encode"):
         d = f"{outdir}/{ann}"
         if not os.path.isdir(d):
             continue
