@@ -1245,14 +1245,18 @@ object OracleSql {
            CAST(SUM(LENGTH(url)) AS BIGINT) AS total_len
          FROM dedup GROUP BY path, ext ORDER BY path, ext""",
 
+    // Output rounds at 8dp (see the t08 gate note): interpolations of
+    // 6dp-quantized values at 0.05-grid fracs are EXACT on the 5e-8
+    // grid, while 6dp rounding can sit on a half-boundary and flip on
+    // 1-ulp engine differences.
     "t08_quality_percentiles" ->
       s"""WITH q AS (SELECT source, round($qualitySql, 6) AS q
                      FROM documents)
          SELECT source, COUNT(q) AS n_docs,
-           round(quantile_cont(q, 0.25), 6) AS p25,
-           round(quantile_cont(q, 0.50), 6) AS p50,
-           round(quantile_cont(q, 0.75), 6) AS p75,
-           round(quantile_cont(q, 0.95), 6) AS p95
+           round(quantile_cont(q, 0.25), 8) AS p25,
+           round(quantile_cont(q, 0.50), 8) AS p50,
+           round(quantile_cont(q, 0.75), 8) AS p75,
+           round(quantile_cont(q, 0.95), 8) AS p95
          FROM q GROUP BY source ORDER BY source""",
 
     "t09_top_tokens" ->

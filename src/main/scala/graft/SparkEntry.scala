@@ -1371,9 +1371,15 @@ object SparkEntry {
           round(TextOps.qualityScore(col("text")), 6).as("q")),
         "source", "q",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      // Round at 8dp, NOT 6: interpolated percentiles of 6dp-quantized
+      // values at p ∈ multiples of 0.05 live exactly on the 5e-8 grid,
+      // so 8dp rounds a grid POINT (engine-stable), while 6dp can land
+      // on a half-BOUNDARY (x·1e6 = N.5 exactly) where a 1-ulp
+      // cross-engine difference flips the last digit — hit twice at
+      // sf0.1 (src3 p75, src7 p95).
       .select(col("source"), col("n_rows").as("n_docs"),
-        round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
-        round(col("p75"), 6).as("p75"), round(col("p95"), 6).as("p95"))
+        round(col("p25"), 8).as("p25"), round(col("p50"), 8).as("p50"),
+        round(col("p75"), 8).as("p75"), round(col("p95"), 8).as("p95"))
       .orderBy("source")
 
   /** Token-length histogram (equi-width, 16 buckets over [0, 1024) plus
