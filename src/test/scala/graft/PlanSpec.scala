@@ -253,6 +253,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
   }
 
+  test("round-12 operators keep their declared plan shapes") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // d14 segmentation is one row-local projection: zero exchanges
+    val seg = shape(graft.dedup.Dedup.cdcSegment(docs, "doc_id", "text"))
+    assert(!seg.contains("Exchange"), s"cdcSegment must not shuffle:\n$seg")
+    assert(!seg.contains("Window"), seg)
+    // m10 scene cuts: demux→decode→delta fused in the typed map — the
+    // operator body adds no exchange beyond the gate's presentation sort
+    // count tree-line nodes ("Exchange (6)"), not the detail-section
+    // repeats of the node label
+    def exchanges(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
+    val m10p = plan("m10_scene_cuts")
+    assert(!m10p.contains("Window"), m10p)
+    assert(exchanges(m10p) <= 1,
+      s"scene cuts must only exchange for the dump sort:\n$m10p")
+    // p10 packing: exactly the bucket shuffle (plus the dump sort);
+    // greedy state lives in flatMapGroups, never a window
+    val p10p = plan("p10_pack_greedy")
+    assert(!p10p.contains("Window"), p10p)
+    assert(exchanges(p10p) <= 2,
+      s"packing must shuffle only on the bucket key:\n$p10p")
+    // t15: partial (map-side combined) aggregation + bounded top-k
+    val t15p = plan("t15_bpe_merges")
+    assert(t15p.contains("partial"), t15p)
+    assert(t15p.contains("TakeOrderedAndProject"), t15p)
+    assert(!t15p.contains("Window"), t15p)
+    // s11/s12: no window anywhere (SQ8 ranks via the top-k aggregate)
+    for (q <- Seq("s11_sq8_encode", "s12_sq8_recall")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not rank via a window:\n$p")
+    }
+    assert(plan("s12_sq8_recall").contains("top_k_by_score"))
+  }
+
   test("whole-stage codegen covers the q01 pipeline") {
     // AQE only annotates codegen stages in the final (executed) plan.
     val df = SparkEntry.queries("q01_summary_agg")(spark, dir)

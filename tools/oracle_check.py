@@ -13,10 +13,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def main(sfdir, outdir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single files; Spark-written probe dirs
+        # (ScaleUp's /tmp/sf1) are directories of part files
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
