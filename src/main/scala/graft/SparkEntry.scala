@@ -1358,6 +1358,19 @@ object SparkEntry {
       .orderBy("notification_id")
   }
 
+  /** Trailing-window rate anomaly over the event stream
+    * (operators/Series.rateAnomaly): per (event_type, day) counts scored
+    * against the previous 7 observed days' mean/variance — the volume
+    * alerting a monitoring deployment runs on submission rates. The
+    * corpus collapses to the bounded (series, day) frame BEFORE any
+    * window, and the z arithmetic is a stated chain of double ops over
+    * integer window sums, so the full DuckDB oracle reproduces every
+    * score bit-for-bit. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Series.rateAnomaly(ev(s, dir), col("event_type"),
+        col("ts"))
+      .orderBy("series", "day")
+
   /** Per-source quality-score distribution: exact interpolated
     * percentiles via the bounded-state CDF form (operators/Percentiles) —
     * never Spark's value-buffering `percentile` aggregate. The score is
@@ -2009,6 +2022,7 @@ object SparkEntry {
     "q38_ingest_patterns" -> (q38 _),
     "q39_json_files" -> (q39 _),
     "q40_ingest_notify" -> (q40 _),
+    "q41_rate_anomaly" -> (q41 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),
