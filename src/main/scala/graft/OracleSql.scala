@@ -830,6 +830,34 @@ object OracleSql {
       s"""SELECT doc_id, $qualitySql AS quality
          FROM documents ORDER BY doc_id""",
 
+    // t17: integer sentence/word/syllable counts (stated rules shared
+    // with TextOps.readability), then the Flesch / FK chains in the
+    // same double-op order as the Spark side.
+    "t17_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+             $wordCountSql AS n_words,
+             greatest(CAST(1 AS BIGINT), CAST(length(
+               regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS n_sentences,
+             CAST(length(regexp_extract_all($normText, '[aeiouy]+'))
+               AS BIGINT) +
+             CAST(length(list_filter(string_split($normText, ' '),
+               w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT)
+               AS n_syllables
+           FROM documents),
+         r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+             CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+           FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN round(CAST(206.835 AS DOUBLE) -
+             CAST(1.015 AS DOUBLE) * wps - CAST(84.6 AS DOUBLE) * spw, 6)
+           END AS flesch_ease,
+           CASE WHEN n_words > 0 THEN round(CAST(0.39 AS DOUBLE) * wps +
+             CAST(11.8 AS DOUBLE) * spw - CAST(15.59 AS DOUBLE), 6)
+           END AS fk_grade
+         FROM r ORDER BY doc_id""",
+
     "t07_quality_quota" ->
       s"""WITH q AS (SELECT source, doc_id, $qualitySql AS quality
            FROM documents),

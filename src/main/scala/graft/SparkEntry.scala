@@ -1525,6 +1525,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang_true", "lang_pred")
 
+  /** Readability scoring (TextOps.readability): Flesch reading ease +
+    * Flesch-Kincaid grade per doc from integer sentence/word/syllable
+    * counts — single codegen'd scan, full SQL oracle re-deriving every
+    * count and both score chains. */
+  private def t17(s: SparkSession, dir: String): DataFrame =
+    TextOps.readability(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Fixed-length sliding context windows (Pack.chunkWindows, 64-token
     * chunks overlapping by 8): row-local explode, the oracle re-derives
     * every chunk boundary and md5 from the same token array. */
@@ -2057,6 +2065,7 @@ object SparkEntry {
     "t14_dsir_weights" -> (t14 _),
     "t15_bpe_merges" -> (t15 _),
     "t16_langid_eval" -> (t16 _),
+    "t17_readability" -> (t17 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -54,6 +54,44 @@ object TextOps {
   /** BPE-ish token estimate: ~4 chars per token. */
   def bpeEstimate(c: Column): Column = ceil(length(c) / lit(4.0)).cast("long")
 
+  /** Readability scoring (Flesch 1948 reading ease + Flesch-Kincaid 1975
+    * grade level): the classic document-complexity signal a quality
+    * pipeline reads next to t02's surface ratios. Counting rules, stated
+    * once and shared verbatim with the oracle:
+    *   - sentences = runs of [.!?] in the RAW text, min 1 (punctuation
+    *     survives only there; the gate corpus is punctuation-free, so its
+    *     docs read as one sentence — the formula degrades gracefully);
+    *   - words = whitespace tokens of the normalized text;
+    *   - syllables = vowel-group runs ([aeiouy]+) across the normalized
+    *     text plus 1 for each vowel-less word (every word counts >= 1).
+    * All counts are integers; the two scores are a fixed chain of double
+    * ops over them, so both engines agree bit-for-bit. Single scan, zero
+    * shuffles — pure codegen'd column arithmetic at corpus scale. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val norm = trim(regexp_replace(lower(raw), "[^a-z0-9]+", " "))
+    val toks = split(norm, " ")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(raw, lit("[.!?]+"), lit(0))).cast("long"))
+    val vowelRuns =
+      size(regexp_extract_all(norm, lit("[aeiouy]+"), lit(0))).cast("long")
+    // a vowel-less word ("rhythm"-less here: digits, "qt"...) counts 1
+    val noVowel = size(filter(toks, t => !t.rlike("[aeiouy]"))).cast("long")
+    val nWords = wordCount(raw)
+    val nSyll = vowelRuns + noVowel
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    docs.select(col(idCol),
+        nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"),
+        when(nWords > 0, round(
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+          .as("flesch_ease"),
+        when(nWords > 0, round(
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+          .as("fk_grade"))
+  }
+
   /** Token-repetition metrics per document — the Gopher/MassiveText-style
     * repetition filters of a training-data pipeline (Rae et al. 2021 §A1.1:
     * fraction-of-duplicate-content rules), token-based because this corpus

@@ -222,4 +222,36 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(tied.toSeq == Seq("xy", "yx"))
   }
+
+  test("readability: counts and both scores match the stated rules") {
+    import spark.implicits._
+    // "Hello world. It works!" -> 2 sentences; norm "hello world it
+    // works" -> 4 words; vowel runs: e,o / o / i / o -> wait: hello
+    // has e + o (2), world o (1), it i (1), works o (1) = 5 syllables,
+    // no vowel-less words.
+    val docs = Seq((1L, "Hello world. It works!"),
+      (2L, "xyz qqq"), // zero-vowel words: y counts as vowel -> xyz has
+                       // one run; qqq none -> syllables = 1 + 1
+      (3L, "a")).toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_words") == 4L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 5L)
+    val wps = 4.0 / 2.0; val spw = 5.0 / 4.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("flesch_ease") ==
+      r6(206.835 - 1.015 * wps - 84.6 * spw))
+    assert(r1.getAs[Double]("fk_grade") ==
+      r6(0.39 * wps + 11.8 * spw - 15.59))
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_words") == 2L)
+    assert(r2.getAs[Long]("n_sentences") == 1L) // min 1 without [.!?]
+    assert(r2.getAs[Long]("n_syllables") == 2L) // xyz run 'y' + qqq floor
+    val r3 = got(2)
+    assert(r3.getAs[Long]("n_words") == 1L)
+    assert(r3.getAs[Long]("n_syllables") == 1L)
+  }
 }
