@@ -1132,6 +1132,16 @@ object OracleSql {
          CAST(120 + (doc_id % 5) * 24 AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
 
+    "m11_webp_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'vp8x' WHEN 1 THEN 'vp8l'
+           ELSE 'vp8' END AS variant,
+         CAST(16 + doc_id % 301 AS BIGINT) AS width,
+         CAST(16 + doc_id % 211 AS BIGINT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 - doc_id % 2 END
+           AS BIGINT) AS has_alpha
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

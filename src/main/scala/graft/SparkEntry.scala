@@ -1245,6 +1245,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL WebP metadata: per-doc header-only RIFF/WEBP containers
+    * (Binary.makeWebp — variant cycles VP8X/VP8L/VP8 by doc_id % 3,
+    * every field a closed form of doc_id) walked by the pure-byte RIFF
+    * parser (Binary.webpHeader): 24-bit-LE minus-one canvas dims,
+    * LE-bit-packed lossless dims + alpha bit, lossy sync-code frame
+    * dims. The oracle recomputes every field arithmetically — a chunk
+    * walk, bit-unpack, or variant-dispatch bug breaks the hash.
+    * Completes the RIFF family (WAV m02, AVI m05) on the image side. */
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.webpHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeWebp(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -2094,6 +2111,7 @@ object SparkEntry {
     "m07_mkv_meta" -> (m07 _),
     "m08_phash_neardup" -> (m08 _),
     "m09_audio_stats" -> (m09 _),
+    "m11_webp_meta" -> (m11 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -687,6 +687,100 @@ object Binary {
     }
   }
 
+  final case class WebpMeta(doc_id: Long, variant: String, width: Long,
+                            height: Long, has_alpha: Long)
+
+  /** REAL WebP metadata: the RIFF chunk walk ([[wavHeader]]'s discipline
+    * on the image container) to the first recognized bitstream chunk,
+    * covering all three container variants:
+    *   - `VP8X` (extended): canvas dims as 24-bit LE minus-one fields,
+    *     alpha from the flags byte (bit 4);
+    *   - `VP8L` (lossless): 0x2F signature then 14+14-bit dims-minus-one
+    *     and the alpha-used bit, packed little-endian over 4 bytes;
+    *   - `VP8 ` (lossy): 3-byte frame tag, 0x9D 01 2A sync code, then
+    *     14-bit dims in two LE u16s (scale bits masked off); no alpha.
+    * Reads only declared sizes; odd chunk sizes pad to even offsets.
+    * Non-WebP or malformed bytes yield ("unknown", -1, -1, -1). */
+  def webpHeader(p: Array[Byte]): (String, Long, Long, Long) = {
+    def u16le(i: Int): Long = ((p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)).toLong
+    def u24le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16)
+    def u32le(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    val bad = ("unknown", -1L, -1L, -1L)
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WEBP") bad
+    else {
+      var i = 12
+      var out = bad
+      while (i + 8 <= p.length && out._1 == "unknown") {
+        val id = tag(i)
+        val sz = u32le(i + 4)
+        val b = i + 8 // chunk body offset
+        if (id == "VP8X" && sz >= 10 && b + 10 <= p.length) {
+          val alpha = ((p(b) >> 4) & 1).toLong
+          out = ("vp8x", u24le(b + 4) + 1, u24le(b + 7) + 1, alpha)
+        } else if (id == "VP8L" && sz >= 5 && b + 5 <= p.length &&
+            (p(b) & 0xff) == 0x2f) {
+          val bits = u32le(b + 1)
+          out = ("vp8l", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1,
+            (bits >> 28) & 1)
+        } else if (id == "VP8 " && sz >= 10 && b + 10 <= p.length &&
+            (p(b + 3) & 0xff) == 0x9d && (p(b + 4) & 0xff) == 0x01 &&
+            (p(b + 5) & 0xff) == 0x2a) {
+          out = ("vp8", u16le(b + 6) & 0x3fff, u16le(b + 8) & 0x3fff, 0L)
+        }
+        // advance in Long space: a malformed giant size can't overflow
+        // Int and re-enter the buffer
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        i = if (next > p.length) p.length else next.toInt
+      }
+      out
+    }
+  }
+
+  /** Deterministic header-only WebP ([[makeWav]]'s discipline on the
+    * image container): variant cycles vp8x/vp8l/vp8 by doc_id % 3,
+    * width = 16 + id % 301, height = 16 + id % 211, alpha = 1 - id % 2
+    * (lossy vp8 carries no alpha). Every field a closed form of doc_id
+    * so the oracle recomputes it arithmetically. */
+  def makeWebp(docId: Long): Array[Byte] = {
+    def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
+    def le24(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le32(v: Long) =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    val w = 16L + docId % 301
+    val h = 16L + docId % 211
+    val alpha = 1L - docId % 2
+    val body: Array[Byte] = (docId % 3) match {
+      case 0 =>
+        fourcc("VP8X") ++ le32(10) ++
+          Array((alpha << 4).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+          le24(w - 1) ++ le24(h - 1)
+      case 1 =>
+        val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        fourcc("VP8L") ++ le32(5) ++ (Array(0x2f.toByte) ++ le32(bits)) ++
+          Array(0.toByte) // odd size 5 pads to even
+      case _ =>
+        fourcc("VP8 ") ++ le32(10) ++
+          Array(0.toByte, 0.toByte, 0.toByte, 0x9d.toByte, 0x01.toByte,
+            0x2a.toByte) ++ le16(w) ++ le16(h)
+    }
+    fourcc("RIFF") ++ le32(4 + body.length) ++ fourcc("WEBP") ++ body
+  }
+
+  /** [[webpHeader]] over a payload Dataset — typed map, Tungsten
+    * encoders ([[mkvHeaders]]' RIFF-image sibling). */
+  def webpHeaders(ds: Dataset[PayloadRow]): Dataset[WebpMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (v, w, h, a) = webpHeader(r.payload)
+      WebpMeta(r.doc_id, v, w, h, a)
+    }
+  }
+
   /** Deterministic FULLY-DECODABLE PNG: a w×h RGB image whose every pixel
     * is a closed-form function of (doc_id, x, y) — r = (doc_id+x+y)%256,
     * g = (doc_id+2x+y)%256, b = (doc_id+x+2y)%256, w = 8+doc_id%9,

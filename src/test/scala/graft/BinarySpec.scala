@@ -259,6 +259,41 @@ class BinarySpec extends AnyFunSuite {
       == "unknown")
   }
 
+  test("webpHeader: closed-form fields recovered across all three " +
+      "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
+    import graft.multimodal.Binary
+    // 0..29 covers every variant x alpha combination
+    for (id <- 0L to 29L) {
+      val (v, w, h, a) = Binary.webpHeader(Binary.makeWebp(id))
+      val variant = Seq("vp8x", "vp8l", "vp8")((id % 3).toInt)
+      assert(v == variant, s"variant for doc $id")
+      assert(w == 16 + id % 301, s"width for doc $id")
+      assert(h == 16 + id % 211, s"height for doc $id")
+      assert(a == (if (id % 3 == 2) 0L else 1 - id % 2),
+        s"alpha for doc $id")
+    }
+    // unknown chunks before the bitstream chunk are walked over (odd
+    // sizes pad to even), as a real encoder's ICCP/EXIF would be
+    val base = Binary.makeWebp(1L) // vp8l variant
+    val junk = "ICCP".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // declared 3, padded to 4
+    val shifted = base.take(12) ++ junk ++ base.drop(12)
+    // RIFF size field is not re-derived by the walker; parse succeeds
+    assert(Binary.webpHeader(shifted)._1 == "vp8l")
+    assert(Binary.webpHeader(shifted)._2 == 16 + 1 % 301)
+    // non-WebP payloads: unknown, never a throw
+    assert(Binary.webpHeader("not webp".getBytes("UTF-8"))._1 == "unknown")
+    assert(Binary.webpHeader(Binary.makeWav(3L, 10L))._1 == "unknown")
+    assert(Binary.webpHeader(Array.empty[Byte])._1 == "unknown")
+    // truncated mid-chunk: the declared-size guard stops the walk
+    assert(Binary.webpHeader(Binary.makeWebp(3L).dropRight(6))._1
+      == "unknown")
+    // a VP8 chunk without the sync code is not parsed as lossy
+    val vp8 = Binary.makeWebp(2L)
+    val noSync = vp8.clone(); noSync(12 + 8 + 3) = 0x00
+    assert(Binary.webpHeader(noSync)._1 == "unknown")
+  }
+
   test("mkvHeader: TimestampScale absent falls back to the spec default " +
       "1e6, and audio-only tracks leave dims at -1") {
     def beN(v: Long, n: Int): Array[Byte] =

@@ -169,6 +169,7 @@ class PropertySpec extends AnyFunSuite {
       val p = Array.fill(len)(rng.nextInt(256).toByte)
       Binary.mp4Header(p)
       Binary.mkvHeader(p)
+      Binary.webpHeader(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -185,9 +186,15 @@ class PropertySpec extends AnyFunSuite {
         val m = mkv.clone(); m(i) = (m(i) + delta).toByte
         Binary.mkvHeader(m)
       }
+      val webp = Binary.makeWebp(id)
+      for (i <- webp.indices; delta <- Seq(1, 0x80)) {
+        val m = webp.clone(); m(i) = (m(i) + delta).toByte
+        Binary.webpHeader(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
+      for (cut <- 0 to webp.length) Binary.webpHeader(webp.take(cut))
     }
   }
 

@@ -24,6 +24,13 @@ def main(sfdir, outdir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # builder-side subset runs (SPARK_GRAFT_ONLY set) dump only the named
+    # queries; skip the rest instead of flooding SPARK_DUMP_MISSING. The
+    # driver never sets the var, so its gate keeps the loud failure.
+    subset = os.environ.get("SPARK_GRAFT_ONLY")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in want}
     results = {}
     for name, sql in sorted(oracle.items()):
         try:
