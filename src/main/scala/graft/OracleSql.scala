@@ -1353,6 +1353,51 @@ object OracleSql {
          FROM pairs GROUP BY pair
          ORDER BY cnt DESC, pair ASC LIMIT 20""",
 
+    // t18: the t15 counting CTE ranks the merge table (same cnt DESC,
+    // pair ASC order), then a recursive CTE replays bpeEncode's stated
+    // merge-step rule — single-pass replace of the lowest-rank present
+    // pair, re-scan until none applies — state-for-state over the vocab.
+    "t18_bpe_encode" ->
+      s"""WITH RECURSIVE
+         toks AS (SELECT doc_id, unnest(string_split($normText, ' ')) AS w
+                  FROM documents),
+         tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+         wf AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS f FROM tc
+                WHERE length(w) >= 2 GROUP BY w),
+         prs AS (SELECT substr(w, i, 2) AS pair, f
+                 FROM wf,
+                   unnest(generate_series(1, length(w) - 1)) AS u(i)),
+         pc AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+                FROM prs GROUP BY pair),
+         ranked AS (SELECT pair, CAST(row_number() OVER
+               (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
+             FROM pc ORDER BY cnt DESC, pair ASC LIMIT ${
+               graft.SparkEntry.t18Merges}),
+         vocab AS (SELECT DISTINCT w FROM tc),
+         rec(w, state) AS (
+           SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g')
+           FROM vocab
+           UNION ALL
+           SELECT rec.w, replace(rec.state,
+               '|' || substr(m.pair, 1, 1) || '|' ||
+                 substr(m.pair, 2, 1) || '|',
+               '|' || m.pair || '|')
+           FROM rec, LATERAL (
+             SELECT pair FROM ranked r
+             WHERE position(('|' || substr(r.pair, 1, 1) || '|' ||
+               substr(r.pair, 2, 1) || '|') IN rec.state) > 0
+             ORDER BY r.rank LIMIT 1) m),
+         done AS (SELECT w,
+             length(state) - length(replace(state, '|', '')) - 1 AS n_bpe
+           FROM rec
+           WHERE NOT EXISTS (SELECT 1 FROM ranked r
+             WHERE position(('|' || substr(r.pair, 1, 1) || '|' ||
+               substr(r.pair, 2, 1) || '|') IN rec.state) > 0))
+         SELECT tc.doc_id, CAST(SUM(tc.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(tc.cnt * d.n_bpe) AS BIGINT) AS n_bpe_tokens
+         FROM tc JOIN done d USING (w)
+         GROUP BY tc.doc_id ORDER BY tc.doc_id""",
+
     "t10_tfidf_terms" ->
       s"""WITH toks AS (SELECT doc_id,
                unnest(string_split($normText, ' ')) AS token

@@ -1542,6 +1542,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang_true", "lang_pred")
 
+  private[graft] val t18Merges = 20
+
+  /** BPE tokenizer APPLY (TextOps.bpeEncode): t15's top-20 merge
+    * candidates become the merge table (fit once — the tokenizer-axis
+    * s09 lifecycle) and every word encodes by repeatedly merging its
+    * lowest-rank present pair. The merge table is a bounded 20-row
+    * driver collect (Bloom's sketch-head class); encoding runs on the
+    * corpus-size-independent VOCAB frame only. Full SQL oracle: the t15
+    * counting CTE ranks the same table, a recursive CTE replays the
+    * stated merge-step rule state-for-state, and per-doc totals re-join. */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = TextOps.bpeMergeCandidates(docs, "text", k = t18Merges)
+      .collect().map(_.getString(0)).toSeq
+    TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Readability scoring (TextOps.readability): Flesch reading ease +
     * Flesch-Kincaid grade per doc from integer sentence/word/syllable
     * counts — single codegen'd scan, full SQL oracle re-deriving every
@@ -2083,6 +2101,7 @@ object SparkEntry {
     "t15_bpe_merges" -> (t15 _),
     "t16_langid_eval" -> (t16 _),
     "t17_readability" -> (t17 _),
+    "t18_bpe_encode" -> (t18 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

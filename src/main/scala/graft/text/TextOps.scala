@@ -54,6 +54,63 @@ object TextOps {
   /** BPE-ish token estimate: ~4 chars per token. */
   def bpeEstimate(c: Column): Column = ceil(length(c) / lit(4.0)).cast("long")
 
+  /** Greedy BPE tokenizer APPLY (Sennrich et al. 2016's inference side,
+    * the step after [[bpeMergeCandidates]]'s training count): each word
+    * starts as characters and repeatedly merges the LOWEST-RANK pair
+    * present until none applies — rank = position in `merges` (the model,
+    * fit once and applied many: the s09 lifecycle on the tokenizer axis).
+    *
+    * Merge-step semantics, stated once and shared verbatim with the
+    * oracle: the tokenization is a '|'-separator string ("|a|b|…|"); one
+    * step replaces ALL left-to-right non-overlapping occurrences of the
+    * best-ranked present pair's "|a|b|" with "|ab|" (java String.replace
+    * == SQL replace), then re-scans — abutting occurrences missed by a
+    * single pass are caught by the next iteration of the same rule, so
+    * Spark and the DuckDB recursive-CTE oracle agree state-for-state.
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct-word vocab
+    * (corpus-size-independent — t15's own argument); the bounded merge
+    * fold runs as a typed map over THAT frame only (a sequential fold
+    * with no closed column form — the p10 justification), and per-doc
+    * totals come from one narrow join of the (doc, word) counts against
+    * the encoded vocab plus a map-side-combined sum. Emits doc_id,
+    * n_words, n_bpe_tokens. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[String]): DataFrame = {
+    require(merges.forall(_.length == 2),
+      s"merges must be 2-char pairs: ${merges.filter(_.length != 2)}")
+    import docs.sparkSession.implicits._
+    val mergeArr = merges.toArray
+    val tc = docs
+      .select(col(idCol), explode(split(
+        trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
+        " ")).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocabEnc = tc.select("w").distinct().as[String].map { w =>
+      var state = w.flatMap(c => s"|$c").mkString + "|"
+      var changed = true
+      while (changed) {
+        changed = false
+        var k = 0
+        while (k < mergeArr.length && !changed) {
+          val m = mergeArr(k)
+          val pat = "|" + m.charAt(0) + "|" + m.charAt(1) + "|"
+          if (state.contains(pat)) {
+            state = state.replace(pat, "|" + m + "|")
+            changed = true
+          }
+          k += 1
+        }
+      }
+      (w, state.count(_ == '|').toLong - 1L)
+    }.toDF("w", "n_bpe")
+    tc.join(vocabEnc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_bpe")).as("n_bpe_tokens"))
+  }
+
   /** Readability scoring (Flesch 1948 reading ease + Flesch-Kincaid 1975
     * grade level): the classic document-complexity signal a quality
     * pipeline reads next to t02's surface ratios. Counting rules, stated

@@ -223,6 +223,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq("xy", "yx"))
   }
 
+  test("bpeEncode: merge-rank priority, abutting-pair re-scan, and " +
+      "per-doc totals match the stated rule") {
+    import spark.implicits._
+    // "abab aaa x": ab -> |ab|ab| (2), aa -> |aa|a| (2, single-pass
+    // replace misses the abutting second pair, the re-scan catches
+    // nothing more), x -> 1
+    val d1 = Seq((1L, "abab aaa x")).toDF("doc_id", "text")
+    val g1 = TextOps.bpeEncode(d1, "doc_id", "text", Seq("ab", "aa"))
+      .collect().head
+    assert(g1.getAs[Long]("n_words") == 3L)
+    assert(g1.getAs[Long]("n_bpe_tokens") == 5L)
+    // rank priority changes the tokenization: "aabb" under [ab, bb, aa]
+    // -> a|ab|b (3); under [aa, bb, ab] -> aa|bb (2)
+    val d2 = Seq((1L, "aabb")).toDF("doc_id", "text")
+    def enc(merges: Seq[String]): Long =
+      TextOps.bpeEncode(d2, "doc_id", "text", merges)
+        .collect().head.getAs[Long]("n_bpe_tokens")
+    assert(enc(Seq("ab", "bb", "aa")) == 3L)
+    assert(enc(Seq("aa", "bb", "ab")) == 2L)
+    // abutting quad: aaaa -> pass |aa|a|a| wait: single pass merges
+    // (0,1) then resumes after the consumed separator, so pass 1 gives
+    // |aa|a|a|, pass 2 |aa|aa| -> 2 tokens
+    val d3 = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val g3 = TextOps.bpeEncode(d3, "doc_id", "text", Seq("aa"))
+      .collect().head
+    assert(g3.getAs[Long]("n_bpe_tokens") == 4L) // 2 + 2
+    // merge validation is loud
+    intercept[IllegalArgumentException](
+      TextOps.bpeEncode(d3, "doc_id", "text", Seq("abc")))
+  }
+
   test("readability: counts and both scores match the stated rules") {
     import spark.implicits._
     // "Hello world. It works!" -> 2 sentences; norm "hello world it
