@@ -1542,6 +1542,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang_true", "lang_pred")
 
+  /** HLL++ cardinality profile over the event stream
+    * (operators/Sketches.distinctProfile): per event_type, exact ndv of
+    * user_id (the verifiable anchor, dropped at 100 TB) next to the
+    * fixed-memory sketch estimate. Rows-only: no SQL engine reproduces
+    * Spark's HLL registers — the driver audit recomputes the exact
+    * columns in DuckDB and asserts the estimate inside 5·rsd. */
+  private def k01(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.distinctProfile(ev(s, dir),
+        col("event_type"), col("user_id"), rsd = 0.02)
+      .orderBy("series")
+
+  /** GK-summary quantile profile over event values
+    * (operators/Sketches.quantileProfile): per event_type, p50/p90/p99
+    * estimates whose ranks the driver audit checks against exact DuckDB
+    * ranks within the published n/accuracy bound. */
+  private def k02(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileProfile(ev(s, dir),
+        col("event_type"), col("value"), accuracy = 10000)
+      .orderBy("series")
+
   private[graft] val t18Merges = 20
 
   /** BPE tokenizer APPLY (TextOps.bpeEncode): t15's top-20 merge
@@ -2066,6 +2086,8 @@ object SparkEntry {
     "q39_json_files" -> (q39 _),
     "q40_ingest_notify" -> (q40 _),
     "q41_rate_anomaly" -> (q41 _),
+    "k01_sketch_distinct" -> (k01 _),
+    "k02_sketch_quantiles" -> (k02 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable one-pass sketch profiling: HyperLogLog++ distinct counts and
+  * GK-summary approximate quantiles — the bounded-memory way to profile a
+  * 100 TB column where exact answers need a corpus-sized shuffle (exact
+  * ndv) or corpus-proportional state (exact value buffering).
+  *
+  * Both sketches are partial-aggregate friendly: every partition reduces
+  * to a fixed-size sketch buffer before the shuffle, and the merges are
+  * commutative/associative (HLL merges by per-register max), so results
+  * are deterministic under ANY partitioning. Estimates carry published
+  * error bounds instead of a SQL-oracle equality — the driver-side audit
+  * in tools/oracle_check.py recomputes the exact answers in DuckDB and
+  * asserts each estimate sits inside its bound (the d02-soundness
+  * discipline applied to sketches), and the specs pin the bounds plus
+  * partitioning-invariance.
+  */
+object Sketches {
+
+  /** Per-group cardinality profile: exact row count, exact distinct count
+    * (the verifiable anchor) and the HLL++ estimate at `rsd` relative
+    * standard deviation, plus the realized relative error.
+    *
+    * At 100 TB the exact ndv column is the one you DROP — it is only
+    * emitted here so the audit can prove the sketch column honest on
+    * gate-sized corpora. The HLL path is one map-side-combined aggregate
+    * with a fixed register array per (group, sketch). */
+  def distinctProfile(df: DataFrame, groupCol: Column, keyCol: Column,
+                      rsd: Double = 0.02): DataFrame =
+    df.groupBy(groupCol.as("series"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(keyCol).as("ndv_exact"),
+        approx_count_distinct(keyCol, rsd).as("ndv_hll"))
+      .withColumn("rel_err",
+        round(abs(col("ndv_hll") - col("ndv_exact")).cast("double") /
+          col("ndv_exact").cast("double"), 6))
+
+  /** Per-group quantile profile via Spark's GK summaries
+    * (`percentile_approx`): each returned value's RANK is within
+    * n/`accuracy` of the target rank — the contract the driver audit
+    * checks against exact DuckDB ranks. Bounded state per (group,
+    * sketch) regardless of group size; never Spark's value-buffering
+    * exact `percentile`. */
+  def quantileProfile(df: DataFrame, groupCol: Column, valCol: Column,
+                      accuracy: Int = 10000): DataFrame = {
+    val qs = percentile_approx(valCol,
+      array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy))
+    df.groupBy(groupCol.as("series"))
+      .agg(count(valCol).as("n_rows"), qs.as("qs"))
+      .select(col("series"), col("n_rows"),
+        col("qs").getItem(0).as("p50"),
+        col("qs").getItem(1).as("p90"),
+        col("qs").getItem(2).as("p99"))
+  }
+}

@@ -14,7 +14,7 @@ class ContractSpec extends AnyFunSuite {
     "d02_dedup_minhash", "d03_dedup_simhash", "d13_fuzzy_decontam",
     "s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph", "d08_semantic_dedup",
     "s07_knn_pq", "s08_knn_ivfpq", "s09_incr_encode", "st05_index_ingest",
-    "m08_phash_neardup")
+    "m08_phash_neardup", "k01_sketch_distinct", "k02_sketch_quantiles")
 
   test("every query has an oracle or is a declared rows-only check") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     // Every coverage row's key (3rd cell of a table row) must name a gate
     // query, and every gate query must have a row — pins the ledger so a
     // shipped operator can't stay undocumented (round-6/7 audit finding).
-    val keyPattern = "^(q|d|s|t|m|p|st)\\d+\\w*_\\w+$".r
+    val keyPattern = "^(q|d|s|t|m|p|k|st)\\d+\\w*_\\w+$".r
     val src = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8)
     val surveyKeys =
       try src.getLines().filter(_.startsWith("|")).flatMap { l =>
@@ -53,7 +53,7 @@ class ContractSpec extends AnyFunSuite {
     // 4th cell of each row is `sql` or `rows`; the `rows` set must equal
     // declaredRowsOnly exactly, so the ledger can't claim an oracle a
     // query doesn't have (or vice versa).
-    val keyPattern = "^(q|d|s|t|m|p|st)\\d+\\w*_\\w+$".r
+    val keyPattern = "^(q|d|s|t|m|p|k|st)\\d+\\w*_\\w+$".r
     val src = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8)
     val surveyRowsOnly =
       try src.getLines().filter(_.startsWith("|")).flatMap { l =>

@@ -265,6 +265,62 @@ def main(sfdir, outdir):
               f"{n_rows - n_scored} dangling neighbor ids")
         if not ok_ann:
             n_ok -= 1
+    # Sketch audits (k01/k02, rows-only): estimates can't be SQL-oracled,
+    # but their error CONTRACTS can — recompute the exact answers in
+    # DuckDB and assert each estimate inside its published bound.
+    k01 = f"{outdir}/k01_sketch_distinct"
+    if os.path.isdir(k01):
+        # exact columns must match DuckDB exactly; HLL within 5*rsd
+        # (rsd = 0.02 -> 10% hard ceiling, ~2.4 sigma headroom)
+        badk1, nk1 = con.execute(f"""
+            WITH o AS (SELECT * FROM read_parquet('{k01}/*.parquet')),
+            x AS (SELECT event_type AS series, COUNT(*) AS n,
+                    COUNT(DISTINCT user_id) AS ndv
+                  FROM events GROUP BY 1)
+            SELECT SUM(CASE WHEN o.n_rows != x.n
+                         OR o.ndv_exact != x.ndv
+                         OR abs(o.ndv_hll - x.ndv) > 0.10 * x.ndv
+                         THEN 1 ELSE 0 END), COUNT(*)
+            FROM o JOIN x USING (series)""").fetchone()
+        okk1 = (badk1 or 0) == 0 and (nk1 or 0) > 0
+        print(f"{'PASS' if okk1 else 'FAIL'} k01_audit: {nk1} series, "
+              f"{badk1 or 0} with wrong exact columns or HLL outside "
+              f"5*rsd")
+        if not okk1:
+            n_ok -= 1
+    k02 = f"{outdir}/k02_sketch_quantiles"
+    if os.path.isdir(k02):
+        # each estimate's exact rank window [count(<q), count(<=q)] must
+        # intersect target_rank +- n/accuracy (+1 discretization slack)
+        badk2, nk2 = con.execute(f"""
+            WITH o AS (SELECT * FROM read_parquet('{k02}/*.parquet')),
+            m AS (SELECT series, n_rows, 0.50 AS p, p50 AS qv FROM o
+                  UNION ALL
+                  SELECT series, n_rows, 0.90, p90 FROM o
+                  UNION ALL
+                  SELECT series, n_rows, 0.99, p99 FROM o),
+            x AS (SELECT event_type AS series, COUNT(value) AS n
+                  FROM events GROUP BY 1),
+            rk AS (SELECT m.series, m.p, m.qv, m.n_rows, x.n,
+                     CAST(SUM(CASE WHEN e.value <= m.qv THEN 1 ELSE 0
+                       END) AS BIGINT) AS r_le,
+                     CAST(SUM(CASE WHEN e.value < m.qv THEN 1 ELSE 0
+                       END) AS BIGINT) AS r_lt
+                   FROM m
+                     JOIN x USING (series)
+                     JOIN events e ON e.event_type = m.series
+                   GROUP BY 1, 2, 3, 4, 5)
+            SELECT SUM(CASE WHEN n_rows != n
+                         OR r_lt > p * n + n / 10000.0 + 1
+                         OR r_le < p * n - n / 10000.0 - 1
+                         THEN 1 ELSE 0 END), COUNT(*)
+            FROM rk""").fetchone()
+        okk2 = (badk2 or 0) == 0 and (nk2 or 0) > 0
+        print(f"{'PASS' if okk2 else 'FAIL'} k02_audit: {nk2} quantile "
+              f"estimates, {badk2 or 0} outside the n/accuracy rank "
+              f"window or with wrong counts")
+        if not okk2:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
