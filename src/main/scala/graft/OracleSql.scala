@@ -133,6 +133,44 @@ object OracleSql {
       .map { case (s, w) => s"WHEN '$s' THEN CAST($w AS BIGINT)" }
       .mkString("CASE source ", " ", " ELSE CAST(0 AS BIGINT) END")
 
+  /** Trailing-window rate anomaly — the shared oracle of the q41 batch
+    * gate and its st08 streaming twin (exact parity on a one-shot
+    * in-order replay: days close in day order, so the trailing deque
+    * reproduces the batch ROWS frame). The z arithmetic repeats the
+    * Spark side's stated double-op order over integer window sums —
+    * mean = s/k, var = (ss - s·mean)/(k-1), z = (n - mean)/sqrt(var). */
+  private val rateAnomalySql: String =
+    s"""WITH daily AS (SELECT event_type AS series,
+           strftime(date_trunc('day', $tsUs), '%Y-%m-%d') AS day,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       w AS (SELECT series, day, n,
+           CAST(COUNT(n) OVER tw AS BIGINT) AS k_trail,
+           CAST(SUM(n) OVER tw AS BIGINT) AS s_trail,
+           CAST(SUM(n * n) OVER tw AS BIGINT) AS ss_trail
+         FROM daily
+         WINDOW tw AS (PARTITION BY series ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       z AS (SELECT series, day, n, k_trail,
+           CASE WHEN k_trail >= 1 THEN round(
+             CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE), 6)
+           END AS trail_mean,
+           CASE WHEN k_trail >= 2 AND
+               (CAST(ss_trail AS DOUBLE) - CAST(s_trail AS DOUBLE) *
+                 (CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE))) /
+               (CAST(k_trail AS DOUBLE) - 1.0) > 0
+             THEN round((CAST(n AS DOUBLE) -
+                 CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE)) /
+               sqrt((CAST(ss_trail AS DOUBLE) - CAST(s_trail AS DOUBLE) *
+                   (CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE))) /
+                 (CAST(k_trail AS DOUBLE) - 1.0)), 6)
+           END AS z
+         FROM w)
+       SELECT series, day, n, k_trail, trail_mean, z,
+         CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0
+              THEN 1 ELSE 0 END AS INT) AS anomaly
+       FROM z ORDER BY series, day"""
+
   /** Gap-based sessionization (30-min gap, per-user numbering) - the
     * shared oracle of the q37 batch gate and its st06 streaming twin
     * (exact parity on a one-shot in-order replay). */
@@ -1265,37 +1303,12 @@ object OracleSql {
     // q41: the z arithmetic repeats the Spark side's stated double-op
     // order over integer window sums — mean = s/k, var = (ss - s·mean)/
     // (k-1), z = (n - mean)/sqrt(var) — so scores match bit-for-bit.
-    "q41_rate_anomaly" ->
-      s"""WITH daily AS (SELECT event_type AS series,
-             strftime(date_trunc('day', $tsUs), '%Y-%m-%d') AS day,
-             COUNT(*) AS n
-           FROM events GROUP BY 1, 2),
-         w AS (SELECT series, day, n,
-             CAST(COUNT(n) OVER tw AS BIGINT) AS k_trail,
-             CAST(SUM(n) OVER tw AS BIGINT) AS s_trail,
-             CAST(SUM(n * n) OVER tw AS BIGINT) AS ss_trail
-           FROM daily
-           WINDOW tw AS (PARTITION BY series ORDER BY day
-             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-         z AS (SELECT series, day, n, k_trail,
-             CASE WHEN k_trail >= 1 THEN round(
-               CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE), 6)
-             END AS trail_mean,
-             CASE WHEN k_trail >= 2 AND
-                 (CAST(ss_trail AS DOUBLE) - CAST(s_trail AS DOUBLE) *
-                   (CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE))) /
-                 (CAST(k_trail AS DOUBLE) - 1.0) > 0
-               THEN round((CAST(n AS DOUBLE) -
-                   CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE)) /
-                 sqrt((CAST(ss_trail AS DOUBLE) - CAST(s_trail AS DOUBLE) *
-                     (CAST(s_trail AS DOUBLE) / CAST(k_trail AS DOUBLE))) /
-                   (CAST(k_trail AS DOUBLE) - 1.0)), 6)
-             END AS z
-           FROM w)
-         SELECT series, day, n, k_trail, trail_mean, z,
-           CAST(CASE WHEN z IS NOT NULL AND abs(z) > 2.0
-                THEN 1 ELSE 0 END AS INT) AS anomaly
-         FROM z ORDER BY series, day""",
+    "q41_rate_anomaly" -> rateAnomalySql,
+
+    // st08: the streaming twin closes days in day order on the in-order
+    // one-shot replay, so its output equals the batch operator's —
+    // literally q41's oracle.
+    "st08_anomaly_stream" -> rateAnomalySql,
 
     // q39's Spark side round-trips constructed JSON through
     // from_json + array explode; the oracle computes the same URL

@@ -1966,8 +1966,18 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
-  private def st06(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Sentinel-augmented events stream dir (the st06 mechanism, shared
+    * with st08): symlinks every data file of the events table into a
+    * dedicated digest-keyed scratch dir (its own `prefix`: st01/st02
+    * share the plain events stream dir and must not see sentinels), then
+    * writes two far-future one-row sentinel files — replayed last under
+    * maxFilesPerTrigger=1, they advance the watermark past every real
+    * day/gap so EventTimeTimeout fires deterministically. `mutate`
+    * rewrites the sentinel row so the gate can filter it back out. */
+  private def sentinelEventsDir(s: SparkSession, dir: String,
+                                prefix: String,
+                                mutate: (DataFrame, Int) => DataFrame)
+      : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     val path = s"$dir/events.parquet"
     val raw = s.read.parquet(path)
     val tsType = raw.schema("ts").dataType
@@ -1983,15 +1993,12 @@ object SparkEntry {
         case _ => lit(new java.sql.Timestamp(us / 1000L))
       }
     }
-    // dedicated scratch dir (streamTable's digest-keyed discipline, its
-    // own prefix: st01/st02 share the plain events stream dir and must
-    // not see the sentinels)
     val tablePath = java.nio.file.Paths.get(path).toAbsolutePath
     val pathKey = java.security.MessageDigest.getInstance("MD5")
       .digest(tablePath.toString.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     val srcDir = java.nio.file.Paths
-      .get("target", s"stream_src6_events_$pathKey").toAbsolutePath
+      .get("target", s"${prefix}_events_$pathKey").toAbsolutePath
     java.nio.file.Files.createDirectories(srcDir)
     val dataFiles =
       if (java.nio.file.Files.isDirectory(tablePath))
@@ -2009,10 +2016,7 @@ object SparkEntry {
     }
     for (k <- 0 to 1) {
       val tmp = java.nio.file.Files.createTempDirectory(srcDir, "sentinel_w")
-      raw.limit(1)
-        .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
-        .withColumn("event_id",
-          lit(2000000000L + k).cast(raw.schema("event_id").dataType))
+      mutate(raw.limit(1), k)
         .withColumn("ts", farLit(k))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
@@ -2030,8 +2034,18 @@ object SparkEntry {
       }
       wipe(tmp.toFile)
     }
+    (srcDir, raw.schema)
+  }
+
+  private def st06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (srcDir, schema) = sentinelEventsDir(s, dir, "stream_src6",
+      (one, k) => one
+        .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
+        .withColumn("event_id",
+          lit(2000000000L + k).cast(one.schema("event_id").dataType)))
     val events = graft.sources.Tables.normalizeTs(
-        s.readStream.schema(raw.schema)
+        s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       .select(col("user_id"), col("event_id"), col("ts"))
       .withWatermark("ts", "35 days")
@@ -2041,6 +2055,31 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Append)
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "session_idx")
+  }
+
+  /** st08 runs q41's trailing-window rate anomaly as REAL micro-batch
+    * streaming (Streams.rateAnomalyStream): the events table replays
+    * through the file source, per-series day counts accumulate in
+    * bounded state, and each day is scored against its trailing week the
+    * moment the watermark passes it (EventTimeTimeout; st06's sentinel
+    * files fire the final closes). The in-order one-shot replay closes
+    * days exactly in day order, so the gate shares q41's FULL SQL
+    * oracle — the eighth streaming-class gate, and the second (after
+    * st06) whose stateful output is oracle-equal to its batch twin. */
+  private def st08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (srcDir, schema) = sentinelEventsDir(s, dir, "stream_src8",
+      (one, _) => one.withColumn("event_type", lit("__wm__")))
+    val events = graft.sources.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .select(col("event_type"), col("ts"))
+      .withWatermark("ts", "35 days")
+      .as[Streams.RateEvent]
+    runStreamOnce(s, Streams.rateAnomalyStream(events).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .filter(col("series") =!= "__wm__")
+      .orderBy("series", "day")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2159,7 +2198,8 @@ object SparkEntry {
     "st04_contamination_stream" -> (st04 _),
     "st05_index_ingest" -> (st05 _),
     "st06_sessionize_stream" -> (st06 _),
-    "st07_quota_admit" -> (st07 _)
+    "st07_quota_admit" -> (st07 _),
+    "st08_anomaly_stream" -> (st08 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -232,6 +232,99 @@ object Streams {
           })
   }
 
+  final case class RateEvent(event_type: String, ts: java.sql.Timestamp)
+  final case class RateSt(open: Map[Long, Long], trail: Seq[Long])
+  final case class RateOut(series: String, day: String, n: Long,
+                           k_trail: Long, trail_mean: Option[Double],
+                           z: Option[Double], anomaly: Int)
+
+  /** STREAMING trailing-window rate anomaly — the continuous twin of
+    * [[graft.operators.Series.rateAnomaly]] (q41): per series, per-day
+    * event counts accumulate in state and each day is scored against the
+    * previous <= 7 CLOSED days the moment the WATERMARK passes its end
+    * (EventTimeTimeout — an idle series still drains), emitting the same
+    * (n, k_trail, trail_mean, z, anomaly) row the batch operator derives,
+    * with the identical stated double-op chain and HALF_UP 6-dp rounding.
+    *
+    * State per series is BOUNDED: the open day-count map (only days the
+    * watermark hasn't passed — at most the watermark delay in days) plus
+    * the <= 7-long trailing counts deque; never an event buffer. Late
+    * rule (sessionizeStream's): events strictly behind the watermark are
+    * dropped on entry, so a closed day's count can never mutate (a row
+    * of a closed day is always strictly behind the watermark). Days
+    * close in day order, so the trailing window reproduces the batch
+    * ROWS-frame exactly on an in-order one-shot replay — st08's gate
+    * shares q41's full SQL oracle. After every day closes, the trail
+    * marker TTLs after `markerTtlSec` of event time (sessionizeStream's
+    * marker discipline): a series resuming later restarts its baseline.
+    * Callers must set a watermark on `ts` before calling. */
+  def rateAnomalyStream(events: Dataset[RateEvent], trailing: Int = 7,
+                        zThresh: Double = 2.0,
+                        markerTtlSec: Long = 30L * 86400)
+      : Dataset[RateOut] = {
+    require(trailing >= 2, s"trailing window needs >= 2 days: $trailing")
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def score(series: String, day: Long, n: Long,
+              trail: Seq[Long]): RateOut = {
+      val k = trail.size.toLong
+      val mean = if (k >= 1) Some(trail.sum.toDouble / k.toDouble) else None
+      val z = mean.filter(_ => k >= 2).flatMap { m =>
+        val s = trail.sum.toDouble
+        val ss = trail.map(x => x * x).sum.toDouble
+        val varD = (ss - s * m) / (k.toDouble - 1.0)
+        if (varD > 0) Some(round6((n.toDouble - m) / math.sqrt(varD)))
+        else None
+      }
+      RateOut(series, java.time.LocalDate.ofEpochDay(day).toString, n, k,
+        mean.map(round6), z,
+        if (z.exists(v => math.abs(v) > zThresh)) 1 else 0)
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (series: String, rows: Iterator[RateEvent],
+         state: GroupState[RateSt]) => {
+          val wm = state.getCurrentWatermarkMs
+          val st0 = state.getOption.getOrElse(RateSt(Map.empty, Nil))
+          // fold this batch's in-watermark rows into the open day counts
+          // (ties with the watermark kept, sessionizeStream's rule)
+          var open = st0.open
+          if (!state.hasTimedOut)
+            for (r <- rows if r.ts.getTime >= wm) {
+              val d = math.floorDiv(r.ts.getTime, dayMs)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+            }
+          // close every day the watermark has passed, in day order,
+          // scoring each against the trailing deque as it closes
+          val (closable, stillOpen) =
+            open.partition { case (d, _) => (d + 1) * dayMs <= wm }
+          var trail = st0.trail
+          val out = closable.toSeq.sortBy(_._1).map { case (d, n) =>
+            val r = score(series, d, n, trail)
+            trail = (trail :+ n).takeRight(trailing)
+            r
+          }
+          if (stillOpen.nonEmpty) {
+            state.update(RateSt(stillOpen, trail))
+            state.setTimeoutTimestamp(math.max(
+              (stillOpen.keys.min + 1) * dayMs, wm + 1))
+          } else if (state.hasTimedOut && closable.isEmpty) {
+            // marker TTL fired with nothing left to close: reclaim
+            state.remove()
+          } else {
+            // keep the trailing baseline for a resuming series, bounded
+            // by the marker TTL
+            state.update(RateSt(Map.empty, trail))
+            state.setTimeoutTimestamp(wm + markerTtlSec * 1000L)
+          }
+          out.iterator
+        })
+  }
+
   /** Streaming contamination detector — the stream-static join pattern of
     * a continuously-crawling pipeline: each arriving document emits the
     * positional n-gram spans it shares with a STATIC benchmark/train gram

@@ -274,6 +274,60 @@ class StreamingSpec extends AnyFunSuite {
         s"${(viaFile diff viaDir).take(3)}")
   }
 
+  test("st08 gate (streaming rate anomaly) equals the q41 batch gate") {
+    val streamed =
+      SparkEntry.queries("st08_anomaly_stream")(spark, TestSpark.sf)
+        .collect().toSeq.map(_.toSeq)
+    val batch = SparkEntry.queries("q41_rate_anomaly")(spark, TestSpark.sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(streamed.nonEmpty, "st08 gate emitted zero scored days")
+    assert(streamed == batch,
+      s"stream/batch anomaly rows diverge: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
+  test("st08 twin: chunked in-order replay equals the batch scorer, " +
+      "watermark closes trailing days, bounded state") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.RateEvent
+    val batch = SparkEntry.queries("q41_rate_anomaly")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    val all = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts"))
+      .orderBy("ts")
+      .as[RateEvent].collect().toSeq
+    val chunks = all.grouped((all.size + 3) / 4).toSeq
+    val input = MemoryStream[RateEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st08-ckpt").toString
+    val q = Streams.rateAnomalyStream(
+        input.toDS.withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("st08_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // far-future sentinel series: advances the watermark so the
+      // timeouts close and score every real series' remaining days
+      val far = new Timestamp(all.map(_.ts.getTime).max + 40L * 86400000L)
+      for (i <- 0 to 1) {
+        input.addData(Seq(RateEvent("__wm__",
+          new Timestamp(far.getTime + i * 1000L))))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st08_stream")
+        .filter(col("series") =!= "__wm__")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: extra=${(streamed diff batch).take(3)} " +
+          s"missing=${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("q37 streaming twin: chunked in-order replay equals the batch " +
       "sessionizer, watermark closes idle sessions") {
     implicit val sql = spark.sqlContext
