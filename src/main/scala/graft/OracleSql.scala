@@ -1470,6 +1470,39 @@ object OracleSql {
              AS mean_b
          FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
+    // m12: every bin count recomputed from the closed-form pixel
+    // pattern; all 16 bins per doc (zeros included) so the joins are
+    // presence-unambiguous.
+    "m12_color_histogram" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+           FROM documents),
+         px AS (SELECT doc_id,
+                  (doc_id + x + y) % 256 AS r,
+                  (doc_id + 2 * x + y) % 256 AS g,
+                  (doc_id + x + 2 * y) % 256 AS b
+                FROM d,
+                  unnest(generate_series(0, w - 1)) AS xs(x),
+                  unnest(generate_series(0, h - 1)) AS ys(y)),
+         bins AS (SELECT doc_id, CAST(bb AS BIGINT) AS bin
+                  FROM d, unnest(generate_series(0, 15)) AS u(bb)),
+         hr AS (SELECT doc_id, r // 16 AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY 1, 2),
+         hg AS (SELECT doc_id, g // 16 AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY 1, 2),
+         hb AS (SELECT doc_id, b // 16 AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY 1, 2)
+         SELECT bins.doc_id, bins.bin,
+           COALESCE(hr.n, CAST(0 AS BIGINT)) AS n_r,
+           COALESCE(hg.n, CAST(0 AS BIGINT)) AS n_g,
+           COALESCE(hb.n, CAST(0 AS BIGINT)) AS n_b
+         FROM bins
+           LEFT JOIN hr USING (doc_id, bin)
+           LEFT JOIN hg USING (doc_id, bin)
+           LEFT JOIN hb USING (doc_id, bin)
+         ORDER BY doc_id, bin""",
+
     "t11_lm_score" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
                         FROM documents),

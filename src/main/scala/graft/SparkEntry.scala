@@ -1664,6 +1664,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL per-channel color histograms over decoded pixels
+    * (Binary.colorHistograms): m03's lossless PNG round trip feeding 16
+    * equi-width bins per channel — integer counts, all 16 bins emitted
+    * per doc, so the DuckDB oracle recomputes every bin exactly from
+    * the closed-form pixel pattern. A binning, decode, or channel-order
+    * bug breaks the hash. */
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.colorHistograms(
+        src.map(id => Binary.PayloadRow(id, Binary.makeRealPng(id))))
+      .toDF()
+      .orderBy("doc_id", "bin")
+  }
+
   /** REAL multi-frame sampling: per-doc animated GIFs (frame pixels a
     * closed form of (doc_id, frame) — Binary.makeRealGif) demuxed by
     * javax.imageio's multi-image reader and decoded to exact channel
@@ -2192,6 +2207,7 @@ object SparkEntry {
     "m08_phash_neardup" -> (m08 _),
     "m09_audio_stats" -> (m09 _),
     "m11_webp_meta" -> (m11 _),
+    "m12_color_histogram" -> (m12 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -989,6 +989,51 @@ object Binary {
     }
   }
 
+  final case class ColorHist(doc_id: Long, bin: Long, n_r: Long,
+                             n_g: Long, n_b: Long)
+
+  /** REAL per-channel color histograms (16 equi-width bins of 16 values,
+    * bin = value / 16): the classic image quality / dedup / dataset-
+    * curation signal next to [[pixelStats]]' means — integer pixel
+    * COUNTS, so the oracle recomputes every bin exactly from the
+    * closed-form synthesized pixels. Decode at the codec boundary
+    * ([[pixelStats]]' mapPartitions discipline), then each image emits
+    * its fixed 16 rows (zero bins included — the oracle's join has no
+    * presence ambiguity). Undecodable payloads yield one (-1, -1, -1,
+    * -1) sentinel row. */
+  def colorHistograms(ds: Dataset[PayloadRow]): Dataset[ColorHist] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) Seq(ColorHist(r.doc_id, -1L, -1L, -1L, -1L))
+        else {
+          val hr = new Array[Long](16)
+          val hg = new Array[Long](16)
+          val hb = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              hr(((p >> 16) & 0xff) / 16) += 1
+              hg(((p >> 8) & 0xff) / 16) += 1
+              hb((p & 0xff) / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until 16).map(b =>
+            ColorHist(r.doc_id, b.toLong, hr(b), hg(b), hb(b)))
+        }
+      }
+    }
+  }
+
   /** Exact per-channel long sums of a decoded image (shared by
     * [[pixelStats]] and [[frameStats]]). */
   private def rgbSums(img: java.awt.image.BufferedImage)

@@ -259,6 +259,38 @@ class BinarySpec extends AnyFunSuite {
       == "unknown")
   }
 
+  test("colorHistograms: bins match a driver-side replica of the " +
+      "closed-form pixels; sentinel on garbage; bins sum to n_pixels") {
+    import graft.multimodal.Binary
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L, 13L, 255L)
+    val got = Binary.colorHistograms(
+        ids.toDS.map(id => Binary.PayloadRow(id, Binary.makeRealPng(id))))
+      .collect().groupBy(_.doc_id)
+    for (id <- ids) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val hr = new Array[Long](16); val hg = new Array[Long](16)
+      val hb = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        hr((((id + x + y) % 256) / 16).toInt) += 1
+        hg((((id + 2 * x + y) % 256) / 16).toInt) += 1
+        hb((((id + x + 2 * y) % 256) / 16).toInt) += 1
+      }
+      val rows = got(id).sortBy(_.bin)
+      assert(rows.length == 16)
+      assert(rows.map(_.n_r).toSeq == hr.toSeq, s"doc $id red bins")
+      assert(rows.map(_.n_g).toSeq == hg.toSeq, s"doc $id green bins")
+      assert(rows.map(_.n_b).toSeq == hb.toSeq, s"doc $id blue bins")
+      assert(rows.map(_.n_r).sum == w.toLong * h)
+    }
+    // undecodable payload: one sentinel row, not silence or a throw
+    val bad = Binary.colorHistograms(
+        Seq(99L).toDS.map(id =>
+          Binary.PayloadRow(id, "not a png".getBytes("UTF-8"))))
+      .collect()
+    assert(bad.toSeq == Seq(Binary.ColorHist(99L, -1L, -1L, -1L, -1L)))
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary
