@@ -694,6 +694,35 @@ object OracleSql {
          SELECT id AS vec_id, MIN(label) AS cluster_id
          FROM reach GROUP BY id ORDER BY vec_id""",
 
+    // d15: d06's components + sizes + the universe left join; singletons
+    // default to their own id with weight 1.
+    "d15_dedup_weights" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT id_a, id_b FROM (
+             SELECT va.vec_id AS id_a, vb.vec_id AS id_b,
+               ${cosD("va.embedding", "vb.embedding")} AS cos
+             FROM embeddings va JOIN embeddings vb
+               ON va.vec_id % 20 = 0 AND va.vec_id < vb.vec_id)
+           WHERE cos >= 0.25),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.label FROM e JOIN reach r ON e.src = r.id),
+         cl AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM cl GROUP BY 1)
+         SELECT emb.vec_id,
+           COALESCE(cl.cluster, emb.vec_id) AS cluster_id,
+           COALESCE(sz.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+           CAST(1 AS DOUBLE) /
+             COALESCE(sz.cluster_size, CAST(1 AS BIGINT)) AS weight
+         FROM embeddings emb
+           LEFT JOIN cl ON cl.id = emb.vec_id
+           LEFT JOIN sz ON sz.cluster = cl.cluster
+         ORDER BY emb.vec_id""",
+
     "s01_knn_brute" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p
                      FROM embeddings WHERE vec_id < 5),

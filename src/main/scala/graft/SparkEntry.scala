@@ -884,6 +884,21 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
       .orderBy("vec_id")
 
+  /** Soft dedup weights (Dedup.dedupWeights): d06's near-dup clusters
+    * become per-document down-weights — weight = 1/cluster_size, 1 for
+    * singletons — so each cluster contributes one document's worth of
+    * training mass instead of being dropped. Full SQL oracle: d06's
+    * recursive-CTE components extended with sizes and the universe
+    * left join. */
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupWeights(t(s, dir, "embeddings"), "vec_id",
+        Dedup.connectedComponents(
+          Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+            "embedding", probeFilter = col("vec_id") % 20 === 0,
+            threshold = 0.25),
+          "id_a", "id_b"))
+      .orderBy("vec_id")
+
   /** Semantic dedup (SemDeDup): every corpus id with its keep/drop
     * decision, each drop carrying a (witness_id, witness_cos) evidence
     * pair so the DuckDB side of the gate recomputes the cosine from raw
@@ -2194,6 +2209,7 @@ object SparkEntry {
     "d12_remove_dup_spans" -> (d12 _),
     "d13_fuzzy_decontam" -> (d13 _),
     "d14_cdc_chunks" -> (d14 _),
+    "d15_dedup_weights" -> (d15 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

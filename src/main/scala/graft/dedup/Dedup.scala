@@ -579,6 +579,34 @@ object Dedup {
     * so cells fit; `fitFraction` fits the k-means on a sample). Nothing is
     * corpus-global except the c-row centroid broadcast.
     */
+  /** Soft dedup: DOWN-WEIGHT duplicates instead of dropping them (the
+    * duplicate-aware sampling weight modern recipes feed the mixture
+    * stage — each near-dup cluster contributes ~1 document's worth of
+    * training mass in total, so diversity is preserved without losing
+    * any document outright). `clusters` is any (id, cluster) frame —
+    * [[connectedComponents]] over any pair generator; ids absent from it
+    * are singletons with weight 1.
+    *
+    * Scale shape: one narrow count aggregate over the cluster frame
+    * (bounded by documents IN near-dup pairs, typically a small corpus
+    * fraction) plus two id-keyed left joins AQE broadcasts when the
+    * cluster side is small. weight = 1/cluster_size as one double
+    * division — bit-identical cross-engine, no rounding needed. */
+  def dedupWeights(universe: DataFrame, idCol: String,
+                   clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("id").as(idCol), col("cluster"))
+    val sizes = cl.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    universe.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     c: Int, tau: Double, iters: Int = 3,
                     fitFraction: Double = 1.0): DataFrame = {

@@ -579,4 +579,28 @@ class DedupSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got.toSeq == Seq((md5("a b"), 2L, 2L)))
   }
+
+  test("dedupWeights: 1/cluster_size for clustered ids, 1 for " +
+      "singletons; every cluster's mass sums to 1") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val universe = (1L to 12L).toDF("doc_id")
+    val got = Dedup.dedupWeights(universe, "doc_id",
+        Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 12)
+    for (id <- Seq(1L, 2L, 3L))
+      assert(got(id) == ((1L, 3L, 1.0 / 3.0)), s"id $id")
+    for (id <- Seq(10L, 11L))
+      assert(got(id) == ((10L, 2L, 0.5)), s"id $id")
+    for (id <- (4L to 9L) :+ 12L)
+      assert(got(id) == ((id, 1L, 1.0)), s"singleton $id")
+    // soft-dedup invariant: each cluster contributes exactly one
+    // document's worth of mass
+    val byCluster = got.values.groupBy(_._1)
+      .map { case (c, vs) => c -> vs.map(_._3).sum }
+    assert(byCluster.values.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
 }
