@@ -1842,6 +1842,20 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Complete)
       .orderBy("hour_sec", "event_type")
 
+  /** st09 runs the HLL++ sketch INSIDE the streaming state store
+    * (Streams.dailyNdvStream): per (day, series) windowed group, state
+    * is a fixed HLL register array — never the raw user set — so
+    * continuous cardinality monitoring holds KB-scale state at any
+    * stream rate. Complete mode for the one-shot replay (st01's
+    * reasoning). Rows-only: the estimates aren't SQL-reproducible; the
+    * driver audit (st09_audit) recomputes exact per-day ndv in DuckDB
+    * and bounds every estimate, and the spec pins stream == batch
+    * estimate equality (HLL merges are order-insensitive). */
+  private def st09(s: SparkSession, dir: String): DataFrame =
+    runStreamOnce(s, Streams.dailyNdvStream(streamEvents(s, dir)),
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      .orderBy("series", "day")
+
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
     * on the MONITOR side): file source over the events table (st01's
@@ -2231,7 +2245,8 @@ object SparkEntry {
     "st05_index_ingest" -> (st05 _),
     "st06_sessionize_stream" -> (st06 _),
     "st07_quota_admit" -> (st07 _),
-    "st08_anomaly_stream" -> (st08 _)
+    "st08_anomaly_stream" -> (st08 _),
+    "st09_sketch_stream" -> (st09 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -44,6 +44,30 @@ object Streams {
   def hourlyAggStream(events: DataFrame): DataFrame =
     hourlyAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Daily per-series distinct-user profile via the HLL++ SKETCH inside
+    * the streaming state store (k01's sketch discipline on the streaming
+    * axis): each (window, series) group's state is a fixed HLL register
+    * array — never the raw user set, which for a hot day would grow with
+    * traffic — so continuous cardinality monitoring holds KB-scale state
+    * per window at any stream rate. The SAME function is the batch
+    * anchor and the streaming query (st04's discipline): HLL merges by
+    * per-register max, so chunked streaming accumulation equals the
+    * one-shot batch estimate EXACTLY (spec-asserted), and the driver
+    * audit checks the estimate against exact DuckDB ndv per day. */
+  def dailyNdvProfile(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("user_id"), rsd).as("ndv_hll"))
+      .select(col("event_type").as("series"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("ndv_hll"))
+
+  /** Streaming variant with a watermark (late events beyond 1 day
+    * dropped; windows keep accumulating until then). */
+  def dailyNdvStream(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    dailyNdvProfile(events.withWatermark("ts", "1 day"), rsd)
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
                             user_id: Long, event_type: String, value: Double)
   final case class FirstFailure(user_id: Long, event_id: Long, ts_sec: Long)

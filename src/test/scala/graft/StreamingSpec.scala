@@ -274,6 +274,34 @@ class StreamingSpec extends AnyFunSuite {
         s"${(viaFile diff viaDir).take(3)}")
   }
 
+  test("st09 gate (HLL sketch in streaming state) equals the batch " +
+      "profile exactly — register merges are order-insensitive") {
+    val streamed =
+      SparkEntry.queries("st09_sketch_stream")(spark, TestSpark.sf)
+        .collect().toSeq.map(_.toSeq)
+    val batch = Streams.dailyNdvProfile(
+        graft.sources.Tables.events(spark, TestSpark.sf))
+      .orderBy("series", "day").collect().toSeq.map(_.toSeq)
+    assert(streamed.nonEmpty, "st09 gate emitted zero windows")
+    assert(streamed == batch,
+      s"stream/batch sketch profiles diverge: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    // and the estimates are honest: within 5*rsd of exact per window
+    val exact = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type").as("series"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("ndv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (r <- SparkEntry.queries("st09_sketch_stream")(spark, TestSpark.sf)
+        .collect()) {
+      val key = (r.getString(0), r.getString(1))
+      val hll = r.getAs[Long]("ndv_hll")
+      assert(math.abs(hll - exact(key)) <= 0.10 * exact(key),
+        s"$key: hll=$hll exact=${exact(key)}")
+    }
+  }
+
   test("st08 gate (streaming rate anomaly) equals the q41 batch gate") {
     val streamed =
       SparkEntry.queries("st08_anomaly_stream")(spark, TestSpark.sf)

@@ -321,6 +321,33 @@ def main(sfdir, outdir):
               f"window or with wrong counts")
         if not okk2:
             n_ok -= 1
+    st09 = f"{outdir}/st09_sketch_stream"
+    if os.path.isdir(st09):
+        # per-day exact ndv recomputed over the same UTC day truncation;
+        # n_rows exact, HLL inside 5*rsd (rsd = 0.02); window set must
+        # match exactly (inner-join count == both side counts)
+        badst9, nst9, no9, nx9 = con.execute(f"""
+            WITH o AS (SELECT * FROM read_parquet('{st09}/*.parquet')),
+            x AS (SELECT event_type AS series,
+                    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d') AS day,
+                    COUNT(*) AS n, COUNT(DISTINCT user_id) AS ndv
+                  FROM events GROUP BY 1, 2)
+            SELECT (SELECT SUM(CASE WHEN o.n_rows != x.n
+                         OR abs(o.ndv_hll - x.ndv) > 0.10 * x.ndv
+                         THEN 1 ELSE 0 END)
+                    FROM o JOIN x USING (series, day)),
+                   (SELECT COUNT(*) FROM o JOIN x USING (series, day)),
+                   (SELECT COUNT(*) FROM o),
+                   (SELECT COUNT(*) FROM x)""").fetchone()
+        okst9 = ((badst9 or 0) == 0 and (nst9 or 0) > 0
+                 and nst9 == no9 and nst9 == nx9)
+        print(f"{'PASS' if okst9 else 'FAIL'} st09_audit: {nst9} "
+              f"(series, day) windows matched of {no9} streamed / {nx9} "
+              f"exact, {badst9 or 0} with wrong counts or HLL outside "
+              f"5*rsd")
+        if not okst9:
+            n_ok -= 1
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
 
 if __name__ == "__main__":
