@@ -1577,6 +1577,43 @@ object SparkEntry {
         col("event_type"), col("value"), accuracy = 10000)
       .orderBy("series")
 
+  /** k-means|| init quality report (Ivf.kmeansParallelInit, Bahmani et
+    * al. 2012): the same 3-iteration spherical k-means fit run from the
+    * deterministic lowest-id seeds AND from the cost-proportional
+    * oversampled init, each profiled as exact-decimal total quantization
+    * cost (Σ round(1−maxCos, 6), deterministic under any partitioning)
+    * plus occupied-cell count — "measure, don't guess" applied to the
+    * init knob every k-means consumer (IVF, SemDeDup, PQ) sits on.
+    * Rows-only: k-means isn't SQL-expressible; IvfInitSpec pins
+    * determinism, candidate provenance, and the cost relationship. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Ivf
+    val corpus = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def profile(name: String, init: Option[DataFrame]): DataFrame = {
+      val cents = Ivf.fitCentroids(corpus, c = 16, iters = 3,
+        initCentroids = init)
+      val scored = corpus.crossJoin(broadcast(cents))
+        .select(col("id"),
+          graft.functions.Vectors.cosine(col("v"), col("centroid"))
+            .as("cos"))
+        .groupBy("id").agg(max(col("cos")).as("max_cos"))
+      val cost = scored.agg(count(lit(1)).as("n_rows"),
+        sum(round(lit(1.0) - col("max_cos"), 6).cast("decimal(28,6)"))
+          .cast("double").as("total_cost"))
+      val cells = Ivf.assign(corpus, cents)
+        .agg(countDistinct(col("cluster")).as("n_cells"))
+      // 1-row scalar combine (the exempted NLJ class)
+      cost.crossJoin(cells)
+        .select(lit(name).as("init"), col("n_rows"), col("n_cells"),
+          round(col("total_cost"), 6).as("total_cost"))
+    }
+    profile("lowid", None)
+      .union(profile("kmpp",
+        Some(Ivf.kmeansParallelInit(corpus, c = 16))))
+      .orderBy("init")
+  }
+
   private[graft] val t18Merges = 20
 
   /** BPE tokenizer APPLY (TextOps.bpeEncode): t15's top-20 merge
@@ -2189,6 +2226,7 @@ object SparkEntry {
     "s10_random_projection" -> (s10 _),
     "s11_sq8_encode" -> (s11 _),
     "s12_sq8_recall" -> (s12 _),
+    "s13_kmeanspp_init" -> (s13 _),
     "t01_langid" -> (t01 _),
     "t02_quality" -> (t02 _),
     "t03_tokens" -> (t03 _),

@@ -27,13 +27,15 @@ object Ivf {
     * rounds, as in standard k-means. Returns (cluster, centroid) with
     * centroid as array<float>. */
   def fitCentroids(corpus: DataFrame, c: Int, iters: Int,
-                   seedCorpus: Option[DataFrame] = None): DataFrame = {
+                   seedCorpus: Option[DataFrame] = None,
+                   initCentroids: Option[DataFrame] = None): DataFrame = {
     // localCheckpoint each round: the centroids frame is c rows but its
     // lineage after i rounds is i nested corpus scans, and it feeds the next
     // round plus (after the loop) two consumers — without materialization
     // every consumer re-executes the whole k-means chain.
-    var centroids = seedCorpus.getOrElse(corpus).orderBy("id").limit(c)
-      .select(col("id").as("cluster"), col("v").as("centroid"))
+    var centroids = initCentroids.getOrElse(
+        seedCorpus.getOrElse(corpus).orderBy("id").limit(c)
+          .select(col("id").as("cluster"), col("v").as("centroid")))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, centroids)
@@ -213,5 +215,61 @@ object Ivf {
     ivfKnn(emb, idCol, vecCol, probeFilter, k,
       c = c, nprobe = CellKnobs.nprobeFor(c, probeScale),
       iters = iters, fitFraction = fitFraction)
+  }
+
+  /** k-means|| initialization (Bahmani et al. 2012, "Scalable
+    * k-means++"): the distributed alternative to this file's
+    * deterministic lowest-id seeding when init QUALITY matters — each of
+    * `rounds` passes oversamples ~`lFactor`·c candidates with
+    * probability proportional to each point's distance-to-nearest-center
+    * cost, so candidates spread across the data's modes instead of
+    * wherever the lowest ids happen to sit.
+    *
+    * Scale shape: every round is ONE corpus pass against a BROADCAST
+    * candidate frame (bounded by rounds·l rows) plus a 1-row cost
+    * total; the final reduction weights candidates by assignment counts
+    * and keeps the top-c by weight (greedy weighted reduction — the
+    * standard recluster step simplified, stated honestly). All sampling
+    * coins are md5-derived ([[graft.pack.Pack.integerDraw]]'s 60-bit
+    * convention), so the init is bit-reproducible across reruns and
+    * partitionings. Returns (cluster, centroid) for
+    * [[fitCentroids]]'s `initCentroids`. */
+  def kmeansParallelInit(corpus: DataFrame, c: Int, rounds: Int = 4,
+                         lFactor: Int = 2,
+                         seed: String = "graft-kmpp"): DataFrame = {
+    require(c >= 1 && rounds >= 1 && lFactor >= 1)
+    val l = lFactor.toLong * c
+    var cands = corpus.orderBy("id").limit(1)
+      .select(col("id").as("cluster"), col("v").as("centroid"))
+      .localCheckpoint()
+    for (r <- 0 until rounds) {
+      val scored = corpus.crossJoin(broadcast(cands))
+        .groupBy("id")
+        .agg(first(col("v")).as("v"),
+          max(Vectors.cosine(col("v"), col("centroid"))).as("max_cos"))
+        .withColumn("cost", lit(1.0) - col("max_cos"))
+      // exact-decimal cost total: deterministic under any partitioning
+      val tot = scored
+        .agg(sum(round(col("cost"), 6).cast("decimal(28,6)")))
+        .head.getDecimal(0).doubleValue()
+      val newCands =
+        if (tot <= 0) scored.limit(0)
+          .select(col("id").as("cluster"), col("v").as("centroid"))
+        else scored
+          .withColumn("u",
+            graft.pack.Pack.integerDraw(s"$seed-$r", col("id"))
+              .cast("double") / lit(1152921504606846976.0))
+          .filter(col("u") < lit(l.toDouble) * col("cost") / lit(tot))
+          .select(col("id").as("cluster"), col("v").as("centroid"))
+      cands = cands.union(newCands).dropDuplicates("cluster")
+        .localCheckpoint()
+    }
+    val weights = assign(corpus, cands)
+      .groupBy("cluster").agg(count(lit(1)).as("w"))
+    cands.join(weights, Seq("cluster"), "left")
+      .select(col("cluster"), col("centroid"),
+        coalesce(col("w"), lit(0L)).as("w"))
+      .orderBy(desc("w"), col("cluster")).limit(c)
+      .select(col("cluster"), col("centroid"))
   }
 }

@@ -15,7 +15,7 @@ class ContractSpec extends AnyFunSuite {
     "s02_knn_lsh", "s03_knn_ivf", "s04_knn_graph", "d08_semantic_dedup",
     "s07_knn_pq", "s08_knn_ivfpq", "s09_incr_encode", "st05_index_ingest",
     "m08_phash_neardup", "k01_sketch_distinct", "k02_sketch_quantiles",
-    "st09_sketch_stream")
+    "st09_sketch_stream", "s13_kmeanspp_init")
 
   test("every query has an oracle or is a declared rows-only check") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
