@@ -1395,6 +1395,26 @@ object OracleSql {
          FROM pairs GROUP BY pair
          ORDER BY cnt DESC, pair ASC LIMIT 20""",
 
+    // t19: every card column from exact integers or 6-dp decimal sums,
+    // divisions in the same stated order as the Spark side.
+    "t19_data_card" ->
+      s"""WITH f AS (SELECT doc_id, source, lang, text,
+             md5($normText) AS fp
+           FROM documents),
+         d AS (SELECT fp, COUNT(*) AS fp_df FROM f GROUP BY fp)
+         SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM($wordCountSql) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(round($qualitySql, 6) AS DECIMAL(18,6)))
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+           round(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS share_en,
+           COUNT(DISTINCT fp) AS n_unique_fp,
+           round(CAST(COUNT(CASE WHEN fp_df >= 2 THEN 1 END) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         FROM f JOIN d USING (fp)
+         GROUP BY source ORDER BY source""",
+
     // t18: the t15 counting CTE ranks the merge table (same cnt DESC,
     // pair ASC order), then a recursive CTE replays bpeEncode's stated
     // merge-step rule — single-pass replace of the lowest-rank present

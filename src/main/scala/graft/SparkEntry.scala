@@ -1632,6 +1632,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card (TextOps.dataCard): the corpus datasheet —
+    * volume, token mass, mean quality, language share, unique/dup
+    * fingerprints — as one grouped report; every column integer- or
+    * decimal-exact so the full SQL oracle reproduces it bit-for-bit. */
+  private def t19(s: SparkSession, dir: String): DataFrame =
+    TextOps.dataCard(t(s, dir, "documents"), "doc_id", "text",
+        "source", "lang")
+      .orderBy("source")
+
   /** Readability scoring (TextOps.readability): Flesch reading ease +
     * Flesch-Kincaid grade per doc from integer sentence/word/syllable
     * counts — single codegen'd scan, full SQL oracle re-deriving every
@@ -2245,6 +2254,7 @@ object SparkEntry {
     "t16_langid_eval" -> (t16 _),
     "t17_readability" -> (t17 _),
     "t18_bpe_encode" -> (t18 _),
+    "t19_data_card" -> (t19 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -385,6 +385,43 @@ object TextOps {
     lengthTerm * 0.5 + wordLenTerm * 0.3 + least(stopRatio * 2.0, lit(1.0)) * 0.2
   }
 
+  /** Per-source dataset card — the datasheet every corpus release ships
+    * (volume, token mass, quality, language mix, duplication): one
+    * grouped report a curation run reads before and after every
+    * transform. All columns derive from exact integers or 6-dp-quantized
+    * decimal sums (SURVEY §4), so the full DuckDB oracle reproduces the
+    * card bit-for-bit.
+    *
+    * Scale shape: one fingerprint df aggregate (md5 keys, map-side
+    * combined) joined back narrow, then ONE grouped aggregate to
+    * |sources| rows — nothing corpus-sized past the scan. */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               sourceCol: String, langCol: String): DataFrame = {
+    val fp = graft.dedup.Dedup.fingerprint(col(textCol))
+    val withFp = docs.select(col(idCol), col(textCol),
+      col(sourceCol).as("source"), col(langCol).as("lang"),
+      fp.as("fp"))
+    val df = withFp.groupBy("fp").agg(count(lit(1)).as("fp_df"))
+    withFp.join(df, Seq("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(wordCount(col(textCol))).as("total_tokens"),
+        sum(round(qualityScore(col(textCol)), 6).cast("decimal(18,6)"))
+          .cast("double").as("sum_quality"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        countDistinct(col("fp")).as("n_unique_fp"),
+        count(when(col("fp_df") >= 2, 1)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("sum_quality") / col("n_docs").cast("double"), 6)
+          .as("mean_quality"),
+        round(col("n_en").cast("double") / col("n_docs").cast("double"), 6)
+          .as("share_en"),
+        col("n_unique_fp"),
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+  }
+
   /** First-round BPE merge candidates — the inner step of tokenizer
     * TRAINING (Sennrich et al. 2016), which a 100 TB pipeline runs on
     * its own corpus before any token count in it means anything: count

@@ -223,6 +223,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq("xy", "yx"))
   }
 
+  test("dataCard: volume, dup-rate, language-share and fingerprint " +
+      "counts match a hand replica") {
+    import spark.implicits._
+    // srcA: 3 docs, one exact-dup pair (cross-source dup with srcB's
+    // doc counts too - df is corpus-wide), 2 en / 1 de
+    val docs = Seq(
+      (1L, "the cat sat", "srcA", "en"),
+      (2L, "the cat sat", "srcA", "en"),
+      (3L, "der hund", "srcA", "de"),
+      (4L, "the cat sat", "srcB", "en"),
+      (5L, "unique words here", "srcB", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = TextOps.dataCard(docs, "doc_id", "text", "source", "lang")
+      .orderBy("source").collect()
+    val a = got(0)
+    assert(a.getAs[String]("source") == "srcA")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("total_tokens") == 3L + 3L + 2L)
+    assert(a.getAs[Double]("share_en") == BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getAs[Long]("n_unique_fp") == 2L)
+    // docs 1,2 dup within source AND with srcB's doc 4 - all three count
+    assert(a.getAs[Double]("dup_rate") == BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = got(1)
+    assert(b.getAs[Long]("n_docs") == 2L)
+    assert(b.getAs[Double]("dup_rate") == 0.5)
+    assert(b.getAs[Long]("n_unique_fp") == 2L)
+  }
+
   test("bpeEncode: merge-rank priority, abutting-pair re-scan, and " +
       "per-doc totals match the stated rule") {
     import spark.implicits._
