@@ -88,11 +88,16 @@ class PlanSpec extends AnyFunSuite {
     // B-row weight table itself joins on the equi bucket key).
     // s11 zips in the 1-row per-dim [lo,hi] envelope frame (same class).
     // p08 zips in the 1-row token-budget totals frame (same class).
+    // s13 scores the corpus against c-row broadcast centroid/candidate
+    // frames (s03/d08's class — the init's candidate set is bounded by
+    // rounds·l rows) and zips two 1-row profile aggregates (t05's
+    // scalar class).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
       "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
-      "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall")
+      "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall",
+      "s13_kmeanspp_init")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
