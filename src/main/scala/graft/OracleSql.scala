@@ -1339,6 +1339,30 @@ object OracleSql {
     // literally q41's oracle.
     "st08_anomaly_stream" -> rateAnomalySql,
 
+    // k03: the one SKETCH with an exact oracle — AMS signs are md5-coin
+    // derived (the p04/integerDraw convention), so DuckDB reproduces
+    // every lane sum, the sorted-lane median, and the error bit-for-bit.
+    "k03_ams_f2" ->
+      """WITH lanes AS (SELECT event_type AS series, j,
+             1 - 2 * (CAST(concat('0x', substr(md5('graft-ams' ||
+               CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 2) AS sign
+           FROM events, unnest(generate_series(0, 63)) AS u(j)),
+         s AS (SELECT series, j, CAST(SUM(sign) AS BIGINT) AS s
+               FROM lanes GROUP BY 1, 2),
+         m AS (SELECT series,
+             CAST((arr[32] + arr[33]) AS DOUBLE) / 2.0 AS f2_ams
+           FROM (SELECT series, list(s * s ORDER BY s * s) AS arr
+                 FROM s GROUP BY series)),
+         x AS (SELECT series, CAST(SUM(n * n) AS BIGINT) AS f2_exact
+               FROM (SELECT event_type AS series, user_id, COUNT(*) AS n
+                     FROM events GROUP BY 1, 2)
+               GROUP BY series)
+         SELECT x.series, f2_exact, f2_ams,
+           round(abs(f2_ams - CAST(f2_exact AS DOUBLE)) /
+             CAST(f2_exact AS DOUBLE), 6) AS rel_err
+         FROM x JOIN m USING (series) ORDER BY series""",
+
     // q39's Spark side round-trips constructed JSON through
     // from_json + array explode; the oracle computes the same URL
     // aggregate RELATIONALLY, so a wrong parse/explode hash-mismatches.

@@ -1568,6 +1568,16 @@ object SparkEntry {
         col("event_type"), col("user_id"), rsd = 0.02)
       .orderBy("series")
 
+  /** AMS F2 sketch next to its exact anchor
+    * (operators/Sketches.amsF2): per event_type, the self-join-size
+    * moment Σ count(user)² estimated from 64 md5-signed one-pass lanes.
+    * Unlike the HLL/GK gates this sketch is md5-coin-derived, so the
+    * FULL SQL oracle reproduces lanes, median, and error bit-for-bit. */
+  private def k03(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.amsF2(ev(s, dir), col("event_type"),
+        col("user_id"))
+      .orderBy("series")
+
   /** GK-summary quantile profile over event values
     * (operators/Sketches.quantileProfile): per event_type, p50/p90/p99
     * estimates whose ranks the driver audit checks against exact DuckDB
@@ -2217,6 +2227,7 @@ object SparkEntry {
     "q41_rate_anomaly" -> (q41 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
+    "k03_ams_f2" -> (k03 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

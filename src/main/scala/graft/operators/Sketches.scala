@@ -38,6 +38,51 @@ object Sketches {
         round(abs(col("ndv_hll") - col("ndv_exact")).cast("double") /
           col("ndv_exact").cast("double"), 6))
 
+  /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996) with
+    * its exact anchor: F2 = Σ_key count² — the self-join / join-size
+    * estimate a query planner wants without shuffling every distinct
+    * key. Each of `estimators` sketch lanes folds Σ sign_j(key) in one
+    * map-side-combined pass (signs are md5-coin-derived ±1, so the
+    * sketch is bit-reproducible across engines and partitionings —
+    * UNLIKE HLL, this one the DuckDB oracle reproduces EXACTLY); the
+    * estimate is the median of the squared lane sums.
+    *
+    * Output per group: exact F2 (the verifiable anchor, needing the
+    * distinct-key aggregate a 100 TB run avoids), the AMS estimate, and
+    * the relative error. Lanes explode 64× on the narrow (group, lane,
+    * sign) projection before the map-side combine — integer-only until
+    * the final division. */
+  def amsF2(df: DataFrame, groupCol: Column, keyCol: Column,
+            estimators: Int = 64, seed: String = "graft-ams")
+      : DataFrame = {
+    require(estimators >= 2 && estimators % 2 == 0,
+      s"estimators must be even and >= 2: $estimators")
+    val lanes = df.select(groupCol.as("series"), keyCol.as("k"))
+      .select(col("series"), col("k"),
+        explode(sequence(lit(0), lit(estimators - 1))).as("j"))
+      .withColumn("sign",
+        lit(1L) - lit(2L) * pmod(
+          graft.pack.Pack.integerDraw(seed, concat_ws("|", col("j"),
+            col("k"))), lit(2L)))
+      .groupBy("series", "j")
+      .agg(sum(col("sign")).as("s"))
+      .withColumn("est", col("s") * col("s"))
+    val sketch = lanes.groupBy("series")
+      .agg(sort_array(collect_list(col("est"))).as("ests"))
+      .select(col("series"),
+        ((col("ests").getItem(estimators / 2 - 1) +
+          col("ests").getItem(estimators / 2)).cast("double") / 2.0)
+          .as("f2_ams"))
+    val exact = df.select(groupCol.as("series"), keyCol.as("k"))
+      .groupBy("series", "k").agg(count(lit(1)).as("n"))
+      .groupBy("series")
+      .agg(sum(col("n") * col("n")).as("f2_exact"))
+    exact.join(sketch, Seq("series"))
+      .select(col("series"), col("f2_exact"), col("f2_ams"),
+        round(abs(col("f2_ams") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Per-group quantile profile via Spark's GK summaries
     * (`percentile_approx`): each returned value's RANK is within
     * n/`accuracy` of the target rank — the contract the driver audit

@@ -62,8 +62,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("amsF2: estimate within the sketch's error envelope of exact F2, " +
+      "bit-deterministic across partitionings") {
+    val df = synth()
+    val got = Sketches.amsF2(df, col("series"), col("k"))
+      .orderBy("series").collect()
+    assert(got.length == 3)
+    for ((r, g) <- got.zipWithIndex) {
+      // synth: group g cycles i % (500*(g+1)) over 4000 rows, so the
+      // first (4000 mod m) keys appear one extra time
+      val m = 500L * (g + 1)
+      val q = 4000L / m; val rem = 4000L % m
+      val f2 = rem * (q + 1) * (q + 1) + (m - rem) * q * q
+      assert(r.getAs[Long]("f2_exact") == f2)
+      // AMS median-of-64 concentrates well within 1.0 relative error on
+      // these sizes; the md5 coins make this a fixed measurement
+      assert(r.getAs[Double]("rel_err") <= 1.0,
+        s"series g$g rel_err ${r.getAs[Double]("rel_err")}")
+    }
+    val a = Sketches.amsF2(df.repartition(3), col("series"), col("k"))
+      .orderBy("series").collect().map(_.getAs[Double]("f2_ams")).toSeq
+    val b = Sketches.amsF2(df.repartition(17, col("v")), col("series"),
+        col("k"))
+      .orderBy("series").collect().map(_.getAs[Double]("f2_ams")).toSeq
+    assert(a == b)
+  }
+
   test("sketch plans are map-side combined (partial aggregation)") {
-    for (q <- Seq("k01_sketch_distinct", "k02_sketch_quantiles")) {
+    for (q <- Seq("k01_sketch_distinct", "k02_sketch_quantiles",
+        "k03_ams_f2")) {
       val p = SparkEntry.queries(q)(spark, TestSpark.sf)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
