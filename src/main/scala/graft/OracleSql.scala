@@ -1654,6 +1654,43 @@ object OracleSql {
          WHERE d.source != '${graft.SparkEntry.t14Target}'
          ORDER BY doc_id""",
 
+    // p11 = p09's coin-exact expansion chained into p07's draw/rank
+    // over the composite 'id:epoch' key.
+    "p11_training_order" ->
+      s"""WITH d AS (SELECT doc_id, source,
+              CAST($wordCountSql AS BIGINT) AS n_tokens FROM documents),
+         per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+                 FROM d GROUP BY source),
+         tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS budget FROM per),
+         plan AS (SELECT source, avail,
+             CAST(budget * ($budgetWeightSql) // ${
+               graft.SparkEntry.p08Weights.values.sum} AS BIGINT) AS desired
+           FROM per, tot),
+         ex AS (SELECT d.doc_id,
+             CAST(desired // avail AS BIGINT) +
+               CASE WHEN CAST(concat('0x', substr(md5('${
+                 graft.SparkEntry.p09Seed}' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) / 1152921504606846976.0
+                 < CAST(desired - (desired // avail) * avail AS DOUBLE)
+                   / avail
+               THEN 1 ELSE 0 END AS copies
+           FROM d JOIN plan ON d.source = plan.source),
+         keyed AS (SELECT doc_id, CAST(ep AS BIGINT) AS epoch,
+             CAST(doc_id AS VARCHAR) || ':' || CAST(ep AS VARCHAR) AS key
+           FROM ex, unnest(generate_series(1, copies)) AS u(ep)
+           WHERE copies >= 1),
+         drawn AS (SELECT doc_id, epoch, key,
+             CAST(concat('0x', substr(md5('${
+               graft.SparkEntry.p11Seed}' || key), 1, 15)) AS BIGINT)
+               AS draw
+           FROM keyed)
+         SELECT doc_id, epoch,
+           CAST(draw % ${graft.SparkEntry.p11Shards} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY draw % ${graft.SparkEntry.p11Shards}
+             ORDER BY draw, key) AS INT) AS pos
+         FROM drawn ORDER BY shard, pos""",
+
     "p07_shuffle_shard" ->
       s"""WITH d AS (SELECT doc_id,
              CAST(concat('0x', substr(md5(concat('${

@@ -1046,6 +1046,31 @@ object SparkEntry {
         max(col("epoch")).as("max_epoch"))
       .orderBy("source")
 
+  private[graft] val p11Seed = "graft-order-r12"
+  private[graft] val p11Shards = 8
+
+  /** Materialized training order (the pipeline's LAST step, composing
+    * p09 and p07): the epoch-expanded mix keyed by (doc, epoch) runs
+    * through the seeded global shuffle-shard — every copy of every doc
+    * gets its final (shard, position), i.e. exactly what the ordered
+    * shard files the trainer reads contain. One expansion scan + one
+    * shard-key exchange with in-partition sort (p07's shape); the full
+    * SQL oracle chains p09's coin-exact expansion CTE into p07's
+    * draw/rank logic over the composite 'id:epoch' key. */
+  private def p11(s: SparkSession, dir: String): DataFrame = {
+    val expanded = graft.pack.Pack.mixtureExpand(t(s, dir, "documents"),
+        col("source"), col("doc_id"), TextOps.wordCount(col("text")),
+        p08Weights, p09Seed)
+      .select(col("id").as("doc_id"), col("epoch"),
+        concat_ws(":", col("id"), col("epoch")).as("key"))
+    graft.pack.Pack.shuffleShard(expanded, col("key"),
+        nShards = p11Shards, seed = p11Seed)
+      .select(col("id").as("key"), col("shard"), col("pos"))
+      .join(expanded, Seq("key"))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Boundary-respecting greedy packing (Pack.packNoStraddle): p01's
     * buckets and capacity, but docs never straddle a sequence — the
     * SFT packing mode. Per-bucket sequential fold after one bucket
@@ -2272,6 +2297,7 @@ object SparkEntry {
     "p08_token_budget" -> (p08 _),
     "p09_mixture_expand" -> (p09 _),
     "p10_pack_greedy" -> (p10 _),
+    "p11_training_order" -> (p11 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

@@ -304,4 +304,22 @@ class PackSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet == rows.toSet)
   }
+
+  test("p11 training order: every expanded copy placed exactly once, " +
+      "positions contiguous per shard") {
+    val got = SparkEntry.queries("p11_training_order")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // one placement per (doc, epoch)
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    // contiguous 1..n positions within each shard
+    for ((shard, rows) <- got.groupBy(_._3))
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    // epochs start at 1 and every doc's epochs are 1..max dense
+    for ((doc, rows) <- got.groupBy(_._1))
+      assert(rows.map(_._2).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"doc $doc epochs not dense")
+  }
 }
