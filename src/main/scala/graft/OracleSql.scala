@@ -1344,14 +1344,14 @@ object OracleSql {
     // every lane sum, the sorted-lane median, and the error bit-for-bit.
     "k03_ams_f2" ->
       """WITH lanes AS (SELECT event_type AS series, j,
-             1 - 2 * (CAST(concat('0x', substr(md5('graft-ams' ||
-               CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)),
-               1, 15)) AS BIGINT) % 2) AS sign
-           FROM events, unnest(generate_series(0, 63)) AS u(j)),
-         s AS (SELECT series, j, CAST(SUM(sign) AS BIGINT) AS s
+             CAST(concat('0x', substr(md5('graft-ams' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
+           FROM events, unnest(generate_series(0, 59)) AS u(j)),
+         s AS (SELECT series, j,
+             CAST(SUM(1 - 2 * ((draw >> j) & 1)) AS BIGINT) AS s
                FROM lanes GROUP BY 1, 2),
          m AS (SELECT series,
-             CAST((arr[32] + arr[33]) AS DOUBLE) / 2.0 AS f2_ams
+             CAST((arr[30] + arr[31]) AS DOUBLE) / 2.0 AS f2_ams
            FROM (SELECT series, list(s * s ORDER BY s * s) AS arr
                  FROM s GROUP BY series)),
          x AS (SELECT series, CAST(SUM(n * n) AS BIGINT) AS f2_exact

@@ -53,17 +53,18 @@ object Sketches {
     * sign) projection before the map-side combine — integer-only until
     * the final division. */
   def amsF2(df: DataFrame, groupCol: Column, keyCol: Column,
-            estimators: Int = 64, seed: String = "graft-ams")
+            estimators: Int = 60, seed: String = "graft-ams")
       : DataFrame = {
-    require(estimators >= 2 && estimators % 2 == 0,
-      s"estimators must be even and >= 2: $estimators")
+    // one md5 draw per row; lane j's ±1 sign is bit j of the 60-bit
+    // draw (64× less hashing than a per-lane draw, same independence)
+    require(estimators >= 2 && estimators % 2 == 0 && estimators <= 60,
+      s"estimators must be even, >= 2 and <= 60 (draw bits): $estimators")
     val lanes = df.select(groupCol.as("series"), keyCol.as("k"))
-      .select(col("series"), col("k"),
+      .withColumn("draw", graft.pack.Pack.integerDraw(seed, col("k")))
+      .select(col("series"), col("draw"),
         explode(sequence(lit(0), lit(estimators - 1))).as("j"))
       .withColumn("sign",
-        lit(1L) - lit(2L) * pmod(
-          graft.pack.Pack.integerDraw(seed, concat_ws("|", col("j"),
-            col("k"))), lit(2L)))
+        lit(1L) - lit(2L) * (expr("shiftright(draw, j)") % 2L))
       .groupBy("series", "j")
       .agg(sum(col("sign")).as("s"))
       .withColumn("est", col("s") * col("s"))
