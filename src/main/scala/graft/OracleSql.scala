@@ -669,6 +669,48 @@ object OracleSql {
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM j WHERE jaccard >= 0.02 ORDER BY id_a, id_b""",
 
+    // d16: d04's exact pair rule + recursive reach + per-cluster argmax
+    // by (6-dp quality DESC, doc_id ASC) — keep-the-best disposal.
+    "d16_cluster_best" ->
+      s"""WITH RECURSIVE
+         arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(arr[i:i+2], ' ') AS g
+                FROM arrs,
+                  unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                  AS u(i)),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS ix
+                   FROM sh a JOIN sh b USING (g)
+                   WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+                 CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+               FROM inter
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b)
+               WHERE jaccard >= 0.02),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, label) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.label FROM e JOIN reach r ON e.src = r.id),
+         cl AS (SELECT id, MIN(label) AS cluster_id
+                FROM reach GROUP BY id),
+         scored AS (SELECT cl.cluster_id, cl.id,
+             round($qualitySql, 6) AS q
+           FROM cl JOIN documents d ON d.doc_id = cl.id),
+         ranked AS (SELECT cluster_id, id, q, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY q DESC, id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM scored)
+         SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           id AS rep_doc_id, q AS rep_quality
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
+
     "d05_embed_neardup" ->
       s"""WITH p AS (SELECT vec_id AS id_a, embedding AS v_a
                      FROM embeddings WHERE vec_id % 20 = 0),

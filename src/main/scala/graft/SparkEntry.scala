@@ -884,6 +884,32 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
       .orderBy("vec_id")
 
+  /** Best-representative selection per near-dup text cluster
+    * (keep-the-best, the third dedup disposal mode next to drop-all-
+    * but-first and d15's down-weighting): d04's exact ngram-jaccard
+    * pairs cluster via connectedComponents, and each cluster keeps its
+    * highest-quality member (6-dp-rounded t02 score, ties to lowest
+    * doc_id). One quality join + one max_by aggregate over the bounded
+    * cluster frame. Full SQL oracle: d04's pair CTE + a recursive reach
+    * + the same argmax. */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, probeFilter = col("doc_id") % 10 === 0, threshold = 0.02),
+      "id_a", "id_b")
+    val q = docs.select(col("doc_id").as("id"),
+      round(TextOps.qualityScore(col("text")), 6).as("q"))
+    clusters.join(q, Seq("id"))
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("id"), struct(col("q"), -col("id"))).as("rep_doc_id"),
+        max(struct(col("q"), -col("id"))).getField("q").as("rep_quality"))
+      .select(col("cluster_id"), col("n_members"), col("rep_doc_id"),
+        col("rep_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Soft dedup weights (Dedup.dedupWeights): d06's near-dup clusters
     * become per-document down-weights — weight = 1/cluster_size, 1 for
     * singletons — so each cluster contributes one document's worth of
@@ -2309,6 +2335,7 @@ object SparkEntry {
     "d13_fuzzy_decontam" -> (d13 _),
     "d14_cdc_chunks" -> (d14 _),
     "d15_dedup_weights" -> (d15 _),
+    "d16_cluster_best" -> (d16 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

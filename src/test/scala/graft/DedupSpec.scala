@@ -580,6 +580,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((md5("a b"), 2L, 2L)))
   }
 
+  test("d16 gate: one representative per cluster, the highest-quality " +
+      "member, members cover exactly the paired ids") {
+    val out = SparkEntry.queries("d16_cluster_best")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "no near-dup clusters at gate scale")
+    // clusters from the same pair generator, quality replica via t02's
+    // column — re-derive the argmax independently
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+    val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          probeFilter = col("doc_id") % 10 === 0, threshold = 0.02),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val q = docs.select(col("doc_id"),
+        round(graft.text.TextOps.qualityScore(col("text")), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(out.length == byCluster.size)
+    for ((cid, n, rep, repQ) <- out) {
+      val members = byCluster(cid).map(_._1)
+      assert(members.length.toLong == n, s"cluster $cid size")
+      val best = members.minBy(id => (-q(id), id))
+      assert(rep == best && repQ == q(best), s"cluster $cid rep")
+    }
+  }
+
   test("dedupWeights: 1/cluster_size for clustered ids, 1 for " +
       "singletons; every cluster's mass sums to 1") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
