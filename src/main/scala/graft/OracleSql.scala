@@ -1385,10 +1385,12 @@ object OracleSql {
     // derived (the p04/integerDraw convention), so DuckDB reproduces
     // every lane sum, the sorted-lane median, and the error bit-for-bit.
     "k03_ams_f2" ->
-      """WITH lanes AS (SELECT event_type AS series, j,
+      """WITH drawn AS (SELECT event_type AS series,
              CAST(concat('0x', substr(md5('graft-ams' ||
                CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS draw
-           FROM events, unnest(generate_series(0, 59)) AS u(j)),
+           FROM events),
+         lanes AS (SELECT series, j, draw
+           FROM drawn, unnest(generate_series(0, 59)) AS u(j)),
          s AS (SELECT series, j,
              CAST(SUM(1 - 2 * ((draw >> j) & 1)) AS BIGINT) AS s
                FROM lanes GROUP BY 1, 2),

@@ -1087,13 +1087,15 @@ object SparkEntry {
     val expanded = graft.pack.Pack.mixtureExpand(t(s, dir, "documents"),
         col("source"), col("doc_id"), TextOps.wordCount(col("text")),
         p08Weights, p09Seed)
-      .select(col("id").as("doc_id"), col("epoch"),
-        concat_ws(":", col("id"), col("epoch")).as("key"))
+      .select(concat_ws(":", col("id"), col("epoch")).as("key"))
+    // (doc, epoch) re-derived by splitting the composite key — the
+    // expansion lineage executes exactly once, no self-join
     graft.pack.Pack.shuffleShard(expanded, col("key"),
         nShards = p11Shards, seed = p11Seed)
-      .select(col("id").as("key"), col("shard"), col("pos"))
-      .join(expanded, Seq("key"))
-      .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+      .select(
+        split(col("id"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("id"), ":").getItem(1).cast("long").as("epoch"),
+        col("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
 
@@ -1621,7 +1623,8 @@ object SparkEntry {
 
   /** AMS F2 sketch next to its exact anchor
     * (operators/Sketches.amsF2): per event_type, the self-join-size
-    * moment Σ count(user)² estimated from 64 md5-signed one-pass lanes.
+    * moment Σ count(user)² estimated from 60 one-pass lanes, each
+    * signed by one bit of the row's single md5 draw.
     * Unlike the HLL/GK gates this sketch is md5-coin-derived, so the
     * FULL SQL oracle reproduces lanes, median, and error bit-for-bit. */
   private def k03(s: SparkSession, dir: String): DataFrame =

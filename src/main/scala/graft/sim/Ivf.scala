@@ -266,10 +266,19 @@ object Ivf {
     }
     val weights = assign(corpus, cands)
       .groupBy("cluster").agg(count(lit(1)).as("w"))
-    cands.join(weights, Seq("cluster"), "left")
+    val selected = cands.join(weights, Seq("cluster"), "left")
       .select(col("cluster"), col("centroid"),
         coalesce(col("w"), lit(0L)).as("w"))
       .orderBy(desc("w"), col("cluster")).limit(c)
       .select(col("cluster"), col("centroid"))
+      .localCheckpoint()
+    // loud, not silent: a duplicate-heavy or tiny corpus whose rounds
+    // never accumulate c candidates must fail here, not fit fewer cells
+    // downstream (the assignWithin coverage discipline)
+    val got = selected.count()
+    require(got == c,
+      s"k-means|| accumulated only $got of $c requested centroids — " +
+        "raise rounds/lFactor or lower c for this corpus")
+    selected
   }
 }

@@ -398,17 +398,20 @@ object TextOps {
   def dataCard(docs: DataFrame, idCol: String, textCol: String,
                sourceCol: String, langCol: String): DataFrame = {
     val fp = graft.dedup.Dedup.fingerprint(col(textCol))
-    val withFp = docs.select(col(idCol), col(textCol),
+    // per-doc derived columns materialize IN THE SCAN: only narrow
+    // (id, source, lang, fp, counts) rows ever reach the fp-df join —
+    // full document text never crosses an exchange
+    val withFp = docs.select(col(idCol),
       col(sourceCol).as("source"), col(langCol).as("lang"),
-      fp.as("fp"))
+      fp.as("fp"), wordCount(col(textCol)).as("n_toks"),
+      round(qualityScore(col(textCol)), 6).cast("decimal(18,6)").as("q6"))
     val df = withFp.groupBy("fp").agg(count(lit(1)).as("fp_df"))
     withFp.join(df, Seq("fp"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(wordCount(col(textCol))).as("total_tokens"),
-        sum(round(qualityScore(col(textCol)), 6).cast("decimal(18,6)"))
-          .cast("double").as("sum_quality"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("q6")).cast("double").as("sum_quality"),
         count(when(col("lang") === "en", 1)).as("n_en"),
         countDistinct(col("fp")).as("n_unique_fp"),
         count(when(col("fp_df") >= 2, 1)).as("n_dup_docs"))

@@ -75,7 +75,7 @@ class SketchesSpec extends AnyFunSuite {
       val q = 4000L / m; val rem = 4000L % m
       val f2 = rem * (q + 1) * (q + 1) + (m - rem) * q * q
       assert(r.getAs[Long]("f2_exact") == f2)
-      // AMS median-of-64 concentrates well within 1.0 relative error on
+      // AMS median-of-60 concentrates well within 1.0 relative error on
       // these sizes; the md5 coins make this a fixed measurement
       assert(r.getAs[Double]("rel_err") <= 1.0,
         s"series g$g rel_err ${r.getAs[Double]("rel_err")}")

@@ -271,28 +271,34 @@ def main(sfdir, outdir):
     k01 = f"{outdir}/k01_sketch_distinct"
     if os.path.isdir(k01):
         # exact columns must match DuckDB exactly; HLL within 5*rsd
-        # (rsd = 0.02 -> 10% hard ceiling, ~2.4 sigma headroom)
-        badk1, nk1 = con.execute(f"""
+        # (rsd = 0.02 -> 10% hard ceiling, ~2.4 sigma headroom); series
+        # set must match exactly (inner join == both side counts, the
+        # st09_audit guard) so a dropped group can't pass silently
+        badk1, nk1, no1, nx1 = con.execute(f"""
             WITH o AS (SELECT * FROM read_parquet('{k01}/*.parquet')),
             x AS (SELECT event_type AS series, COUNT(*) AS n,
                     COUNT(DISTINCT user_id) AS ndv
                   FROM events GROUP BY 1)
-            SELECT SUM(CASE WHEN o.n_rows != x.n
+            SELECT (SELECT SUM(CASE WHEN o.n_rows != x.n
                          OR o.ndv_exact != x.ndv
                          OR abs(o.ndv_hll - x.ndv) > 0.10 * x.ndv
-                         THEN 1 ELSE 0 END), COUNT(*)
-            FROM o JOIN x USING (series)""").fetchone()
-        okk1 = (badk1 or 0) == 0 and (nk1 or 0) > 0
-        print(f"{'PASS' if okk1 else 'FAIL'} k01_audit: {nk1} series, "
-              f"{badk1 or 0} with wrong exact columns or HLL outside "
-              f"5*rsd")
+                         THEN 1 ELSE 0 END)
+                    FROM o JOIN x USING (series)),
+                   (SELECT COUNT(*) FROM o JOIN x USING (series)),
+                   (SELECT COUNT(*) FROM o),
+                   (SELECT COUNT(*) FROM x)""").fetchone()
+        okk1 = ((badk1 or 0) == 0 and (nk1 or 0) > 0
+                and nk1 == no1 and nk1 == nx1)
+        print(f"{'PASS' if okk1 else 'FAIL'} k01_audit: {nk1} series "
+              f"matched of {no1} dumped / {nx1} exact, {badk1 or 0} "
+              f"with wrong exact columns or HLL outside 5*rsd")
         if not okk1:
             n_ok -= 1
     k02 = f"{outdir}/k02_sketch_quantiles"
     if os.path.isdir(k02):
         # each estimate's exact rank window [count(<q), count(<=q)] must
         # intersect target_rank +- n/accuracy (+1 discretization slack)
-        badk2, nk2 = con.execute(f"""
+        badk2, nk2, no2, nx2 = con.execute(f"""
             WITH o AS (SELECT * FROM read_parquet('{k02}/*.parquet')),
             m AS (SELECT series, n_rows, 0.50 AS p, p50 AS qv FROM o
                   UNION ALL
@@ -310,15 +316,19 @@ def main(sfdir, outdir):
                      JOIN x USING (series)
                      JOIN events e ON e.event_type = m.series
                    GROUP BY 1, 2, 3, 4, 5)
-            SELECT SUM(CASE WHEN n_rows != n
+            SELECT (SELECT SUM(CASE WHEN n_rows != n
                          OR r_lt > p * n + n / 10000.0 + 1
                          OR r_le < p * n - n / 10000.0 - 1
-                         THEN 1 ELSE 0 END), COUNT(*)
-            FROM rk""").fetchone()
-        okk2 = (badk2 or 0) == 0 and (nk2 or 0) > 0
+                         THEN 1 ELSE 0 END) FROM rk),
+                   (SELECT COUNT(*) FROM rk),
+                   (SELECT 3 * COUNT(*) FROM o),
+                   (SELECT 3 * COUNT(*) FROM x)""").fetchone()
+        okk2 = ((badk2 or 0) == 0 and (nk2 or 0) > 0
+                and nk2 == no2 and nk2 == nx2)
         print(f"{'PASS' if okk2 else 'FAIL'} k02_audit: {nk2} quantile "
-              f"estimates, {badk2 or 0} outside the n/accuracy rank "
-              f"window or with wrong counts")
+              f"estimates matched of {no2} dumped / {nx2} exact, "
+              f"{badk2 or 0} outside the n/accuracy rank window or "
+              f"with wrong counts")
         if not okk2:
             n_ok -= 1
     st09 = f"{outdir}/st09_sketch_stream"
