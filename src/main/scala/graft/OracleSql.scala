@@ -1442,6 +1442,32 @@ object OracleSql {
            round(quantile_cont(q, 0.95), 8) AS p95
          FROM q GROUP BY source ORDER BY source""",
 
+    // k04: md5-derived CMS buckets — DuckDB rebuilds the whole
+    // depth×width table and every point estimate exactly.
+    "k04_cms_topk" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
+             AS token FROM documents),
+         cells AS (SELECT r,
+             CAST(concat('0x', substr(md5('graft-cms' ||
+               CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
+               % 1024 AS b,
+             CAST(COUNT(*) AS BIGINT) AS cell
+           FROM toks, unnest(generate_series(0, 3)) AS u(r)
+           GROUP BY 1, 2),
+         top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq_exact
+                 FROM toks GROUP BY token
+                 ORDER BY freq_exact DESC, token LIMIT 25),
+         probes AS (SELECT token, freq_exact, r,
+             CAST(concat('0x', substr(md5('graft-cms' ||
+               CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
+               % 1024 AS b
+           FROM top, unnest(generate_series(0, 3)) AS u(r))
+         SELECT p.token, p.freq_exact, MIN(c.cell) AS freq_cms,
+           MIN(c.cell) - p.freq_exact AS overestimate
+         FROM probes p JOIN cells c USING (r, b)
+         GROUP BY p.token, p.freq_exact
+         ORDER BY p.freq_exact DESC, p.token""",
+
     "t09_top_tokens" ->
       s"""WITH toks AS (SELECT unnest(string_split($normText, ' ')) AS token
                         FROM documents)

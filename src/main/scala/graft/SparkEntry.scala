@@ -1632,6 +1632,14 @@ object SparkEntry {
         col("user_id"))
       .orderBy("series")
 
+  /** Count-min point-query audit over corpus tokens
+    * (operators/Sketches.cmsTopK): t09's exact top-25 next to their CMS
+    * estimates from a 4×1024-cell table — md5-derived buckets, so the
+    * FULL SQL oracle rebuilds the sketch and every estimate exactly,
+    * and the one-sided overestimate contract is data, not prose. */
+  private def k04(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsTopK(t(s, dir, "documents"), col("text"))
+
   /** GK-summary quantile profile over event values
     * (operators/Sketches.quantileProfile): per event_type, p50/p90/p99
     * estimates whose ranks the driver audit checks against exact DuckDB
@@ -2282,6 +2290,7 @@ object SparkEntry {
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),
+    "k04_cms_topk" -> (k04 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

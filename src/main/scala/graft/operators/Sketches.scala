@@ -84,6 +84,53 @@ object Sketches {
           col("f2_exact").cast("double"), 6).as("rel_err"))
   }
 
+  /** Count-min sketch (Cormode-Muthukrishnan 2005) point-query audit
+    * over corpus tokens: the CMS table is `depth`·`width` integer cells
+    * REGARDLESS of vocabulary size — the bounded-memory way to serve
+    * "how often does token X appear" at 100 TB — and its one-sided
+    * guarantee (estimate >= true, <= true + εN w.h.p.) is checked here
+    * against exact counts for the exact top-`k` tokens.
+    *
+    * Buckets are md5-coin-derived per (row of the sketch, token), so
+    * the whole table AND every estimate are bit-reproducible across
+    * engines and partitionings: this sketch gets a FULL SQL oracle
+    * (k03's discipline). Build = one exploded (depth-replicated)
+    * map-side-combined count to depth·width keys; estimates = min over
+    * depth cells via a broadcast-joined lookup of the queried tokens.
+    * Emits (token, freq_exact, freq_cms, overestimate). */
+  def cmsTopK(docs: DataFrame, textCol: Column, k: Int = 25,
+              depth: Int = 4, width: Int = 1024,
+              seed: String = "graft-cms"): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val toks = docs.select(explode(split(
+      trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")),
+      " ")).as("token"))
+    def bucket(row: Column, tok: Column): Column =
+      pmod(graft.pack.Pack.integerDraw(seed,
+        concat_ws("|", row, tok)), lit(width.toLong))
+    // sketch table: depth x width integer cells
+    val cells = toks
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("token")).as("b"))
+      .agg(count(lit(1)).as("cell"))
+    // exact top-k tokens (t09's bounded TakeOrderedAndProject shape)
+    val top = toks.groupBy("token")
+      .agg(count(lit(1)).as("freq_exact"))
+      .orderBy(desc("freq_exact"), col("token")).limit(k)
+    // point queries: each (token, r) probes its cell; estimate = min
+    val probes = top
+      .select(col("token"), col("freq_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", bucket(col("r"), col("token")))
+    probes.join(cells, Seq("r", "b"))
+      .groupBy("token")
+      .agg(first(col("freq_exact")).as("freq_exact"),
+        min(col("cell")).as("freq_cms"))
+      .withColumn("overestimate", col("freq_cms") - col("freq_exact"))
+      .orderBy(desc("freq_exact"), col("token"))
+  }
+
   /** Per-group quantile profile via Spark's GK summaries
     * (`percentile_approx`): each returned value's RANK is within
     * n/`accuracy` of the target rank — the contract the driver audit

@@ -88,6 +88,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cmsTopK: one-sided guarantee holds exactly (estimate >= true), " +
+      "deterministic across partitionings, exact on collision-free keys") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c", "a b d e f g", "h i j k").toDF("text")
+    val got = Sketches.cmsTopK(docs, col("text"), k = 11, depth = 4,
+        width = 1024)
+      .collect()
+    assert(got.length == 11)
+    for (r <- got) {
+      assert(r.getAs[Long]("freq_cms") >= r.getAs[Long]("freq_exact"),
+        s"${r.getString(0)}: CMS under-counted")
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("freq_cms") - r.getAs[Long]("freq_exact"))
+    }
+    // 11 tokens into 4x1024 cells: every row hashes collision-free with
+    // overwhelming md5 probability, so estimates are exact here
+    assert(got.forall(_.getAs[Long]("overestimate") == 0L))
+    val a = Sketches.cmsTopK(docs.repartition(5), col("text"), k = 11)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val b = Sketches.cmsTopK(docs.repartition(2), col("text"), k = 11)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
   test("sketch plans are map-side combined (partial aggregation)") {
     for (q <- Seq("k01_sketch_distinct", "k02_sketch_quantiles",
         "k03_ams_f2")) {
