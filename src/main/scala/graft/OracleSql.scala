@@ -171,6 +171,34 @@ object OracleSql {
               THEN 1 ELSE 0 END AS INT) AS anomaly
        FROM z ORDER BY series, day"""
 
+  /** Count-min point-query audit — the shared oracle of the k04 batch
+    * gate and its st10 streaming twin (the stream-built cell table
+    * equals the batch build bit-for-bit: counts are order-insensitive
+    * and buckets md5-derived). */
+  private lazy val cmsTopKSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
+           AS token FROM documents),
+       cells AS (SELECT r,
+           CAST(concat('0x', substr(md5('graft-cms' ||
+             CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
+             % 1024 AS b,
+           CAST(COUNT(*) AS BIGINT) AS cell
+         FROM toks, unnest(generate_series(0, 3)) AS u(r)
+         GROUP BY 1, 2),
+       top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq_exact
+               FROM toks GROUP BY token
+               ORDER BY freq_exact DESC, token LIMIT 25),
+       probes AS (SELECT token, freq_exact, r,
+           CAST(concat('0x', substr(md5('graft-cms' ||
+             CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
+             % 1024 AS b
+         FROM top, unnest(generate_series(0, 3)) AS u(r))
+       SELECT p.token, p.freq_exact, MIN(c.cell) AS freq_cms,
+         MIN(c.cell) - p.freq_exact AS overestimate
+       FROM probes p JOIN cells c USING (r, b)
+       GROUP BY p.token, p.freq_exact
+       ORDER BY p.freq_exact DESC, p.token"""
+
   /** Gap-based sessionization (30-min gap, per-user numbering) - the
     * shared oracle of the q37 batch gate and its st06 streaming twin
     * (exact parity on a one-shot in-order replay). */
@@ -1444,29 +1472,11 @@ object OracleSql {
 
     // k04: md5-derived CMS buckets — DuckDB rebuilds the whole
     // depth×width table and every point estimate exactly.
-    "k04_cms_topk" ->
-      s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
-             AS token FROM documents),
-         cells AS (SELECT r,
-             CAST(concat('0x', substr(md5('graft-cms' ||
-               CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
-               % 1024 AS b,
-             CAST(COUNT(*) AS BIGINT) AS cell
-           FROM toks, unnest(generate_series(0, 3)) AS u(r)
-           GROUP BY 1, 2),
-         top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq_exact
-                 FROM toks GROUP BY token
-                 ORDER BY freq_exact DESC, token LIMIT 25),
-         probes AS (SELECT token, freq_exact, r,
-             CAST(concat('0x', substr(md5('graft-cms' ||
-               CAST(r AS VARCHAR) || '|' || token), 1, 15)) AS BIGINT)
-               % 1024 AS b
-           FROM top, unnest(generate_series(0, 3)) AS u(r))
-         SELECT p.token, p.freq_exact, MIN(c.cell) AS freq_cms,
-           MIN(c.cell) - p.freq_exact AS overestimate
-         FROM probes p JOIN cells c USING (r, b)
-         GROUP BY p.token, p.freq_exact
-         ORDER BY p.freq_exact DESC, p.token""",
+    "k04_cms_topk" -> cmsTopKSql,
+
+    // st10: the stream-built cell table equals the batch build
+    // bit-for-bit (order-insensitive counts) — literally k04's oracle.
+    "st10_cms_stream" -> cmsTopKSql,
 
     "t09_top_tokens" ->
       s"""WITH toks AS (SELECT unnest(string_split($normText, ' ')) AS token

@@ -1974,6 +1974,23 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Complete)
       .orderBy("series", "day")
 
+  /** st10 builds k04's count-min table INSIDE the streaming state store
+    * (Sketches.cmsCells on the streamed documents table): the state is
+    * the fixed 4×1024 cell grid — never tokens — so continuous
+    * token-frequency service state is constant at any stream rate.
+    * Counting is order-insensitive, so the drained cell table equals
+    * the batch build bit-for-bit and the composed point-query output
+    * shares k04's FULL SQL oracle (st08's shared-oracle discipline on
+    * the sketch axis — the tenth streaming-class gate). */
+  private def st10(s: SparkSession, dir: String): DataFrame = {
+    val cells = runStreamOnce(s,
+      graft.operators.Sketches.cmsCells(
+        streamTable(s, dir, "documents"), col("text")),
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    graft.operators.Sketches.cmsPointQuery(cells,
+      t(s, dir, "documents"), col("text"))
+  }
+
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
     * on the MONITOR side): file source over the events table (st01's
@@ -2370,7 +2387,8 @@ object SparkEntry {
     "st06_sessionize_stream" -> (st06 _),
     "st07_quota_admit" -> (st07 _),
     "st08_anomaly_stream" -> (st08 _),
-    "st09_sketch_stream" -> (st09 _)
+    "st09_sketch_stream" -> (st09 _),
+    "st10_cms_stream" -> (st10 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -98,31 +98,48 @@ object Sketches {
     * map-side-combined count to depth·width keys; estimates = min over
     * depth cells via a broadcast-joined lookup of the queried tokens.
     * Emits (token, freq_exact, freq_cms, overestimate). */
-  def cmsTopK(docs: DataFrame, textCol: Column, k: Int = 25,
-              depth: Int = 4, width: Int = 1024,
-              seed: String = "graft-cms"): DataFrame = {
-    require(depth >= 1 && width >= 2)
-    val toks = docs.select(explode(split(
+  private def cmsBucket(seed: String, width: Int)(row: Column,
+                                                  tok: Column): Column =
+    pmod(graft.pack.Pack.integerDraw(seed,
+      concat_ws("|", row, tok)), lit(width.toLong))
+
+  private def cmsTokens(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(
       trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")),
       " ")).as("token"))
-    def bucket(row: Column, tok: Column): Column =
-      pmod(graft.pack.Pack.integerDraw(seed,
-        concat_ws("|", row, tok)), lit(width.toLong))
-    // sketch table: depth x width integer cells
-    val cells = toks
+
+  /** The CMS table itself: depth × width integer cells as one exploded
+    * map-side-combined count. Works identically on batch and STREAMING
+    * frames (complete-mode unwindowed aggregation — the state store
+    * holds the fixed cell grid, never tokens; st10's gate runs exactly
+    * this on the streamed corpus and the counts equal the batch build
+    * bit-for-bit because counting is order-insensitive). */
+  def cmsCells(docs: DataFrame, textCol: Column, depth: Int = 4,
+               width: Int = 1024, seed: String = "graft-cms")
+      : DataFrame = {
+    require(depth >= 1 && width >= 2)
+    cmsTokens(docs, textCol)
       .select(col("token"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .groupBy(col("r"), bucket(col("r"), col("token")).as("b"))
+      .groupBy(col("r"),
+        cmsBucket(seed, width)(col("r"), col("token")).as("b"))
       .agg(count(lit(1)).as("cell"))
-    // exact top-k tokens (t09's bounded TakeOrderedAndProject shape)
+  }
+
+  /** Point queries against a (possibly stream-built) CMS cell table:
+    * the exact top-`k` tokens probe their depth cells, estimate = min.
+    * Emits (token, freq_exact, freq_cms, overestimate). */
+  def cmsPointQuery(cells: DataFrame, docs: DataFrame, textCol: Column,
+                    k: Int = 25, depth: Int = 4, width: Int = 1024,
+                    seed: String = "graft-cms"): DataFrame = {
+    val toks = cmsTokens(docs, textCol)
     val top = toks.groupBy("token")
       .agg(count(lit(1)).as("freq_exact"))
       .orderBy(desc("freq_exact"), col("token")).limit(k)
-    // point queries: each (token, r) probes its cell; estimate = min
     val probes = top
       .select(col("token"), col("freq_exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("b", bucket(col("r"), col("token")))
+      .withColumn("b", cmsBucket(seed, width)(col("r"), col("token")))
     probes.join(cells, Seq("r", "b"))
       .groupBy("token")
       .agg(first(col("freq_exact")).as("freq_exact"),
@@ -130,6 +147,12 @@ object Sketches {
       .withColumn("overestimate", col("freq_cms") - col("freq_exact"))
       .orderBy(desc("freq_exact"), col("token"))
   }
+
+  def cmsTopK(docs: DataFrame, textCol: Column, k: Int = 25,
+              depth: Int = 4, width: Int = 1024,
+              seed: String = "graft-cms"): DataFrame =
+    cmsPointQuery(cmsCells(docs, textCol, depth, width, seed),
+      docs, textCol, k, depth, width, seed)
 
   /** Per-group quantile profile via Spark's GK summaries
     * (`percentile_approx`): each returned value's RANK is within

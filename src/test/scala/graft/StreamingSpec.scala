@@ -302,6 +302,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st10 gate (CMS in streaming state) equals the k04 batch gate; " +
+      "chunked replay builds the identical cell table") {
+    val streamed = SparkEntry.queries("st10_cms_stream")(spark, TestSpark.sf)
+      .collect().toSeq.map(_.toSeq)
+    val batch = SparkEntry.queries("k04_cms_topk")(spark, TestSpark.sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch CMS outputs diverge: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    // chunked replay: cells accumulate across micro-batches to the same
+    // table (counting is order-insensitive)
+    implicit val sql = spark.sqlContext
+    import graft.operators.Sketches
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+      .select(col("text")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st10-ckpt").toString
+    val q = Sketches.cmsCells(input.toDS.toDF("text"), col("text"))
+      .writeStream.format("memory").queryName("st10_cells")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 2) / 3)) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamedCells = spark.table("st10_cells").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batchCells = Sketches.cmsCells(
+          graft.sources.Tables(spark, TestSpark.sf, "documents"),
+          col("text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamedCells == batchCells)
+    } finally q.stop()
+  }
+
   test("st08 gate (streaming rate anomaly) equals the q41 batch gate") {
     val streamed =
       SparkEntry.queries("st08_anomaly_stream")(spark, TestSpark.sf)
