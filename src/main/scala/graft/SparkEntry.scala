@@ -1991,6 +1991,22 @@ object SparkEntry {
       t(s, dir, "documents"), col("text"))
   }
 
+  /** st11 runs a STREAM-STREAM event-time interval join
+    * (Streams.errorResolutionJoin): error events correlate with the
+    * purchases that follow them within an hour, both sides unbounded
+    * streams buffered in the state store and evicted by the event-time
+    * join bounds + watermark — the fifth streaming machinery class
+    * (after windowed agg, flatMapGroupsWithState, stream-static join,
+    * and sketch-in-state), and like st08/st10 it carries a FULL SQL
+    * oracle because the inner join's matched-pair output equals the
+    * batch interval join row-for-row on a replay. */
+  private def st11(s: SparkSession, dir: String): DataFrame =
+    runStreamOnce(s,
+        Streams.errorResolutionJoin(streamEvents(s, dir),
+          withinSec = 3600, wmDelay = Some("35 days")),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("error_event_id", "fix_event_id")
+
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
     * on the MONITOR side): file source over the events table (st01's
@@ -2388,7 +2404,8 @@ object SparkEntry {
     "st07_quota_admit" -> (st07 _),
     "st08_anomaly_stream" -> (st08 _),
     "st09_sketch_stream" -> (st09 _),
-    "st10_cms_stream" -> (st10 _)
+    "st10_cms_stream" -> (st10 _),
+    "st11_stream_join" -> (st11 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -256,6 +256,43 @@ object Streams {
           })
   }
 
+  /** STREAM-STREAM event-time interval join — the error→resolution
+    * correlation of a monitoring pipeline ("which failures were followed
+    * by a successful retry within the window"), and the one streaming
+    * machinery class the other gates don't exercise: BOTH join sides are
+    * unbounded streams, so Spark buffers each side in the state store
+    * and the event-time bounds in the join condition (f.ts ∈ [e.ts,
+    * e.ts + within]) plus the watermark are what let it evict state —
+    * without them a stream-stream join's state grows forever.
+    *
+    * The SAME function is the batch anchor (pass `wmDelay = None` on a
+    * batch frame) and the streaming query (st04's discipline): an inner
+    * stream-stream join emits exactly the matched pairs, so a one-shot
+    * replay equals the batch interval join row-for-row and st11's gate
+    * carries a FULL SQL oracle. Join timestamps compare at full µs
+    * precision; the emitted gap is floor-seconds (epochSec), matching
+    * the oracle's date_diff. */
+  def errorResolutionJoin(events: DataFrame, withinSec: Long,
+                          fixType: String = "purchase",
+                          wmDelay: Option[String] = None): DataFrame = {
+    require(withinSec > 0, s"withinSec must be positive: $withinSec")
+    def side(t: String, uidAs: String, idAs: String,
+             tsAs: String): DataFrame = {
+      val f = events.filter(col("event_type") === t)
+        .select(col("user_id").as(uidAs), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+      wmDelay.map(d => f.withWatermark(tsAs, d)).getOrElse(f)
+    }
+    val e = side("error", "user_id", "error_event_id", "e_ts")
+    val fx = side(fixType, "f_user", "fix_event_id", "f_ts")
+    e.join(fx, col("user_id") === col("f_user") &&
+        col("f_ts") >= col("e_ts") &&
+        col("f_ts") <= col("e_ts") + expr(s"INTERVAL $withinSec SECOND"))
+      .select(col("user_id"), col("error_event_id"), col("fix_event_id"),
+        (graft.util.epochSec(col("f_ts")) -
+          graft.util.epochSec(col("e_ts"))).as("gap_sec"))
+  }
+
   final case class RateEvent(event_type: String, ts: java.sql.Timestamp)
   final case class RateSt(open: Map[Long, Long], trail: Seq[Long])
   final case class RateOut(series: String, day: String, n: Long,

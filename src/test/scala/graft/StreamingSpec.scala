@@ -302,6 +302,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st11 gate (stream-stream interval join) equals the batch " +
+      "interval join; bounds are inclusive at both ends") {
+    val streamed = SparkEntry.queries("st11_stream_join")(spark, TestSpark.sf)
+      .collect().toSeq.map(_.toSeq)
+    val batch = Streams.errorResolutionJoin(
+        graft.sources.Tables.events(spark, TestSpark.sf), withinSec = 3600)
+      .orderBy("error_event_id", "fix_event_id")
+      .collect().toSeq.map(_.toSeq)
+    assert(streamed.nonEmpty, "st11 gate matched zero pairs")
+    assert(streamed == batch,
+      s"stream/batch interval joins diverge: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    // boundary semantics on synthetic rows: fix at error ts (gap 0) and
+    // at exactly +within are matched; +within+1s is not
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "error", "2024-01-01 00:00:00"),
+      (1L, 11L, "purchase", "2024-01-01 00:00:00"),
+      (1L, 12L, "purchase", "2024-01-01 01:00:00"),
+      (1L, 13L, "purchase", "2024-01-01 01:00:01"),
+      (2L, 20L, "purchase", "2024-01-01 00:30:00") // no error for user 2
+    ).toDF("user_id", "event_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val got = Streams.errorResolutionJoin(ev, withinSec = 3600)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((10L, 11L, 0L), (10L, 12L, 3600L)))
+  }
+
   test("st10 gate (CMS in streaming state) equals the k04 batch gate; " +
       "chunked replay builds the identical cell table") {
     val streamed = SparkEntry.queries("st10_cms_stream")(spark, TestSpark.sf)
