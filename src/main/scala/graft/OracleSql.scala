@@ -1479,19 +1479,22 @@ object OracleSql {
     "st10_cms_stream" -> cmsTopKSql,
 
     // st11: join bounds compare at full µs precision (CAST ts), the
-    // emitted gap at floor-seconds — both exactly as the Spark side.
+    // emitted gap at floor-seconds — both exactly as the Spark side;
+    // window and fix-type are the gate's shared constants.
     "st11_stream_join" ->
       s"""WITH e AS (SELECT user_id, event_id AS error_event_id,
              $tsUs AS e_us, ${sec(tsUs)} AS e_sec
            FROM events WHERE event_type = 'error'),
          s AS (SELECT user_id, event_id AS fix_event_id,
              $tsUs AS f_us, ${sec(tsUs)} AS f_sec
-           FROM events WHERE event_type = 'purchase')
+           FROM events
+           WHERE event_type = '${graft.SparkEntry.st11FixType}')
          SELECT e.user_id, error_event_id, fix_event_id,
            CAST(f_sec - e_sec AS BIGINT) AS gap_sec
          FROM e JOIN s ON e.user_id = s.user_id
            AND s.f_us >= e.e_us
-           AND s.f_us <= e.e_us + INTERVAL 3600 SECOND
+           AND s.f_us <= e.e_us + INTERVAL ${
+             graft.SparkEntry.st11WithinSec} SECOND
          ORDER BY error_event_id, fix_event_id""",
 
     "t09_top_tokens" ->

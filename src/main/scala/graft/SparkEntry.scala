@@ -2003,9 +2003,15 @@ object SparkEntry {
   private def st11(s: SparkSession, dir: String): DataFrame =
     runStreamOnce(s,
         Streams.errorResolutionJoin(streamEvents(s, dir),
-          withinSec = 3600, wmDelay = Some("35 days")),
+          withinSec = st11WithinSec, fixType = st11FixType,
+          wmDelay = Some("35 days")),
         org.apache.spark.sql.streaming.OutputMode.Append)
       .orderBy("error_event_id", "fix_event_id")
+
+  /** st11 window/fix-type, shared with the oracle SQL generator so the
+    * two sides cannot drift (q24's shared-constant discipline). */
+  private[graft] val st11WithinSec = 3600L
+  private[graft] val st11FixType = "purchase"
 
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery

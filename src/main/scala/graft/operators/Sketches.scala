@@ -84,20 +84,6 @@ object Sketches {
           col("f2_exact").cast("double"), 6).as("rel_err"))
   }
 
-  /** Count-min sketch (Cormode-Muthukrishnan 2005) point-query audit
-    * over corpus tokens: the CMS table is `depth`·`width` integer cells
-    * REGARDLESS of vocabulary size — the bounded-memory way to serve
-    * "how often does token X appear" at 100 TB — and its one-sided
-    * guarantee (estimate >= true, <= true + εN w.h.p.) is checked here
-    * against exact counts for the exact top-`k` tokens.
-    *
-    * Buckets are md5-coin-derived per (row of the sketch, token), so
-    * the whole table AND every estimate are bit-reproducible across
-    * engines and partitionings: this sketch gets a FULL SQL oracle
-    * (k03's discipline). Build = one exploded (depth-replicated)
-    * map-side-combined count to depth·width keys; estimates = min over
-    * depth cells via a broadcast-joined lookup of the queried tokens.
-    * Emits (token, freq_exact, freq_cms, overestimate). */
   private def cmsBucket(seed: String, width: Int)(row: Column,
                                                   tok: Column): Column =
     pmod(graft.pack.Pack.integerDraw(seed,
@@ -128,10 +114,16 @@ object Sketches {
 
   /** Point queries against a (possibly stream-built) CMS cell table:
     * the exact top-`k` tokens probe their depth cells, estimate = min.
+    * `depth`/`width`/`seed` MUST equal the values `cells` was built
+    * with — a mismatched modulus or seed probes the wrong buckets and
+    * can silently break the one-sided guarantee; the bounds are
+    * re-validated here, the equality is the caller's contract (the
+    * cell table carries no self-description).
     * Emits (token, freq_exact, freq_cms, overestimate). */
   def cmsPointQuery(cells: DataFrame, docs: DataFrame, textCol: Column,
                     k: Int = 25, depth: Int = 4, width: Int = 1024,
                     seed: String = "graft-cms"): DataFrame = {
+    require(depth >= 1 && width >= 2 && k >= 1)
     val toks = cmsTokens(docs, textCol)
     val top = toks.groupBy("token")
       .agg(count(lit(1)).as("freq_exact"))
@@ -148,6 +140,20 @@ object Sketches {
       .orderBy(desc("freq_exact"), col("token"))
   }
 
+  /** Count-min sketch (Cormode-Muthukrishnan 2005) point-query audit
+    * over corpus tokens: the CMS table is `depth`·`width` integer cells
+    * REGARDLESS of vocabulary size — the bounded-memory way to serve
+    * "how often does token X appear" at 100 TB — and its one-sided
+    * guarantee (estimate >= true, <= true + εN w.h.p.) is checked here
+    * against exact counts for the exact top-`k` tokens.
+    *
+    * Buckets are md5-coin-derived per (sketch row, token), so the whole
+    * table AND every estimate are bit-reproducible across engines and
+    * partitionings: this sketch gets a FULL SQL oracle (k03's
+    * discipline). Build = [[cmsCells]] (one exploded map-side-combined
+    * count to depth·width keys); estimates = [[cmsPointQuery]] (min
+    * over depth cells). Emits (token, freq_exact, freq_cms,
+    * overestimate). */
   def cmsTopK(docs: DataFrame, textCol: Column, k: Int = 25,
               depth: Int = 4, width: Int = 1024,
               seed: String = "graft-cms"): DataFrame =
