@@ -1518,6 +1518,35 @@ object OracleSql {
          FROM pairs GROUP BY pair
          ORDER BY cnt DESC, pair ASC LIMIT 20""",
 
+    // t20: ln quantized at 6 dp then EXACT decimal sums; the regression
+    // closed form repeats the Spark side's double-op order, slope bound
+    // in a CTE so the intercept reuses the identical double.
+    "t20_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
+             AS token FROM documents),
+         tf AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+         top AS (SELECT token, freq, CAST(row_number() OVER (
+               ORDER BY freq DESC, token) AS INT) AS rank
+             FROM tf ORDER BY freq DESC, token LIMIT 100),
+         q AS (SELECT
+             CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS y
+           FROM top),
+         sums AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM q),
+         fit AS (SELECT n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM sums)
+         SELECT CAST(n AS BIGINT) AS n_ranked, round(slope, 6) AS slope,
+           round((sy - slope * sx) / n, 6) AS intercept
+         FROM fit""",
+
     // t19: every card column from exact integers or 6-dp decimal sums,
     // divisions in the same stated order as the Spark side.
     "t19_data_card" ->

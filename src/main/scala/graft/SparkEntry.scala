@@ -1704,6 +1704,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Zipf fit (TextOps.zipfFit): OLS slope/intercept of ln(freq) on
+    * ln(rank) over the top-100 tokens — the corpus-health statistic
+    * (natural text ≈ −1). Bounded top-N frame, decimal-exact sums,
+    * stated double-op regression; full SQL oracle. */
+  private def t20(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfFit(t(s, dir, "documents"), col("text"))
+
   /** Per-source dataset card (TextOps.dataCard): the corpus datasheet —
     * volume, token mass, mean quality, language share, unique/dup
     * fingerprints — as one grouped report; every column integer- or
@@ -2368,6 +2375,7 @@ object SparkEntry {
     "t17_readability" -> (t17 _),
     "t18_bpe_encode" -> (t18 _),
     "t19_data_card" -> (t19 _),
+    "t20_zipf_fit" -> (t20 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -385,6 +385,50 @@ object TextOps {
     lengthTerm * 0.5 + wordLenTerm * 0.3 + least(stopRatio * 2.0, lit(1.0)) * 0.2
   }
 
+  /** Zipf-law fit over the token frequency distribution — the corpus
+    * HEALTH statistic (natural text sits near slope −1; templated or
+    * synthetic corpora drift toward flat, boilerplate-heavy ones toward
+    * steep): OLS slope/intercept of ln(freq) on ln(rank) over the
+    * top-`topN` tokens.
+    *
+    * Determinism: the corpus collapses to the bounded top-N frame
+    * first (t09's TakeOrderedAndProject shape; the rank window runs
+    * over those N rows only — dumpBatched's counts-frame discipline),
+    * each ln is quantized to 6 dp and summed as EXACT decimals, and
+    * the regression closed form is a stated chain of double ops over
+    * those exact sums — so the full DuckDB oracle reproduces slope and
+    * intercept bit-for-bit (t10/t11's ln-at-6dp precedent). */
+  def zipfFit(docs: DataFrame, textCol: Column,
+              topN: Int = 100): DataFrame = {
+    require(topN >= 3, s"need >= 3 ranked tokens for a fit: $topN")
+    val freqs = docs
+      .select(explode(split(
+        trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")),
+        " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(topN)
+    val ranked = freqs.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("freq"), col("token"))))
+    val q = ranked.select(
+      round(log(col("rank").cast("double")), 6)
+        .cast("decimal(18,6)").as("x"),
+      round(log(col("freq").cast("double")), 6)
+        .cast("decimal(18,6)").as("y"))
+    val sums = q.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n").cast("bigint").as("n_ranked"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
   /** Per-source dataset card — the datasheet every corpus release ships
     * (volume, token mass, quality, language mix, duplication): one
     * grouped report a curation run reads before and after every

@@ -223,6 +223,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq("xy", "yx"))
   }
 
+  test("zipfFit: slope/intercept match a driver-side replica of the " +
+      "quantized closed form; a perfect power law fits exactly") {
+    import spark.implicits._
+    // synthetic frequencies freq = 1000 / rank: "t1" x1000, "t2" x500...
+    // on a perfect Zipf curve the quantized fit lands within rounding
+    // noise of slope -1
+    val words = (1 to 8).flatMap(r => Seq.fill(1000 / r)(s"t$r"))
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = TextOps.zipfFit(docs, col("text"), topN = 8).collect().head
+    assert(got.getAs[Long]("n_ranked") == 8L)
+    // driver replica of the same quantized arithmetic
+    val freqs = (1 to 8).map(r => (r, 1000 / r))
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val xs = freqs.map { case (r, _) => q6(math.log(r.toDouble)) }
+    val ys = freqs.map { case (_, f) => q6(math.log(f.toDouble)) }
+    val n = 8.0
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getAs[Double]("slope") ==
+      q6(slope).toDouble, s"slope ${got.getAs[Double]("slope")}")
+    assert(math.abs(got.getAs[Double]("slope") + 1.0) < 0.02,
+      "perfect power law should fit near -1")
+    assert(got.getAs[Double]("intercept") ==
+      q6((sy - slope * sx) / n).toDouble)
+  }
+
   test("dataCard: volume, dup-rate, language-share and fingerprint " +
       "counts match a hand replica") {
     import spark.implicits._
