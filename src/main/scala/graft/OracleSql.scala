@@ -222,6 +222,107 @@ object OracleSql {
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx"""
 
+  // -- Exported-model ANN oracles (s07/s08/s09/st05): only the k-means
+  // FITS are non-SQL-expressible, so each gate persists its fitted model
+  // frames (ModelStore parquet) at SparkEntry.gateModelDir and the oracle
+  // reads them back at the same absolute path
+  // (SparkEntry.gateModelSqlPath — Verify pins the sf tag before dumping
+  // oracle_sql.json) and re-derives EVERYTHING downstream of the fit:
+  // subvector encode (argmin L2), per-probe ADC lookup tables, the
+  // ordered ADC accumulation, the refine·k shortlist, and the exact
+  // re-rank. All double accumulation is ascending-index (dotD / ordered
+  // list_reduce — bit-identical to the Catalyst kernels), every ordering
+  // is fully tie-broken (score DESC, id ASC), so the values hash-match.
+  // Sequencing contract: the gate dump that wrote the models must be
+  // oracle-checked before another run overwrites the same (sf, gate) dir.
+  private def modelGlob(gate: String, kind: String): String =
+    s"'${graft.SparkEntry.gateModelSqlPath(gate)}/$kind/*.parquet'"
+
+  private def annM = graft.SparkEntry.annM
+  private def annProbe = graft.SparkEntry.annProbeMax
+
+  /** Shared encode/LUT prefix: cb (the exported codebooks), sv (every
+    * vector's m subspace slices), enc (argmin-L2 code per (vec, sub) —
+    * Pq.encode's assignWithin with ties to the lowest code), lut (the
+    * probes' per-(sub, code) partial dot products). */
+  private def pqPrefixSql(gate: String): String =
+    s"""cb AS (SELECT sub, code, centroid
+              FROM read_parquet(${modelGlob(gate, "pq_codebooks")})),
+       sv AS (SELECT e.vec_id, s.sub,
+             e.embedding[s.sub*(len(e.embedding)//$annM)+1 :
+                         (s.sub+1)*(len(e.embedding)//$annM)] AS v
+           FROM embeddings e,
+             unnest(generate_series(0, $annM - 1)) AS s(sub)),
+       enc AS (SELECT vec_id, sub, code FROM (
+             SELECT sv.vec_id, sv.sub, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY ${dotD("sv.v", "cb.centroid")}
+                   - ${dotD("cb.centroid", "cb.centroid")} / 2.0 DESC,
+                   cb.code ASC) AS rn
+             FROM sv JOIN cb USING (sub)) WHERE rn = 1),
+       lut AS (SELECT sv.vec_id AS probe_id, sv.sub, cb.code,
+             ${dotD("sv.v", "cb.centroid")} AS pdot
+           FROM sv JOIN cb USING (sub) WHERE sv.vec_id < $annProbe)"""
+
+  /** Shared ADC tail over a `cand(probe_id, id)` CTE: ordered per-sub
+    * LUT accumulation (Pq's ascending `aggregate`), refine·k shortlist,
+    * exact dot re-rank — (probe_id, neighbor_id, rank). */
+  private def adcTailSql: String = {
+    val shortK = graft.SparkEntry.annRefine * graft.SparkEntry.annK
+    s"""sc AS (SELECT c.probe_id, c.id,
+             list_reduce(list(l.pdot ORDER BY l.sub), (a, x) -> a + x)
+               AS score
+           FROM cand c
+             JOIN enc en ON en.vec_id = c.id
+             JOIN lut l ON l.probe_id = c.probe_id AND l.sub = en.sub
+               AND l.code = en.code
+           GROUP BY 1, 2),
+       sl AS (SELECT probe_id, id FROM (
+             SELECT probe_id, id, row_number() OVER (PARTITION BY probe_id
+               ORDER BY score DESC, id ASC) AS rn FROM sc)
+           WHERE rn <= $shortK),
+       rf AS (SELECT sl.probe_id, sl.id AS neighbor_id,
+             ${dotD("p.embedding", "c.embedding")} AS s
+           FROM sl JOIN embeddings c ON c.vec_id = sl.id
+                   JOIN embeddings p ON p.vec_id = sl.probe_id)
+       SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+         SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY s DESC, neighbor_id ASC) AS rn FROM rf)
+       WHERE rn <= ${graft.SparkEntry.annK}
+       ORDER BY probe_id, rank"""
+  }
+
+  /** IVF cell CTEs from the exported centroids: cell (every vector's
+    * cosine-nearest cell, Ivf.assign's max_by with ties to the lowest
+    * cluster) and pcell (each probe's nprobe best cells, TopK's
+    * (score DESC, id ASC)). */
+  private def ivfCellsSql(gate: String): String =
+    s"""cents AS (SELECT cluster, centroid
+              FROM read_parquet(${modelGlob(gate, "ivf_centroids")})),
+       cell AS (SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosD("e.embedding", "ct.centroid")} DESC,
+                   ct.cluster ASC) AS rn
+             FROM embeddings e, cents ct) WHERE rn = 1),
+       pcell AS (SELECT probe_id, cluster FROM (
+             SELECT e.vec_id AS probe_id, ct.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosD("e.embedding", "ct.centroid")} DESC,
+                   ct.cluster ASC) AS rn
+             FROM embeddings e, cents ct WHERE e.vec_id < $annProbe)
+           WHERE rn <= ${graft.SparkEntry.annNprobe})"""
+
+  /** s08/s09 share this whole shape; only the model dir differs. */
+  private def ivfAdcOracleSql(gate: String): String =
+    s"""WITH ${pqPrefixSql(gate)},
+       ${ivfCellsSql(gate)},
+       cand AS (SELECT pc.probe_id, ce.vec_id AS id
+             FROM cell ce JOIN pcell pc USING (cluster)
+             WHERE ce.vec_id <> pc.probe_id),
+       $adcTailSql"""
+
   val all: Map[String, String] = Map(
     "q01_summary_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -878,6 +979,38 @@ object OracleSql {
          SELECT probe_id, CAST(n_hits AS BIGINT) AS n_hits,
            round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
          FROM hits ORDER BY probe_id""",
+
+    // PQ+refine over the gate's exported codebooks: cand = every
+    // (probe, other-vector) pair (pqKnnFromModel streams probes against
+    // the whole code table), then the shared ADC tail.
+    "s07_knn_pq" ->
+      s"""WITH ${pqPrefixSql("s07")},
+         cand AS (SELECT l.probe_id, e.vec_id AS id
+               FROM (SELECT DISTINCT probe_id FROM lut) l, embeddings e
+               WHERE e.vec_id <> l.probe_id),
+         $adcTailSql""",
+
+    "s08_knn_ivfpq" -> ivfAdcOracleSql("s08"),
+
+    // s09's query path IS s08's oracle arithmetic: admission is
+    // row-local given the loaded models, so one-shot encode+assign over
+    // the whole corpus equals the gate's batch-at-a-time union
+    // bit-for-bit (ModelStoreSpec pins that equality).
+    "s09_incr_encode" -> ivfAdcOracleSql("s09"),
+
+    // Streaming admission re-derived per row from the exported models:
+    // cluster = cosine-nearest centroid, codes = the comma-joined
+    // argmin-L2 code string (string_agg ORDER BY sub == concat_ws over
+    // the sub-sorted array).
+    "st05_index_ingest" ->
+      s"""WITH ${pqPrefixSql("st05")},
+         ${ivfCellsSql("st05")},
+         cs AS (SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub)
+                 AS codes
+             FROM enc GROUP BY 1)
+         SELECT cs.vec_id AS id, cell.cluster, cs.codes
+         FROM cs JOIN cell USING (vec_id) ORDER BY id""",
 
     "s10_random_projection" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1,

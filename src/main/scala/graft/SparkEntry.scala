@@ -705,28 +705,63 @@ object SparkEntry {
     * vectors), the ADC pass scores candidates via per-probe lookup
     * tables (m array lookups each, no explode, no per-pair shuffle),
     * and an 8·k shortlist is exactly re-ranked on the true vectors.
-    * Rows-only gate (the k-means fit is not SQL-expressible); PqSpec
-    * carries the ground truth: lossless-corpus EXACTNESS vs brute
-    * inner-product ranking, knob-swept recall pinned on this corpus,
-    * shape and loud-failure invariants. */
-  private def s07(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Pq.pqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") < 5, k = 3, m = 16, ksub = 32,
-        refine = 8)
+    *
+    * FULL SQL oracle via the exported-model route (s12's discipline
+    * generalized): only the k-means FIT is non-SQL-expressible, so the
+    * gate persists the fitted codebooks ([[graft.sim.ModelStore]], the
+    * same parquet the production lifecycle persists) at the
+    * [[gateModelDir]] path the oracle reads back, and DuckDB re-derives
+    * EVERYTHING downstream of the fit — subvector encode (argmin L2),
+    * per-probe LUTs, the ordered ADC accumulation, the refine·k
+    * shortlist, and the exact re-rank — bit-for-bit (ascending-index
+    * double dot products; every ordering fully tie-broken). Fit quality
+    * itself stays pinned by PqSpec (lossless-corpus exactness vs brute
+    * ranking, knob-swept recall). */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{ModelStore, Pq}
+    val e = t(s, dir, "embeddings")
+    val base = gateModelDir(dir, "s07")
+    ModelStore.save(
+      Pq.fitCodebooks(e, "vec_id", "embedding", m = annM, ksub = annKsub),
+      "pq_codebooks", s"$base/pq_codebooks")
+    val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
+    val codes = Pq.encode(e, "vec_id", "embedding", codebooks, annM)
+    Pq.pqKnnFromModel(e, "vec_id", "embedding", codebooks, codes,
+        probeFilter = col("vec_id") < annProbeMax, k = annK, m = annM,
+        refine = annRefine)
       .orderBy("probe_id", "rank")
+  }
 
   /** IVFADC ([[graft.sim.Pq.ivfPqKnn]]) — candidate REDUCTION (s03's
     * IVF cells, same c=16/nprobe=4 anchors) composed with vector
     * COMPRESSION (s07's codebooks) and exact refine: the full
-    * production ANN shape, proving the two scale axes compose. Rows-
-    * only; PqSpec pins recall, determinism, and probed-cell soundness
-    * (every returned neighbor lives in one of its probe's nprobe
-    * cells). */
-  private def s08(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Pq.ivfPqKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4,
-        m = 16, ksub = 32, refine = 8)
+    * production ANN shape, proving the two scale axes compose. FULL SQL
+    * oracle via s07's exported-model route: both fits (coarse centroids
+    * + codebooks) are persisted at the [[gateModelDir]] path and DuckDB
+    * re-derives cell assignment, probe-cell selection, encode, ADC and
+    * exact refine bit-for-bit. PqSpec still pins recall, determinism,
+    * and probed-cell soundness (every returned neighbor lives in one of
+    * its probe's nprobe cells). */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ivf, ModelStore, Pq}
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val base = gateModelDir(dir, "s08")
+    ModelStore.save(Ivf.fitCentroids(corpus, c = annC, iters = 3),
+      "ivf_centroids", s"$base/ivf_centroids")
+    ModelStore.save(
+      Pq.fitCodebooks(e, "vec_id", "embedding", m = annM, ksub = annKsub),
+      "pq_codebooks", s"$base/pq_codebooks")
+    val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
+    val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
+    val cells = Ivf.assign(corpus, centroids).select(col("id"), col("cluster"))
+    val codes = Pq.encode(e, "vec_id", "embedding", codebooks, annM)
+      .join(cells, Seq("id"))
+    Pq.ivfPqKnnFromModel(e, "vec_id", "embedding", centroids, codebooks,
+        codes, probeFilter = col("vec_id") < annProbeMax, k = annK,
+        nprobe = annNprobe, m = annM, refine = annRefine)
       .orderBy("probe_id", "rank")
+  }
 
   /** Fit-once / apply-many ANN lifecycle ([[graft.sim.ModelStore]]) —
     * the production posture the reference's persistent-DB driver
@@ -741,17 +776,21 @@ object SparkEntry {
     * (ModelStoreSpec pins it, d07's incremental discipline on vectors).
     * Probes then query the unioned code table via
     * [[graft.sim.Pq.ivfPqKnnFromModel]] with NO refit anywhere on the
-    * query path. Rows-only gate (the k-means fits are not
-    * SQL-expressible); ModelStoreSpec carries the ground truth:
-    * save/load identity, incremental==full-encode equality, and
-    * from-model==end-to-end result equality. */
+    * query path. FULL SQL oracle via the exported-model route: the
+    * persisted models ARE the gate's [[gateModelDir]] export, batch-at-
+    * a-time admission is row-local (so DuckDB's one-shot encode+assign
+    * over the whole corpus reproduces the unioned code table exactly —
+    * the equality ModelStoreSpec pins), and the query tail is s08's
+    * oracle arithmetic. ModelStoreSpec still carries save/load identity,
+    * incremental==full-encode equality, and from-model==end-to-end
+    * result equality. */
   private def s09(s: SparkSession, dir: String): DataFrame = {
     import graft.sim.{Ivf, ModelStore, Pq}
     val e = t(s, dir, "embeddings")
-    val m = 16; val ksub = 32
+    val m = annM; val ksub = annKsub
     val fitBatch = e.filter(col("vec_id") % 2 === 0)
     val nextBatch = e.filter(col("vec_id") % 2 === 1)
-    val base = modelScratchDir()
+    val base = gateModelDir(dir, "s09")
     ModelStore.save(
       Ivf.fitCentroids(
         fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
@@ -773,25 +812,39 @@ object SparkEntry {
           Seq("id"))
     val codes = admit(fitBatch).union(admit(nextBatch))
     Pq.ivfPqKnnFromModel(e, "vec_id", "embedding", centroids, codebooks,
-        codes, probeFilter = col("vec_id") < 5, k = 3, nprobe = 4, m = m,
-        refine = 8)
+        codes, probeFilter = col("vec_id") < annProbeMax, k = annK,
+        nprobe = annNprobe, m = m, refine = annRefine)
       .orderBy("probe_id", "rank")
   }
 
-  /** Fresh model dir per gate invocation (s09/st05): an overwrite at a
-    * shared path would race concurrent bench/verify runs destructively
-    * (the delete-then-write window is not benign like the stream_src
-    * symlink's) and would invalidate a previous invocation's still-lazy
-    * plan; unique dirs remove both hazards (model frames are tiny, the
-    * leak is negligible). Parents created first — createTempDirectory
-    * does not, and a driver run from outside the repo root has no
-    * ./target yet. */
-  private def modelScratchDir(): String = {
-    val parent = java.nio.file.Paths.get("target")
-    java.nio.file.Files.createDirectories(parent)
-    java.nio.file.Files.createTempDirectory(parent, "model_store_gate_")
-      .toString
+  /** DETERMINISTIC per-(sf, gate) model export dir, shared with the SQL
+    * oracles: a model-exporting gate (s07/s08/s09/st05) saves its fitted
+    * frames here and the matching [[OracleSql]] entry reads them back via
+    * `read_parquet` at the same absolute path, so DuckDB re-derives the
+    * whole post-fit pipeline from the identical model bits. Keyed by the
+    * sf dir's basename so a bench run (sf0.1) can never clobber the
+    * models a concurrently-running verify (sf0.01) is about to be
+    * oracle-checked against; two concurrent runs at the SAME sf remain
+    * the caller's discipline (they would also race the verify dumps
+    * themselves). Within one JVM, per-gate subdirs keep one gate's
+    * overwrite from invalidating another's still-lazy plan. Absolute
+    * path: Verify's oracle_sql.json is consumed by a DuckDB process
+    * whose cwd is not guaranteed to match. */
+  private[graft] def gateModelDir(dir: String, gate: String): String = {
+    val tag = new java.io.File(dir).getName
+    val base = new java.io.File(s"target/gate_models/$tag/$gate")
+    java.nio.file.Files.createDirectories(base.toPath)
+    base.getAbsolutePath
   }
+
+  /** The oracle-side twin of [[gateModelDir]]: the sf tag comes from the
+    * `graft.gate.sfTag` system property, which [[Verify]] pins from its
+    * sfDir argument before dumping oracle_sql.json (default: sf0.01, the
+    * driver's correctness scale). */
+  private[graft] def gateModelSqlPath(gate: String): String =
+    new java.io.File("target/gate_models/" +
+      sys.props.getOrElse("graft.gate.sfTag", "sf0.01") + s"/$gate")
+      .getAbsolutePath
 
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
@@ -2101,18 +2154,19 @@ object SparkEntry {
     * store, and NO watermark anywhere on the feed path (the
     * stream-static class reduced to a pure broadcast projection;
     * PqSpec pins admitStateless == encode⋈assign bit-for-bit, and the
-    * stateless plan shape is spec-asserted). Rows-only gate (the
-    * k-means fits are not SQL-expressible). The gate serializes the
-    * PQ code array to a comma-joined string: the driver's rows-check
-    * sorts the dump in pandas, which cannot lexsort an array column
-    * (the r11 st05 ERR) — a scalar projection of the same bytes keeps
-    * the check sortable without weakening it. */
+    * stateless plan shape is spec-asserted). FULL SQL oracle via the
+    * exported-model route: admission given the models is row-local
+    * arithmetic, so DuckDB re-derives every (cluster, codes) from the
+    * [[gateModelDir]] export + raw embeddings. The gate serializes the
+    * PQ code array to a comma-joined string (string_agg on the oracle
+    * side emits the identical bytes) — also what keeps the dump
+    * pandas-sortable (the r11 st05 ERR). */
   private def st05(s: SparkSession, dir: String): DataFrame = {
     import graft.sim.{Ivf, ModelStore, Pq}
     val e = t(s, dir, "embeddings")
-    val m = 16; val ksub = 32
+    val m = annM; val ksub = annKsub
     val fitBatch = e.filter(col("vec_id") % 2 === 0)
-    val base = modelScratchDir()
+    val base = gateModelDir(dir, "st05")
     ModelStore.save(
       Ivf.fitCentroids(
         fitBatch.select(col("vec_id").as("id"), col("embedding").as("v")),
@@ -2151,6 +2205,18 @@ object SparkEntry {
     * batch fires them — deterministic session close without relying on
     * no-data-batch semantics. The sentinel user is filtered from the
     * output (its own session is never closed). */
+  /** ANN gate knobs, shared verbatim with the exported-model oracles
+    * (s07/s08/s09/st05) — the st11WithinSec shared-constant discipline:
+    * one definition on the Scala side, interpolated into the SQL, so a
+    * knob tweak can never leave the oracle checking a stale bound. */
+  private[graft] val annM = 16        // PQ subspaces
+  private[graft] val annKsub = 32     // codes per subspace (SQL-side: implicit in the exported codebook)
+  private[graft] val annK = 3         // neighbors returned
+  private[graft] val annRefine = 8    // shortlist = refine·k
+  private[graft] val annC = 16        // IVF coarse cells (implicit in the exported centroids)
+  private[graft] val annNprobe = 4    // cells scanned per probe
+  private[graft] val annProbeMax = 5  // probe set: vec_id < annProbeMax
+
   /** st07's per-source token quota, shared with the oracle SQL — sized
     * to bind hard at the gate corpus (~40% of a source's tokens), so
     * the admission cutoff is exercised in every source. */

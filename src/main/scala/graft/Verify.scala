@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the sf tag BEFORE any gate/oracle access: the exported-model
+    // oracles (s07/s08/s09/st05) embed SparkEntry.gateModelSqlPath,
+    // which must name the same per-sf dir the gates write this run.
+    System.setProperty("graft.gate.sfTag", new java.io.File(sfDir).getName)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
