@@ -37,6 +37,10 @@ object Sketches {
       .withColumn("rel_err",
         round(abs(col("ndv_hll") - col("ndv_exact")).cast("double") /
           col("ndv_exact").cast("double"), 6))
+      // the published knob rides the output so the driver audit derives
+      // its 5*rsd bound from the SAME value the sketch ran with — a
+      // knob tweak can never leave the audit checking a stale constant
+      .withColumn("rsd", lit(rsd))
 
   /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996) with
     * its exact anchor: F2 = Σ_key count² — the self-join / join-size
@@ -175,6 +179,9 @@ object Sketches {
       .select(col("series"), col("n_rows"),
         col("qs").getItem(0).as("p50"),
         col("qs").getItem(1).as("p90"),
-        col("qs").getItem(2).as("p99"))
+        col("qs").getItem(2).as("p99"),
+        // published knob rides the output (distinctProfile's rsd rule):
+        // the audit's n/accuracy window derives from this column
+        lit(accuracy).as("accuracy"))
   }
 }

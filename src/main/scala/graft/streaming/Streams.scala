@@ -61,7 +61,10 @@ object Streams {
         approx_count_distinct(col("user_id"), rsd).as("ndv_hll"))
       .select(col("event_type").as("series"),
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("n_rows"), col("ndv_hll"))
+        col("n_rows"), col("ndv_hll"),
+        // published knob rides the output (Sketches.distinctProfile's
+        // rsd rule) so the driver audit's bound can't go stale
+        lit(rsd).as("rsd"))
 
   /** Streaming variant with a watermark (late events beyond 1 day
     * dropped; windows keep accumulating until then). */

@@ -5,6 +5,12 @@ dumps (column names sorted, values compared cell-by-cell; floats exact and
 with 1e-9 relative fallback reported separately).
 
 Usage: oracle_check.py <sfdir> <verify_out>
+
+Besides the stdout report, writes a machine-readable artifact
+(AUDITS_LOCAL.json in the cwd, or $GRAFT_AUDITS_OUT) recording every
+oracle compare, rows-only count, and audit verdict with counts — the
+per-round evidence trail a judge can read without re-running anything
+(committed as AUDITS_r{N}.json each round).
 """
 import json, math, sys
 import duckdb
@@ -32,6 +38,13 @@ def main(sfdir, outdir):
         want = {s.strip() for s in subset.split(",") if s.strip()}
         oracle = {k: v for k, v in oracle.items() if k in want}
     results = {}
+    rows_only = {}
+    audits = {}
+
+    def audit(name, ok, detail):
+        audits[name] = {"pass": bool(ok), "detail": detail}
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
+
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).fetchdf()
@@ -85,6 +98,7 @@ def main(sfdir, outdir):
         if name not in oracle:
             n = duckdb.connect().execute(
                 f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            rows_only[name] = int(n)
             print(f"ROWS {name}: {n}")
     # One-sided SOUNDNESS bounds for approximate (rows-only) ops whose
     # OUTPUT is exactly checkable even though their candidate set is not:
@@ -120,11 +134,9 @@ def main(sfdir, outdir):
                          OR true_j < 0.02 THEN 1 ELSE 0 END),
                    COUNT(*) FROM chk""").fetchone()
         ok = (bad or 0) == 0 and n_pairs > 0
-        print(f"{'PASS' if ok else 'FAIL'} d02_soundness: "
-              f"{n_pairs} emitted pairs, {bad or 0} with wrong/"
+        audit("d02_soundness",
+              ok, f"{n_pairs} emitted pairs, {bad or 0} with wrong/"
               f"below-threshold exact jaccard")
-        if not ok:
-            n_ok -= 1  # surface the failure in the exit summary
     # d03 emits (id_a, id_b, dist, sig_a, sig_b) — recompute every pair's
     # hamming from the exported signatures (independent xor + bit_count
     # path) and assert the <= 3 soundness bound. Completeness (pigeonhole
@@ -137,11 +149,9 @@ def main(sfdir, outdir):
                    COUNT(*)
             FROM read_parquet('{d03}/*.parquet')""").fetchone()
         ok3 = (bad3 or 0) == 0 and n3 > 0
-        print(f"{'PASS' if ok3 else 'FAIL'} d03_soundness: "
-              f"{n3} emitted pairs, {bad3 or 0} with hamming(sig_a, sig_b)"
-              f" != dist or dist > 3")
-        if not ok3:
-            n_ok -= 1
+        audit("d03_soundness",
+              ok3, f"{n3} emitted pairs, {bad3 or 0} with hamming(sig_a, "
+              f"sig_b) != dist or dist > 3")
     # d08 emits a per-id audit: (vec_id, kept, witness_id, witness_cos).
     # Every DROPPED id must carry a lower-id witness whose cosine,
     # recomputed here from the raw embedding vectors (independent of the
@@ -173,11 +183,9 @@ def main(sfdir, outdir):
             FROM chk""").fetchone()
         ok8 = ((bad8 or 0) == 0 and (n_drop or 0) > 0
                and n_rows == n_corpus)
-        print(f"{'PASS' if ok8 else 'FAIL'} d08_soundness: "
-              f"{n_rows} audit rows ({n_drop} drops) over {n_corpus} "
+        audit("d08_soundness",
+              ok8, f"{n_rows} audit rows ({n_drop} drops) over {n_corpus} "
               f"vectors, {bad8 or 0} with a missing/invalid witness")
-        if not ok8:
-            n_ok -= 1
     # d13 emits (eval_id, train_id, jaccard) cross-split near-dup pairs —
     # every emitted pair must carry its true exact jaccard (recomputed
     # from raw text, 6-dp rounded like the gate), clear the 0.5 threshold,
@@ -212,11 +220,9 @@ def main(sfdir, outdir):
                          THEN 1 ELSE 0 END),
                    COUNT(*) FROM chk""").fetchone()
         ok13 = (bad13 or 0) == 0 and (n13 or 0) > 0
-        print(f"{'PASS' if ok13 else 'FAIL'} d13_soundness: "
-              f"{n13} emitted pairs, {bad13 or 0} with wrong jaccard, "
-              f"below-threshold, or wrong split orientation")
-        if not ok13:
-            n_ok -= 1
+        audit("d13_soundness",
+              ok13, f"{n13} emitted pairs, {bad13 or 0} with wrong "
+              f"jaccard, below-threshold, or wrong split orientation")
     # ANN ordering soundness (s02/s03/s04, rows-only): the emitted
     # (probe, neighbor, rank) lists must agree with the TRUE cosine
     # order — rank r's true cosine >= rank r+1's (1e-9 slack for the
@@ -259,21 +265,21 @@ def main(sfdir, outdir):
                    (SELECT bad_rank FROM rk)""").fetchone()
         ok_ann = ((inversions or 0) == 0 and (bad_rank or 0) == 0
                   and n_rows == n_scored and (n_rows or 0) > 0)
-        print(f"{'PASS' if ok_ann else 'FAIL'} {ann}_soundness: "
-              f"{n_rows} emitted rows, {inversions or 0} true-cosine "
-              f"inversions, {bad_rank or 0} non-contiguous ranks, "
-              f"{n_rows - n_scored} dangling neighbor ids")
-        if not ok_ann:
-            n_ok -= 1
+        audit(f"{ann}_soundness",
+              ok_ann, f"{n_rows} emitted rows, {inversions or 0} "
+              f"true-cosine inversions, {bad_rank or 0} non-contiguous "
+              f"ranks, {n_rows - n_scored} dangling neighbor ids")
     # Sketch audits (k01/k02, rows-only): estimates can't be SQL-oracled,
     # but their error CONTRACTS can — recompute the exact answers in
     # DuckDB and assert each estimate inside its published bound.
     k01 = f"{outdir}/k01_sketch_distinct"
     if os.path.isdir(k01):
-        # exact columns must match DuckDB exactly; HLL within 5*rsd
-        # (rsd = 0.02 -> 10% hard ceiling, ~2.4 sigma headroom); series
-        # set must match exactly (inner join == both side counts, the
-        # st09_audit guard) so a dropped group can't pass silently
+        # exact columns must match DuckDB exactly; HLL within 5*rsd —
+        # the rsd bound derives from the rsd COLUMN the gate emits (the
+        # shared-constant discipline: a Scala-side knob tweak moves the
+        # audit bound with it); series set must match exactly (inner
+        # join == both side counts, the st09_audit guard) so a dropped
+        # group can't pass silently
         badk1, nk1, no1, nx1 = con.execute(f"""
             WITH o AS (SELECT * FROM read_parquet('{k01}/*.parquet')),
             x AS (SELECT event_type AS series, COUNT(*) AS n,
@@ -281,7 +287,7 @@ def main(sfdir, outdir):
                   FROM events GROUP BY 1)
             SELECT (SELECT SUM(CASE WHEN o.n_rows != x.n
                          OR o.ndv_exact != x.ndv
-                         OR abs(o.ndv_hll - x.ndv) > 0.10 * x.ndv
+                         OR abs(o.ndv_hll - x.ndv) > 5 * o.rsd * x.ndv
                          THEN 1 ELSE 0 END)
                     FROM o JOIN x USING (series)),
                    (SELECT COUNT(*) FROM o JOIN x USING (series)),
@@ -289,25 +295,27 @@ def main(sfdir, outdir):
                    (SELECT COUNT(*) FROM x)""").fetchone()
         okk1 = ((badk1 or 0) == 0 and (nk1 or 0) > 0
                 and nk1 == no1 and nk1 == nx1)
-        print(f"{'PASS' if okk1 else 'FAIL'} k01_audit: {nk1} series "
-              f"matched of {no1} dumped / {nx1} exact, {badk1 or 0} "
-              f"with wrong exact columns or HLL outside 5*rsd")
-        if not okk1:
-            n_ok -= 1
+        audit("k01_audit",
+              okk1, f"{nk1} series matched of {no1} dumped / {nx1} "
+              f"exact, {badk1 or 0} with wrong exact columns or HLL "
+              f"outside 5*rsd")
     k02 = f"{outdir}/k02_sketch_quantiles"
     if os.path.isdir(k02):
         # each estimate's exact rank window [count(<q), count(<=q)] must
-        # intersect target_rank +- n/accuracy (+1 discretization slack)
+        # intersect target_rank +- n/accuracy (+1 discretization slack);
+        # the window size derives from the accuracy COLUMN the gate
+        # emits (k01's rsd-column rule)
         badk2, nk2, no2, nx2 = con.execute(f"""
             WITH o AS (SELECT * FROM read_parquet('{k02}/*.parquet')),
-            m AS (SELECT series, n_rows, 0.50 AS p, p50 AS qv FROM o
+            m AS (SELECT series, n_rows, accuracy, 0.50 AS p, p50 AS qv
+                    FROM o
                   UNION ALL
-                  SELECT series, n_rows, 0.90, p90 FROM o
+                  SELECT series, n_rows, accuracy, 0.90, p90 FROM o
                   UNION ALL
-                  SELECT series, n_rows, 0.99, p99 FROM o),
+                  SELECT series, n_rows, accuracy, 0.99, p99 FROM o),
             x AS (SELECT event_type AS series, COUNT(value) AS n
                   FROM events GROUP BY 1),
-            rk AS (SELECT m.series, m.p, m.qv, m.n_rows, x.n,
+            rk AS (SELECT m.series, m.p, m.qv, m.n_rows, m.accuracy, x.n,
                      CAST(SUM(CASE WHEN e.value <= m.qv THEN 1 ELSE 0
                        END) AS BIGINT) AS r_le,
                      CAST(SUM(CASE WHEN e.value < m.qv THEN 1 ELSE 0
@@ -315,27 +323,26 @@ def main(sfdir, outdir):
                    FROM m
                      JOIN x USING (series)
                      JOIN events e ON e.event_type = m.series
-                   GROUP BY 1, 2, 3, 4, 5)
+                   GROUP BY 1, 2, 3, 4, 5, 6)
             SELECT (SELECT SUM(CASE WHEN n_rows != n
-                         OR r_lt > p * n + n / 10000.0 + 1
-                         OR r_le < p * n - n / 10000.0 - 1
+                         OR r_lt > p * n + n / accuracy + 1
+                         OR r_le < p * n - n / accuracy - 1
                          THEN 1 ELSE 0 END) FROM rk),
                    (SELECT COUNT(*) FROM rk),
                    (SELECT 3 * COUNT(*) FROM o),
                    (SELECT 3 * COUNT(*) FROM x)""").fetchone()
         okk2 = ((badk2 or 0) == 0 and (nk2 or 0) > 0
                 and nk2 == no2 and nk2 == nx2)
-        print(f"{'PASS' if okk2 else 'FAIL'} k02_audit: {nk2} quantile "
-              f"estimates matched of {no2} dumped / {nx2} exact, "
-              f"{badk2 or 0} outside the n/accuracy rank window or "
-              f"with wrong counts")
-        if not okk2:
-            n_ok -= 1
+        audit("k02_audit",
+              okk2, f"{nk2} quantile estimates matched of {no2} dumped "
+              f"/ {nx2} exact, {badk2 or 0} outside the n/accuracy rank "
+              f"window or with wrong counts")
     st09 = f"{outdir}/st09_sketch_stream"
     if os.path.isdir(st09):
         # per-day exact ndv recomputed over the same UTC day truncation;
-        # n_rows exact, HLL inside 5*rsd (rsd = 0.02); window set must
-        # match exactly (inner-join count == both side counts)
+        # n_rows exact, HLL inside 5*rsd — bound derived from the rsd
+        # COLUMN the gate emits (k01's rule); window set must match
+        # exactly (inner-join count == both side counts)
         badst9, nst9, no9, nx9 = con.execute(f"""
             WITH o AS (SELECT * FROM read_parquet('{st09}/*.parquet')),
             x AS (SELECT event_type AS series,
@@ -344,7 +351,7 @@ def main(sfdir, outdir):
                     COUNT(*) AS n, COUNT(DISTINCT user_id) AS ndv
                   FROM events GROUP BY 1, 2)
             SELECT (SELECT SUM(CASE WHEN o.n_rows != x.n
-                         OR abs(o.ndv_hll - x.ndv) > 0.10 * x.ndv
+                         OR abs(o.ndv_hll - x.ndv) > 5 * o.rsd * x.ndv
                          THEN 1 ELSE 0 END)
                     FROM o JOIN x USING (series, day)),
                    (SELECT COUNT(*) FROM o JOIN x USING (series, day)),
@@ -352,13 +359,55 @@ def main(sfdir, outdir):
                    (SELECT COUNT(*) FROM x)""").fetchone()
         okst9 = ((badst9 or 0) == 0 and (nst9 or 0) > 0
                  and nst9 == no9 and nst9 == nx9)
-        print(f"{'PASS' if okst9 else 'FAIL'} st09_audit: {nst9} "
-              f"(series, day) windows matched of {no9} streamed / {nx9} "
-              f"exact, {badst9 or 0} with wrong counts or HLL outside "
-              f"5*rsd")
-        if not okst9:
-            n_ok -= 1
+        audit("st09_audit",
+              okst9, f"{nst9} (series, day) windows matched of {no9} "
+              f"streamed / {nx9} exact, {badst9 or 0} with wrong counts "
+              f"or HLL outside 5*rsd")
+    audit_fail = sum(1 for a in audits.values() if not a["pass"])
+    n_ok -= audit_fail  # audit failures surface in the exit summary
     print(f"\n{n_ok}/{len(oracle)} oracle queries pass")
+    # Machine-readable evidence trail (VERDICT r12 item 4): committed
+    # per round as AUDITS_r{N}.json so the audit verdicts are an
+    # artifact, not stdout prose. Metadata block follows leakcheck.py's
+    # discipline (commit, timestamp, inputs).
+    import datetime
+    import subprocess
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              timeout=10).stdout.strip()
+    except Exception:
+        head = None
+    artifact = {
+        "schema": 1,
+        "generated_utc": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+        "git_head": head or None,
+        "sfdir": sfdir,
+        "outdir": outdir,
+        "summary": {
+            "oracle_pass": sum(1 for v in results.values()
+                               if v.startswith("OK")),
+            "oracle_total": len(oracle),
+            "rows_only": len(rows_only),
+            "audit_pass": sum(1 for a in audits.values() if a["pass"]),
+            "audit_total": len(audits),
+        },
+        "oracle": results,
+        "rows_only_counts": rows_only,
+        "audits": audits,
+    }
+    # Subset runs (SPARK_GRAFT_ONLY) must not clobber the canonical
+    # full-run artifact (Bench's BENCH_LOCAL rule) unless the caller
+    # explicitly names an output path.
+    out_path = os.environ.get("GRAFT_AUDITS_OUT")
+    if out_path is None and not subset:
+        out_path = "AUDITS_LOCAL.json"
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"audits artifact -> {out_path}")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
