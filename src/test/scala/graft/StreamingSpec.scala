@@ -132,6 +132,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: dedup state survives a query RESTART " +
+      "(chunk 1, stop, new query from the same checkpoint, chunk 2)") {
+    // The production exactly-once claim all eleven streaming gates rest
+    // on, pinned end-to-end: every other spec replays chunks through ONE
+    // query instance, so nothing exercised the state-store recovery path
+    // (the reference spool's whole point — its persistent notification
+    // dedup survives process death, monitor/spool/__init__.py). Here the
+    // flatMapGroupsWithState state must cross a real restart: file
+    // source + parquet sink + HDFS-backed state store, query STOPPED
+    // between chunks and a NEW query started from the same checkpoint.
+    import graft.streaming.Streams.DocFp
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-recovery")
+    val srcDir = s"$root/src"; val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    // fp "a" and "b" recur in chunk 2: without recovered state they
+    // would be re-admitted; with it chunk 2 contributes only (5, "c").
+    val chunk1 = Seq(DocFp(1L, "a"), DocFp(2L, "b"), DocFp(3L, "a"))
+    val chunk2 = Seq(DocFp(4L, "a"), DocFp(5L, "c"), DocFp(6L, "b"))
+    def runChunk(chunk: Seq[DocFp], part: String): Unit = {
+      chunk.toDS.write.parquet(s"$srcDir/$part")
+      val q = Streams.firstPerFingerprintStream(
+          spark.readStream.schema("doc_id LONG, fp STRING")
+            .option("recursiveFileLookup", "true").parquet(srcDir)
+            .as[DocFp])
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runChunk(chunk1, "p1")
+    runChunk(chunk2, "p2") // NEW query instance, same checkpoint
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (5L, "c")),
+      s"state/offset recovery broken: $got — a re-admitted (4,a)/(6,b) " +
+        "means dedup state was lost across the restart; a duplicated " +
+        "(1,a) means the source offset log was lost")
+  }
+
   test("st07 quota admission: chunked in-order replay equals the window " +
       "cumsum; the cutoff binds and carries across batches") {
     implicit val sql = spark.sqlContext
