@@ -222,6 +222,16 @@ object OracleSql {
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx"""
 
+  // Binary's synthetic-payload dimension constants (makeWebp /
+  // makeRealPng closed forms), interpolated instead of duplicated as
+  // SQL literals — the shared-constant discipline (ADVICE r12).
+  private def wb = graft.multimodal.Binary.WebpDimBase
+  private def wwm = graft.multimodal.Binary.WebpWMod
+  private def whm = graft.multimodal.Binary.WebpHMod
+  private def pb = graft.multimodal.Binary.PngDimBase
+  private def pwm = graft.multimodal.Binary.PngWMod
+  private def phm = graft.multimodal.Binary.PngHMod
+
   // -- Exported-model ANN oracles (s07/s08/s09/st05): only the k-means
   // FITS are non-SQL-expressible, so each gate persists its fitted model
   // frames (ModelStore parquet) at SparkEntry.gateModelDir and the oracle
@@ -1402,12 +1412,14 @@ object OracleSql {
          CAST(120 + (doc_id % 5) * 24 AS BIGINT) AS height
          FROM documents ORDER BY doc_id""",
 
+    // dims interpolated from Binary's makeWebp constants — one side
+    // to tweak, a drift shows as a compile error not a hash mismatch
     "m11_webp_meta" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'vp8x' WHEN 1 THEN 'vp8l'
            ELSE 'vp8' END AS variant,
-         CAST(16 + doc_id % 301 AS BIGINT) AS width,
-         CAST(16 + doc_id % 211 AS BIGINT) AS height,
+         CAST(${wb} + doc_id % ${wwm} AS BIGINT) AS width,
+         CAST(${wb} + doc_id % ${whm} AS BIGINT) AS height,
          CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 - doc_id % 2 END
            AS BIGINT) AS has_alpha
          FROM documents ORDER BY doc_id""",
@@ -1787,9 +1799,9 @@ object OracleSql {
          FROM b GROUP BY bucket ORDER BY bucket""",
 
     "m03_pixel_stats" ->
-      """WITH d AS (SELECT doc_id,
-             CAST(8 + doc_id % 9 AS BIGINT) AS w,
-             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      s"""WITH d AS (SELECT doc_id,
+             CAST(${pb} + doc_id % ${pwm} AS BIGINT) AS w,
+             CAST(${pb} + doc_id % ${phm} AS BIGINT) AS h
            FROM documents),
          px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
                 FROM d,
@@ -1808,9 +1820,9 @@ object OracleSql {
     // pattern; all 16 bins per doc (zeros included) so the joins are
     // presence-unambiguous.
     "m12_color_histogram" ->
-      """WITH d AS (SELECT doc_id,
-             CAST(8 + doc_id % 9 AS BIGINT) AS w,
-             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      s"""WITH d AS (SELECT doc_id,
+             CAST(${pb} + doc_id % ${pwm} AS BIGINT) AS w,
+             CAST(${pb} + doc_id % ${phm} AS BIGINT) AS h
            FROM documents),
          px AS (SELECT doc_id,
                   (doc_id + x + y) % 256 AS r,

@@ -920,8 +920,14 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def d05(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") % 20 === 0, threshold = 0.25)
+    // the AUTO-knob deployment entry point is the gate default (r13):
+    // knobs derive from the corpus size (b=1/L=18 at every test sf —
+    // bit-identical to the frozen reference config, DedupSpec-pinned),
+    // and the 10x octave probe runs the SAME path, so the gate
+    // exercises what production ships instead of a frozen twin
+    Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"), "vec_id",
+        "embedding", probeFilter = col("vec_id") % 20 === 0,
+        threshold = 0.25)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
 
@@ -930,7 +936,7 @@ object SparkEntry {
     * (the KEEP-one-representative step of a dedup pipeline). */
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+        Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"), "vec_id",
           "embedding", probeFilter = col("vec_id") % 20 === 0,
           threshold = 0.25),
         "id_a", "id_b")
@@ -972,7 +978,7 @@ object SparkEntry {
   private def d15(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupWeights(t(s, dir, "embeddings"), "vec_id",
         Dedup.connectedComponents(
-          Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+          Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"), "vec_id",
             "embedding", probeFilter = col("vec_id") % 20 === 0,
             threshold = 0.25),
           "id_a", "id_b"))

@@ -745,14 +745,22 @@ object Binary {
     * width = 16 + id % 301, height = 16 + id % 211, alpha = 1 - id % 2
     * (lossy vp8 carries no alpha). Every field a closed form of doc_id
     * so the oracle recomputes it arithmetically. */
+  /** [[makeWebp]]'s closed-form dimension formulas, shared VERBATIM
+    * with the m11 oracle SQL (the st11WithinSec/t18Merges/p11Seed
+    * shared-constant discipline): width = base + id % wMod, height =
+    * base + id % hMod, variant cycle id % 3, alpha 1 - id % 2. */
+  private[graft] val WebpDimBase = 16L
+  private[graft] val WebpWMod = 301L
+  private[graft] val WebpHMod = 211L
+
   def makeWebp(docId: Long): Array[Byte] = {
     def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
     def le24(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
     def le32(v: Long) =
       Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def fourcc(s: String) = s.getBytes("US-ASCII")
-    val w = 16L + docId % 301
-    val h = 16L + docId % 211
+    val w = WebpDimBase + docId % WebpWMod
+    val h = WebpDimBase + docId % WebpHMod
     val alpha = 1L - docId % 2
     val body: Array[Byte] = (docId % 3) match {
       case 0 =>
@@ -789,9 +797,15 @@ object Binary {
     * pattern EXACTLY and the DuckDB oracle can recompute the channel means
     * arithmetically from doc_id alone (the pixel analog of
     * [[makeImage]]/[[makeWav]]'s header oracles). */
+  /** [[makeRealPng]]'s closed-form dimensions, shared VERBATIM with
+    * the m03/m12 oracle SQL (the [[WebpDimBase]] discipline). */
+  private[graft] val PngDimBase = 8L
+  private[graft] val PngWMod = 9L
+  private[graft] val PngHMod = 7L
+
   def makeRealPng(docId: Long): Array[Byte] = {
-    val w = (8 + docId % 9).toInt
-    val h = (8 + docId % 7).toInt
+    val w = (PngDimBase + docId % PngWMod).toInt
+    val h = (PngDimBase + docId % PngHMod).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

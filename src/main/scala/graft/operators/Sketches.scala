@@ -108,26 +108,48 @@ object Sketches {
                width: Int = 1024, seed: String = "graft-cms")
       : DataFrame = {
     require(depth >= 1 && width >= 2)
+    // the build parameters ride the cell column's METADATA so
+    // cmsPointQuery can verify it probes with the same modulus/seed the
+    // table was built with (survives memory-sink and parquet round
+    // trips; the streaming state never sees it — metadata is plan-time)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("cms.depth", depth.toLong)
+      .putLong("cms.width", width.toLong)
+      .putString("cms.seed", seed)
+      .build()
     cmsTokens(docs, textCol)
       .select(col("token"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .groupBy(col("r"),
         cmsBucket(seed, width)(col("r"), col("token")).as("b"))
-      .agg(count(lit(1)).as("cell"))
+      .agg(count(lit(1)).as("cell", meta))
   }
 
   /** Point queries against a (possibly stream-built) CMS cell table:
     * the exact top-`k` tokens probe their depth cells, estimate = min.
     * `depth`/`width`/`seed` MUST equal the values `cells` was built
     * with — a mismatched modulus or seed probes the wrong buckets and
-    * can silently break the one-sided guarantee; the bounds are
-    * re-validated here, the equality is the caller's contract (the
-    * cell table carries no self-description).
+    * can silently break the one-sided guarantee. [[cmsCells]] stamps
+    * its parameters into the `cell` column's metadata, and this end
+    * REFUSES a mismatch loudly; a cells frame whose metadata was
+    * stripped (hand-built, or a path that drops plan metadata) falls
+    * back to the documented caller's contract.
     * Emits (token, freq_exact, freq_cms, overestimate). */
   def cmsPointQuery(cells: DataFrame, docs: DataFrame, textCol: Column,
                     k: Int = 25, depth: Int = 4, width: Int = 1024,
                     seed: String = "graft-cms"): DataFrame = {
     require(depth >= 1 && width >= 2 && k >= 1)
+    val meta = cells.schema.find(_.name == "cell").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    if (meta.contains("cms.depth")) {
+      val (bd, bw, bs) = (meta.getLong("cms.depth"),
+        meta.getLong("cms.width"), meta.getString("cms.seed"))
+      require(bd == depth && bw == width && bs == seed,
+        s"cmsPointQuery(depth=$depth, width=$width, seed=$seed) against " +
+          s"a cell table built with (depth=$bd, width=$bw, seed=$bs) — " +
+          "mismatched parameters probe the wrong buckets and would " +
+          "silently break the one-sided estimate >= true guarantee")
+    }
     val toks = cmsTokens(docs, textCol)
     val top = toks.groupBy("token")
       .agg(count(lit(1)).as("freq_exact"))

@@ -493,6 +493,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embeddingNearDupsAuto equals the frozen reference config at " +
+      "gate scale (the d05/d06/d15 gates' auto-knob invariance)") {
+    // At every test sf the sqrt-rule derivation lands on the reference
+    // b=1/L=18 exactly (2000 rows / targetBucket 1000 -> 1 bit; table
+    // compensation is p^0 = 1), so switching the gates to the AUTO
+    // deployment entry point (r13) must be result-INVARIANT — this
+    // pins it with sets, not prose, the s02/s04 maxBucket precedent.
+    val emb = graft.sources.Tables(spark, TestSpark.sf, "embeddings")
+    val kn = graft.sim.LshKnobs.derive(emb.count(),
+      Dedup.NearDupTargetBucket, Dedup.NearDupBaseBits,
+      Dedup.NearDupBaseTables)
+    assert(kn.bits == Dedup.NearDupBaseBits
+        && kn.tables == Dedup.NearDupBaseTables && !kn.tablesCapped,
+      s"derivation drifted off the reference config at gate scale: $kn")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frozen = pairs(Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      probeFilter = col("vec_id") % 20 === 0, threshold = 0.25))
+    val auto = pairs(Dedup.embeddingNearDupsAuto(emb, "vec_id",
+      "embedding", probeFilter = col("vec_id") % 20 === 0,
+      threshold = 0.25))
+    assert(frozen.nonEmpty && auto == frozen,
+      s"auto/frozen diverge: ${(auto diff frozen).take(3)} / " +
+        s"${(frozen diff auto).take(3)}")
+  }
+
   // Driver-side replica of cdcChunkDups' segmentation (window 3,
   // boundary digit <= bound): chunk md5s of one doc in order.
   private def refCdcChunks(text: String, bound: Char): Seq[String] = {

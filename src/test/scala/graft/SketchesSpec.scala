@@ -112,6 +112,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cmsPointQuery refuses a cell table built with different " +
+      "parameters (metadata stamp), and accepts the matching ones") {
+    import spark.implicits._
+    val docs = Seq("a a b", "b c d").toDF("text")
+    val cells = Sketches.cmsCells(docs, col("text"),
+      depth = 4, width = 1024)
+    // matching params: plans fine
+    Sketches.cmsPointQuery(cells, docs, col("text"), k = 2,
+      depth = 4, width = 1024).queryExecution.analyzed
+    // drifted width: must fail LOUDLY at plan time, not under-detect
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsPointQuery(cells, docs, col("text"), k = 2,
+        depth = 4, width = 512)
+    }
+    assert(e.getMessage.contains("width=512")
+      && e.getMessage.contains("width=1024"))
+    // a stripped frame (no metadata) falls back to the caller contract
+    val bare = cells.select(col("r"), col("b"), col("cell")
+      .as("cell", org.apache.spark.sql.types.Metadata.empty))
+    Sketches.cmsPointQuery(bare, docs, col("text"), k = 2,
+      depth = 4, width = 512).queryExecution.analyzed
+  }
+
   test("sketch plans are map-side combined (partial aggregation)") {
     for (q <- Seq("k01_sketch_distinct", "k02_sketch_quantiles",
         "k03_ams_f2")) {
