@@ -39,8 +39,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Provenance (VERDICT r12 item 8): the git SHA ties the numbers to a
+    // tree, and the control query's reading (q19, BASELINE.md anchor
+    // 1.20) lets any reader phase-correct the run without hunting
+    // through BENCHLOG — the box's documented noise model is a
+    // per-phase multiplier plus per-query spikes.
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
+      } catch { case _: Throwable => "" }
+    val control = results.toMap.getOrElse("q19_star_join_agg", -1.0)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","control_q19_sec":$control%.3f,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Stdout capture windows can clip the (long) JSON line mid-object —
     // the r11 bench artifact lost its whole first family that way. Also

@@ -689,6 +689,54 @@ object OracleSql {
     // integral, so part-coercibility is TRY_CAST … AS BIGINT here (Spark
     // casts to each id column's exact table type; verdicts agree on
     // integral ids).
+    // q42: the planted-entry VALUES list is generated from the SAME
+    // constant the gate frames (q33's discipline); the part-derived
+    // block and every rule regex come from the shared Scala constants
+    // (CatalogEntries.KeyRe/SingleLineRe/UriRe).
+    "q42_catalog_validate" -> {
+      import graft.model.CatalogEntries.{KeyRe, SingleLineRe, UriRe}
+      def q(s: String) =
+        if (s == null) "NULL"
+        else "'" + s.replace("'", "''")
+          .replace("\t", "' || chr(9) || '") + "'"
+      val vals = graft.SparkEntry.testCatalogEntries
+        .map { case (k, t, h, d) => s"(${q(k)}, ${q(t)}, ${q(h)}, ${q(d)})" }
+        .mkString(", ")
+      s"""WITH planted AS (SELECT * FROM (VALUES $vals)
+               AS v(test_key, title, home, description)),
+         derived AS (SELECT
+               'p' || p_partkey || '-' ||
+                 regexp_replace(lower(p_name), '[^a-z0-9_-]+', '-', 'g')
+                 AS test_key,
+               p_name AS title,
+               'https://example.org/part/' || p_partkey AS home,
+               CAST(NULL AS VARCHAR) AS description
+             FROM part),
+         e AS (SELECT * FROM planted UNION ALL SELECT * FROM derived),
+         f AS (SELECT test_key,
+             (test_key IS NULL
+               OR NOT regexp_matches(test_key, '$KeyRe')) AS bad_key,
+             title IS NULL AS missing_title,
+             (title IS NOT NULL
+               AND NOT regexp_matches(title, '$SingleLineRe'))
+               AS multiline_title,
+             home IS NULL AS missing_home,
+             (home IS NOT NULL
+               AND NOT regexp_matches(home, '$UriRe')) AS bad_home_uri
+           FROM e)
+         SELECT test_key,
+           NOT (bad_key OR missing_title OR multiline_title
+             OR missing_home OR bad_home_uri) AS valid,
+           concat_ws(',',
+             CASE WHEN bad_key THEN 'bad_key' END,
+             CASE WHEN missing_title THEN 'missing_title' END,
+             CASE WHEN multiline_title THEN 'multiline_title' END,
+             CASE WHEN missing_home THEN 'missing_home' END,
+             CASE WHEN bad_home_uri THEN 'bad_home_uri' END)
+             AS violations
+         FROM f ORDER BY test_key"""
+    },
+
     "q33_root_id_check" -> {
       val cat = graft.model.TestCatalog.catalog
       val sorted = cat.types.values.toSeq.sortBy(_.name)

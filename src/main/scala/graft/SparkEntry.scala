@@ -846,6 +846,36 @@ object SparkEntry {
       sys.props.getOrElse("graft.gate.sfTag", "sf0.01") + s"/$gate")
       .getAbsolutePath
 
+  /** Deliberately mixed valid/invalid catalog entries for q42 — the
+    * rootIdCandidates discipline applied to the reference's test
+    * catalog (tests.yaml shape: key → {title, home, description?}).
+    * Covers every rule of kcidb/tests/schema.py: valid entries (with
+    * and without description, non-https scheme), bad key characters,
+    * empty key, key with spaces, missing/multi-line title (a TAB is a
+    * control char), missing/malformed home, and a multi-violation row.
+    * No null test_key: the driver's pandas row-sort cannot order
+    * None/str mixes (the SURVEY §2 scalar-gate rule's sibling). */
+  private[graft] val testCatalogEntries
+      : Seq[(String, String, String, String)] = Seq(
+    ("audit-suite", "Basic audit regression checks",
+      "https://example.org/audit", null),
+    ("boot", "Machine booted with the tested kernel",
+      "https://example.org/boot", "Longer free-form description."),
+    ("blk_tests", "Block layer and storage checks",
+      "ftp://mirror.example.net/blk", null),
+    ("perf.bench", "Dot is not a legal key character",
+      "https://example.org/perf", null),
+    ("", "Empty key", "https://example.org/empty", null),
+    ("space key", "Space is not a legal key character",
+      "https://example.org/space", null),
+    ("no-title", null, "https://example.org/nt", null),
+    ("tab_title", "line with a\ttab control char",
+      "https://example.org/tab", null),
+    ("no-home", "Entry without a home", null, null),
+    ("bad-home", "Home is not a URI", "not a uri", null),
+    ("rel-home", "Relative path home", "/usr/local/tests", null),
+    ("bare-min", null, null, null))
+
   /** Deliberately mixed valid/invalid composite root-id candidates for
     * q33 — shared with the oracle SQL generator (OracleSql builds the
     * VALUES list from this constant, as t01 does with the language
@@ -870,6 +900,31 @@ object SparkEntry {
     TestCatalog.catalog.checkRootIds(s, dir,
         rootIdCandidates.toDF("object_type", "id"))
       .orderBy("object_type", "id")
+  }
+
+  /** Test-catalog entry validation ([[graft.model.CatalogEntries]] —
+    * the reference's `kcidb-tests-validate` CLI,
+    * kcidb/tests/__init__.py:10 + tests/schema.py:6-42, the last named
+    * reference entry point without a twin): the planted
+    * [[testCatalogEntries]] exercise every schema rule, and the part
+    * table derives a corpus-sized VALID entry block (unique
+    * partkey-prefixed keys, sanitized names, synthetic homes) so the
+    * validator runs over real data, not just the fixture. One codegen'd
+    * scan, no shuffle before the output sort. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = testCatalogEntries
+      .toDF("test_key", "title", "home", "description")
+    val derived = t(s, dir, "part").select(
+      concat(lit("p"), col("p_partkey"), lit("-"),
+        regexp_replace(lower(col("p_name")), "[^a-z0-9_-]+", "-"))
+        .as("test_key"),
+      col("p_name").as("title"),
+      concat(lit("https://example.org/part/"), col("p_partkey"))
+        .as("home"),
+      lit(null).cast("string").as("description"))
+    graft.model.CatalogEntries.validate(planted.unionByName(derived))
+      .orderBy("test_key")
   }
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -2405,6 +2460,7 @@ object SparkEntry {
     "q39_json_files" -> (q39 _),
     "q40_ingest_notify" -> (q40 _),
     "q41_rate_anomaly" -> (q41 _),
+    "q42_catalog_validate" -> (q42 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

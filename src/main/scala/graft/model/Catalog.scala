@@ -444,6 +444,56 @@ final class Catalog(
     parentsClosure(spark, dir, rootsFromBatch(batch, maxObjs), withMetadata)
 }
 
+/** Catalog-ENTRY validation — the reference's test-catalog checker
+  * (kcidb/tests/schema.py:6-42 JSON schema, kcidb/tests/__init__.py:10
+  * `validate_main` / the `kcidb-tests-validate` CLI) re-expressed over a
+  * DataFrame of entries: the catalog is a keyed map of
+  * {title, home, description?} records, and validation checks each
+  * key's shape, the required single-line title, and the required
+  * URI-shaped home. One codegen'd scan, no shuffle — per-row rule
+  * evaluation composed from `rlike` columns, so a 10⁹-entry catalog
+  * validates at scan speed. */
+object CatalogEntries {
+
+  /** schema.py's patternProperties key rule. */
+  private[graft] val KeyRe = "^[a-zA-Z0-9_-]+$"
+  /** schema.py's single-line title rule (no control characters). */
+  private[graft] val SingleLineRe = "^[^\\x00-\\x1f]*$"
+  /** The documented stand-in for jsonschema's `format: uri` — scheme
+    * `://` non-space remainder (the reference's format checker is
+    * similarly shallow; reachability is its separate --urls mode, out
+    * of analytic scope). */
+  private[graft] val UriRe = "^[a-z][a-z0-9+.-]*://[^ \\t]+$"
+
+  /** Per-entry verdict: (test_key, valid, violations) with violations a
+    * comma-joined stable list from {bad_key, missing_title,
+    * multiline_title, missing_home, bad_home_uri}. The frame must carry
+    * EXACTLY (test_key, title, home, description) — extra columns are
+    * refused loudly, the `additionalProperties: false` analog. */
+  def validate(entries: DataFrame): DataFrame = {
+    val want = Set("test_key", "title", "home", "description")
+    require(entries.columns.toSet == want,
+      s"catalog entries must carry exactly ${want.toSeq.sorted.mkString(",")}" +
+        s", got ${entries.columns.sorted.mkString(",")} " +
+        "(additionalProperties: false — kcidb/tests/schema.py:40)")
+    val rules: Seq[(String, Column)] = Seq(
+      "bad_key" ->
+        (col("test_key").isNull || !col("test_key").rlike(KeyRe)),
+      "missing_title" -> col("title").isNull,
+      "multiline_title" ->
+        (col("title").isNotNull && !col("title").rlike(SingleLineRe)),
+      "missing_home" -> col("home").isNull,
+      "bad_home_uri" ->
+        (col("home").isNotNull && !col("home").rlike(UriRe)))
+    val viol = filter(
+      array(rules.map { case (n, c) => when(c, lit(n)) }: _*),
+      x => x.isNotNull)
+    entries.select(col("test_key"),
+      (size(viol) === 0).as("valid"),
+      concat_ws(",", viol).as("violations"))
+  }
+}
+
 /** The testdata star schema as a graft catalog. The hierarchy mirrors
   * kcidb's: region→nation→customer→orders→lineitem is the
   * revision→checkout→build→test spine; part/supplier are side parents of

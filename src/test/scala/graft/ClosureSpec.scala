@@ -315,4 +315,33 @@ class ClosureSpec extends AnyFunSuite {
     // the batch and the parents pass never reaches it
     assert(!viaIngest.contains("lineitem"))
   }
+
+  test("CatalogEntries.validate: every schema rule fires on the planted " +
+      "fixture; extra columns are refused (additionalProperties: false)") {
+    import spark.implicits._
+    val got = graft.model.CatalogEntries.validate(
+        graft.SparkEntry.testCatalogEntries
+          .toDF("test_key", "title", "home", "description"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+    assert(got("audit-suite") == (true, ""))
+    assert(got("boot") == (true, ""))
+    assert(got("blk_tests") == (true, "")) // non-https scheme is a URI
+    assert(got("perf.bench") == (false, "bad_key"))
+    assert(got("") == (false, "bad_key"))
+    assert(got("space key") == (false, "bad_key"))
+    assert(got("no-title") == (false, "missing_title"))
+    assert(got("tab_title") == (false, "multiline_title"))
+    assert(got("no-home") == (false, "missing_home"))
+    assert(got("bad-home") == (false, "bad_home_uri"))
+    assert(got("rel-home") == (false, "bad_home_uri"))
+    assert(got("bare-min") == (false, "missing_title,missing_home"))
+    val e = intercept[IllegalArgumentException] {
+      graft.model.CatalogEntries.validate(
+        Seq(("k", "t", "h", "d", "x"))
+          .toDF("test_key", "title", "home", "description", "extra"))
+    }
+    assert(e.getMessage.contains("additionalProperties"))
+  }
 }
