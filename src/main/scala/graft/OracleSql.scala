@@ -324,6 +324,41 @@ object OracleSql {
              FROM embeddings e, cents ct WHERE e.vec_id < $annProbe)
            WHERE rn <= ${graft.SparkEntry.annNprobe})"""
 
+  /** SRP signature CTEs from a gate's exported plane table
+    * ([[graft.sim.Knn.srpPlanes]] — the LSH "model", the one
+    * non-SQL-portable piece): pl (plane components), proj (ascending-
+    * index ordered projections — SrpSignatures' accumulation), sig
+    * (per-table sign buckets; bit j set iff projection > 0, exactly the
+    * kernel's rule). */
+  private def srpSigSql(gate: String): String = {
+    val bits = graft.sim.Knn.KnnBaseBits
+    s"""pl AS (SELECT p, i, w
+              FROM read_parquet(${modelGlob(gate, "srp_planes")})),
+       proj AS (SELECT e.vec_id, pl.p,
+             list_reduce(list(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w
+               ORDER BY pl.i), (a, x) -> a + x) AS s
+           FROM embeddings e, pl GROUP BY 1, 2),
+       sig AS (SELECT vec_id, p // $bits AS tbl,
+             CAST(SUM(CASE WHEN s > 0 THEN (1 << (p % $bits)) ELSE 0 END)
+               AS BIGINT) AS bucket
+           FROM proj GROUP BY 1, 2)"""
+  }
+
+  /** Shared exact-cosine rank tail over a `cand(probe_id, neighbor_id)`
+    * CTE — Knn.rankTopK's (cos DESC, id ASC) top-k as SQL. */
+  private def cosRankTail: String =
+    s"""sc AS (SELECT c.probe_id, c.neighbor_id,
+           ${cosD("p.embedding", "n.embedding")} AS cos
+         FROM cand c
+           JOIN embeddings p ON p.vec_id = c.probe_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       SELECT probe_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+         SELECT probe_id, neighbor_id,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
+       WHERE rn <= ${graft.SparkEntry.annK}
+       ORDER BY probe_id, rank"""
+
   /** s08/s09 share this whole shape; only the model dir differs. */
   private def ivfAdcOracleSql(gate: String): String =
     s"""WITH ${pqPrefixSql(gate)},
@@ -1037,6 +1072,37 @@ object OracleSql {
          SELECT probe_id, CAST(n_hits AS BIGINT) AS n_hits,
            round(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
          FROM hits ORDER BY probe_id""",
+
+    // Banded SRP-LSH over the gate's exported plane table: ordered
+    // projections, sign buckets, banded candidates, exact cosine rank.
+    "s02_knn_lsh" ->
+      s"""WITH ${srpSigSql("s02")},
+         cand AS (SELECT DISTINCT a.vec_id AS probe_id,
+               b.vec_id AS neighbor_id
+             FROM sig a JOIN sig b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+             WHERE a.vec_id < $annProbe AND a.vec_id <> b.vec_id),
+         $cosRankTail""",
+
+    // s04 = s02 with every row a probe (the kNN-graph construction).
+    "s04_knn_graph" ->
+      s"""WITH ${srpSigSql("s04")},
+         cand AS (SELECT DISTINCT a.vec_id AS probe_id,
+               b.vec_id AS neighbor_id
+             FROM sig a JOIN sig b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+             WHERE a.vec_id <> b.vec_id),
+         $cosRankTail""",
+
+    // IVF over the gate's exported centroids: cell assignment +
+    // probe-cell selection (ivfCellsSql) bound the candidates, exact
+    // cosine ranks them.
+    "s03_knn_ivf" ->
+      s"""WITH ${ivfCellsSql("s03")},
+         cand AS (SELECT pc.probe_id, ce.vec_id AS neighbor_id
+               FROM cell ce JOIN pcell pc USING (cluster)
+               WHERE ce.vec_id <> pc.probe_id),
+         $cosRankTail""",
 
     // PQ+refine over the gate's exported codebooks: cand = every
     // (probe, other-vector) pair (pqKnnFromModel streams probes against

@@ -1116,16 +1116,50 @@ object SparkEntry {
         probeFilter = col("vec_id") < 5, k = 5)
       .orderBy("probe_id")
 
-  private def s02(s: SparkSession, dir: String): DataFrame =
-    Knn.lshKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") < 5, k = 3,
-        bitsPerTable = 4, nTables = 8)
+  /** Banded SRP-LSH top-k. FULL SQL oracle via the exported-model
+    * route (r13): the kernel's murmur3 plane derivation is the one
+    * non-SQL-portable step, so the gate persists [[graft.sim.Knn
+    * .srpPlanes]] (the LSH "model") and DuckDB re-derives projections,
+    * sign buckets, the banded candidate set and the exact cosine
+    * ranking from it. KnnSpec pins planes == kernel signatures. */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    saveSrpPlanes(s, e, gateModelDir(dir, "s02"))
+    Knn.lshKnn(e, "vec_id", "embedding",
+        probeFilter = col("vec_id") < annProbeMax, k = annK,
+        bitsPerTable = Knn.KnnBaseBits, nTables = Knn.KnnBaseTables)
       .orderBy("probe_id", "rank")
+  }
 
-  private def s03(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Ivf.ivfKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = col("vec_id") < 5, k = 3, c = 16, nprobe = 4)
+  /** IVF top-k. FULL SQL oracle via the exported-model route (r13):
+    * the k-means fit persists ([[graft.sim.ModelStore]]) and the query
+    * runs [[graft.sim.Ivf.ivfKnnFromCentroids]] against the LOADED
+    * centroids — cell assignment, probe-cell selection and the exact
+    * cosine ranking all re-derived in DuckDB from the exported model. */
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ivf, ModelStore}
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val base = gateModelDir(dir, "s03")
+    ModelStore.save(Ivf.fitCentroids(corpus, c = annC, iters = 3),
+      "ivf_centroids", s"$base/ivf_centroids")
+    val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
+    Ivf.ivfKnnFromCentroids(e, "vec_id", "embedding", centroids,
+        probeFilter = col("vec_id") < annProbeMax, k = annK,
+        nprobe = annNprobe)
       .orderBy("probe_id", "rank")
+  }
+
+  /** Shared s02/s04 plane export: dim probed from the corpus (one
+    * 1-row job — the fit-side actions these gates already take). */
+  private def saveSrpPlanes(s: SparkSession,
+                            emb: org.apache.spark.sql.DataFrame,
+                            base: String): Unit = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    graft.sim.ModelStore.save(
+      Knn.srpPlanes(s, dim, Knn.KnnBaseTables, Knn.KnnBaseBits),
+      "srp_planes", s"$base/srp_planes")
+  }
 
   /** d09's decontamination behind the bloom pre-screen
     * ([[graft.dedup.Dedup.bloomContamination]]): the sketch admits every
@@ -1263,10 +1297,16 @@ object SparkEntry {
 
   /** Full-corpus kNN graph (LSH internals — rows-only check; recall and
     * rank-exactness pinned by KnnSpec ground truth at sf0.001). */
-  private def s04(s: SparkSession, dir: String): DataFrame =
-    Knn.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, bitsPerTable = 4, nTables = 8)
+  /** Full-corpus kNN graph — s02's banding with every row a probe.
+    * FULL SQL oracle via the same exported-plane route. */
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    saveSrpPlanes(s, e, gateModelDir(dir, "s04"))
+    Knn.knnGraph(e, "vec_id", "embedding",
+        k = annK, bitsPerTable = Knn.KnnBaseBits,
+        nTables = Knn.KnnBaseTables)
       .orderBy("probe_id", "rank")
+  }
 
   private def t01(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")

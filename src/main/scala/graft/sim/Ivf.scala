@@ -168,6 +168,21 @@ object Ivf {
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
     val centroids = fitCentroids(fitCorpus, c, iters,
       seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
+    ivfKnnFromCentroids(emb, idCol, vecCol, centroids, probeFilter, k,
+      nprobe)
+  }
+
+  /** [[ivfKnn]]'s fit-once / apply-many form ([[graft.sim.Pq
+    * .ivfPqKnnFromModel]]'s plain-IVF sibling): the coarse centroids
+    * (typically [[ModelStore.load]]ed) come from the caller, assignment
+    * and probe-cell selection run against them with no refit anywhere —
+    * identical results to [[ivfKnn]] for centroids produced by the same
+    * fit (the s03 gate's exported-model oracle rides exactly this
+    * equality). */
+  def ivfKnnFromCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, probeFilter: Column,
+                          k: Int, nprobe: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cells = assign(corpus, centroids)
       .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("cluster"))
     val probeCells = emb.filter(probeFilter)

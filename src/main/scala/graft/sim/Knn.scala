@@ -177,6 +177,26 @@ object Knn {
               ) > 0 THEN shiftleft(1L, j) ELSE 0L END
           ))""")
 
+  /** The SRP plane-COMPONENT table — (p, i, w) with w the exact
+    * pseudo-random component [[graft.functions.SrpSignatures]] derives
+    * from murmur3(p, i) — materialized as a MODEL frame for the
+    * exported-model oracle route (Pq's codebook discipline): the
+    * murmur3 inside the kernel is the one non-SQL-portable step of the
+    * whole LSH pipeline, so the s02/s04 gates persist this tiny
+    * (L·b × dim) table and the DuckDB oracle re-derives projections,
+    * sign bits, buckets, candidates and the exact ranking from it.
+    * Built with the SQL `hash()` function — the same call
+    * [[srpBandsHof]] uses, and KnnSpec pins srpBandsHof == srpBands
+    * bit-for-bit, so the exported planes ARE the kernel's planes. */
+  def srpPlanes(spark: org.apache.spark.sql.SparkSession, dim: Int,
+                nTables: Int, bits: Int): DataFrame =
+    spark.range(nTables.toLong * bits)
+      .select(col("id").cast("int").as("p"))
+      .select(col("p"), explode(sequence(lit(1), lit(dim))).as("i"))
+      .select(col("p"), col("i"),
+        ((pmod(hash(col("p"), col("i")), lit(2000)).cast("double")
+          - 1000.0) / 1000.0).as("w"))
+
   /** Single-table signature (back-compat helper; table 0 of [[srpBands]]). */
   def lshSignatureExpr(vecCol: String, bits: Int): Column =
     element_at(srpBands(vecCol, 1, bits), 1)

@@ -26,7 +26,9 @@ object ModelStore {
     // per-subspace PQ codebooks (Pq.fitCodebooks)
     "pq_codebooks" -> Set("sub", "code", "centroid"),
     // coarse IVF cells (Ivf.fitCentroids)
-    "ivf_centroids" -> Set("cluster", "centroid"))
+    "ivf_centroids" -> Set("cluster", "centroid"),
+    // SRP plane components (Knn.srpPlanes — the LSH "model")
+    "srp_planes" -> Set("p", "i", "w"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

@@ -171,6 +171,44 @@ class KnnSpec extends AnyFunSuite {
     assert(native.values.flatten.toSet.size > 1, "signatures must vary")
   }
 
+  test("srpPlanes: signatures rebuilt from the exported plane table " +
+      "equal the native kernel's (the s02/s04 oracle's model contract)") {
+    // Rebuild signatures from srpPlanes with generic DataFrame ops
+    // (ordered projection sum, sign bits — exactly what the DuckDB
+    // oracle does) and require bit-equality with srpBands: pins that
+    // the exported "model" IS the kernel's plane set.
+    val (nT, b) = (6, 5)
+    val emb10 = Seq.tabulate(10)(i =>
+      (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))
+      .toDF("vec_id", "embedding")
+    val planes = Knn.srpPlanes(spark, dim = 16, nTables = nT, bits = b)
+    val rebuilt = emb10
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .join(planes, "i")
+      .groupBy("vec_id", "p")
+      // per-plane ordered accumulation: one product per (p, i), summed
+      // ascending-index via a sorted collect (bit-equal to the kernel's
+      // ascending loop because addition order matches)
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("x").cast("double") * col("w")).as("t")))).as("ts"))
+      .select(col("vec_id"), col("p"),
+        aggregate(col("ts"), lit(0.0), (a, e) => a + e.getField("t"))
+          .as("s"))
+      .groupBy(col("vec_id"), expr(s"p div $b").as("tbl"))
+      .agg(sum(when(col("s") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, $b) AS INT))"))
+        .otherwise(0L)).as("bucket"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("tbl"),
+        col("bucket")))), e => e.getField("bucket")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = emb10.select(col("vec_id"),
+        Knn.srpBands("embedding", nTables = nT, bits = b).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rebuilt == native)
+  }
+
   test("ivfKnn: nprobe = c recovers exact brute-force ranking") {
     import graft.sim.Ivf
     val exact = Knn.bruteForceKnn(emb, "vec_id", "embedding",
