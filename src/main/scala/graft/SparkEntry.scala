@@ -1150,16 +1150,15 @@ object SparkEntry {
       .orderBy("probe_id", "rank")
   }
 
-  /** Shared s02/s04 plane export: dim probed from the corpus (one
-    * 1-row job — the fit-side actions these gates already take). */
+  /** Shared s02/s04 plane export: the dim rides inside the plane
+    * plan (srpPlanesFromCorpus), so the export is ONE write job. */
   private def saveSrpPlanes(s: SparkSession,
                             emb: org.apache.spark.sql.DataFrame,
-                            base: String): Unit = {
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+                            base: String): Unit =
     graft.sim.ModelStore.save(
-      Knn.srpPlanes(s, dim, Knn.KnnBaseTables, Knn.KnnBaseBits),
+      Knn.srpPlanesFromCorpus(emb, "embedding",
+        Knn.KnnBaseTables, Knn.KnnBaseBits),
       "srp_planes", s"$base/srp_planes")
-  }
 
   /** d09's decontamination behind the bloom pre-screen
     * ([[graft.dedup.Dedup.bloomContamination]]): the sketch admits every

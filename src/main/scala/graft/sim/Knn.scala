@@ -188,14 +188,33 @@ object Knn {
     * Built with the SQL `hash()` function — the same call
     * [[srpBandsHof]] uses, and KnnSpec pins srpBandsHof == srpBands
     * bit-for-bit, so the exported planes ARE the kernel's planes. */
+  /** Plane component (p, i) — the ONE formula, shared by the two plane
+    * builders below and bit-equal to srpBandsHof's (KnnSpec-pinned). */
+  private def planeW(p: Column, i: Column): Column =
+    (pmod(hash(p, i), lit(2000)).cast("double") - 1000.0) / 1000.0
+
   def srpPlanes(spark: org.apache.spark.sql.SparkSession, dim: Int,
                 nTables: Int, bits: Int): DataFrame =
-    spark.range(nTables.toLong * bits)
+    // one partition: L·b·dim rows is a few thousand — 32 range slices
+    // would cost more in task scheduling + part files than the compute
+    spark.range(0, nTables.toLong * bits, 1, 1)
       .select(col("id").cast("int").as("p"))
       .select(col("p"), explode(sequence(lit(1), lit(dim))).as("i"))
-      .select(col("p"), col("i"),
-        ((pmod(hash(col("p"), col("i")), lit(2000)).cast("double")
-          - 1000.0) / 1000.0).as("w"))
+      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"))
+
+  /** [[srpPlanes]] with the dimension read from the corpus INSIDE the
+    * same lazy plan (a 1-row limit), so exporting the planes costs one
+    * job total instead of a dim-probe action plus the write — the
+    * overhead that matters when the consuming gate itself is
+    * sub-second (s02). */
+  def srpPlanesFromCorpus(emb: DataFrame, vecCol: String,
+                          nTables: Int, bits: Int): DataFrame =
+    emb.limit(1)
+      .select(size(col(vecCol)).as("dim"),
+        explode(sequence(lit(0), lit(nTables * bits - 1))).as("p"))
+      .select(col("p").cast("int").as("p"),
+        explode(sequence(lit(1), col("dim"))).as("i"))
+      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"))
 
   /** Single-table signature (back-compat helper; table 0 of [[srpBands]]). */
   def lshSignatureExpr(vecCol: String, bits: Int): Column =

@@ -182,6 +182,15 @@ class KnnSpec extends AnyFunSuite {
       (i.toLong, Seq.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) / 6f)))
       .toDF("vec_id", "embedding")
     val planes = Knn.srpPlanes(spark, dim = 16, nTables = nT, bits = b)
+    // the corpus-derived builder (what the gates export) is the same
+    // table
+    val fromCorpus = Knn.srpPlanesFromCorpus(emb10, "embedding",
+        nTables = nT, bits = b)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(planes.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      == fromCorpus)
     val rebuilt = emb10
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
