@@ -324,6 +324,61 @@ object OracleSql {
              FROM embeddings e, cents ct WHERE e.vec_id < $annProbe)
            WHERE rn <= ${graft.SparkEntry.annNprobe})"""
 
+  // -- 64-bit two's-complement helpers for the hash-dict oracles
+  // (d02/d03/d13): DuckDB BIGINT shifts are overflow-CHECKED, so the
+  // wrapping 64-bit arithmetic Spark's rotl64/bit-build does runs in
+  // HUGEINT space and folds back to signed BIGINT at the end. The rot
+  // formula is exact: low and high parts occupy disjoint bit ranges,
+  // so + is |.
+  private val U64 = "18446744073709551616"
+  private def toU(x: String) =
+    s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN CAST($U64 AS HUGEINT)" +
+      " ELSE 0::HUGEINT END)"
+  private def toS(u: String) =
+    s"(CASE WHEN ($u) >= CAST(9223372036854775808 AS HUGEINT) " +
+      s"THEN CAST(($u) - $U64 AS BIGINT) ELSE CAST(($u) AS BIGINT) END)"
+  /** rotl64 of a BIGINT expr by a column amount s in [0, 63]. */
+  private def rotl64(h: String, s: String) = {
+    val u = toU(h)
+    toS(s"(($u * (1::HUGEINT << ($s))) % CAST($U64 AS HUGEINT)" +
+      s" + ($u // (1::HUGEINT << (64 - ($s)))))")
+  }
+
+  /** Shared MinHash prefix over a gate's exported shingle dictionary
+    * (Dedup.shingleHashDict): 3-gram shingle sets + sizes, the k=64
+    * rotl-mix permutation values per shingle, per-doc signature mins,
+    * and the EXACT slice-value band keys (rowsPerBand=4 — Dedup.bands'
+    * concat_ws, reproduced as string_agg ORDER BY s). */
+  private def minhashPrefixSql(gate: String): String =
+    s"""dict AS (SELECT g, h1, h2
+              FROM read_parquet(${modelGlob(gate, "shingle_hashes")})),
+       arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+              FROM arrs, unnest(generate_series(1,
+                greatest(len(arr) - 2, 1))) AS u(i)),
+       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       perm AS (SELECT g, q.s, xor(h1, ${rotl64("h2", "q.s")}) AS r
+                FROM dict, unnest(generate_series(0, 63)) AS q(s)),
+       sig AS (SELECT sh.doc_id, p.s, MIN(p.r) AS m
+               FROM sh JOIN perm p USING (g) GROUP BY 1, 2),
+       bd AS (SELECT doc_id, s // 4 AS band,
+                string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
+              FROM sig GROUP BY 1, 2)"""
+
+  /** Shared MinHash exact-jaccard tail over a `cand(ida, idb)` CTE. */
+  private def jaccardTailSql(ida: String, idb: String): String =
+    s"""ix AS (SELECT c.$ida, c.$idb, COUNT(*) AS i
+             FROM cand c JOIN sh a ON a.doc_id = c.$ida
+               JOIN sh b ON b.doc_id = c.$idb AND a.g = b.g
+             GROUP BY 1, 2),
+       j AS (SELECT c.$ida, c.$idb,
+               CAST(COALESCE(ix.i, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(ix.i, 0)) AS jaccard
+             FROM cand c LEFT JOIN ix USING ($ida, $idb)
+               JOIN sz sa ON sa.doc_id = c.$ida
+               JOIN sz sb ON sb.doc_id = c.$idb)"""
+
   /** SRP signature CTEs from a gate's exported plane table
     * ([[graft.sim.Knn.srpPlanes]] — the LSH "model", the one
     * non-SQL-portable piece): pl (plane components), proj (ascending-
@@ -870,6 +925,61 @@ object OracleSql {
     // shape as d09/d10, pairwise jaccard via |A∩B| counting and
     // |A∪B| = |A|+|B|−|A∩B|. Rounded to 6 dp in both engines (the repo's
     // float-emission convention); the threshold filter applies pre-round.
+    // MinHash+LSH near-dups over the exported shingle-hash dictionary:
+    // permutations, exact band keys, candidate join and exact jaccard
+    // all re-derived; only the two shingle hashes are taken as model.
+    "d02_dedup_minhash" ->
+      s"""WITH ${minhashPrefixSql("d02")},
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bd a JOIN bd b ON a.band = b.band AND a.bh = b.bh
+               WHERE a.doc_id < b.doc_id),
+         ${jaccardTailSql("id_a", "id_b")}
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.02
+         ORDER BY id_a, id_b""",
+
+    // d13 = d02's prefix with cross-split candidate orientation
+    // (eval = doc_id % 10 == 0 probes x train) and the 0.5 threshold
+    // applied PRE-round like the gate.
+    "d13_fuzzy_decontam" ->
+      s"""WITH ${minhashPrefixSql("d13")},
+         cand AS (SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+               FROM bd a JOIN bd b ON a.band = b.band AND a.bh = b.bh
+               WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         ${jaccardTailSql("eval_id", "train_id")}
+         SELECT eval_id, train_id, round(jaccard, 6) AS jaccard
+         FROM j WHERE jaccard >= 0.5 ORDER BY eval_id, train_id""",
+
+    // SimHash near-dups over the exported token-hash dictionary:
+    // per-bit votes, sign signature (HUGEINT bit build folded to
+    // signed BIGINT), pigeonhole chunks, hamming — all re-derived.
+    "d03_dedup_simhash" ->
+      s"""WITH dict AS (SELECT t, h
+               FROM read_parquet(${modelGlob("d03", "token_hashes")})),
+         tok AS (SELECT DISTINCT doc_id, u.t
+               FROM (SELECT doc_id, string_split($normText, ' ') AS arr
+                     FROM documents), unnest(arr) AS u(t)),
+         v AS (SELECT tok.doc_id, b.i,
+                 CAST(SUM(CASE WHEN (d.h >> b.i) & 1 = 1
+                   THEN 1 ELSE -1 END) AS BIGINT) AS v
+               FROM tok JOIN dict d USING (t),
+                 unnest(generate_series(0, 63)) AS b(i)
+               GROUP BY 1, 2),
+         sg AS (SELECT doc_id, ${toS(
+          "CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << i) " +
+            "ELSE 0::HUGEINT END) AS HUGEINT)")} AS sig
+               FROM v GROUP BY 1),
+         ch AS (SELECT doc_id, sig, c.j AS chunk_idx,
+                 (sig >> (16 * c.j)) & 65535 AS chunk
+               FROM sg, unnest(generate_series(0, 3)) AS c(j)),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist,
+                 a.sig AS sig_a, b.sig AS sig_b
+               FROM ch a JOIN ch b
+                 ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+               WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, dist, sig_a, sig_b FROM p WHERE dist <= 3
+         ORDER BY id_a, id_b""",
+
     "d04_ngram_jaccard" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
                         FROM documents),

@@ -937,10 +937,22 @@ object SparkEntry {
         (col("n_docs") - col("n_unique")).as("n_dup_docs"))
   }
 
-  private def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+  /** MinHash+LSH near-dup pairs. FULL SQL oracle via the exported-model
+    * route (r13): the shingle hash dictionary ([[graft.dedup.Dedup
+    * .shingleHashDict]]) is the one non-SQL-portable step, and banding
+    * uses exact slice-value keys, so DuckDB re-derives the k rotl-mix
+    * permutations, band keys, candidate join and exact jaccard. */
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // coalesce(1): the dict is a bounded oracle artifact (~10⁴ rows);
+    // 32 shuffle-partition part files would cost more than the write
+    graft.sim.ModelStore.save(
+      Dedup.shingleHashDict(docs, "doc_id", "text", n = 3).coalesce(1),
+      "shingle_hashes", s"${gateModelDir(dir, "d02")}/shingle_hashes")
+    Dedup.minhashNearDups(docs, "doc_id", "text",
         k = 64, nBands = 16, threshold = 0.02)
       .orderBy("id_a", "id_b")
+  }
 
   /** Fuzzy decontamination (d09's MinHash sibling): eval docs (every
     * 10th) near-duplicating some TRAIN doc at shingle-Jaccard >= 0.5,
@@ -948,23 +960,32 @@ object SparkEntry {
     * replica recomputes every emitted jaccard and asserts the bound and
     * the split orientation (tools/oracle_check.py d13_soundness, the
     * d02 recipe cross-split). */
-  private def d13(s: SparkSession, dir: String): DataFrame =
-    Dedup.crossMinhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.sim.ModelStore.save(
+      Dedup.shingleHashDict(docs, "doc_id", "text", n = 3).coalesce(1),
+      "shingle_hashes", s"${gateModelDir(dir, "d13")}/shingle_hashes")
+    Dedup.crossMinhashNearDups(docs, "doc_id", "text",
         evalFilter = col("doc_id") % 10 === 0,
         k = 64, nBands = 16, threshold = 0.5)
       .select(col("eval_id"), col("train_id"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("eval_id", "train_id")
+  }
 
   /** emitSigs: the gate output carries both signatures so the DuckDB side
     * of the correctness check recomputes every emitted hamming as
     * bit_count(xor(sig_a, sig_b)) and asserts the <= 3 soundness bound
     * (tools/oracle_check.py, d02_soundness's sibling); completeness is the
     * DedupSpec pigeonhole ground truth. */
-  private def d03(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.sim.ModelStore.save(Dedup.tokenHashDict(docs, "text").coalesce(1),
+      "token_hashes", s"${gateModelDir(dir, "d03")}/token_hashes")
+    Dedup.simhashNearDups(docs, "doc_id", "text",
         maxDist = 3, emitSigs = true)
       .orderBy("id_a", "id_b")
+  }
 
   /** Exact (not LSH-approximate) — so it carries a full DuckDB oracle:
     * jaccard rounded to 6 dp on both sides, threshold applied pre-round. */

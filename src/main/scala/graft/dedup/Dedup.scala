@@ -136,10 +136,20 @@ object Dedup {
   }
 
   /** LSH banding: split the k-length signature into `bands` bands of
-    * k/bands rows; band hash = murmur3 of the slice. Returns (band, bh). */
+    * k/bands rows; band key = the slice VALUES canonically joined
+    * ("m0,m1,..."). Band equality is then EXACTLY slice equality — the
+    * murmur fold this replaced (r13) could, at 2⁻³² per colliding slice
+    * pair, admit an accidental candidate: harmless for soundness (exact
+    * verify follows) but unanalyzable, and not reproducible outside the
+    * engine, whereas the exact key is what the DuckDB oracle
+    * re-derives (string_agg ORDER BY s). Key width is rowsPerBand longs
+    * as text (~40-90 bytes) against the fold's 8 — bounded, and only
+    * banded rows carry it. Returns the per-band key array. */
   def bands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
-      b => hash(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+      b => concat_ws(",",
+        transform(slice(sig, b * lit(rowsPerBand) + lit(1),
+          lit(rowsPerBand)), m => m.cast("string"))))
 
   /** Exact Jaccard between two shingle-array columns. */
   private def jaccard(a: Column, b: Column): Column =
@@ -228,6 +238,26 @@ object Dedup {
         jaccard(col("sh_e"), col("sh_t")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The xxhash64 TOKEN dictionary — (t, h) for every distinct token of
+    * the corpus: the ONE non-SQL-portable step of the SimHash pipeline,
+    * exported as a model frame (the SRP-planes discipline applied to
+    * text hashing) so the d03 oracle re-derives votes, signatures,
+    * pigeonhole chunks and hamming from the identical hash bits. */
+  def tokenHashDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .distinct()
+      .select(col("t"), xxhash64(col("t")).as("h"))
+
+  /** The (murmur3, xxhash64) SHINGLE dictionary — (g, h1, h2) per
+    * distinct word-n-gram shingle: MinHash's hash model, exported so
+    * the d02/d13 oracles re-derive the k rotl-mix permutations, the
+    * exact band keys, the candidate join and the exact jaccard. */
+  def shingleHashDict(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    explodedShingles(docs, idCol, textCol, n).select("g").distinct()
+      .select(col("g"), hash(col("g")).cast("long").as("h1"),
+        xxhash64(col("g")).as("h2"))
 
   /** 64-bit SimHash signatures via explode + ONE native vote aggregate
     * ([[graft.functions.SimHashAgg]]): bit i of sig(doc) is the sign of the

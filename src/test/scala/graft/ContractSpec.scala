@@ -13,14 +13,13 @@ class ContractSpec extends AnyFunSuite {
     * semantics. (r13 drained the ANN family: s02-s04/s07-s09/st05 now
     * export their fitted models — codebooks, centroids, SRP planes — as
     * parquet the oracle reads back, making everything downstream
-    * SQL-derivable. What remains: xxhash64-derived MinHash/SimHash
-    * signatures and image hashes the oracle cannot recompute
-    * (d02/d03/d13/m08), sketch register state with no SQL twin
+    * SQL-derivable, and d02/d03/d13 export their shingle/token hash
+    * dictionaries the same way. What remains: image hashes needing a
+    * real PNG decode (m08), sketch register state with no SQL twin
     * (k01/k02/st09), the double-avg k-means fit itself
     * (s13 profiles the fit, so the fit IS its output), and d08 whose
     * within-cell greedy depends on that same fit.) */
   private val declaredRowsOnly = Set(
-    "d02_dedup_minhash", "d03_dedup_simhash", "d13_fuzzy_decontam",
     "d08_semantic_dedup",
     "m08_phash_neardup", "k01_sketch_distinct", "k02_sketch_quantiles",
     "st09_sketch_stream", "s13_kmeanspp_init")
