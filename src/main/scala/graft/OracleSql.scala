@@ -1479,6 +1479,41 @@ object OracleSql {
     // Greedy no-straddle packing replayed as a recursive CTE: the bin
     // state (index, fill) steps doc by doc within each bucket — all
     // integer, bit-identical to the Spark fold.
+    // p12: the composed pipeline — every stage's SQL is the SAME
+    // fragment its standalone oracle uses (md5-normText fingerprint,
+    // qualitySql, wordCountSql, the st07 cumsum-admission window, the
+    // p01 pack windows), chained as CTEs.
+    "p12_pipeline_e2e" -> {
+      val minQ = graft.SparkEntry.p12MinQuality
+      val quota = graft.SparkEntry.p12Quota
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM
+             (SELECT doc_id, md5($normText) AS fp FROM documents)
+           GROUP BY fp),
+         scored AS (SELECT d.doc_id, d.source,
+             CAST($wordCountSql AS BIGINT) AS n_tokens,
+             $qualitySql AS quality
+           FROM documents d JOIN keep USING (doc_id)),
+         qf AS (SELECT * FROM scored WHERE quality >= $minQ),
+         adm AS (SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS prior
+             FROM qf),
+         a AS (SELECT doc_id, source, quality, n_tokens,
+               doc_id % 8 AS bucket
+             FROM adm WHERE prior < $quota),
+         pk AS (SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS tok_offset
+             FROM a)
+         SELECT doc_id, source, round(quality, 6) AS quality, n_tokens,
+           CAST(bucket AS BIGINT) AS bucket, tok_offset,
+           tok_offset // 256 AS seq_first,
+           (tok_offset + n_tokens - 1) // 256 AS seq_last
+         FROM pk ORDER BY doc_id"""
+    },
+
     "p10_pack_greedy" ->
       s"""WITH RECURSIVE
          d AS (SELECT doc_id, doc_id % 8 AS bucket,

@@ -1251,6 +1251,55 @@ object SparkEntry {
     * shard-key exchange with in-partition sort (p07's shape); the full
     * SQL oracle chains p09's coin-exact expansion CTE into p07's
     * draw/rank logic over the composite 'id:epoch' key. */
+  /** p12's shared knobs (oracle-interpolated): the quality floor and
+    * the per-source token quota, sized against the corpus so the
+    * filters BIND — quality drops docs at every sf, quota (800 <
+    * every source's 1.1-1.5k sf0.01 token total) truncates every
+    * source's tail at both gate scales. Exact dedup bites only at
+    * sf0.1 (the corpus has 8 exact dups there, none at sf0.01) —
+    * stage verified by the sf0.1 sweep, pass-through at the driver
+    * sf. */
+  private[graft] val p12MinQuality = 0.5
+  private[graft] val p12Quota = 800L
+
+  /** END-TO-END training-data pipeline composition — one declarative
+    * plan chaining the four stages every §2 family contributes: exact
+    * dedup (d01's keep-lowest-per-fingerprint), quality filtering
+    * (t02's score, raw-double threshold — the chain is integer-derived
+    * so bit-identical across engines, t07-proven), per-source greedy
+    * token-quota admission (st07's cumsum-window rule, batch form),
+    * and bucketed sequence packing (p01's window). Proves the stages
+    * COMPOSE as DataFrames with no materialization between them: one
+    * logical plan, Catalyst free to pipeline dedup's aggregate into
+    * the quality scan. Per-doc output carries every stage's evidence
+    * (survival implies dedup-kept ∧ quality ≥ floor ∧ prior < quota)
+    * plus the packed coordinates. */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val keep = docs
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val scored = docs.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextOps.wordCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= p12MinQuality)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val admitted = scored
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("prior") < p12Quota)
+    graft.pack.Pack.packSequences(admitted.drop("prior"), "doc_id",
+        col("n_tokens"), pmod(col("doc_id"), lit(8)), seqLen = 256)
+      .select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"),
+        col("n_tokens"), col("bucket"), col("tok_offset"),
+        col("seq_first"), col("seq_last"))
+      .orderBy("doc_id")
+  }
+
   private def p11(s: SparkSession, dir: String): DataFrame = {
     val expanded = graft.pack.Pack.mixtureExpand(t(s, dir, "documents"),
         col("source"), col("doc_id"), TextOps.wordCount(col("text")),
@@ -1281,9 +1330,16 @@ object SparkEntry {
   /** Concat-and-chunk sequence packing over 8 buckets at 256 tokens per
     * training sequence ([[graft.pack.Pack.packSequences]]). */
   private def p01(s: SparkSession, dir: String): DataFrame =
-    graft.pack.Pack.packSequences(t(s, dir, "documents"), "doc_id",
-        TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(8)),
+    // narrow projection BEFORE the pack windows: packSequences now
+    // preserves input columns, and `text` riding the window sort would
+    // widen the shuffle for nothing
+    graft.pack.Pack.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.wordCount(col("text")).as("__wc")),
+        "doc_id", col("__wc"), pmod(col("doc_id"), lit(8)),
         seqLen = 256)
+      .select("doc_id", "n_tokens", "bucket", "tok_offset",
+        "seq_first", "seq_last")
       .orderBy("doc_id")
 
   /** Deterministic per-source mixture sampling, reported as per-source
@@ -2571,6 +2627,7 @@ object SparkEntry {
     "p09_mixture_expand" -> (p09 _),
     "p10_pack_greedy" -> (p10 _),
     "p11_training_order" -> (p11 _),
+    "p12_pipeline_e2e" -> (p12 _),
     "p03_length_histogram" -> (p03 _),
     "p04_stratified_split" -> (p04 _),
     "d07_incr_dedup" -> (d07 _),

@@ -17,7 +17,9 @@ class PackSpec extends AnyFunSuite {
   private def docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
 
   private def packed = Pack.packSequences(docs, "doc_id",
-    TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(4)), L)
+      TextOps.wordCount(col("text")), pmod(col("doc_id"), lit(4)), L)
+    .select("doc_id", "n_tokens", "bucket", "tok_offset",
+      "seq_first", "seq_last")
 
   test("packSequences matches a sequential reference packing exactly") {
     val toks = docs
@@ -321,5 +323,55 @@ class PackSpec extends AnyFunSuite {
     for ((doc, rows) <- got.groupBy(_._1))
       assert(rows.map(_._2).sorted.toSeq ==
         (1L to rows.length.toLong).toSeq, s"doc $doc epochs not dense")
+  }
+
+  test("p12 pipeline gate: every stage's predicate is necessary and " +
+      "sufficient, and pack coordinates are the per-bucket cumsum") {
+    // Driver-side replica of the full chain at spec scale: the gate's
+    // survivors must be EXACTLY the docs passing dedup AND quality AND
+    // the per-source greedy quota, with p01's pack arithmetic on top.
+    val out = SparkEntry.queries("p12_pipeline_e2e")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))))
+      .toMap
+    val ref = docs.select(col("doc_id"), col("source"),
+        graft.dedup.Dedup.fingerprint(col("text")).as("fp"),
+        TextOps.wordCount(col("text")).cast("long").as("n"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val keptFp = ref.groupBy(_._3).map { case (_, rs) =>
+      rs.map(_._1).min }.toSet
+    val afterQuality = ref.filter(r =>
+      keptFp(r._1) && r._5 >= SparkEntry.p12MinQuality)
+    val admitted = afterQuality.groupBy(_._2).values.flatMap { rs =>
+      rs.sortBy(_._1)
+        .foldLeft((Vector.empty[(Long, String, String, Long, Double)],
+          0L)) { case ((acc, used), r) =>
+          if (used < SparkEntry.p12Quota) (acc :+ r, used + r._4)
+          else (acc, used)
+        }._1
+    }.toSeq.sortBy(_._1)
+    assert(out.keySet == admitted.map(_._1).toSet,
+      s"survivor set diverges: gate-only ${
+        out.keySet -- admitted.map(_._1).toSet}, ref-only ${
+        admitted.map(_._1).toSet -- out.keySet}")
+    assert(admitted.nonEmpty && admitted.size < ref.size,
+      "the chain must bind at spec scale")
+    // pack coordinates: per bucket (doc_id % 8, ascending doc_id),
+    // tok_offset is the running sum and the seq bounds follow p01's rule
+    for ((bucket, rs) <- admitted.groupBy(_._1 % 8)) {
+      var off = 0L
+      for (r <- rs.sortBy(_._1)) {
+        val (_, _, n, b, tokOff, sf, sl) = out(r._1)
+        assert(b == bucket && tokOff == off && n == r._4)
+        assert(sf == off / 256 && sl == (off + n - 1) / 256)
+        off += r._4
+      }
+    }
   }
 }
