@@ -260,6 +260,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
   }
 
+  test("round-13 operators keep their declared plan shapes") {
+    def exch13(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
+    // q42 catalog validation is scan-speed: per-row rlike rules fused
+    // into one projection over the planted-union-derived scan — no
+    // window, no join, only the presentation sort exchanges
+    val q42p = plan("q42_catalog_validate")
+    assert(!q42p.contains("Window") && !"Join \\(\\d".r
+      .findAllIn(q42p).hasNext, q42p)
+    assert(exch13(q42p) <= 1,
+      s"catalog validation must only exchange for the dump sort:\n$q42p")
+    // p12 composed pipeline: exactly the stages' own shuffles — the
+    // fingerprint dedup aggregate, the per-source quota window, the
+    // per-bucket pack window, the dump sort (+ the keep-set broadcast);
+    // and Catalyst PUSHES the quality filter beneath the dedup join
+    // onto the corpus scan (the no-materialization composition claim,
+    // visible in the plan: the scan-side Filter carries the quality
+    // chain)
+    val p12p = plan("p12_pipeline_e2e")
+    assert("Window \\(\\d".r.findAllIn(p12p).size == 2, p12p)
+    assert(exch13(p12p) <= 5, s"pipeline shuffles exactly per stage:\n$p12p")
+    assert(p12p.contains("BroadcastHashJoin"), p12p)
+  }
+
   test("round-12 operators keep their declared plan shapes") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, dir, "documents")
