@@ -384,20 +384,23 @@ object OracleSql {
     * non-SQL-portable piece): pl (plane components), proj (ascending-
     * index ordered projections — SrpSignatures' accumulation), sig
     * (per-table sign buckets; bit j set iff projection > 0, exactly the
-    * kernel's rule). */
-  private def srpSigSql(gate: String): String = {
-    val bits = graft.sim.Knn.KnnBaseBits
-    s"""pl AS (SELECT p, i, w
+    * kernel's rule). The table/bit split derives from the `bits` COLUMN
+    * the export carries (the k01 rsd-column discipline), so the gates'
+    * AUTO-derived knobs can vary per scale without this SQL going
+    * stale. */
+  private def srpSigSql(gate: String): String =
+    s"""pl AS (SELECT p, i, w, bits
               FROM read_parquet(${modelGlob(gate, "srp_planes")})),
        proj AS (SELECT e.vec_id, pl.p,
              list_reduce(list(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w
                ORDER BY pl.i), (a, x) -> a + x) AS s
            FROM embeddings e, pl GROUP BY 1, 2),
-       sig AS (SELECT vec_id, p // $bits AS tbl,
-             CAST(SUM(CASE WHEN s > 0 THEN (1 << (p % $bits)) ELSE 0 END)
+       sig AS (SELECT vec_id, p // bb.bits AS tbl,
+             CAST(SUM(CASE WHEN s > 0
+               THEN (CAST(1 AS BIGINT) << (p % bb.bits)) ELSE 0 END)
                AS BIGINT) AS bucket
-           FROM proj GROUP BY 1, 2)"""
-  }
+           FROM proj, (SELECT MAX(bits) AS bits FROM pl) bb
+           GROUP BY 1, 2)"""
 
   /** Shared exact-cosine rank tail over a `cand(probe_id, neighbor_id)`
     * CTE — Knn.rankTopK's (cos DESC, id ASC) top-k as SQL. */

@@ -1145,11 +1145,25 @@ object SparkEntry {
     * ranking from it. KnnSpec pins planes == kernel signatures. */
   private def s02(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    saveSrpPlanes(s, e, gateModelDir(dir, "s02"))
+    val kn = srpGateKnobs(e)
+    saveSrpPlanes(s, e, gateModelDir(dir, "s02"), kn)
     Knn.lshKnn(e, "vec_id", "embedding",
         probeFilter = col("vec_id") < annProbeMax, k = annK,
-        bitsPerTable = Knn.KnnBaseBits, nTables = Knn.KnnBaseTables)
+        bitsPerTable = kn.bits, nTables = kn.tables)
       .orderBy("probe_id", "rank")
+  }
+
+  /** s02/s04 knobs AUTO-derived from the corpus size (the d05/d06/d15
+    * r13 discipline — the gate runs what production would derive, and
+    * the 10x probe measures the same path: frozen b=4/L=8 read 533 s
+    * at 10x where the derived b=8/L=15 read 56 s). Derived once here
+    * so the plane export and the query share one count() job; the
+    * oracle learns the split from the exported `bits` column. */
+  private def srpGateKnobs(e: DataFrame): graft.sim.LshKnobs.Knobs = {
+    val kn = graft.sim.LshKnobs.derive(e.count(), Knn.KnnTargetBucket,
+      Knn.KnnBaseBits, Knn.KnnBaseTables)
+    graft.sim.LshKnobs.requireUncapped(kn, "lshKnn/knnGraph")
+    kn
   }
 
   /** IVF top-k. FULL SQL oracle via the exported-model route (r13):
@@ -1175,10 +1189,10 @@ object SparkEntry {
     * plan (srpPlanesFromCorpus), so the export is ONE write job. */
   private def saveSrpPlanes(s: SparkSession,
                             emb: org.apache.spark.sql.DataFrame,
-                            base: String): Unit =
+                            base: String,
+                            kn: graft.sim.LshKnobs.Knobs): Unit =
     graft.sim.ModelStore.save(
-      Knn.srpPlanesFromCorpus(emb, "embedding",
-        Knn.KnnBaseTables, Knn.KnnBaseBits),
+      Knn.srpPlanesFromCorpus(emb, "embedding", kn.tables, kn.bits),
       "srp_planes", s"$base/srp_planes")
 
   /** d09's decontamination behind the bloom pre-screen
@@ -1377,10 +1391,10 @@ object SparkEntry {
     * FULL SQL oracle via the same exported-plane route. */
   private def s04(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    saveSrpPlanes(s, e, gateModelDir(dir, "s04"))
+    val kn = srpGateKnobs(e)
+    saveSrpPlanes(s, e, gateModelDir(dir, "s04"), kn)
     Knn.knnGraph(e, "vec_id", "embedding",
-        k = annK, bitsPerTable = Knn.KnnBaseBits,
-        nTables = Knn.KnnBaseTables)
+        k = annK, bitsPerTable = kn.bits, nTables = kn.tables)
       .orderBy("probe_id", "rank")
   }
 

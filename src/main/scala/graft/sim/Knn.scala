@@ -200,7 +200,11 @@ object Knn {
     spark.range(0, nTables.toLong * bits, 1, 1)
       .select(col("id").cast("int").as("p"))
       .select(col("p"), explode(sequence(lit(1), lit(dim))).as("i"))
-      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"))
+      // `bits` rides the model (the k01 rsd-column discipline): the
+      // oracle derives table/bit split from the frame, so AUTO-derived
+      // knobs can vary per scale without the SQL going stale
+      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"),
+        lit(bits).as("bits"))
 
   /** [[srpPlanes]] with the dimension read from the corpus INSIDE the
     * same lazy plan (a 1-row limit), so exporting the planes costs one
@@ -214,7 +218,8 @@ object Knn {
         explode(sequence(lit(0), lit(nTables * bits - 1))).as("p"))
       .select(col("p").cast("int").as("p"),
         explode(sequence(lit(1), col("dim"))).as("i"))
-      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"))
+      .select(col("p"), col("i"), planeW(col("p"), col("i")).as("w"),
+        lit(bits).as("bits"))
 
   /** Single-table signature (back-compat helper; table 0 of [[srpBands]]). */
   def lshSignatureExpr(vecCol: String, bits: Int): Column =

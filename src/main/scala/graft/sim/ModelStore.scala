@@ -28,7 +28,7 @@ object ModelStore {
     // coarse IVF cells (Ivf.fitCentroids)
     "ivf_centroids" -> Set("cluster", "centroid"),
     // SRP plane components (Knn.srpPlanes — the LSH "model")
-    "srp_planes" -> Set("p", "i", "w"),
+    "srp_planes" -> Set("p", "i", "w", "bits"),
     // xxhash64 token dictionary (Dedup.tokenHashDict — SimHash's model)
     "token_hashes" -> Set("t", "h"),
     // (murmur3, xxhash64) shingle dictionary (Dedup.shingleHashDict —
