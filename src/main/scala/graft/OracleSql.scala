@@ -1249,6 +1249,37 @@ object OracleSql {
          SELECT cs.vec_id AS id, cell.cluster, cs.codes
          FROM cs JOIN cell USING (vec_id) ORDER BY id""",
 
+    // s13: the init-quality profile re-derived from BOTH exported
+    // centroid fits — per-row max cosine, exact-decimal cost total
+    // (round-6 per row into DECIMAL(28,6), the gate's rule), occupied
+    // cells via the assign tie-break.
+    "s13_kmeanspp_init" -> {
+      def prof(name: String): String =
+        s"""SELECT '$name' AS init,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mx_$name) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT cl) AS BIGINT) FROM asg_$name)
+             AS n_cells,
+           (SELECT round(CAST(SUM(CAST(round(1.0 - mc, 6)
+               AS DECIMAL(28,6))) AS DOUBLE), 6) FROM mx_$name)
+             AS total_cost"""
+      def ctes(name: String): String =
+        s"""cents_$name AS (SELECT cluster, centroid FROM read_parquet(
+               '${graft.SparkEntry.gateModelSqlPath("s13")}/$name/*.parquet')),
+           mx_$name AS (SELECT e.vec_id,
+                 MAX(${cosD("e.embedding", "c.centroid")}) AS mc
+               FROM embeddings e, cents_$name c GROUP BY 1),
+           asg_$name AS (SELECT vec_id, cl FROM (
+                 SELECT e.vec_id, c.cluster AS cl,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosD("e.embedding", "c.centroid")} DESC,
+                       c.cluster ASC) AS rn
+                 FROM embeddings e, cents_$name c) WHERE rn = 1)"""
+      s"""WITH ${ctes("lowid")},
+         ${ctes("kmpp")}
+         SELECT * FROM (${prof("lowid")} UNION ALL ${prof("kmpp")})
+         ORDER BY init"""
+    },
+
     "s10_random_projection" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1,
                ${graft.SparkEntry.s10OutDim})) AS j),

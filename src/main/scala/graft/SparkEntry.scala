@@ -1903,12 +1903,20 @@ object SparkEntry {
     * Rows-only: k-means isn't SQL-expressible; IvfInitSpec pins
     * determinism, candidate provenance, and the cost relationship. */
   private def s13(s: SparkSession, dir: String): DataFrame = {
-    import graft.sim.Ivf
+    import graft.sim.{Ivf, ModelStore}
     val corpus = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val base = gateModelDir(dir, "s13")
+    // FULL SQL oracle via the exported-model route (r13): both fitted
+    // centroid frames persist (ModelStore) and DuckDB re-derives the
+    // entire profile — per-row max cosine, exact-decimal total cost,
+    // occupied-cell count — from the identical model bits; the fits
+    // themselves stay pinned by IvfInitSpec (determinism, provenance,
+    // cost relationship).
     def profile(name: String, init: Option[DataFrame]): DataFrame = {
-      val cents = Ivf.fitCentroids(corpus, c = 16, iters = 3,
-        initCentroids = init)
+      ModelStore.save(Ivf.fitCentroids(corpus, c = annC, iters = 3,
+        initCentroids = init), "ivf_centroids", s"$base/$name")
+      val cents = ModelStore.load(s, "ivf_centroids", s"$base/$name")
       val scored = corpus.crossJoin(broadcast(cents))
         .select(col("id"),
           graft.functions.Vectors.cosine(col("v"), col("centroid"))
@@ -1926,7 +1934,7 @@ object SparkEntry {
     }
     profile("lowid", None)
       .union(profile("kmpp",
-        Some(Ivf.kmeansParallelInit(corpus, c = 16))))
+        Some(Ivf.kmeansParallelInit(corpus, c = annC))))
       .orderBy("init")
   }
 

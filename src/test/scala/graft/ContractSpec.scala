@@ -16,13 +16,13 @@ class ContractSpec extends AnyFunSuite {
     * SQL-derivable, and d02/d03/d13 export their shingle/token hash
     * dictionaries the same way. What remains: image hashes needing a
     * real PNG decode (m08), sketch register state with no SQL twin
-    * (k01/k02/st09), the double-avg k-means fit itself
-    * (s13 profiles the fit, so the fit IS its output), and d08 whose
-    * within-cell greedy depends on that same fit.) */
+    * (k01/k02/st09), and d08 whose
+    * within-cell greedy depends on the k-means fit. s13 flipped too:
+    * its profile re-derives from the two exported centroid fits.) */
   private val declaredRowsOnly = Set(
     "d08_semantic_dedup",
     "m08_phash_neardup", "k01_sketch_distinct", "k02_sketch_quantiles",
-    "st09_sketch_stream", "s13_kmeanspp_init")
+    "st09_sketch_stream")
 
   test("every query has an oracle or is a declared rows-only check") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
