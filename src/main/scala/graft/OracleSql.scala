@@ -983,6 +983,23 @@ object OracleSql {
          SELECT id_a, id_b, dist, sig_a, sig_b FROM p WHERE dist <= 3
          ORDER BY id_a, id_b""",
 
+    // m08: pigeonhole pairing over the exported aHash signature frame —
+    // d03's chunk/hamming tail, the hash values themselves being the
+    // model (BinarySpec pins them against a reference decode).
+    "m08_phash_neardup" ->
+      s"""WITH sg AS (SELECT id, sig FROM read_parquet(
+             ${modelGlob("m08", "hash_sigs")})),
+         ch AS (SELECT id, sig, c.j AS chunk_idx,
+               (sig >> (16 * c.j)) & 65535 AS chunk
+             FROM sg, unnest(generate_series(0, 3)) AS c(j)),
+         p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+             FROM ch a JOIN ch b
+               ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             WHERE a.id < b.id)
+         SELECT id_a, id_b, dist FROM p WHERE dist <= 3
+         ORDER BY id_a, id_b""",
+
     "d04_ngram_jaccard" ->
       s"""WITH arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
                         FROM documents),

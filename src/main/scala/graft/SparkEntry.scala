@@ -1585,6 +1585,13 @@ object SparkEntry {
     * decodes PNG; BinarySpec pins planted-pair recall, pair soundness
     * (recomputed hamming <= maxDist), and that noise images of distinct
     * docs never collide. */
+  /** FULL SQL oracle via the exported-model route (r13): the aHash
+    * signature frame persists as the perceptual-hash "model" (the hash
+    * function's value at each payload — d03's token-dictionary status;
+    * exactness pinned by BinarySpec's independent reference decode),
+    * and DuckDB re-derives the pigeonhole chunks, the candidate join
+    * and every hamming. Loading the saved frame also decodes each image
+    * ONCE instead of once per chunk-join side. */
   private def m08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -1595,7 +1602,11 @@ object SparkEntry {
           Binary.makeNoisePng(id, variant = 1)))
       else Seq(base)
     }
-    graft.dedup.Dedup.hammingNearDups(Binary.aHashes(payloads).toDF(),
+    val base = gateModelDir(dir, "m08")
+    graft.sim.ModelStore.save(Binary.aHashes(payloads).toDF().coalesce(1),
+      "hash_sigs", s"$base/hash_sigs")
+    graft.dedup.Dedup.hammingNearDups(
+        graft.sim.ModelStore.load(s, "hash_sigs", s"$base/hash_sigs"),
         maxDist = 3)
       .orderBy("id_a", "id_b")
   }

@@ -33,7 +33,11 @@ object ModelStore {
     "token_hashes" -> Set("t", "h"),
     // (murmur3, xxhash64) shingle dictionary (Dedup.shingleHashDict —
     // MinHash's model)
-    "shingle_hashes" -> Set("g", "h1", "h2"))
+    "shingle_hashes" -> Set("g", "h1", "h2"),
+    // 64-bit signature frame (Binary.aHashes — the perceptual-hash
+    // "model": the hash function's value at each payload, BinarySpec-
+    // pinned against an independent reference decode)
+    "hash_sigs" -> Set("id", "sig"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

@@ -17,11 +17,12 @@ class ContractSpec extends AnyFunSuite {
     * dictionaries the same way. What remains: image hashes needing a
     * real PNG decode (m08), sketch register state with no SQL twin
     * (k01/k02/st09), and d08 whose
-    * within-cell greedy depends on the k-means fit. s13 flipped too:
-    * its profile re-derives from the two exported centroid fits.) */
+    * within-cell greedy depends on the k-means fit. s13 and m08
+    * flipped too: s13's profile re-derives from the two exported
+    * centroid fits, m08's pairing from the exported aHash frame.) */
   private val declaredRowsOnly = Set(
     "d08_semantic_dedup",
-    "m08_phash_neardup", "k01_sketch_distinct", "k02_sketch_quantiles",
+    "k01_sketch_distinct", "k02_sketch_quantiles",
     "st09_sketch_stream")
 
   test("every query has an oracle or is a declared rows-only check") {
