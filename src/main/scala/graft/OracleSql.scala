@@ -303,11 +303,11 @@ object OracleSql {
        ORDER BY probe_id, rank"""
   }
 
-  /** IVF cell CTEs from the exported centroids: cell (every vector's
-    * cosine-nearest cell, Ivf.assign's max_by with ties to the lowest
-    * cluster) and pcell (each probe's nprobe best cells, TopK's
-    * (score DESC, id ASC)). */
-  private def ivfCellsSql(gate: String): String =
+  /** IVF assignment CTEs from the exported centroids: cents (the
+    * model frame) and cell (every vector's cosine-nearest cell,
+    * Ivf.assign's max_by with ties to the lowest cluster). Shared by
+    * the ANN oracles (via [[ivfCellsSql]]) and d08's SemDeDup oracle. */
+  private def ivfAssignSql(gate: String): String =
     s"""cents AS (SELECT cluster, centroid
               FROM read_parquet(${modelGlob(gate, "ivf_centroids")})),
        cell AS (SELECT vec_id, cluster FROM (
@@ -315,7 +315,12 @@ object OracleSql {
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY ${cosD("e.embedding", "ct.centroid")} DESC,
                    ct.cluster ASC) AS rn
-             FROM embeddings e, cents ct) WHERE rn = 1),
+             FROM embeddings e, cents ct) WHERE rn = 1)"""
+
+  /** [[ivfAssignSql]] plus pcell (each probe's nprobe best cells,
+    * TopK's (score DESC, id ASC)). */
+  private def ivfCellsSql(gate: String): String =
+    s"""${ivfAssignSql(gate)},
        pcell AS (SELECT probe_id, cluster FROM (
              SELECT e.vec_id AS probe_id, ct.cluster,
                row_number() OVER (PARTITION BY e.vec_id
@@ -1116,6 +1121,31 @@ object OracleSql {
            LEFT JOIN cl ON cl.id = emb.vec_id
            LEFT JOIN sz ON sz.cluster = cl.cluster
          ORDER BY emb.vec_id""",
+
+    // d08: SemDeDup from the gate's exported k-means fit — cell
+    // assignment (ivfAssignSql, Ivf.assign's tie-break), within-cell
+    // qualifying pairs at exact double cosine, then the min-id witness
+    // per dropped id (Spark's min(struct(id_a, cos)) = lexicographic
+    // min; (id_a, id_b) pairs are unique so id_a alone decides).
+    "d08_semantic_dedup" ->
+      s"""WITH ${ivfAssignSql("d08")},
+         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${cosD("ea.embedding", "eb.embedding")} AS cos
+             FROM cell a JOIN cell b
+               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         qp AS (SELECT * FROM pr WHERE cos >= ${graft.SparkEntry.d08Tau}),
+         wit AS (SELECT id_b AS vec_id, id_a AS witness_id,
+               cos AS witness_cos FROM (
+             SELECT id_b, id_a, cos,
+               row_number() OVER (PARTITION BY id_b
+                 ORDER BY id_a ASC, cos ASC) AS rn FROM qp)
+           WHERE rn = 1)
+         SELECT e.vec_id, w.witness_id IS NULL AS kept,
+           w.witness_id, w.witness_cos
+         FROM embeddings e LEFT JOIN wit w ON w.vec_id = e.vec_id
+         ORDER BY e.vec_id""",
 
     "s01_knn_brute" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS v_p

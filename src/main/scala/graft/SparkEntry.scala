@@ -1060,17 +1060,35 @@ object SparkEntry {
           "id_a", "id_b"))
       .orderBy("vec_id")
 
+  /** d08 cell count and cosine threshold, shared with the oracle SQL
+    * generator (tau=0.25 matches d05's near-dup band on this corpus —
+    * max off-diagonal cosine ≈ 0.44). */
+  private[graft] val d08Cells = 16
+  private[graft] val d08Tau = 0.25
+
   /** Semantic dedup (SemDeDup): every corpus id with its keep/drop
     * decision, each drop carrying a (witness_id, witness_cos) evidence
-    * pair so the DuckDB side of the gate recomputes the cosine from raw
-    * vectors and asserts witness_id < vec_id ∧ cos ≥ τ
-    * (tools/oracle_check.py d08_soundness — d03 emitSigs' sibling).
-    * tau=0.25 matches d05's near-dup band on this corpus (max
-    * off-diagonal cosine ≈ 0.44). */
-  private def d08(s: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedupAudit(t(s, dir, "embeddings"), "vec_id", "embedding",
-        c = 16, tau = 0.25)
+    * pair. FULL SQL oracle via the exported-model route (r13): the
+    * k-means fit persists ([[graft.sim.ModelStore]]) and the greedy
+    * keep-lowest-id rule runs from the LOADED centroids, so DuckDB
+    * re-derives cell assignment, within-cell qualifying pairs and the
+    * min-id witness per drop from the exported model bits; the
+    * per-drop witness soundness audit (tools/oracle_check.py
+    * d08_soundness — d03 emitSigs' sibling) remains as the
+    * independent one-sided check. */
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.{Ivf, ModelStore}
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val base = gateModelDir(dir, "d08")
+    ModelStore.save(Ivf.fitCentroids(corpus, c = d08Cells, iters = 3),
+      "ivf_centroids", s"$base/ivf_centroids")
+    val centroids =
+      ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
+    Dedup.semanticDedupAuditFromCentroids(e, "vec_id", "embedding",
+        centroids, tau = d08Tau)
       .orderBy("vec_id")
+  }
 
   /** Benchmark decontamination: eval split = every 10th doc, train = the
     * rest; 3-gram overlap against the train corpus, contaminated at ≥ 50%

@@ -725,6 +725,15 @@ object Dedup {
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
     val centroids = graft.sim.Ivf.fitCentroids(fitCorpus, c, iters,
       seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
+    pairsFromCentroids(corpus, centroids, tau)
+  }
+
+  /** Cells + qualifying drop pairs from PRE-FITTED centroids — the
+    * post-fit half of [[semanticPairs]], factored out so the
+    * exported-model oracle route (s03's discipline) can run the
+    * greedy rule against a [[graft.sim.ModelStore]]-loaded fit. */
+  private def pairsFromCentroids(corpus: DataFrame, centroids: DataFrame,
+                                 tau: Double): (DataFrame, DataFrame) = {
     // One assignment pass; localCheckpoint because both join sides and the
     // downstream anti-/left-join consume it (the repo's iterative-frame
     // discipline).
@@ -740,6 +749,21 @@ object Dedup {
         Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= tau)
     (cells, pairs)
+  }
+
+  /** [[semanticDedupAudit]] against PRE-FITTED centroids: assignment,
+    * within-cell pairs and witness selection all derive from the loaded
+    * model frame, so an external engine holding the same centroid bits
+    * (the gate's [[graft.sim.ModelStore]] export) re-derives every row —
+    * the exported-model oracle route that flipped s03/s13, applied to
+    * the dedup axis. Bit-identical to [[semanticDedupAudit]] when
+    * `centroids` is the same fit (spec-pinned). */
+  def semanticDedupAuditFromCentroids(emb: DataFrame, idCol: String,
+                                      vecCol: String, centroids: DataFrame,
+                                      tau: Double): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (cells, pairs) = pairsFromCentroids(corpus, centroids, tau)
+    auditFrom(cells, pairs, idCol)
   }
 
   /** [[semanticDedup]] with a PER-ROW AUDIT TRAIL instead of just the

@@ -14,14 +14,12 @@ class ContractSpec extends AnyFunSuite {
     * export their fitted models — codebooks, centroids, SRP planes — as
     * parquet the oracle reads back, making everything downstream
     * SQL-derivable, and d02/d03/d13 export their shingle/token hash
-    * dictionaries the same way. What remains: image hashes needing a
-    * real PNG decode (m08), sketch register state with no SQL twin
-    * (k01/k02/st09), and d08 whose
-    * within-cell greedy depends on the k-means fit. s13 and m08
-    * flipped too: s13's profile re-derives from the two exported
-    * centroid fits, m08's pairing from the exported aHash frame.) */
+    * dictionaries the same way. s13, m08 and d08 flipped too: s13's
+    * profile re-derives from the two exported centroid fits, m08's
+    * pairing from the exported aHash frame, d08's greedy rule from its
+    * exported k-means fit. What remains is ONLY sketch register state
+    * with no SQL twin: k01/k02/st09.) */
   private val declaredRowsOnly = Set(
-    "d08_semantic_dedup",
     "k01_sketch_distinct", "k02_sketch_quantiles",
     "st09_sketch_stream")
 

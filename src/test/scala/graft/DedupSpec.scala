@@ -466,6 +466,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupAuditFromCentroids == semanticDedupAudit on the " +
+      "same fit (the d08 exported-model gate route)") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("v"))
+    val centroids = graft.sim.Ivf.fitCentroids(corpus, c = 16, iters = 3)
+    val fromC = Dedup.semanticDedupAuditFromCentroids(
+        emb, "vec_id", "embedding", centroids, tau = 0.25)
+      .orderBy("vec_id").collect().toSeq
+    val inline = Dedup.semanticDedupAudit(
+        emb, "vec_id", "embedding", c = 16, tau = 0.25)
+      .orderBy("vec_id").collect().toSeq
+    assert(fromC == inline)
+  }
+
   test("connectedComponents: chains merge, min id labels the cluster") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L))
       .toDF("id_a", "id_b")
