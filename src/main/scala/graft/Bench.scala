@@ -27,16 +27,26 @@ object Bench {
     catch { case _: Throwable => () }
     // SparkEntry.querySubset: optional SPARK_GRAFT_ONLY re-measurement
     // subset (absent = all; driver mode).
+    // Per query: total seconds, plus the seconds spent inside
+    // ModelStore.save (GateTimer) — the r13 exported-model gates pay a
+    // fit+export stage that is ORACLE overhead, not operator work, and
+    // folding it into one number made r13's totals incomparable with
+    // pre-r13 anchors (VERDICT r13 item 2). export_s isolates it.
     val results = SparkEntry.querySubset.toSeq.sortBy(_._1)
       .map { case (name, fn) =>
+      graft.util.GateTimer.reset()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, graft.util.GateTimer.exportSeconds)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    // only gates that actually exported (others would be noise-y zeros)
+    val ex = results.filter(_._3 > 0.005)
+      .map { case (k, _, e) => "\"" + k + f"""\":$e%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Provenance (VERDICT r12 item 8): the git SHA ties the numbers to a
@@ -51,9 +61,19 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8).trim
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
       } catch { case _: Throwable => "" }
-    val control = results.toMap.getOrElse("q19_star_join_agg", -1.0)
+    // Dirty-tree flag (ADVICE r13): a bench from an uncommitted tree must
+    // not masquerade as a reading of git_head's code.
+    val dirty =
+      try {
+        val p = new ProcessBuilder("git", "status", "--porcelain").start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        p.waitFor() == 0 && out.trim.nonEmpty
+      } catch { case _: Throwable => false }
+    val control = results.collectFirst {
+      case ("q19_star_join_agg", v, _) => v }.getOrElse(-1.0)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","control_q19_sec":$control%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","git_dirty":$dirty,"control_q19_sec":$control%.3f,"queries":$qs,"export_s":$ex,"sf":"$sfDir"}"""
     println(line)
     // Stdout capture windows can clip the (long) JSON line mid-object —
     // the r11 bench artifact lost its whole first family that way. Also

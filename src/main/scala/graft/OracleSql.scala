@@ -350,10 +350,12 @@ object OracleSql {
   }
 
   /** Shared MinHash prefix over a gate's exported shingle dictionary
-    * (Dedup.shingleHashDict): 3-gram shingle sets + sizes, the k=64
-    * rotl-mix permutation values per shingle, per-doc signature mins,
-    * and the EXACT slice-value band keys (rowsPerBand=4 — Dedup.bands'
-    * concat_ws, reproduced as string_agg ORDER BY s). */
+    * (Dedup.shingleHashDict): 3-gram shingle sets + sizes, the
+    * k=[[graft.SparkEntry.mhK]] rotl-mix permutation values per
+    * shingle, per-doc signature mins, and the EXACT slice-value band
+    * keys (rowsPerBand = mhK/mhBands — Dedup.bands' concat_ws,
+    * reproduced as string_agg ORDER BY s). Knobs interpolate from the
+    * SparkEntry shared constants, so gate and oracle can never desync. */
   private def minhashPrefixSql(gate: String): String =
     s"""dict AS (SELECT g, h1, h2
               FROM read_parquet(${modelGlob(gate, "shingle_hashes")})),
@@ -364,10 +366,13 @@ object OracleSql {
                 greatest(len(arr) - 2, 1))) AS u(i)),
        sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        perm AS (SELECT g, q.s, xor(h1, ${rotl64("h2", "q.s")}) AS r
-                FROM dict, unnest(generate_series(0, 63)) AS q(s)),
+                FROM dict, unnest(generate_series(0,
+                  ${graft.SparkEntry.mhK - 1})) AS q(s)),
        sig AS (SELECT sh.doc_id, p.s, MIN(p.r) AS m
                FROM sh JOIN perm p USING (g) GROUP BY 1, 2),
-       bd AS (SELECT doc_id, s // 4 AS band,
+       bd AS (SELECT doc_id,
+                s // ${graft.SparkEntry.mhK / graft.SparkEntry.mhBands}
+                  AS band,
                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bh
               FROM sig GROUP BY 1, 2)"""
 
@@ -431,7 +436,14 @@ object OracleSql {
              WHERE ce.vec_id <> pc.probe_id),
        $adcTailSql"""
 
-  val all: Map[String, String] = Map(
+  // def, not val: the exported-model entries embed gateModelSqlPath,
+  // which reads the graft.gate.sfTag system property — a val would
+  // freeze the paths at first class touch, so a JVM that touches
+  // OracleSql before Verify pins the tag (or verifies two sf dirs in
+  // one process) would dump SQL pointing at the WRONG sf's models and
+  // fail only as a confusing hash mismatch. Rebuilding the map per
+  // call is trivially cheap next to the dump it feeds.
+  def all: Map[String, String] = Map(
     "q01_summary_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${decSum("l_quantity")} AS sum_qty,
@@ -942,7 +954,8 @@ object OracleSql {
                FROM bd a JOIN bd b ON a.band = b.band AND a.bh = b.bh
                WHERE a.doc_id < b.doc_id),
          ${jaccardTailSql("id_a", "id_b")}
-         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.02
+         SELECT id_a, id_b, jaccard FROM j
+         WHERE jaccard >= ${graft.SparkEntry.d02Tau}
          ORDER BY id_a, id_b""",
 
     // d13 = d02's prefix with cross-split candidate orientation
@@ -955,7 +968,8 @@ object OracleSql {
                WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
          ${jaccardTailSql("eval_id", "train_id")}
          SELECT eval_id, train_id, round(jaccard, 6) AS jaccard
-         FROM j WHERE jaccard >= 0.5 ORDER BY eval_id, train_id""",
+         FROM j WHERE jaccard >= ${graft.SparkEntry.d13Tau}
+         ORDER BY eval_id, train_id""",
 
     // SimHash near-dups over the exported token-hash dictionary:
     // per-bit votes, sign signature (HUGEINT bit build folded to

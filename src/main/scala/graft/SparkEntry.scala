@@ -950,7 +950,7 @@ object SparkEntry {
       Dedup.shingleHashDict(docs, "doc_id", "text", n = 3).coalesce(1),
       "shingle_hashes", s"${gateModelDir(dir, "d02")}/shingle_hashes")
     Dedup.minhashNearDups(docs, "doc_id", "text",
-        k = 64, nBands = 16, threshold = 0.02)
+        k = mhK, nBands = mhBands, threshold = d02Tau)
       .orderBy("id_a", "id_b")
   }
 
@@ -967,7 +967,7 @@ object SparkEntry {
       "shingle_hashes", s"${gateModelDir(dir, "d13")}/shingle_hashes")
     Dedup.crossMinhashNearDups(docs, "doc_id", "text",
         evalFilter = col("doc_id") % 10 === 0,
-        k = 64, nBands = 16, threshold = 0.5)
+        k = mhK, nBands = mhBands, threshold = d13Tau)
       .select(col("eval_id"), col("train_id"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("eval_id", "train_id")
@@ -1313,18 +1313,21 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // upstream token count rides as "toks": packSequences reserves the
+    // n_tokens output name (its require would reject a clashing input),
+    // and the gate's emitted n_tokens is the pack stage's own cast
     val scored = docs.join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
-        TextOps.wordCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.wordCount(col("text")).cast("long").as("toks"),
         TextOps.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= p12MinQuality)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val admitted = scored
-      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
       .filter(col("prior") < p12Quota)
     graft.pack.Pack.packSequences(admitted.drop("prior"), "doc_id",
-        col("n_tokens"), pmod(col("doc_id"), lit(8)), seqLen = 256)
+        col("toks"), pmod(col("doc_id"), lit(8)), seqLen = 256)
       .select(col("doc_id"), col("source"),
         round(col("quality"), 6).as("quality"),
         col("n_tokens"), col("bucket"), col("tok_offset"),
@@ -2444,6 +2447,16 @@ object SparkEntry {
   private[graft] val annC = 16        // IVF coarse cells (implicit in the exported centroids)
   private[graft] val annNprobe = 4    // cells scanned per probe
   private[graft] val annProbeMax = 5  // probe set: vec_id < annProbeMax
+
+  /** MinHash gate knobs (d02/d13), shared with [[OracleSql]]'s
+    * minhashPrefixSql — same discipline as the ANN block above: the
+    * permutation count, band count (rowsPerBand = mhK / mhBands) and
+    * both jaccard thresholds interpolate into the oracle SQL, so a knob
+    * change desyncs at compile time, never as a runtime hash mismatch. */
+  private[graft] val mhK = 64        // MinHash permutations
+  private[graft] val mhBands = 16    // LSH bands (slice width mhK/mhBands)
+  private[graft] val d02Tau = 0.02   // d02 near-dup jaccard threshold
+  private[graft] val d13Tau = 0.5    // d13 decontam jaccard threshold
 
   /** st07's per-source token quota, shared with the oracle SQL — sized
     * to bind hard at the gate corpus (~40% of a source's tokens), so

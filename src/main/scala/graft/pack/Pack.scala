@@ -123,6 +123,17 @@ object Pack {
   def packSequences(docs: DataFrame, idCol: String, tokensCol: Column,
                     bucketCol: Column, seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    // The pass-through contract reserves the five output names: a caller
+    // whose input already carries one would have it silently overwritten
+    // by withColumn — fail loudly at the API boundary instead (the same
+    // rule as ModelStore's shape check).
+    val reserved =
+      Seq("n_tokens", "bucket", "tok_offset", "seq_first", "seq_last")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"packSequences reserves output columns ${reserved.mkString(", ")}; " +
+        s"input already has: ${clash.toSeq.sorted.mkString(", ")} — " +
+        "rename or drop them upstream")
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // withColumn (not a projecting select): every input column RIDES

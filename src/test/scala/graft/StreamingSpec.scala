@@ -172,6 +172,58 @@ class StreamingSpec extends AnyFunSuite {
         "(1,a) means the source offset log was lost")
   }
 
+  test("failure injection: a query KILLED mid-batch leaves no phantom " +
+      "commit, and the restart re-admits the batch exactly-once") {
+    // The recovery spec above stops the query BETWEEN batches — the
+    // graceful path. Here the kill lands INSIDE a running batch (r13
+    // verdict item: exactly-once must survive the ungraceful death a
+    // 1000-executor run actually sees). Mechanics: per-row sleeps make
+    // chunk 2's batch take >= 2 s; stop() fires ~1 s in, interrupting
+    // the stream thread mid-batch. Invariants, regardless of the exact
+    // interrupt point: (1) the aborted batch must NOT reach the sink
+    // metadata log (reading the dir sees only chunk 1 — no partial
+    // output, no phantom commit even if orphan part-files exist);
+    // (2) the state store must stay at chunk 1's committed version, so
+    // the clean restart re-processes chunk 2 from the offset WAL and
+    // admits (4,c)/(5,d) exactly once while still rejecting the (3,a)
+    // recurrence against chunk-1 state.
+    import graft.streaming.Streams.DocFp
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kill-midbatch")
+    val srcDir = s"$root/src"; val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val chunk1 = Seq(DocFp(1L, "a"), DocFp(2L, "b"))
+    val chunk2 = Seq(DocFp(3L, "a"), DocFp(4L, "c"), DocFp(5L, "d"))
+    def src = spark.readStream.schema("doc_id LONG, fp STRING")
+      .option("recursiveFileLookup", "true").parquet(srcDir).as[DocFp]
+    def sink(df: org.apache.spark.sql.Dataset[DocFp]) =
+      df.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+    chunk1.toDS.write.parquet(s"$srcDir/p1")
+    val q1 = sink(Streams.firstPerFingerprintStream(src)).start()
+    try q1.processAllAvailable() finally q1.stop()
+    chunk2.toDS.write.parquet(s"$srcDir/p2")
+    // the slowed clone: same semantics, each row costs 2 s to read
+    val qKill = sink(Streams.firstPerFingerprintStream(
+      src.map { d => Thread.sleep(2000); d })).start()
+    Thread.sleep(1000) // batch in flight (needs >= 2 s of row sleeps)
+    qKill.stop()       // interrupts the execution thread mid-batch
+    val afterKill = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterKill == Set((1L, "a"), (2L, "b")),
+      s"aborted batch leaked into the committed sink output: $afterKill")
+    val q2 = sink(Streams.firstPerFingerprintStream(src)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.size == rows.distinct.size,
+      s"duplicated admission after the kill+restart: $rows")
+    assert(rows.toSet == Set((1L, "a"), (2L, "b"), (4L, "c"), (5L, "d")),
+      s"exactly-once broken across the mid-batch kill: ${rows.toSet} — " +
+        "a present (3,a) means chunk-1 state was lost; a missing (4,c)/" +
+        "(5,d) means the aborted batch was skipped instead of replayed")
+  }
+
   test("st07 quota admission: chunked in-order replay equals the window " +
       "cumsum; the cutoff binds and carries across batches") {
     implicit val sql = spark.sqlContext
