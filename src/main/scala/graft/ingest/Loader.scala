@@ -139,4 +139,34 @@ object Loader {
       .select((outCols :+ "batch_id").map(col): _*)
     stripMeta(batched, metaCols, withMetadata)
   }
+
+  /** [[dumpBatched]] made PHYSICAL: one parquet file per batch id under
+    * `path/batch_id=N/` — the reference's `objects_per_report` transport
+    * chunking (/root/reference/kcidb/db/abstract.py:192-244 feeding
+    * kcidb-dump's one-report-per-chunk emission) as files a downstream
+    * consumer can ship/replay per report.
+    *
+    * Scale shape: [[dumpBatched]]'s ranked frame is hash-repartitioned
+    * on `batch_id`, so every batch's rows land in exactly ONE task and
+    * the `partitionBy` writer therefore emits exactly ONE file per
+    * batch directory (the WarehouseSpec-pinned contract); each file is
+    * at most `batchSize` rows regardless of corpus size, and distinct
+    * batches spread across the cluster, so the write is as parallel as
+    * the data is large while no task ever holds more than one
+    * transport chunk per batch. Rows inside a file keep the dump order
+    * (`sortWithinPartitions` over the same `orderKey`). Meta columns
+    * strip AFTER the sort, so `orderKey` may reference them even when
+    * the dump excludes them (`withMetadata = false`), matching
+    * [[dumpWindow]]'s filter-on-stripped-timestamp semantics. */
+  def dumpBatchedFiles(df: DataFrame, tsCol: Column, after: Column,
+                       until: Column, orderKey: Seq[Column],
+                       batchSize: Int, path: String,
+                       metaCols: Seq[String] = Seq.empty,
+                       withMetadata: Boolean = true): Unit =
+    stripMeta(
+      dumpBatched(df, tsCol, after, until, orderKey, batchSize)
+        .repartition(col("batch_id"))
+        .sortWithinPartitions(col("batch_id") +: orderKey: _*),
+      metaCols, withMetadata)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
 }

@@ -64,4 +64,49 @@ class WarehouseSpec extends AnyFunSuite {
         s"expected exactly one exchange (unbucketed side), got $exchanges:\n$p")
     }
   }
+
+  test("dumpBatchedFiles emits exactly ONE parquet file per batch id, " +
+      "each at most batchSize rows, in dump order, meta stripped") {
+    // q31's logical chunking made physical (objects_per_report transport
+    // files): the logical dumpBatched assignment is the oracle for the
+    // file layout.
+    import graft.ingest.Loader
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val after = lit("2024-01-10 00:00:00").cast("timestamp")
+    val until = lit("2024-01-20 00:00:00").cast("timestamp")
+    val batchSize = 100
+    val expected = Loader.dumpBatched(events, col("ts"), after, until,
+        orderKey = Seq(col("event_id")), batchSize = batchSize)
+      .select("event_id", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(expected.size >= 3, s"window too small: ${expected.size} batches")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dump-files").toString
+    Loader.dumpBatchedFiles(events, col("ts"), after, until,
+      orderKey = Seq(col("event_id")), batchSize = batchSize, path = out,
+      metaCols = Seq("ts"), withMetadata = false)
+    val dirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs.map(_.getName.stripPrefix("batch_id=").toLong).sorted.toSeq
+      == expected.keys.toSeq.sorted,
+      "file layout must carry exactly the logical batch ids")
+    for (d <- dirs) {
+      val id = d.getName.stripPrefix("batch_id=").toLong
+      val parts = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"batch $id must be ONE transport file, got ${parts.length}")
+      val rows = spark.read.parquet(parts.head.getPath)
+      assert(!rows.columns.contains("ts"),
+        "withMetadata=false must strip the meta column from the files")
+      val ids = rows.select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.size <= batchSize, s"batch $id over batchSize: ${ids.size}")
+      assert(ids == ids.sorted,
+        s"batch $id rows must keep the dump order inside the file")
+      assert(ids == expected(id),
+        s"batch $id membership diverges from the logical dumpBatched")
+    }
+  }
 }
