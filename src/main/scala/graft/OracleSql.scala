@@ -847,6 +847,31 @@ object OracleSql {
          FROM f ORDER BY test_key"""
     },
 
+    // q43: every mux member must hold exactly the full dump window at
+    // its own schema version — the oracle recomputes each member's
+    // audit from `events` directly (v2.1's score backfills to value and
+    // status is FAIL exactly on errors, per the eventsSchematic chain;
+    // the legacy member reports the -1 sentinels).
+    "q43_mux_load" ->
+      s"""WITH w AS (SELECT event_id, user_id, event_type, value
+             FROM events
+             WHERE $tsUs > TIMESTAMP '2024-01-10'
+               AND $tsUs <= TIMESTAMP '2024-01-20'),
+         agg AS (SELECT COUNT(*) AS n_rows,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               ${decSum("value")} AS sum_value,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                 AS BIGINT) AS nf
+             FROM w)
+         SELECT m.member, m.version, a.n_rows, a.sum_users, a.sum_value,
+           CASE WHEN m.version = '2.1' THEN a.sum_value
+             ELSE -1.0 END AS sum_score,
+           CAST(CASE WHEN m.version = '2.1' THEN a.nf
+             ELSE -1 END AS BIGINT) AS n_fail
+         FROM (VALUES ('m0', '2.1'), ('m1', '1.0'))
+           AS m(member, version), agg a
+         ORDER BY m.member""",
+
     "q33_root_id_check" -> {
       val cat = graft.model.TestCatalog.catalog
       val sorted = cat.types.values.toSeq.sortBy(_.name)

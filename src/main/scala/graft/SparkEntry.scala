@@ -830,9 +830,39 @@ object SparkEntry {
     * overwrite from invalidating another's still-lazy plan. Absolute
     * path: Verify's oracle_sql.json is consumed by a DuckDB process
     * whose cwd is not guaranteed to match. */
+  /** One model-export namespace per JVM (ADVICE r13): the per-(sf, gate)
+    * dirs alone made gate runs ORDER-dependent — a concurrent bench and
+    * verify at the SAME sf would overwrite the models a pending DuckDB
+    * check was about to read, surfacing as a confusing hash mismatch.
+    * Stamping the run id into the path (and, via [[gateModelSqlPath]],
+    * into the dumped oracle SQL — same JVM, same lazy value) turns that
+    * clobber into a loud missing-path error in the stale reader instead.
+    * Re-runs WITHIN one JVM still share a dir by design: one Verify
+    * process writes then dumps, and its SQL must see its own models. */
+  private[graft] lazy val gateRunId: String =
+    sys.props.getOrElse("graft.gate.runId",
+      java.lang.Long.toHexString(ProcessHandle.current.pid) + "-" +
+        java.lang.Long.toHexString(System.currentTimeMillis / 1000))
+
   private[graft] def gateModelDir(dir: String, gate: String): String = {
     val tag = new java.io.File(dir).getName
-    val base = new java.io.File(s"target/gate_models/$tag/$gate")
+    val root = new java.io.File(s"target/gate_models/$tag")
+    // best-effort GC of DEAD run dirs (mtime > 1 day): pending oracle
+    // checks run within minutes of their dump; only long-abandoned runs
+    // are collected, so no live reader can lose its models.
+    val cutoff = System.currentTimeMillis - 24L * 3600 * 1000
+    Option(root.listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != gateRunId &&
+        d.lastModified < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+            .foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    val base = new java.io.File(root, s"$gateRunId/$gate")
     java.nio.file.Files.createDirectories(base.toPath)
     base.getAbsolutePath
   }
@@ -840,11 +870,13 @@ object SparkEntry {
   /** The oracle-side twin of [[gateModelDir]]: the sf tag comes from the
     * `graft.gate.sfTag` system property, which [[Verify]] pins from its
     * sfDir argument before dumping oracle_sql.json (default: sf0.01, the
-    * driver's correctness scale). */
+    * driver's correctness scale); the run id is this JVM's
+    * [[gateRunId]], so the dumped SQL can only ever read models this
+    * process wrote. */
   private[graft] def gateModelSqlPath(gate: String): String =
     new java.io.File("target/gate_models/" +
-      sys.props.getOrElse("graft.gate.sfTag", "sf0.01") + s"/$gate")
-      .getAbsolutePath
+      sys.props.getOrElse("graft.gate.sfTag", "sf0.01") +
+      s"/$gateRunId/$gate").getAbsolutePath
 
   /** Deliberately mixed valid/invalid catalog entries for q42 — the
     * rootIdCandidates discipline applied to the reference's test
@@ -925,6 +957,53 @@ object SparkEntry {
       lit(null).cast("string").as("description"))
     graft.model.CatalogEntries.validate(planted.unionByName(derived))
       .orderBy("test_key")
+  }
+
+  /** Multiplexed load fan-out ([[graft.sources.Mux]]) — the reference's
+    * mux driver (kcidb/db/mux.py:484-518 load-into-every-member,
+    * 397-470 query-the-first), the last infrastructure surface SURVEY
+    * §1 ranked as having any analytic twin: one batch (the q09 dump
+    * window) loads into BOTH members in one materialization, m0 at the
+    * latest events schema v2.1 and m1 at legacy v1.0 (mux.py:505's
+    * per-member `io_schema.upgrade`), and the gate emits a per-member
+    * audit — row count, key/value sums, and the version-dependent
+    * score/status aggregates — that the DuckDB oracle recomputes from
+    * `events` directly, proving every member received exactly the full
+    * batch at exactly its version's shape. Version-dependent columns
+    * use a -1 sentinel (not NULL) for the legacy member so the dump
+    * stays pandas-sortable (the st05 r11 scalar-gate rule). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Mux
+    val base = gateModelDir(dir, "q43")
+    val members = Seq(Mux.Member(s"$base/m0", (2, 1)),
+      Mux.Member(s"$base/m1", (1, 0)))
+    Mux.load(
+      Loader.dumpWindow(ev(s, dir), col("ts"),
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      eventsSchematic, from = (1, 0), members, mode = "overwrite")
+    val audits = members.zipWithIndex.map { case (m, i) =>
+      // first member read through the query path (the reference serves
+      // dumps/queries from drivers[0] only); replicas read directly
+      val r = if (i == 0) Mux.query(s, members) else s.read.parquet(m.path)
+      r.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("user_id")).as("sum_users"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          (if (r.columns.contains("score"))
+            sum(dec(col("score"))).cast("double")
+          else lit(-1.0)).as("sum_score"),
+          (if (r.columns.contains("status"))
+            count(when(col("status") === "FAIL", lit(1)))
+          else lit(-1L)).as("n_fail"))
+        .select(lit(s"m$i").as("member"),
+          lit(s"${m.version._1}.${m.version._2}").as("version"),
+          col("n_rows"), col("sum_users"), col("sum_value"),
+          col("sum_score"), col("n_fail"))
+    }
+    audits.reduce(_.unionByName(_)).orderBy("member")
   }
 
   private def d01(s: SparkSession, dir: String): DataFrame = {
@@ -2641,6 +2720,7 @@ object SparkEntry {
     "q40_ingest_notify" -> (q40 _),
     "q41_rate_anomaly" -> (q41 _),
     "q42_catalog_validate" -> (q42 _),
+    "q43_mux_load" -> (q43 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),
