@@ -73,7 +73,11 @@ class ShuffleBytesSpec extends AnyFunSuite {
     "q29_full_closure" -> 250_000L,
     "s04_knn_graph" -> 60_000_000L,
     "s08_knn_ivfpq" -> 7_000_000L,
-    "p12_pipeline_e2e" -> 150_000L)
+    "p12_pipeline_e2e" -> 150_000L,
+    // d02 925 KB (banding bounds pairs; the dict export is a narrow
+    // distinct), q40 11.9 KB (closure id frames + render join)
+    "d02_dedup_minhash" -> 3_000_000L,
+    "q40_ingest_notify" -> 50_000L)
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
     test(s"$name shuffles under ${budget / 1000} KB and never spills " +
