@@ -872,6 +872,31 @@ object OracleSql {
            AS m(member, version), agg a
          ORDER BY m.member""",
 
+    // q44: per-column profile of orders, one UNION ALL branch per
+    // column generated from the SAME (name, kind) list the gate
+    // asserts against Profiler.kinds (shared-constant discipline).
+    // Sentinels (-1.0 / '') mirror the Profiler's no-NULL output rule.
+    "q44_column_profile" -> {
+      val branches = graft.SparkEntry.q44Cols.map { case (c, kind) =>
+        val (numMin, numMax) = kind match {
+          case "num" => (s"round(CAST(MIN($c) AS DOUBLE), 6)",
+            s"round(CAST(MAX($c) AS DOUBLE), 6)")
+          case "ts" =>
+            (s"CAST(${sec(s"MIN(CAST($c AS TIMESTAMP))")} AS DOUBLE)",
+              s"CAST(${sec(s"MAX(CAST($c AS TIMESTAMP))")} AS DOUBLE)")
+          case _ => ("-1.0", "-1.0")
+        }
+        val (strMin, strMax) =
+          if (kind == "str") (s"MIN($c)", s"MAX($c)") else ("''", "''")
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           $numMin AS num_min, $numMax AS num_max,
+           $strMin AS str_min, $strMax AS str_max FROM orders"""
+      }
+      branches.mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
     "q33_root_id_check" -> {
       val cat = graft.model.TestCatalog.catalog
       val sorted = cat.types.values.toSeq.sortBy(_.name)

@@ -1006,6 +1006,30 @@ object SparkEntry {
     audits.reduce(_.unionByName(_)).orderBy("member")
   }
 
+  /** q44's column/kind list for the orders table, shared with the SQL
+    * oracle generator; the gate asserts it against Profiler.kinds so a
+    * testdata schema drift fails loudly instead of desyncing the
+    * oracle. */
+  private[graft] val q44Cols: Seq[(String, String)] = Seq(
+    ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"))
+
+  /** Per-column table profile ([[graft.operators.Profiler]]) over
+    * orders — the generic corpus-QA "describe" (t19's data card at
+    * column granularity, kcidb-count extended below object level).
+    * Gate mode is `exact = true` (countDistinct → a full DuckDB
+    * oracle); the 100 TB default swaps in approx_count_distinct and
+    * the profile becomes one pure partial aggregate (ProfilerSpec pins
+    * both modes and the no-Expand plan of the approx path). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    require(graft.operators.Profiler.kinds(orders) == q44Cols,
+      s"orders schema drifted: ${graft.operators.Profiler.kinds(orders)}")
+    graft.operators.Profiler.profile(orders, exact = true)
+      .orderBy("column")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -2721,6 +2745,7 @@ object SparkEntry {
     "q41_rate_anomaly" -> (q41 _),
     "q42_catalog_validate" -> (q42 _),
     "q43_mux_load" -> (q43 _),
+    "q44_column_profile" -> (q44 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),
