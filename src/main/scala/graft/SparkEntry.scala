@@ -1018,10 +1018,12 @@ object SparkEntry {
   /** Per-column table profile ([[graft.operators.Profiler]]) over
     * orders — the generic corpus-QA "describe" (t19's data card at
     * column granularity, kcidb-count extended below object level).
-    * Gate mode is `exact = true` (countDistinct → a full DuckDB
-    * oracle); the 100 TB default swaps in approx_count_distinct and
-    * the profile becomes one pure partial aggregate (ProfilerSpec pins
-    * both modes and the no-Expand plan of the approx path). */
+    * Gate mode is `exact = true` (per-column single-distinct branches,
+    * unioned — never the multi-countDistinct Expand form — backing a
+    * full DuckDB oracle); the 100 TB default swaps in
+    * approx_count_distinct and the profile becomes one pure partial
+    * aggregate (ProfilerSpec pins both modes' no-Expand plans and the
+    * per-branch one-column scan pruning). */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     require(graft.operators.Profiler.kinds(orders) == q44Cols,

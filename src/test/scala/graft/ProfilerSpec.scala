@@ -55,9 +55,27 @@ class ProfilerSpec extends AnyFunSuite {
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"),
       s"approx profile must not plan Expand:\n$plan")
+    // exact mode must ALSO never plan Expand: the per-column-branch
+    // union keeps every countDistinct single-distinct (the multi-
+    // distinct one-aggregate form grounds on a near-row-unique Expand
+    // grouping — the measured 4x regression the branch design avoids)
     val exactPlan = Profiler.profile(frame, exact = true)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"),
-      "exact mode is the Expand path by construction (documented cost)")
+    assert(!exactPlan.contains("Expand"),
+      s"exact profile must not plan Expand:\n$exactPlan")
+  }
+
+  test("exact branches prune the scan to their one column") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    frame.write.mode("overwrite").parquet("/tmp/profiler_prune")
+    val onDisk = spark.read.parquet("/tmp/profiler_prune")
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+    // children from collect until stages materialize
+    val scans = Profiler.profile(onDisk, exact = true)
+      .queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSeq
+      }
+    assert(scans.size == 4 && scans.forall(_.size <= 1),
+      s"each exact branch must read exactly its own column: $scans")
   }
 }
