@@ -2070,6 +2070,49 @@ object OracleSql {
     // t20: ln quantized at 6 dp then EXACT decimal sums; the regression
     // closed form repeats the Spark side's double-op order, slope bound
     // in a CTE so the intercept reuses the identical double.
+    // t21: page synthesis (SparkEntry.t21* knobs) + the C4 rule set
+    // (HeuristicFilters constants) both re-derived relationally, so a
+    // drift in either the fixture or a rule hash-mismatches.
+    "t21_c4_filters" -> {
+      val wpl = graft.SparkEntry.t21WordsPerLine
+      val cyc = graft.SparkEntry.t21PunctCycle
+      // list_concat is binary in DuckDB; chain with || instead
+      val boiler = graft.SparkEntry.t21Boiler.map { case (m, line) =>
+        s"|| CASE WHEN doc_id % $m = 0 THEN ['${line.replace("'", "''")}'] ELSE []::VARCHAR[] END"
+      }.mkString("\n             ")
+      val hf = graft.text.HeuristicFilters
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+         pg AS (SELECT doc_id,
+             list_transform(range((len(ws) + ${wpl - 1}) // $wpl), i ->
+               array_to_string(array_slice(ws, i*$wpl + 1, i*$wpl + $wpl), ' ')
+               || CASE WHEN (doc_id + i) % $cyc <> 0 THEN '.' ELSE '' END)
+             $boiler AS ls
+           FROM w),
+         v AS (SELECT doc_id, ls,
+             array_to_string(ls, chr(10)) AS page,
+             list_filter(ls, l ->
+               len(string_split(l, ' ')) >= ${hf.minWordsPerLine}
+               AND right(l, 1) IN ('.', '!', '?')
+               AND NOT contains(l, 'javascript')) AS kl
+           FROM pg),
+         r AS (SELECT doc_id, ls, kl,
+             CASE WHEN contains(page, 'lorem ipsum') THEN '${hf.reasonLoremIpsum}'
+                  WHEN contains(page, '{') THEN '${hf.reasonBrace}'
+                  WHEN len(kl) < ${hf.minKeptLines} THEN '${hf.reasonTooFew}'
+                  ELSE '${hf.reasonKept}' END AS reason
+           FROM v)
+         SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_lines_kept,
+           CAST(COALESCE(list_sum(list_transform(kl, l ->
+             len(string_split(l, ' ')))), 0) AS BIGINT) AS n_words_kept,
+           CAST(CASE WHEN reason = '${hf.reasonKept}' THEN 1 ELSE 0 END
+             AS BIGINT) AS kept,
+           reason,
+           CASE WHEN reason = '${hf.reasonKept}'
+             THEN md5(array_to_string(kl, chr(10))) ELSE '' END AS clean_md5
+         FROM r ORDER BY doc_id""" },
+
     "t20_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
              AS token FROM documents),

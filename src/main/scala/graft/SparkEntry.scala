@@ -2100,6 +2100,52 @@ object SparkEntry {
   private def t20(s: SparkSession, dir: String): DataFrame =
     TextOps.zipfFit(t(s, dir, "documents"), col("text"))
 
+  /** t21 page-synthesis knobs, shared with the SQL oracle generator
+    * (the q44Cols discipline): words per synthesized line, the
+    * every-4th-line-unpunctuated cycle, and the (modulus, line)
+    * boilerplate injections. The documents corpus is single-line word
+    * soup, so the gate deterministically renders each doc as a
+    * multi-line PAGE (the q39 fixture discipline) — line slices of the
+    * doc's words plus planted boilerplate — covering every C4 rule:
+    * %7 lorem-ipsum page drop, %13 brace page drop, %5 javascript line
+    * drop, %11 an unpunctuated line, %4 cycle varies the terminal-punct
+    * ratio, and the words-per-line tail exercises the min-words rule. */
+  private[graft] val t21WordsPerLine = 10
+  private[graft] val t21PunctCycle = 4
+  private[graft] val t21Boiler: Seq[(Int, String)] = Seq(
+    7 -> "lorem ipsum dolor sit amet.",
+    5 -> "please enable javascript to view this page.",
+    11 -> "read our terms of use and privacy policy",
+    13 -> "function() { return 0; }.")
+
+  /** C4-style heuristic page filtering
+    * ([[graft.text.HeuristicFilters.c4Filter]], Raffel et al. 2020
+    * §2.2) over deterministically synthesized pages: per-doc verdict
+    * (kept/reason), line/word retention counts, and the md5 of the
+    * cleaned text — all row-local codegen'd expressions, no shuffle;
+    * the DuckDB oracle re-derives synthesis AND rules from the shared
+    * knobs so a drift in either fails the hash. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = split(col("text"), " ")
+    val nLines = floor((size(w) + lit(t21WordsPerLine - 1)) /
+      lit(t21WordsPerLine)).cast("int")
+    val raw = transform(sequence(lit(0), nLines - lit(1)), i =>
+      concat(
+        array_join(slice(w, i * lit(t21WordsPerLine) + lit(1),
+          lit(t21WordsPerLine)), " "),
+        when(((id + i) % t21PunctCycle) =!= 0, lit("."))
+          .otherwise(lit(""))))
+    val boiler = t21Boiler.map { case (m, line) =>
+      when(id % m === 0, array(lit(line)))
+        .otherwise(typedLit(Seq.empty[String]))
+    }
+    val pages = t(s, dir, "documents")
+      .select(id, array_join(concat(raw +: boiler: _*), "\n").as("page"))
+    graft.text.HeuristicFilters.c4Filter(pages, "doc_id", "page")
+      .orderBy("doc_id")
+  }
+
   /** Per-source dataset card (TextOps.dataCard): the corpus datasheet —
     * volume, token mass, mean quality, language share, unique/dup
     * fingerprints — as one grouped report; every column integer- or
@@ -2791,6 +2837,7 @@ object SparkEntry {
     "t18_bpe_encode" -> (t18 _),
     "t19_data_card" -> (t19 _),
     "t20_zipf_fit" -> (t20 _),
+    "t21_c4_filters" -> (t21 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),
