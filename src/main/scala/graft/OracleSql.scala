@@ -2023,6 +2023,55 @@ object OracleSql {
     // depth×width table and every point estimate exactly.
     "k04_cms_topk" -> cmsTopKSql,
 
+    // k05: KMV bottom-k sketches + estimator + exact anchor, all
+    // rebuilt relationally (k shared via SparkEntry.k05K). The rank
+    // window runs over the per-source hash frame (bounded per group);
+    // the estimator takes the k smallest of each pair's sketch UNION.
+    "k05_bottomk_overlap" -> {
+      val k = graft.SparkEntry.k05K
+      s"""WITH toks AS (SELECT DISTINCT source, tok FROM (
+             SELECT source, unnest(list_transform(
+               range(len(string_split(text, ' ')) - 1), i ->
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2])) AS tok
+             FROM documents)),
+         h AS (SELECT source, md5(tok) AS hv FROM toks),
+         n AS (SELECT source, COUNT(*) AS nd FROM h GROUP BY source),
+         bk AS (SELECT source, hv FROM (
+             SELECT source, hv, row_number() OVER (
+               PARTITION BY source ORDER BY hv) AS rn FROM h)
+           WHERE rn <= $k),
+         pairs AS (SELECT a.source AS sa, b.source AS sb
+           FROM n a, n b WHERE a.source < b.source),
+         pu AS (SELECT p.sa, p.sb, x.hv,
+             bool_or(x.source = p.sa) AS ia,
+             bool_or(x.source = p.sb) AS ib
+           FROM pairs p JOIN bk x ON x.source IN (p.sa, p.sb)
+           GROUP BY p.sa, p.sb, x.hv),
+         pr AS (SELECT sa, sb, ia, ib,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY sa, sb) AS un
+           FROM pu),
+         est AS (SELECT sa, sb, LEAST($k, MAX(un)) AS k_used,
+             CAST(SUM(CASE WHEN rn <= $k AND ia AND ib
+               THEN 1 ELSE 0 END) AS BIGINT) AS num
+           FROM pr GROUP BY sa, sb),
+         ex AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+           FROM toks a JOIN toks b
+             ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT e.sa AS source_a, e.sb AS source_b,
+           CAST(na.nd AS BIGINT) AS n_a, CAST(nb.nd AS BIGINT) AS n_b,
+           round(CAST(COALESCE(x.ni, 0) AS DOUBLE) /
+             (na.nd + nb.nd - COALESCE(x.ni, 0)), 6) AS exact_j,
+           round(CAST(e.num AS DOUBLE) / e.k_used, 6) AS est_j,
+           CAST(e.k_used AS BIGINT) AS k_used
+         FROM est e
+           JOIN n na ON na.source = e.sa
+           JOIN n nb ON nb.source = e.sb
+           LEFT JOIN ex x ON x.sa = e.sa AND x.sb = e.sb
+         ORDER BY source_a, source_b""" },
+
     // st10: the stream-built cell table equals the batch build
     // bit-for-bit (order-insensitive counts) — literally k04's oracle.
     "st10_cms_stream" -> cmsTopKSql,

@@ -2021,6 +2021,41 @@ object SparkEntry {
   private def k04(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.cmsTopK(t(s, dir, "documents"), col("text"))
 
+  /** k05's sketch size, shared with the SQL oracle generator. */
+  private[graft] val k05K = 128
+
+  /** Pairwise cross-source BIGRAM-set overlap via KMV bottom-k
+    * sketches (Sketches.bottomKOverlap): per source the 128 smallest
+    * md5 hashes of its distinct word bigrams (~700 per source at gate
+    * sf, so k_used saturates at k and the ESTIMATOR path is really
+    * exercised — unigram vocab would fit the sketch and degenerate to
+    * exact), per source pair the KMV jaccard estimate next to the
+    * exact jaccard anchor (the element-level join a 100 TB run
+    * drops). Deterministic given the hash, so — unlike the register
+    * sketches k01/k02 — this carries a FULL SQL oracle that rebuilds
+    * sketches, estimator and exact answer relationally. */
+  private def k05(s: SparkSession, dir: String): DataFrame = {
+    // materialize the split ONCE as a column: an inline `split(text)`
+    // would re-tokenize the whole document for every element_at inside
+    // the transform lambda (O(words²) splits per doc — measured 3×
+    // slower at sf0.1; CollapseProject keeps non-cheap aliases)
+    val ws = col("ws")
+    // codegen'd bigram pairing: zip the word array against itself
+    // shifted by one (slice clamps, so no when-guard needed) — stays
+    // inside whole-stage codegen where a transform() lambda would drop
+    // to the interpreted HOF path
+    val pairsZ = arrays_zip(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1))
+    graft.operators.Sketches.bottomKOverlap(
+      t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .select(col("source"), explode(pairsZ).as("z"))
+        .select(col("source"),
+          concat_ws(" ", col("z.0"), col("z.1")).as("bg")),
+      col("source"), col("bg"), k = k05K)
+    .orderBy("source_a", "source_b")
+  }
+
   /** GK-summary quantile profile over event values
     * (operators/Sketches.quantileProfile): per event_type, p50/p90/p99
     * estimates whose ranks the driver audit checks against exact DuckDB
@@ -2798,6 +2833,7 @@ object SparkEntry {
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),
     "k04_cms_topk" -> (k04 _),
+    "k05_bottomk_overlap" -> (k05 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

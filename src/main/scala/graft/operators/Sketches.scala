@@ -20,6 +20,75 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Pairwise set-overlap profiling via KMV bottom-k sketches
+    * (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation"):
+    * per group, the k lexicographically-smallest md5 hashes of the
+    * group's DISTINCT elements form a fixed-size mergeable signature;
+    * for every group pair the Jaccard estimate is
+    * |{v ∈ K : v ∈ S_A ∩ S_B}| / |K| where K is the k smallest values
+    * of S_A ∪ S_B — the standard KMV overlap estimator. The sketch is
+    * the bounded [[graft.functions.TopKByScoreStr]] heap at constant
+    * score (ties resolve by binary string order = hash order), so the
+    * per-group state is k strings regardless of group size and the
+    * aggregate is map-side combined.
+    *
+    * Output per (a, b) pair, a < b: exact distinct counts, exact
+    * jaccard (the verifiable anchor — computed by an element-level
+    * equi-join a 100 TB run DROPS, the distinctProfile discipline),
+    * the KMV estimate, and k_used (= min(k, |S_A ∪ S_B|); when the
+    * union fits the sketch the estimate is exact by construction).
+    * Everything is deterministic given the hash, so unlike the
+    * register sketches this one carries a FULL SQL oracle.
+    *
+    * Scale shape: ONE corpus scan feeding one dedup-by-hash aggregate
+    * (map-side partial; the shuffle key is the 32-byte hash, never the
+    * raw element), then everything — per-group distinct counts, the
+    * bounded sketches AND the exact pair intersections — derives from
+    * that already-deduped frame: no corpus-sized element self-join
+    * exists anywhere in the plan. The pair join at the end is over the
+    * |groups|-row sketch frames (row-local HOFs on ≤2k strings). */
+  def bottomKOverlap(df: DataFrame, groupCol: Column, elemCol: Column,
+      k: Int): DataFrame = {
+    import graft.functions.TopK
+    // one scan + one shuffle: dedup elements across the corpus by hash,
+    // collecting the set of groups each element occurs in
+    val byElem = df.select(groupCol.as("g"), md5(elemCol).as("hv"))
+      .groupBy("hv").agg(array_sort(collect_set(col("g"))).as("srcs"))
+    val sk = byElem.select(explode(col("srcs")).as("g"), col("hv"))
+      .groupBy("g").agg(
+        count(lit(1)).as("nd"),
+        transform(TopK.topKByScoreStr(lit(0.0), col("hv"), k),
+          x => x.getField("id")).as("bk"))
+    val a = sk.select(col("g").as("source_a"), col("nd").as("n_a"),
+      col("bk").as("bka"))
+    val b = sk.select(col("g").as("source_b"), col("nd").as("n_b"),
+      col("bk").as("bkb"))
+    // exact pair intersections from the SAME deduped frame: each shared
+    // element contributes one row per unordered group pair holding it
+    // (srcs is bounded by |groups|, so the pair expansion is row-local
+    // and tiny; this replaces a corpus-sized element self-join)
+    val pairStructs = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+        struct(x.as("sa"), y.as("sb")))))
+    val inter = byElem.filter(size(col("srcs")) >= 2)
+      .select(explode(pairStructs).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val merged = array_sort(array_distinct(concat(col("bka"), col("bkb"))))
+    val kUsed = least(lit(k), size(merged))
+    val estNum = size(filter(slice(merged, 1, k), v =>
+      array_contains(col("bka"), v) && array_contains(col("bkb"), v)))
+    a.join(b, col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("exact_j"),
+        round(estNum.cast("double") / kUsed, 6).as("est_j"),
+        kUsed.cast("long").as("k_used"))
+  }
+
   /** Per-group cardinality profile: exact row count, exact distinct count
     * (the verifiable anchor) and the HLL++ estimate at `rsd` relative
     * standard deviation, plus the realized relative error.

@@ -94,12 +94,15 @@ class PlanSpec extends AnyFunSuite {
     // scalar class).
     // p11 composes p09's expansion, inheriting its 1-row budget-totals
     // zip (the same declared scalar class).
+    // k05 pair-joins the |sources|-row bottom-k sketch frames on
+    // source_a < source_b (s03's bounded-broadcast class: the frame is
+    // |groups| rows of k strings at ANY corpus size).
     val bnljAllowed = Set("s01_knn_brute", "s03_knn_ivf", "t05_corpus_stats",
       "d08_semantic_dedup", "s05_knn_classify", "s06_class_centroids",
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
       "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
       "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall",
-      "s13_kmeanspp_init", "p11_training_order")
+      "s13_kmeanspp_init", "p11_training_order", "k05_bottomk_overlap")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

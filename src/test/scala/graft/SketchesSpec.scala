@@ -135,9 +135,49 @@ class SketchesSpec extends AnyFunSuite {
       depth = 4, width = 512).queryExecution.analyzed
   }
 
+  test("bottomKOverlap: k >= |union| is exact by construction; exact_j " +
+      "is set jaccard; output keys are ordered pairs") {
+    val df = Seq(
+      ("A", "w"), ("A", "x"), ("A", "y"), ("A", "z"), ("A", "w"),
+      ("B", "x"), ("B", "y"), ("B", "z"), ("B", "q"),
+      ("C", "only")).toDF("g", "e")
+    val out = Sketches.bottomKOverlap(df, col("g"), col("e"), k = 64)
+      .orderBy("source_a", "source_b").collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6)))).toMap
+    // |A|=4, |B|=4, inter {x,y,z}=3, union 5 -> j=0.6; sketch holds all
+    assert(m(("A", "B")) == ((4L, 4L, 0.6, 0.6, 5L)))
+    // disjoint pair: zero both ways
+    assert(m(("A", "C"))._3 == 0.0 && m(("A", "C"))._4 == 0.0)
+    assert(m.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),
+      "every unordered pair exactly once, a < b")
+  }
+
+  test("bottomKOverlap estimate is partitioning-invariant (mergeable " +
+      "sketch) and inside the KMV envelope when k < |union|") {
+    val rows = for (g <- Seq("A", "B"); i <- 0 until 3000
+      // 2000-element overlap: true j = 2000 / 4000 = 0.5
+      ) yield (g, if (g == "A") s"e$i" else s"e${i + 1000}")
+    val df = rows.toDF("g", "e")
+    val r1 = Sketches.bottomKOverlap(df, col("g"), col("e"), k = 256)
+      .collect()(0)
+    val r2 = Sketches.bottomKOverlap(df.repartition(13), col("g"),
+      col("e"), k = 256).collect()(0)
+    assert(r1.toSeq == r2.toSeq, "partitioning must not change the sketch")
+    assert(r1.getLong(6) == 256L, "k_used saturates below union size")
+    val (exact, est) = (r1.getDouble(4), r1.getDouble(5))
+    assert(exact == 0.5)
+    // KMV rse ~ 1/sqrt(k) = 0.0625; 5 sigma on the jaccard scale
+    assert(math.abs(est - exact) <= 5.0 / math.sqrt(256),
+      s"estimate $est too far from $exact")
+  }
+
   test("sketch plans are map-side combined (partial aggregation)") {
+    // k05's bottom-k is the bounded heap aggregate, never a
+    // row_number window (the s04 ranking discipline)
     for (q <- Seq("k01_sketch_distinct", "k02_sketch_quantiles",
-        "k03_ams_f2")) {
+        "k03_ams_f2", "k05_bottomk_overlap")) {
       val p = SparkEntry.queries(q)(spark, TestSpark.sf)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
