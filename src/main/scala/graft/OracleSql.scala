@@ -897,6 +897,16 @@ object OracleSql {
       branches.mkString("", " UNION ALL ", """ ORDER BY "column"""")
     },
 
+    // q45: the incremental == full-recompute invariant — the gate
+    // merges persisted base state with delta partials; the oracle
+    // recomputes the same rollup from the FULL events table. Decimal
+    // sums on both sides keep the equality exact.
+    "q45_incr_rollup" ->
+      s"""SELECT event_type, strftime($tsUs, '%Y-%m-%d') AS day,
+         COUNT(*) AS n_rows, ${decSum("value")} AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
     "q33_root_id_check" -> {
       val cat = graft.model.TestCatalog.catalog
       val sorted = cat.types.values.toSeq.sortBy(_.name)

@@ -1032,6 +1032,46 @@ object SparkEntry {
       .orderBy("column")
   }
 
+  /** q45's base/delta boundary, shared with the spec (the oracle does
+    * not need it: it recomputes the rollup from the FULL table, which
+    * is exactly the incremental == full-recompute invariant). */
+  private[graft] val q45Split = "2024-01-15 00:00:00"
+
+  /** Incremental rollup maintenance (operators/Ivm — the reference's
+    * recompute-per-query summaries, kcidb/__init__.py:284-301, made
+    * incremental): the per-(event_type, day) mergeable state
+    * (count / exact decimal sum / min / max) over events before
+    * [[q45Split]] is PERSISTED (ModelStore "rollup_state", the r13
+    * exported-model route), then the refresh merges that parquet state
+    * with the delta's fresh partials — the base is read back as
+    * |keys| state rows, never rescanned (IvmSpec pins the single
+    * events scan in the merged plan). The DuckDB oracle recomputes the
+    * rollup from the FULL events table, so a hash match proves the
+    * incremental maintenance equals the full recompute bit-for-bit
+    * (decimal sums make the merge exact; double sums would drift). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ivm
+    val e = ev(s, dir)
+    val split = lit(q45Split).cast("timestamp")
+    def keyed(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+    val statePath = s"${gateModelDir(dir, "q45")}/rollup_state"
+    // coalesce(1): |event_type|·|days| rows — bounded state artifact
+    graft.sim.ModelStore.save(
+      Ivm.rollupState(keyed(e.filter(col("ts") < split)),
+        Seq(col("event_type"), col("day")), col("value")).coalesce(1),
+      "rollup_state", statePath)
+    val deltaState = Ivm.rollupState(keyed(e.filter(col("ts") >= split)),
+      Seq(col("event_type"), col("day")), col("value"))
+    Ivm.merge(s.read.parquet(statePath), deltaState,
+        Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("event_type", "day")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -2829,6 +2869,7 @@ object SparkEntry {
     "q42_catalog_validate" -> (q42 _),
     "q43_mux_load" -> (q43 _),
     "q44_column_profile" -> (q44 _),
+    "q45_incr_rollup" -> (q45 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

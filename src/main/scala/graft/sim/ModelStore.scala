@@ -37,7 +37,12 @@ object ModelStore {
     // 64-bit signature frame (Binary.aHashes — the perceptual-hash
     // "model": the hash function's value at each payload, BinarySpec-
     // pinned against an independent reference decode)
-    "hash_sigs" -> Set("id", "sig"))
+    "hash_sigs" -> Set("id", "sig"),
+    // persisted incremental-rollup state (operators/Ivm): the
+    // mergeable (count, decimal sum, min, max) monoid per
+    // (event_type, day) key — q45's materialized base summary
+    "rollup_state" -> Set("event_type", "day", "n_rows", "sum_value",
+      "min_value", "max_value"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(
