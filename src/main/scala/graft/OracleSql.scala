@@ -2111,6 +2111,30 @@ object OracleSql {
          SELECT token, COUNT(*) AS freq FROM toks
          GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25""",
 
+    // t23: PMI ratio from unigram/adjacent-pair counts; the division
+    // association order mirrors TextOps.pmiCollocations literally, so
+    // every double is bit-identical (correctly-rounded IEEE ops only).
+    "t23_pmi_collocations" -> {
+      val mc = graft.SparkEntry.t23MinCount
+      val k = graft.SparkEntry.t23K
+      s"""WITH arrs AS (SELECT string_split($normText, ' ') AS arr
+             FROM documents),
+         uni AS (SELECT unnest(arr) AS w FROM arrs),
+         uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+         n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1 FROM uni),
+         big AS (SELECT arr[i] AS tok_a, arr[i+1] AS tok_b
+           FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)),
+         bc AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM big
+           GROUP BY 1, 2 HAVING COUNT(*) >= $mc),
+         n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n2 FROM big)
+         SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
+           round((CAST(n_ab AS DOUBLE) / n2) /
+             ((CAST(a.n AS DOUBLE) / n1) *
+              (CAST(b.n AS DOUBLE) / n1)), 6) AS pmi_ratio
+         FROM bc JOIN uc a ON a.w = tok_a JOIN uc b ON b.w = tok_b,
+           n1, n2
+         ORDER BY pmi_ratio DESC, tok_a, tok_b LIMIT $k""" },
+
     // BPE pair counts re-derived off the word-frequency table exactly
     // as Spark builds them (overlapping adjacent pairs, weighted by
     // word frequency); ties break on pair ASC in both engines.

@@ -2221,6 +2221,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t23's knobs, shared with the SQL oracle generator. */
+  private[graft] val t23MinCount = 5
+  private[graft] val t23K = 50
+
+  /** Top-k PMI collocations (TextOps.pmiCollocations): which adjacent
+    * token pairs co-occur far above chance — reported as the raw
+    * probability ratio p(ab)/(p(a)p(b)) (monotone with PMI's log), so
+    * the whole pipeline is counts + correctly-rounded IEEE division
+    * and the full DuckDB oracle matches bit-for-bit. */
+  private def t23(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(t(s, dir, "documents"), col("text"),
+      minCount = t23MinCount, k = t23K)
+
   /** Per-source dataset card (TextOps.dataCard): the corpus datasheet —
     * volume, token mass, mean quality, language share, unique/dup
     * fingerprints — as one grouped report; every column integer- or
@@ -2915,6 +2928,7 @@ object SparkEntry {
     "t19_data_card" -> (t19 _),
     "t20_zipf_fit" -> (t20 _),
     "t21_c4_filters" -> (t21 _),
+    "t23_pmi_collocations" -> (t23 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

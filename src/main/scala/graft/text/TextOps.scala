@@ -429,6 +429,59 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * token pairs (Church & Hanks 1990 — the classic "which word pairs
+    * belong together" corpus statistic; modern pipelines run it for
+    * tokenizer-merge seeding and boilerplate phrase discovery):
+    * pmi_ratio = p(ab) / (p(a)·p(b)) with p(ab) = n_ab/N₂ over ordered
+    * adjacent pairs and p(w) = n_w/N₁ over unigrams, reported as the
+    * RAW probability ratio (monotone with PMI = its log) so the whole
+    * pipeline is counts + IEEE-correctly-rounded double division —
+    * bit-identical in the DuckDB oracle with no transcendental-ulp
+    * risk. `minCount` floors n_ab (PMI's classic low-frequency
+    * pathology: a pair seen once between two hapaxes maxes the ratio).
+    *
+    * Scale shape: ONE split projection (the k05 lesson: materialized
+    * column, so no per-element re-tokenize), two map-side-combined
+    * counts (unigrams, adjacent pairs — the pair frame built by
+    * codegen'd arrays_zip/slice, never a HOF lambda), two vocab-keyed
+    * equi-joins to attach n_a/n_b, two 1-row totals zips (the p08
+    * declared scalar class), and a bounded global top-k
+    * (TakeOrderedAndProject). Nothing corpus-sized past the counts. */
+  def pmiCollocations(docs: DataFrame, textCol: Column,
+      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad knobs: $minCount, $k")
+    val ws = col("ws")
+    val arrs = docs.select(split(
+      trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")), " ")
+      .as("ws"))
+    val uni = arrs.select(explode(ws).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("n"))
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val pairs = arrs.select(explode(arrays_zip(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1))).as("z"))
+      .select(col("z.0").as("tok_a"), col("z.1").as("tok_b"))
+    val bc = pairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val n2 = pairs.agg(count(lit(1)).as("n2"))
+    // association order mirrored literally in the SQL oracle: every op
+    // is correctly-rounded IEEE, so the doubles match bit-for-bit
+    val ratio = (col("n_ab").cast("double") / col("n2").cast("double")) /
+      ((col("n_a").cast("double") / col("n1").cast("double")) *
+        (col("n_b").cast("double") / col("n1").cast("double")))
+    bc.join(uc.withColumnRenamed("w", "tok_a")
+          .withColumnRenamed("n", "n_a"), "tok_a")
+      .join(uc.withColumnRenamed("w", "tok_b")
+          .withColumnRenamed("n", "n_b"), "tok_b")
+      .crossJoin(n1).crossJoin(n2)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+        col("n_b"), round(ratio, 6).as("pmi_ratio"))
+      .orderBy(desc("pmi_ratio"), col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Per-source dataset card — the datasheet every corpus release ships
     * (volume, token mass, quality, language mix, duplication): one
     * grouped report a curation run reads before and after every

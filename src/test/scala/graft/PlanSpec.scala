@@ -102,7 +102,9 @@ class PlanSpec extends AnyFunSuite {
       "t10_tfidf_terms", "t11_lm_score", "s07_knn_pq", "s08_knn_ivfpq",
       "s09_incr_encode", "t14_dsir_weights", "s11_sq8_encode",
       "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall",
-      "s13_kmeanspp_init", "p11_training_order", "k05_bottomk_overlap")
+      "s13_kmeanspp_init", "p11_training_order", "k05_bottomk_overlap",
+      // t23 zips two 1-row totals frames (N1, N2) — the p08 scalar class
+      "t23_pmi_collocations")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -344,4 +344,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_words") == 1L)
     assert(r3.getAs[Long]("n_syllables") == 1L)
   }
+
+  test("pmiCollocations: hand-computed ratio, minCount floor, " +
+      "punctuation folding, single-token docs contribute no pairs") {
+    // corpus: "new york" twice (always adjacent), "big apple" once
+    // (below minCount=2), fillers; "solo" has no pairs
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "New York!"),
+      (3L, "big apple"), (4L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, col("text"),
+      minCount = 2, k = 10).collect()
+    // unigrams: new 2, york 2, is 1, big 2, apple 1, solo 1 -> N1 = 9
+    // pairs: (new,york)x2 (york,is) (is,big) (big,apple) -> N2 = 5
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert((r.getString(0), r.getString(1)) == (("new", "york")))
+    assert(r.getAs[Long]("n_ab") == 2L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 2L)
+    val want = BigDecimal((2.0 / 5.0) / ((2.0 / 9.0) * (2.0 / 9.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("pmi_ratio") == want)
+  }
+
+  test("pmiCollocations ranking is deterministic: ratio desc, then " +
+      "pair ascending; k truncates") {
+    // two pairs with identical counts -> identical ratio, tie-broken
+    // by (tok_a, tok_b)
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd"),
+      (4L, "cc dd")).toDF("doc_id", "text")
+    val all = TextOps.pmiCollocations(docs, col("text"), 2, 10).collect()
+    assert(all.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("aa", "bb"), ("cc", "dd")))
+    val one = TextOps.pmiCollocations(docs, col("text"), 2, 1).collect()
+    assert(one.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("aa", "bb")))
+  }
 }
