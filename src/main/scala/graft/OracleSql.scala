@@ -2111,6 +2111,83 @@ object OracleSql {
          SELECT token, COUNT(*) AS freq FROM toks
          GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25""",
 
+    // t22: URL synthesis, canonicalization, dedup and per-domain cap
+    // re-derived byte-for-byte (knobs shared via SparkEntry.t22*; the
+    // tracking filter mirrors Urls.isTracking: utm_ prefix + fbclid/
+    // gclid exact names).
+    "t22_url_filters" -> {
+      val slots = graft.SparkEntry.t22PathSlots
+      val cap = graft.SparkEntry.t22Cap
+      val isTrk = "starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')" +
+        " OR starts_with(p, 'gclid=')"
+      s"""WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'http' END ||
+           '://' ||
+           CASE WHEN doc_id % 5 = 0 THEN 'blog.' ELSE 'www.' END ||
+           source || '.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             ELSE 'net' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                WHEN doc_id % 4 = 0 THEN
+                  CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE ':80' END
+                ELSE '' END ||
+           '/articles/item-' || CAST(doc_id % $slots AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=home'
+                WHEN doc_id % 3 = 1 THEN '?ref=home&utm_campaign=x'
+                ELSE '' END ||
+           CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+             AS url
+         FROM documents),
+         parts AS (SELECT doc_id,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+           lower(regexp_extract(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             '^([^:]*)', 1)) AS host,
+           COALESCE(regexp_extract(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             ':(\\d+)$$', 1), '') AS port,
+           regexp_replace(COALESCE(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''),
+             '/+$$', '') AS path,
+           -- DuckDB regexp_extract yields NULL (not '') on no match
+           COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+         FROM u),
+         canon AS (SELECT doc_id,
+           regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+           sch || '://' || host ||
+           CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+                  OR (sch = 'http' AND port = '80')
+             THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon,
+           CASE WHEN len(list_filter(string_split(q, '&'),
+             p -> $isTrk)) > 0 THEN 1 ELSE 0 END AS trk
+         FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+             string_split(q, '&'),
+             p -> NOT ($isTrk) AND p <> '')), '&'), '') AS kept
+           FROM parts)),
+         perurl AS (SELECT domain, canon,
+             COUNT(*) AS n_docs_u, SUM(trk) AS n_trk_u,
+             MIN(doc_id) AS doc_id
+           FROM canon GROUP BY 1, 2),
+         ranked AS (SELECT domain, doc_id, row_number() OVER (
+             PARTITION BY domain ORDER BY doc_id) AS rn
+           FROM perurl)
+         SELECT p.domain,
+           CAST(SUM(p.n_docs_u) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_urls,
+           CAST(SUM(p.n_docs_u) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(p.n_trk_u) AS BIGINT) AS n_tracking,
+           CAST(SUM(CASE WHEN r.rn <= $cap THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.rn <= $cap THEN r.doc_id ELSE 0 END)
+             AS BIGINT) AS kept_docid_sum
+         FROM perurl p JOIN ranked r
+           ON r.domain = p.domain AND r.doc_id = p.doc_id
+         GROUP BY p.domain ORDER BY p.domain""" },
+
     // t23: PMI ratio from unigram/adjacent-pair counts; the division
     // association order mirrors TextOps.pmiCollocations literally, so
     // every double is bit-identical (correctly-rounded IEEE ops only).

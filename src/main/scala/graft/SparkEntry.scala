@@ -2221,6 +2221,66 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** t22's knobs, shared with the SQL oracle generator. */
+  private[graft] val t22PathSlots = 50
+  private[graft] val t22Cap = 25
+
+  /** URL canonicalization + per-domain volume caps (text/Urls — the
+    * RefinedWeb/CCNet URL-dedup axis): URLs are synthesized
+    * deterministically from documents (the t21/q39 fixture discipline;
+    * every canonicalization rule — case, default ports, trailing
+    * slash, fragment, tracking params, param order — is exercised by a
+    * doc_id residue class and collisions are planted via
+    * [[t22PathSlots]] path slots), then ONE scan feeds a two-level
+    * aggregate: per (domain, canonical) the doc count / tracking count
+    * / min doc_id, per domain the totals plus the [[t22Cap]]-lowest
+    * surviving doc_ids via the bounded TopKByScore heap (never a
+    * row_number window). The FULL DuckDB oracle re-derives synthesis,
+    * canonicalization, dedup and cap byte-for-byte. */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    import graft.functions.TopK
+    val id = col("doc_id")
+    val sch = when(id % 7 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val sub = when(id % 5 === 0, lit("blog.")).otherwise(lit("www."))
+    val tld = element_at(typedLit(Seq("com", "org", "net")),
+      (id % 3).cast("int") + 1)
+    val port = when(id % 11 === 0, lit(":8080"))
+      .when(id % 4 === 0,
+        when(id % 7 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val slash = when(id % 2 === 0, lit("/")).otherwise(lit(""))
+    val query = when(id % 3 === 0, lit("?utm_source=feed&ref=home"))
+      .when(id % 3 === 1, lit("?ref=home&utm_campaign=x"))
+      .otherwise(lit(""))
+    val frag = when(id % 6 === 0, lit("#section-2")).otherwise(lit(""))
+    val url = concat(sch, lit("://"), sub, col("source"), lit("."), tld,
+      port, lit("/articles/item-"), (id % t22PathSlots).cast("string"),
+      slash, query, frag)
+    val u = t(s, dir, "documents")
+      .select(id, url.as("url"))
+      .select(id.as("doc_id"),
+        Urls.canonicalize(col("url")).as("canon"),
+        Urls.registeredDomain(col("url")).as("domain"),
+        Urls.hasTracking(col("url")).cast("long").as("trk"))
+    u.groupBy(col("domain"), col("canon")).agg(
+        count(lit(1)).as("n_docs_u"),
+        sum(col("trk")).as("n_trk_u"),
+        min(col("doc_id")).as("doc_id"))
+      .groupBy("domain").agg(
+        sum(col("n_docs_u")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        sum(col("n_trk_u")).cast("long").as("n_tracking"),
+        TopK.topKByScore(lit(0.0), col("doc_id"), t22Cap).as("arr"))
+      .select(col("domain"), col("n_docs"), col("n_urls"),
+        (col("n_docs") - col("n_urls")).as("n_dup_docs"),
+        col("n_tracking"),
+        size(col("arr")).cast("long").as("n_kept"),
+        aggregate(transform(col("arr"), x => x.getField("id")),
+          lit(0L), (acc, x) => acc + x).as("kept_docid_sum"))
+      .orderBy("domain")
+  }
+
   /** t23's knobs, shared with the SQL oracle generator. */
   private[graft] val t23MinCount = 5
   private[graft] val t23K = 50
@@ -2928,6 +2988,7 @@ object SparkEntry {
     "t19_data_card" -> (t19 _),
     "t20_zipf_fit" -> (t20 _),
     "t21_c4_filters" -> (t21 _),
+    "t22_url_filters" -> (t22 _),
     "t23_pmi_collocations" -> (t23 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
