@@ -2111,6 +2111,46 @@ object OracleSql {
          SELECT token, COUNT(*) AS freq FROM toks
          GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25""",
 
+    // q46: snapshot synthesis + full-outer classification re-derived;
+    // IS DISTINCT FROM mirrors SnapshotDiff's null-safe <=>.
+    "q46_snapshot_diff" ->
+      s"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 10 <> 0),
+         b AS (SELECT o_orderkey AS k,
+             o_custkey + CASE WHEN o_orderkey % 5 = 0
+               THEN 1000 ELSE 0 END AS o_custkey,
+             o_orderstatus,
+             o_orderpriority || CASE WHEN o_orderkey % 3 = 1
+               THEN '+r2' ELSE '' END AS o_orderpriority
+           FROM orders WHERE o_orderkey % 7 <> 3),
+         j AS (SELECT a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb,
+             a.o_custkey IS DISTINCT FROM b.o_custkey AS c1,
+             a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS c2,
+             a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS c3
+           FROM a FULL OUTER JOIN b ON a.k = b.k),
+         st AS (SELECT 'status' AS kind,
+             CASE WHEN NOT ina THEN 'added'
+                  WHEN NOT inb THEN 'removed'
+                  WHEN c1 OR c2 OR c3 THEN 'changed'
+                  ELSE 'unchanged' END AS name, COUNT(*) AS n
+           FROM j GROUP BY 2),
+         fd AS (
+           SELECT 'field' AS kind, 'o_custkey' AS name,
+             CAST(SUM(CASE WHEN ina AND inb AND c1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n
+             FROM j
+           UNION ALL SELECT 'field', 'o_orderstatus',
+             CAST(SUM(CASE WHEN ina AND inb AND c2 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM j
+           UNION ALL SELECT 'field', 'o_orderpriority',
+             CAST(SUM(CASE WHEN ina AND inb AND c3 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM j)
+         SELECT kind, name, CAST(n AS BIGINT) AS n FROM
+           (SELECT * FROM st UNION ALL
+            SELECT * FROM fd WHERE n > 0)
+         ORDER BY kind, name""",
+
     // t22: URL synthesis, canonicalization, dedup and per-domain cap
     // re-derived byte-for-byte (knobs shared via SparkEntry.t22*; the
     // tracking filter mirrors Urls.isTracking: utm_ prefix + fbclid/
@@ -2169,7 +2209,7 @@ object OracleSql {
              p -> NOT ($isTrk) AND p <> '')), '&'), '') AS kept
            FROM parts)),
          perurl AS (SELECT domain, canon,
-             COUNT(*) AS n_docs_u, SUM(trk) AS n_trk_u,
+             COUNT(*) AS n_docs_u, CAST(SUM(trk) AS BIGINT) AS n_trk_u,
              MIN(doc_id) AS doc_id
            FROM canon GROUP BY 1, 2),
          ranked AS (SELECT domain, doc_id, row_number() OVER (

@@ -2221,6 +2221,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Keyed snapshot diff (operators/SnapshotDiff): two versions of the
+    * orders table are synthesized by deterministic residue classes
+    * (the t21/q39 fixture discipline — adds, removes, single- and
+    * multi-field changes all planted), then ONE co-partitioned
+    * full-outer join classifies every key and names the changed
+    * fields; the gate reduces to per-status and per-field counts so
+    * the FULL DuckDB oracle re-derives synthesis and classification
+    * (IS DISTINCT FROM mirrors the null-safe <=> compare). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotDiff
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val snapA = o.filter(k % 10 =!= 0)
+    val snapB = o.filter(k % 7 =!= 3)
+      .withColumn("o_custkey",
+        col("o_custkey") + when(k % 5 === 0, lit(1000L)).otherwise(lit(0L)))
+      .withColumn("o_orderpriority",
+        concat(col("o_orderpriority"),
+          when(k % 3 === 1, lit("+r2")).otherwise(lit(""))))
+    val d = SnapshotDiff.diff(snapA, snapB, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    // one pass over the join: reduce to the tiny (status, field-set)
+    // grain first and checkpoint-memoize it (the q40/q43 discipline),
+    // so the two report branches don't each re-execute the full-outer
+    // join — ≤ |statuses|·2^|cols| rows survive
+    val pre = d.groupBy("status", "changed_fields")
+      .agg(count(lit(1)).as("n_rows")).localCheckpoint()
+    val byStatus = pre.groupBy("status").agg(sum("n_rows").as("n"))
+      .select(lit("status").as("kind"), col("status").as("name"), col("n"))
+    val byField = pre.select(explode(col("changed_fields")).as("name"),
+        col("n_rows"))
+      .groupBy("name").agg(sum("n_rows").as("n"))
+      .select(lit("field").as("kind"), col("name"), col("n"))
+    byStatus.unionByName(byField).orderBy("kind", "name")
+  }
+
   /** t22's knobs, shared with the SQL oracle generator. */
   private[graft] val t22PathSlots = 50
   private[graft] val t22Cap = 25
@@ -2943,6 +2979,7 @@ object SparkEntry {
     "q43_mux_load" -> (q43 _),
     "q44_column_profile" -> (q44 _),
     "q45_incr_rollup" -> (q45 _),
+    "q46_snapshot_diff" -> (q46 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),
