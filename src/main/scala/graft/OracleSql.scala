@@ -2151,6 +2151,85 @@ object OracleSql {
             SELECT * FROM fd WHERE n > 0)
          ORDER BY kind, name""",
 
+    // e01: exact midrank AUC re-derived — everything integer until the
+    // final division, so the window formulation here equals the gate's
+    // sorted-array fold bit-for-bit.
+    "e01_auc_label" ->
+      s"""WITH b AS (SELECT $wordCountSql AS s, (lang = 'en') AS y
+             FROM documents),
+         c AS (SELECT s, COUNT(*) AS n_s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+           FROM b GROUP BY 1),
+         w AS (SELECT s, n_s, p_s,
+             COALESCE(CAST(SUM(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumb
+           FROM c),
+         a AS (SELECT
+             CAST(SUM(p_s * (2*cumb + n_s + 1)) AS BIGINT) AS two_r,
+             CAST(SUM(p_s) AS BIGINT) AS n_pos,
+             CAST(SUM(n_s) AS BIGINT) AS n FROM w)
+         SELECT n_pos, n - n_pos AS n_neg,
+           two_r - n_pos*(n_pos+1) AS auc_num,
+           2*n_pos*(n-n_pos) AS auc_den,
+           CAST(two_r - n_pos*(n_pos+1) AS DOUBLE) /
+             CAST(2*n_pos*(n-n_pos) AS DOUBLE) AS auc
+         FROM a""",
+
+    // e02: chi-squared homogeneity per source — exact integer
+    // numerators, the two window terms summed a-then-b, the total an
+    // ordered list fold (the dotD accumulation-order discipline).
+    "e02_chi2_drift" ->
+      s"""WITH b AS (SELECT source AS k, (lang = 'en') AS a
+             FROM documents),
+         c AS (SELECT k,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS n_a,
+             CAST(SUM(o_b) AS BIGINT) AS n_b FROM c),
+         z AS (SELECT c.k, c.o_a, c.o_b, t.n_a, t.n_b,
+             c.o_a + c.o_b AS ct, t.n_a + t.n_b AS n FROM c, t),
+         p AS (SELECT 'cell' AS kind, k, o_a, o_b,
+             CAST((o_a*n - n_a*ct)*(o_a*n - n_a*ct) AS DOUBLE) /
+               CAST(n_a*ct*n AS DOUBLE)
+             + CAST((o_b*n - n_b*ct)*(o_b*n - n_b*ct) AS DOUBLE) /
+               CAST(n_b*ct*n AS DOUBLE) AS term
+           FROM z),
+         tt AS (SELECT 'total' AS kind, '' AS k,
+             (SELECT n_a FROM t) AS o_a, (SELECT n_b FROM t) AS o_b,
+             list_reduce(list(term ORDER BY k), (x, y) -> x + y) AS term
+           FROM p)
+         SELECT kind, k, o_a, o_b, term FROM
+           (SELECT * FROM p UNION ALL SELECT * FROM tt)
+         ORDER BY kind, k""",
+
+    // e03: two-sample KS — the D statistic's exact rational form
+    // max|cumA*n_b - cumB*n_a|/(n_a*n_b) plus its first witness value,
+    // re-derived with windows over the same value grid.
+    "e03_ks_2sample" ->
+      s"""WITH b AS (SELECT value AS v, (event_type = 'click') AS a
+             FROM events WHERE event_type IN ('click', 'error')),
+         c AS (SELECT v,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b FROM c),
+         cum AS (SELECT v,
+             CAST(SUM(c_a) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(SUM(c_b) OVER (ORDER BY v) AS BIGINT) AS cb FROM c),
+         d AS (SELECT v,
+             abs(ca*(SELECT n_b FROM t) - cb*(SELECT n_a FROM t)) AS diff
+           FROM cum),
+         m AS (SELECT MAX(diff) AS num FROM d),
+         at AS (SELECT MIN(v) AS ks_at FROM d
+           WHERE diff = (SELECT num FROM m))
+         SELECT t.n_a, t.n_b, m.num AS ks_num, t.n_a*t.n_b AS ks_den,
+           CAST(m.num AS DOUBLE)/CAST(t.n_a*t.n_b AS DOUBLE) AS ks,
+           at.ks_at
+         FROM t, m, at""",
+
     // t22: URL synthesis, canonicalization, dedup and per-domain cap
     // re-derived byte-for-byte (knobs shared via SparkEntry.t22*; the
     // tracking filter mirrors Urls.isTracking: utm_ prefix + fbclid/

@@ -2257,6 +2257,33 @@ object SparkEntry {
     byStatus.unionByName(byField).orderBy("kind", "name")
   }
 
+  /** Exact tie-aware ROC AUC (operators/Eval.aucExact): is the
+    * whitespace token count a discriminative signal for English docs?
+    * Score = wordCount(text) (t03's integer token grid — the shared
+    * wordCountSql twin), label = lang = 'en'. One counts-frame
+    * groupBy + one fold row; all integers until the final division. */
+  private def e01(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucExact(t(s, dir, "documents"),
+      TextOps.wordCount(col("text")), col("lang") === "en")
+
+  /** Chi-squared source-mix drift (operators/Eval.chi2Drift): did the
+    * per-source document mix shift between the English and
+    * non-English populations? Per-source contribution rows + one
+    * deterministic ordered-fold total. */
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.chi2Drift(t(s, dir, "documents"),
+      col("source"), col("lang") === "en")
+      .orderBy("kind", "k")
+
+  /** Two-sample KS (operators/Eval.ks2Sample): does `value`
+    * distribute differently across the click and error event types?
+    * The exact rational D = max|cumA·n_b − cumB·n_a| / (n_a·n_b) and
+    * its first witness value. */
+  private def e03(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.ks2Sample(
+      ev(s, dir).filter(col("event_type").isin("click", "error")),
+      col("value"), col("event_type") === "click")
+
   /** t22's knobs, shared with the SQL oracle generator. */
   private[graft] val t22PathSlots = 50
   private[graft] val t22Cap = 25
@@ -2980,6 +3007,9 @@ object SparkEntry {
     "q44_column_profile" -> (q44 _),
     "q45_incr_rollup" -> (q45 _),
     "q46_snapshot_diff" -> (q46 _),
+    "e01_auc_label" -> (e01 _),
+    "e02_chi2_drift" -> (e02 _),
+    "e03_ks_2sample" -> (e03 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Eval
+
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("aucExact: midrank tie handling matches the hand-computed U") {
+    // scores 1,2,2,3 / labels F,F,T,T: ranks 1, 2.5, 2.5, 4 ->
+    // sumR+ = 6.5, U = 3.5, AUC = 3.5/4 = 0.875 (2U = 7 over 8)
+    val df = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("sc", "y")
+    val r = Eval.aucExact(df, col("sc"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 7L, 8L)))
+    assert(r.getDouble(4) == 0.875)
+  }
+
+  test("aucExact: perfect separation is exactly 1.0, reversed is 0.0") {
+    val perf = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("sc", "y")
+    assert(Eval.aucExact(perf, col("sc"), col("y"))
+      .collect()(0).getDouble(4) == 1.0)
+    val rev = Seq((4L, false), (3L, false), (2L, true), (1L, true))
+      .toDF("sc", "y")
+    assert(Eval.aucExact(rev, col("sc"), col("y"))
+      .collect()(0).getDouble(4) == 0.0)
+  }
+
+  test("chi2Drift: 2x2 contingency matches the closed form, total is " +
+      "the ordered fold of the cells") {
+    // k1: (10, 20), k2: (30, 20) -> chi2 = 25/15*2 + 25/25*2 = 16/3
+    val rows = Seq.fill(10)(("k1", true)) ++ Seq.fill(20)(("k1", false)) ++
+      Seq.fill(30)(("k2", true)) ++ Seq.fill(20)(("k2", false))
+    val d = Eval.chi2Drift(rows.toDF("k", "a"), col("k"), col("a"))
+      .orderBy("kind", "k").collect()
+    val k1 = d(0); val k2 = d(1); val tot = d(2)
+    assert(k1.getString(1) == "k1" && k1.getLong(2) == 10 &&
+      k1.getLong(3) == 20)
+    assert(math.abs(k1.getDouble(4) - 10.0 / 3) < 1e-12)
+    assert(math.abs(k2.getDouble(4) - 2.0) < 1e-12)
+    assert(tot.getString(0) == "total" && tot.getLong(2) == 40 &&
+      tot.getLong(3) == 40)
+    // the fold applies cells in key order: (0 + t_k1) + t_k2 exactly
+    assert(tot.getDouble(4) == k1.getDouble(4) + k2.getDouble(4))
+  }
+
+  test("ks2Sample: exact rational D and the FIRST witness value") {
+    // A = [1,2,3], B = [3,4]: diffs over the grid are 2,4,3,0 ->
+    // D = 4/6 at v=2
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (3.0, false), (4.0, false)).toDF("v", "a")
+    val r = Eval.ks2Sample(df, col("v"), col("a")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 4L, 6L)))
+    assert(r.getDouble(4) == 4.0 / 6.0 && r.getDouble(5) == 2.0)
+  }
+
+  test("ks2Sample: supremum ties resolve to the smallest value") {
+    // A = [1,3], B = [2,4]: diffs 2,0,2,0 -> max 2 first hit at v=1
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "a")
+    val r = Eval.ks2Sample(df, col("v"), col("a")).collect()(0)
+    assert(r.getLong(2) == 2L && r.getDouble(5) == 1.0)
+  }
+
+  test("plans: e01/e03 are one partial-aggregated counts frame + one " +
+      "fold row — no window, no join anywhere; e02's only join is the " +
+      "1-row totals zip") {
+    val sf = TestSpark.sf
+    for (q <- Seq("e01_auc_label", "e03_ks_2sample")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Window"), s"$q must fold, not window:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.contains("partial"), s"$q counts must map-side combine")
+    }
+    // e02 memoizes its |keys|-row frame (the q46 discipline): the
+    // published plan reads the checkpoint — no join survives, and the
+    // internal 1-row totals zip never multiplies across the union
+    val p2 = plan(SparkEntry.queries("e02_chi2_drift")(spark, sf))
+    assert(!p2.contains("Window"), p2)
+    assert(!p2.contains("Join"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+}
