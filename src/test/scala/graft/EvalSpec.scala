@@ -72,6 +72,79 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2L && r.getDouble(5) == 1.0)
   }
 
+  test("aucExact equals the brute-force pairwise count on random " +
+      "inputs and is invariant under monotone score transforms") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val n = 8 + rng.nextInt(40)
+      val rows = Seq.fill(n)((rng.nextInt(6).toLong, rng.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // 2U = 2*#(p>n) + #(p==n) over all (pos, neg) pairs
+        val twoU = (for (p <- pos; q <- neg)
+          yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val df = rows.toDF("sc", "y")
+        val r = Eval.aucExact(df, col("sc"), col("y")).collect()(0)
+        assert(r.getLong(2) == twoU && r.getLong(3) ==
+          2L * pos.size * neg.size, s"rows=$rows")
+        // rank statistic: monotone transform changes nothing
+        val r2 = Eval.aucExact(df, col("sc") * 3 + 7, col("y"))
+          .collect()(0)
+        assert(r2.getLong(2) == twoU)
+      }
+    }
+  }
+
+  test("ks2Sample equals the brute-force CDF sweep and is symmetric " +
+      "in the two samples") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val n = 6 + rng.nextInt(30)
+      val rows = Seq.fill(n)((rng.nextInt(8) / 2.0, rng.nextBoolean()))
+      val a = rows.filter(_._2).map(_._1)
+      val b = rows.filterNot(_._2).map(_._1)
+      if (a.nonEmpty && b.nonEmpty) {
+        val grid = rows.map(_._1).distinct.sorted
+        val brute = grid.map(v => math.abs(
+          a.count(_ <= v).toLong * b.size -
+          b.count(_ <= v).toLong * a.size)).max
+        val df = rows.toDF("v", "ya")
+        val r = Eval.ks2Sample(df, col("v"), col("ya")).collect()(0)
+        assert(r.getLong(2) == brute, s"rows=$rows")
+        val rSwap = Eval.ks2Sample(df, col("v"), !col("ya")).collect()(0)
+        assert(rSwap.getLong(2) == brute && rSwap.getDouble(5) ==
+          r.getDouble(5), "D must be symmetric with the same witness")
+      }
+    }
+  }
+
+  test("chi2Drift total equals the brute-force statistic on random " +
+      "contingency tables") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 8) {
+      val keys = (0 until 2 + rng.nextInt(4)).map(i => s"k$i")
+      val rows = keys.flatMap { k =>
+        Seq.fill(1 + rng.nextInt(20))((k, true)) ++
+          Seq.fill(1 + rng.nextInt(20))((k, false))
+      }
+      val nA = rows.count(_._2).toDouble
+      val nB = rows.size - nA
+      val nn = rows.size.toDouble
+      val brute = keys.map { k =>
+        val oA = rows.count(r => r._1 == k && r._2).toDouble
+        val oB = rows.count(r => r._1 == k && !r._2).toDouble
+        val ct = oA + oB
+        math.pow(oA - nA * ct / nn, 2) / (nA * ct / nn) +
+          math.pow(oB - nB * ct / nn, 2) / (nB * ct / nn)
+      }.sum
+      val tot = Eval.chi2Drift(rows.toDF("k", "a"), col("k"), col("a"))
+        .filter(col("kind") === "total").collect()(0)
+      assert(math.abs(tot.getDouble(4) - brute) < 1e-9 * (1 + brute),
+        s"keys=${keys.size} got=${tot.getDouble(4)} want=$brute")
+    }
+  }
+
   test("plans: e01/e03 are one partial-aggregated counts frame + one " +
       "fold row — no window, no join anywhere; e02's only join is the " +
       "1-row totals zip") {
