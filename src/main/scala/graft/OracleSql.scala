@@ -2176,6 +2176,33 @@ object OracleSql {
              CAST(2*n_pos*(n-n_pos) AS DOUBLE) AS auc
          FROM a""",
 
+    // e04: the incremental == full-recompute invariant — the oracle
+    // recomputes the AUC from the WHOLE table (q45's discipline), so a
+    // hash match proves state persist + delta merge lost nothing;
+    // n_scores pins the bounded state size.
+    "e04_incr_auc" ->
+      s"""WITH b AS (SELECT $wordCountSql AS s, (lang = 'en') AS y
+             FROM documents),
+         c AS (SELECT s, COUNT(*) AS n_s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+           FROM b GROUP BY 1),
+         w AS (SELECT s, n_s, p_s,
+             COALESCE(CAST(SUM(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumb
+           FROM c),
+         a AS (SELECT
+             CAST(SUM(p_s * (2*cumb + n_s + 1)) AS BIGINT) AS two_r,
+             CAST(SUM(p_s) AS BIGINT) AS n_pos,
+             CAST(SUM(n_s) AS BIGINT) AS n,
+             COUNT(*) AS n_scores FROM w)
+         SELECT n_pos, n - n_pos AS n_neg, n_scores,
+           two_r - n_pos*(n_pos+1) AS auc_num,
+           2*n_pos*(n-n_pos) AS auc_den,
+           CAST(two_r - n_pos*(n_pos+1) AS DOUBLE) /
+             CAST(2*n_pos*(n-n_pos) AS DOUBLE) AS auc
+         FROM a""",
+
     // e02: chi-squared homogeneity per source — exact integer
     // numerators, the two window terms summed a-then-b, the total an
     // ordered list fold (the dotD accumulation-order discipline).

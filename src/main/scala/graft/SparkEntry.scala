@@ -2284,6 +2284,30 @@ object SparkEntry {
       ev(s, dir).filter(col("event_type").isin("click", "error")),
       col("value"), col("event_type") === "click")
 
+  /** Incremental AUC maintenance (q45's Ivm discipline applied to an
+    * EVALUATION statistic): the per-score counts frame is a mergeable
+    * monoid, so the base state persists (ModelStore "auc_state",
+    * bounded by the score grid) and each delta folds in at
+    * O(|delta| + |grid|) — the evaluation never rescans the base.
+    * The FULL DuckDB oracle recomputes the statistic from the whole
+    * table: a hash match IS the incremental == full-recompute
+    * invariant, with `n_scores` pinning the bounded state size. */
+  private def e04(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val docs = t(s, dir, "documents")
+    def st(f: DataFrame): DataFrame =
+      Eval.aucState(f, TextOps.wordCount(col("text")),
+        col("lang") === "en")
+    val statePath = s"${gateModelDir(dir, "e04")}/auc_state"
+    // coalesce(1): |score grid| rows — bounded state artifact
+    graft.sim.ModelStore.save(
+      st(docs.filter(col("doc_id") % 4 =!= 3)).coalesce(1),
+      "auc_state", statePath)
+    Eval.aucFromState(Eval.aucMergeStates(
+      graft.sim.ModelStore.load(s, "auc_state", statePath),
+      st(docs.filter(col("doc_id") % 4 === 3))))
+  }
+
   /** t22's knobs, shared with the SQL oracle generator. */
   private[graft] val t22PathSlots = 50
   private[graft] val t22Cap = 25
@@ -3010,6 +3034,7 @@ object SparkEntry {
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),
+    "e04_incr_auc" -> (e04 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

@@ -45,19 +45,52 @@ object Eval {
     * 2·ΣR⁺ = Σ_s p_s·(2·cum_before + n_s + 1) and
     * 2·U = 2·ΣR⁺ − n_pos·(n_pos+1) — all int64 (≤ 2·n² ≈ 5e11 at the
     * 10x probe scale). */
-  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val counts = df
-      .select(score.cast("long").as("s"), label.cast("boolean").as("y"))
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucFromState(aucState(df, score, label))
+      .drop("n_scores")
+
+  /** Mergeable AUC state: the per-score counts frame (s, n_s, p_s) —
+    * a commutative monoid under per-score addition (the Ivm
+    * discipline applied to an evaluation statistic), bounded by the
+    * score grid at ANY corpus size. Persist it, merge each delta's
+    * fresh state in with [[aucMergeStates]], and [[aucFromState]]
+    * re-derives the exact statistic from |grid| rows — the 100 TB
+    * evaluation refresh never rescans the base. */
+  def aucState(df: DataFrame, score: Column, label: Column): DataFrame =
+    df.select(score.cast("long").as("s"), label.cast("boolean").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s")
       .agg(count(lit(1)).as("n_s"),
         sum(when(col("y"), 1L).otherwise(0L)).as("p_s"))
+
+  /** Merge two AUC state frames (persisted base ⊎ delta partials):
+    * integer count addition per score — associative, commutative,
+    * partitioning-invariant, so chunked maintenance equals the
+    * one-shot state exactly. */
+  def aucMergeStates(state: DataFrame, delta: DataFrame): DataFrame = {
+    for (f <- Seq(state, delta); c <- Seq("s", "n_s", "p_s"))
+      require(f.columns.contains(c),
+        s"Eval.aucMergeStates: missing state column '$c' " +
+          s"(has: ${f.columns.mkString(", ")})")
+    state.select("s", "n_s", "p_s")
+      .unionByName(delta.select("s", "n_s", "p_s"))
+      .groupBy("s")
+      .agg(sum("n_s").cast("long").as("n_s"),
+        sum("p_s").cast("long").as("p_s"))
+  }
+
+  /** The AUC finisher over a state frame: one fold row, plus
+    * `n_scores` (the state's own size — the bounded-state evidence a
+    * maintenance gate reports). */
+  def aucFromState(counts: DataFrame): DataFrame = {
     val g = counts.agg(
       array_sort(collect_list(struct(col("s"), col("n_s"), col("p_s"))))
         .as("grid"),
-      sum("n_s").as("n"), sum("p_s").as("n_pos"))
+      sum("n_s").as("n"), sum("p_s").as("n_pos"),
+      count(lit(1)).as("n_scores"))
     g.select(
         col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("n_scores"),
         (aggregate(col("grid"),
           struct(lit(0L).as("cum"), lit(0L).as("two_r")),
           (a, x) => struct(

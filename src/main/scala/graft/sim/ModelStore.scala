@@ -42,7 +42,11 @@ object ModelStore {
     // mergeable (count, decimal sum, min, max) monoid per
     // (event_type, day) key — q45's materialized base summary
     "rollup_state" -> Set("event_type", "day", "n_rows", "sum_value",
-      "min_value", "max_value"))
+      "min_value", "max_value"),
+    // persisted mergeable AUC state (operators/Eval.aucState): the
+    // per-score (n_s, p_s) counts monoid — e04's materialized
+    // evaluation base, bounded by the score grid
+    "auc_state" -> Set("s", "n_s", "p_s"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

@@ -145,6 +145,28 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("aucState is a mergeable monoid: chunked maintenance in any " +
+      "arrangement equals the one-shot state and statistic exactly") {
+    val rng = new scala.util.Random(99)
+    val rows = Seq.fill(60)(
+      (rng.nextInt(5).toLong, rng.nextBoolean(), rng.nextInt(4)))
+    val df = rows.toDF("sc", "y", "chunk")
+    def st(chunk: Int) = Eval.aucState(
+      df.filter(col("chunk") === chunk), col("sc"), col("y"))
+    val oneShot = Eval.aucFromState(
+      Eval.aucState(df, col("sc"), col("y"))).collect()(0)
+    // sequential fold 0..3 (the maintenance path)
+    val seq = (1 to 3).foldLeft(st(0))((a, i) =>
+      Eval.aucMergeStates(a, st(i)))
+    assert(Eval.aucFromState(seq).collect()(0) == oneShot)
+    // tree-shaped merge with the chunks reordered (commutativity +
+    // associativity)
+    val tree = Eval.aucMergeStates(
+      Eval.aucMergeStates(st(3), st(1)),
+      Eval.aucMergeStates(st(2), st(0)))
+    assert(Eval.aucFromState(tree).collect()(0) == oneShot)
+  }
+
   test("plans: e01/e03 are one partial-aggregated counts frame + one " +
       "fold row — no window, no join anywhere; e02's only join is the " +
       "1-row totals zip") {
