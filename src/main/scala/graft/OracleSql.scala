@@ -139,6 +139,33 @@ object OracleSql {
     * reproduces the batch ROWS frame). The z arithmetic repeats the
     * Spark side's stated double-op order over integer window sums —
     * mean = s/k, var = (ss - s·mean)/(k-1), z = (n - mean)/sqrt(var). */
+  /** e02 + st12 (batch anchor and streaming drift monitor share the
+    * statistic verbatim — the cells are order-insensitive counts). */
+  private val chi2DriftSql: String =
+    s"""WITH b AS (SELECT source AS k, (lang = 'en') AS a
+           FROM documents),
+       c AS (SELECT k,
+           CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+         FROM b GROUP BY 1),
+       t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS n_a,
+           CAST(SUM(o_b) AS BIGINT) AS n_b FROM c),
+       z AS (SELECT c.k, c.o_a, c.o_b, t.n_a, t.n_b,
+           c.o_a + c.o_b AS ct, t.n_a + t.n_b AS n FROM c, t),
+       p AS (SELECT 'cell' AS kind, k, o_a, o_b,
+           CAST((o_a*n - n_a*ct)*(o_a*n - n_a*ct) AS DOUBLE) /
+             CAST(n_a*ct*n AS DOUBLE)
+           + CAST((o_b*n - n_b*ct)*(o_b*n - n_b*ct) AS DOUBLE) /
+             CAST(n_b*ct*n AS DOUBLE) AS term
+         FROM z),
+       tt AS (SELECT 'total' AS kind, '' AS k,
+           (SELECT n_a FROM t) AS o_a, (SELECT n_b FROM t) AS o_b,
+           list_reduce(list(term ORDER BY k), (x, y) -> x + y) AS term
+         FROM p)
+       SELECT kind, k, o_a, o_b, term FROM
+         (SELECT * FROM p UNION ALL SELECT * FROM tt)
+       ORDER BY kind, k"""
+
   private val rateAnomalySql: String =
     s"""WITH daily AS (SELECT event_type AS series,
            strftime(date_trunc('day', $tsUs), '%Y-%m-%d') AS day,
@@ -2206,30 +2233,13 @@ object OracleSql {
     // e02: chi-squared homogeneity per source — exact integer
     // numerators, the two window terms summed a-then-b, the total an
     // ordered list fold (the dotD accumulation-order discipline).
-    "e02_chi2_drift" ->
-      s"""WITH b AS (SELECT source AS k, (lang = 'en') AS a
-             FROM documents),
-         c AS (SELECT k,
-             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
-             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS o_b
-           FROM b GROUP BY 1),
-         t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS n_a,
-             CAST(SUM(o_b) AS BIGINT) AS n_b FROM c),
-         z AS (SELECT c.k, c.o_a, c.o_b, t.n_a, t.n_b,
-             c.o_a + c.o_b AS ct, t.n_a + t.n_b AS n FROM c, t),
-         p AS (SELECT 'cell' AS kind, k, o_a, o_b,
-             CAST((o_a*n - n_a*ct)*(o_a*n - n_a*ct) AS DOUBLE) /
-               CAST(n_a*ct*n AS DOUBLE)
-             + CAST((o_b*n - n_b*ct)*(o_b*n - n_b*ct) AS DOUBLE) /
-               CAST(n_b*ct*n AS DOUBLE) AS term
-           FROM z),
-         tt AS (SELECT 'total' AS kind, '' AS k,
-             (SELECT n_a FROM t) AS o_a, (SELECT n_b FROM t) AS o_b,
-             list_reduce(list(term ORDER BY k), (x, y) -> x + y) AS term
-           FROM p)
-         SELECT kind, k, o_a, o_b, term FROM
-           (SELECT * FROM p UNION ALL SELECT * FROM tt)
-         ORDER BY kind, k""",
+    "e02_chi2_drift" -> chi2DriftSql,
+
+    // st12: the SAME statistic with the cells maintained in streaming
+    // state — counting is order-insensitive, so the drained state
+    // equals the batch counts and the oracle is shared verbatim
+    // (st10's discipline on the evaluation axis).
+    "st12_drift_stream" -> chi2DriftSql,
 
     // e03: two-sample KS — the D statistic's exact rational form
     // max|cumA*n_b - cumB*n_a|/(n_a*n_b) plus its first witness value,

@@ -2690,6 +2690,23 @@ object SparkEntry {
   private[graft] val st11WithinSec = 3600L
   private[graft] val st11FixType = "purchase"
 
+  /** st12 maintains e02's chi-squared drift cells INSIDE the streaming
+    * state store (Eval.chi2Cells on the streamed documents table): the
+    * state is the |keys|-row (o_a, o_b) counts frame — counting is
+    * order-insensitive, so the drained state equals the batch counts
+    * bit-for-bit and the composed statistic shares e02's FULL SQL
+    * oracle (st10's shared-oracle discipline on the evaluation axis —
+    * the continuous drift MONITOR: the alert a pipeline wants the
+    * moment the source mix shifts, not at the next batch audit). */
+  private def st12(s: SparkSession, dir: String): DataFrame = {
+    val cells = runStreamOnce(s,
+      graft.operators.Eval.chi2Cells(
+        streamTable(s, dir, "documents"),
+        col("source"), col("lang") === "en"),
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    graft.operators.Eval.chi2FromCells(cells).orderBy("kind", "k")
+  }
+
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
     * on the MONITOR side): file source over the events table (st01's
@@ -3126,7 +3143,8 @@ object SparkEntry {
     "st08_anomaly_stream" -> (st08 _),
     "st09_sketch_stream" -> (st09 _),
     "st10_cms_stream" -> (st10 _),
-    "st11_stream_join" -> (st11 _)
+    "st11_stream_join" -> (st11 _),
+    "st12_drift_stream" -> (st12 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

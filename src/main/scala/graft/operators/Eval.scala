@@ -119,12 +119,29 @@ object Eval {
     * one division of two exact casts, and the two windows summed in
     * the fixed a-then-b order. The total is a key-sorted array fold,
     * so the global double accumulates in ONE deterministic order. */
-  def chi2Drift(df: DataFrame, key: Column, inA: Column): DataFrame = {
-    val cells = df.select(key.as("k"), inA.cast("boolean").as("a"))
+  def chi2Drift(df: DataFrame, key: Column, inA: Column): DataFrame =
+    chi2FromCells(chi2Cells(df, key, inA))
+
+  /** The observed-counts frame (k, o_a, o_b) the chi-squared statistic
+    * derives from — one map-side-combined aggregate, |keys| rows of
+    * state. Split out so a STREAMING query can maintain the same cells
+    * in the state store (counting is order-insensitive, so a drained
+    * stream state equals the batch counts bit-for-bit) and feed the
+    * identical finisher. */
+  def chi2Cells(df: DataFrame, key: Column, inA: Column): DataFrame =
+    df.select(key.as("k"), inA.cast("boolean").as("a"))
       .where(col("k").isNotNull && col("a").isNotNull)
       .groupBy("k")
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("o_a"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("o_b"))
+
+  /** The chi-squared finisher over a cells frame — see [[chi2Drift]]
+    * for the exactness contract. */
+  def chi2FromCells(cells: DataFrame): DataFrame = {
+    for (c <- Seq("k", "o_a", "o_b"))
+      require(cells.columns.contains(c),
+        s"Eval.chi2FromCells: missing cells column '$c' " +
+          s"(has: ${cells.columns.mkString(", ")})")
     val tot = cells.agg(sum("o_a").as("n_a"), sum("o_b").as("n_b"))
     // 1-row totals zip — the p08/t05 declared scalar-broadcast class
     val z = cells.crossJoin(broadcast(tot))

@@ -167,6 +167,16 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.aucFromState(tree).collect()(0) == oneShot)
   }
 
+  test("st12 streaming drift equals the e02 batch statistic row-for-" +
+      "row on gate data (order-insensitive counts in state)") {
+    val sf = TestSpark.sf
+    val batch = SparkEntry.queries("e02_chi2_drift")(spark, sf)
+      .collect().toSeq
+    val stream = SparkEntry.queries("st12_drift_stream")(spark, sf)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
   test("plans: e01/e03 are one partial-aggregated counts frame + one " +
       "fold row — no window, no join anywhere; e02's only join is the " +
       "1-row totals zip") {
