@@ -167,6 +167,21 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.aucFromState(tree).collect()(0) == oneShot)
   }
 
+  test("e04's refresh plan reads the base as persisted state: exactly " +
+      "one documents scan (the delta), plus the state parquet") {
+    val p = SparkEntry.queries("e04_incr_auc")(spark, TestSpark.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val docScans = "Location.*documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 1,
+      s"base must come from persisted state, not a rescan:\n$p")
+    // ModelStore.load checkpoint-materializes the state frame, so it
+    // enters the refresh plan as a Scan ExistingRDD — one parquet read
+    // total, never one per consumer
+    assert(p.contains("Scan ExistingRDD"),
+      s"persisted state scan missing from the plan:\n$p")
+  }
+
   test("st12 streaming drift equals the e02 batch statistic row-for-" +
       "row on gate data (order-insensitive counts in state)") {
     val sf = TestSpark.sf
