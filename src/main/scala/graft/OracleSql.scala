@@ -2235,6 +2235,35 @@ object OracleSql {
     // ordered list fold (the dotD accumulation-order discipline).
     "e02_chi2_drift" -> chi2DriftSql,
 
+    // e05: everything downstream of the exported mean vectors —
+    // deltas, the top-k drifted dims (|delta| DESC, i ASC), the
+    // ascending-i folded L2/cosine — re-derived from the model parquet
+    // with the dotD accumulation order.
+    "e05_embed_drift" ->
+      s"""WITH m AS (SELECT pop, i, w
+             FROM read_parquet(${modelGlob("e05", "mean_vecs")})),
+         d AS (SELECT a.i, a.w AS w_a, b.w AS w_b, a.w - b.w AS delta
+           FROM (SELECT i, w FROM m WHERE pop = 'a') a
+           JOIN (SELECT i, w FROM m WHERE pop = 'b') b USING (i)),
+         dims AS (SELECT 'dim' AS kind, CAST(i AS BIGINT) AS i,
+             delta AS v
+           FROM d ORDER BY abs(delta) DESC, i ASC
+           LIMIT ${graft.SparkEntry.e05TopK}),
+         s AS (SELECT
+             sqrt(list_reduce(list(delta*delta ORDER BY i),
+               (x, y) -> x + y)) AS l2,
+             list_reduce(list(w_a*w_b ORDER BY i), (x, y) -> x + y) /
+               (sqrt(list_reduce(list(w_a*w_a ORDER BY i),
+                  (x, y) -> x + y)) *
+                sqrt(list_reduce(list(w_b*w_b ORDER BY i),
+                  (x, y) -> x + y))) AS cos
+           FROM d)
+         SELECT kind, i, v FROM (
+           SELECT * FROM dims
+           UNION ALL SELECT 'stat', CAST(-1 AS BIGINT), l2 FROM s
+           UNION ALL SELECT 'stat', CAST(-2 AS BIGINT), cos FROM s)
+         ORDER BY kind, i""",
+
     // st12: the SAME statistic with the cells maintained in streaming
     // state — counting is order-insensitive, so the drained state
     // equals the batch counts and the oracle is shared verbatim

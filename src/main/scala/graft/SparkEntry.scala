@@ -2284,6 +2284,32 @@ object SparkEntry {
       ev(s, dir).filter(col("event_type").isin("click", "error")),
       col("value"), col("event_type") === "click")
 
+  /** e05's top-k knob, shared with the oracle SQL generator. */
+  private[graft] val e05TopK = 5
+
+  /** Embedding-space drift (Eval.meanVectors + embedDrift — the
+    * embedding axis of the drift family: did the corpus move in vector
+    * space between two snapshots?): the per-population per-dim mean
+    * vectors are the one non-SQL-portable step (engine-order double
+    * avg, s06's class), persisted via ModelStore "mean_vecs"; the
+    * report — top-[[e05TopK]] drifted dims + L2/cosine between means —
+    * derives from the LOADED model with pinned-order arithmetic, so
+    * the FULL DuckDB oracle re-derives it bit-for-bit from the export
+    * (the r13 exported-model route on the evaluation axis). */
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Eval
+    val emb = t(s, dir, "embeddings")
+    val path = s"${gateModelDir(dir, "e05")}/mean_vecs"
+    // coalesce(1): 2·dims rows — bounded model artifact
+    graft.sim.ModelStore.save(
+      Eval.meanVectors(emb, col("embedding"), col("vec_id") % 2 === 0)
+        .coalesce(1),
+      "mean_vecs", path)
+    Eval.embedDrift(graft.sim.ModelStore.load(s, "mean_vecs", path),
+        topK = e05TopK)
+      .orderBy("kind", "i")
+  }
+
   /** Incremental AUC maintenance (q45's Ivm discipline applied to an
     * EVALUATION statistic): the per-score counts frame is a mergeable
     * monoid, so the base state persists (ModelStore "auc_state",
@@ -3052,6 +3078,7 @@ object SparkEntry {
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),
     "e04_incr_auc" -> (e04 _),
+    "e05_embed_drift" -> (e05 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

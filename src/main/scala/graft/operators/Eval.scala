@@ -169,6 +169,62 @@ object Eval {
     perKey.unionByName(total)
   }
 
+  /** Per-population per-dimension mean vectors over an embedding
+    * column — the embedding-drift FIT (population `a` = `inA`, `b` =
+    * the complement). The mean is an engine-order double average (the
+    * one non-SQL-portable step, s06's class), so a gate persists this
+    * frame via ModelStore kind "mean_vecs" and everything downstream
+    * re-derives from the export. One explode + map-side-combined
+    * aggregate; the result is 2·dims rows at ANY corpus size. */
+  def meanVectors(df: DataFrame, vecCol: Column, inA: Column): DataFrame =
+    df.select(when(inA.cast("boolean"), lit("a")).otherwise(lit("b"))
+        .as("pop"), posexplode(vecCol))
+      .groupBy(col("pop"), col("pos").as("i"))
+      .agg(avg(col("col").cast("double")).as("w"))
+      .select("pop", "i", "w")
+
+  /** Embedding-space drift report from a persisted mean-vector frame:
+    * the top-`topK` dimensions by |Δmean| (`kind` = dim, tie-broken by
+    * dimension index) plus `stat` rows — L2 distance (i = −1) and
+    * cosine (i = −2) between the two population means. Every number
+    * derives from the LOADED model with pinned-order arithmetic:
+    * deltas and products are single IEEE ops on exported doubles, the
+    * reductions fold in ascending dimension order (the dotD
+    * discipline), sqrt and the final division are correctly rounded —
+    * so the DuckDB oracle reproduces the report bit-for-bit from the
+    * same parquet. */
+  def embedDrift(means: DataFrame, topK: Int): DataFrame = {
+    for (c <- Seq("pop", "i", "w"))
+      require(means.columns.contains(c),
+        s"Eval.embedDrift: missing model column '$c' " +
+          s"(has: ${means.columns.mkString(", ")})")
+    val byDim = means.groupBy("i").agg(
+      max(when(col("pop") === "a", col("w"))).as("w_a"),
+      max(when(col("pop") === "b", col("w"))).as("w_b"))
+    val d = byDim.select(col("i"), col("w_a"), col("w_b"),
+      (col("w_a") - col("w_b")).as("delta"))
+    val dims = d.orderBy(abs(col("delta")).desc, col("i").asc)
+      .limit(topK)
+      .select(lit("dim").as("kind"), col("i").cast("long").as("i"),
+        col("delta").as("v"))
+    val folded = d.agg(array_sort(collect_list(
+        struct(col("i"), col("delta"), col("w_a"), col("w_b")))).as("g"))
+      .select(
+        sqrt(aggregate(col("g"), lit(0.0),
+          (a, x) => a + x("delta") * x("delta"))).as("l2"),
+        (aggregate(col("g"), lit(0.0),
+          (a, x) => a + x("w_a") * x("w_b")) /
+          (sqrt(aggregate(col("g"), lit(0.0),
+            (a, x) => a + x("w_a") * x("w_a"))) *
+           sqrt(aggregate(col("g"), lit(0.0),
+             (a, x) => a + x("w_b") * x("w_b"))))).as("cos"))
+    val stats = folded.select(lit("stat").as("kind"), lit(-1L).as("i"),
+        col("l2").as("v"))
+      .unionByName(folded.select(lit("stat").as("kind"),
+        lit(-2L).as("i"), col("cos").as("v")))
+    dims.unionByName(stats)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of population `inA` and its complement: one row
     * with `n_a`, `n_b`, the EXACT integer `ks_num` =

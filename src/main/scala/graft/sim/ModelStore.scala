@@ -46,7 +46,11 @@ object ModelStore {
     // persisted mergeable AUC state (operators/Eval.aucState): the
     // per-score (n_s, p_s) counts monoid — e04's materialized
     // evaluation base, bounded by the score grid
-    "auc_state" -> Set("s", "n_s", "p_s"))
+    "auc_state" -> Set("s", "n_s", "p_s"),
+    // per-population per-dimension mean vectors
+    // (operators/Eval.meanVectors — the embedding-drift fit): 2·dims
+    // rows, the engine-order double averages e05's oracle reads back
+    "mean_vecs" -> Set("pop", "i", "w"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

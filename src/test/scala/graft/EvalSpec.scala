@@ -182,6 +182,36 @@ class EvalSpec extends AnyFunSuite {
       s"persisted state scan missing from the plan:\n$p")
   }
 
+  test("embedDrift: hand-built means give the exact report; identical " +
+      "populations read l2 = 0, cos = 1") {
+    // a = (3, 0), b = (0, 4): delta = (3, -4), l2 = 5, cos = 0
+    val means = Seq(("a", 0, 3.0), ("a", 1, 0.0),
+      ("b", 0, 0.0), ("b", 1, 4.0)).toDF("pop", "i", "w")
+    val r = Eval.embedDrift(means, topK = 2)
+      .orderBy("kind", "i").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+      .toList == List(("dim", 0L, 3.0), ("dim", 1L, -4.0),
+        ("stat", -2L, 0.0), ("stat", -1L, 5.0)))
+    val same = Seq(("a", 0, 1.5), ("a", 1, 2.5),
+      ("b", 0, 1.5), ("b", 1, 2.5)).toDF("pop", "i", "w")
+    val s2 = Eval.embedDrift(same, topK = 1).orderBy("kind", "i")
+      .collect().map(x => (x.getLong(1), x.getDouble(2))).toMap
+    assert(s2(-1L) == 0.0 && s2(-2L) == 1.0)
+  }
+
+  test("meanVectors emits 2*dims rows and embedDrift rejects a " +
+      "malformed model frame") {
+    val emb = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Eval.meanVectors(emb, col("embedding"),
+      col("vec_id") % 2 === 0)
+    assert(m.count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      Eval.embedDrift(m.drop("w"), topK = 1)
+    }
+    assert(e.getMessage.contains("missing model column 'w'"))
+  }
+
   test("st12 streaming drift equals the e02 batch statistic row-for-" +
       "row on gate data (order-insensitive counts in state)") {
     val sf = TestSpark.sf
