@@ -463,6 +463,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st12 drift cells: chunked replay accumulates to the identical " +
+      "batch cells table (order-insensitive counts in state)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Eval
+    val docs = graft.sources.Tables(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val input = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st12-ckpt").toString
+    val q = Eval.chi2Cells(input.toDS.toDF("source", "lang"),
+        col("source"), col("lang") === "en")
+      .writeStream.format("memory").queryName("st12_cells")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      for (chunk <- docs.grouped((docs.size + 3) / 4)) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st12_cells").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Eval.chi2Cells(
+          graft.sources.Tables(spark, TestSpark.sf, "documents"),
+          col("source"), col("lang") === "en")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("st08 gate (streaming rate anomaly) equals the q41 batch gate") {
     val streamed =
       SparkEntry.queries("st08_anomaly_stream")(spark, TestSpark.sf)
