@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Command-line surface mirroring the reference's entry points
+  * (kcidb-query / kcidb-dump / kcidb-count, kcidb/misc.py:104-355):
+  * the library is runnable the way a reference user runs theirs — one
+  * command per job, parquet in/out, no session plumbing.
+  *
+  * {{{
+  * sbt "runMain graft.Cli list"
+  * sbt "runMain graft.Cli run q01_summary_agg /root/testdata/sf0.01 /tmp/out"
+  * sbt "runMain graft.Cli count /root/testdata/sf0.01"
+  * sbt "runMain graft.Cli dump /root/testdata/sf0.01 /tmp/dump \
+  *      2024-01-10T00:00:00 2024-01-20T00:00:00"
+  * }}}
+  *
+  * `run` executes any `SparkEntry.queries` gate (the full operator
+  * catalog) and writes its result as parquet; `count` prints the
+  * kcidb-count analog (q08); `dump` is the windowed dump
+  * (Loader.dumpWindow over the events table) with optional
+  * [after, until) ISO bounds. Session config matches Verify/Bench so
+  * CLI results are the gate results.
+  */
+object Cli {
+
+  private[graft] def session(sfDir: String): SparkSession = {
+    System.setProperty("graft.gate.sfTag", new java.io.File(sfDir).getName)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Dispatch one command; returns the result frame for commands that
+    * produce one (run/dump/count) so tests can assert without parsing
+    * stdout. Throws IllegalArgumentException on bad usage — loud, like
+    * the reference's argparse. */
+  private[graft] def dispatch(args: Array[String]): Option[DataFrame] =
+    args.toList match {
+      case "list" :: Nil =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+        None
+      case "run" :: name :: sfDir :: outDir :: Nil =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown query '$name' — `list` prints the catalog"))
+        val df = fn(session(sfDir), sfDir)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"$name -> $outDir/$name")
+        Some(df)
+      case "count" :: sfDir :: Nil =>
+        val df = SparkEntry.queries("q08_count_objects")(
+          session(sfDir), sfDir)
+        df.show(100, truncate = false)
+        Some(df)
+      case "dump" :: sfDir :: outDir :: rest if rest.size <= 2 =>
+        import org.apache.spark.sql.functions._
+        val s = session(sfDir)
+        val ev = graft.sources.Tables.events(s, sfDir)
+        val after = rest.headOption.getOrElse("1970-01-01T00:00:00")
+        val until = rest.lift(1).getOrElse("9999-01-01T00:00:00")
+        val df = graft.ingest.Loader.dumpWindow(ev, col("ts"),
+          lit(after.replace('T', ' ')).cast("timestamp"),
+          lit(until.replace('T', ' ')).cast("timestamp"))
+        df.write.mode("overwrite").parquet(outDir)
+        println(s"dump [$after, $until) -> $outDir")
+        Some(df)
+      case other =>
+        throw new IllegalArgumentException(
+          s"usage: list | run <query> <sfDir> <outDir> | count <sfDir> " +
+            s"| dump <sfDir> <outDir> [afterIso untilIso] " +
+            s"(got: ${other.mkString(" ")})")
+    }
+
+  def main(args: Array[String]): Unit = { dispatch(args); () }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CliSpec extends AnyFunSuite {
+  // TestSpark owns the session; Cli.session getOrCreate's into it, so
+  // dispatch runs against the shared local session
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("run executes a catalog gate and writes its parquet") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-run").toString
+    val df = Cli.dispatch(Array("run", "q01_summary_agg", sf, out)).get
+    val back = spark.read.parquet(s"$out/q01_summary_agg")
+    assert(back.count() == df.count() && back.count() > 0)
+  }
+
+  test("count is the q08 analog") {
+    val df = Cli.dispatch(Array("count", sf)).get
+    assert(df.columns.toSeq ==
+      SparkEntry.queries("q08_count_objects")(spark, sf).columns.toSeq)
+  }
+
+  test("dump honors the [after, until) window bounds") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-dump").toString
+    val all = Cli.dispatch(Array("dump", sf, s"$out/all")).get.count()
+    val some = Cli.dispatch(Array("dump", sf, s"$out/some",
+      "2024-01-10T00:00:00", "2024-01-20T00:00:00")).get.count()
+    assert(all > 0 && some > 0 && some < all)
+  }
+
+  test("unknown query and bad usage fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.dispatch(Array("run", "nope", sf, "/tmp/x"))
+    }
+    assert(e1.getMessage.contains("unknown query"))
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.dispatch(Array("frobnicate"))
+    }
+    assert(e2.getMessage.contains("usage:"))
+  }
+}
