@@ -34,20 +34,20 @@ class UrlsSpec extends AnyFunSuite {
   test("tracking params dropped, survivors sorted, ? dropped when " +
       "none survive; empty path collapses to bare authority") {
     assert(canon(
-      "http://a.com/p?utm_source=x&b=2&a=1&fbclid=zz",
-      "http://a.com/p?utm_campaign=only&gclid=g",
-      "http://a.com?x=1",
-      "http://a.com/") == Seq(
-      "http://a.com/p?a=1&b=2",
-      "http://a.com/p",
-      "http://a.com?x=1",
-      "http://a.com"))
+      "http://a.example.com/p?utm_source=x&b=2&a=1&fbclid=zz",
+      "http://a.example.com/p?utm_campaign=only&gclid=g",
+      "http://a.example.com?x=1",
+      "http://a.example.com/") == Seq(
+      "http://a.example.com/p?a=1&b=2",
+      "http://a.example.com/p",
+      "http://a.example.com?x=1",
+      "http://a.example.com"))
   }
 
   test("two query-param orders of one logical URL collapse") {
-    val c = canon("http://a.com/p?ref=home&utm_campaign=x",
-      "http://a.com/p?utm_source=feed&ref=home")
-    assert(c.distinct.size == 1 && c.head == "http://a.com/p?ref=home")
+    val c = canon("http://a.example.com/p?ref=home&utm_campaign=x",
+      "http://a.example.com/p?utm_source=feed&ref=home")
+    assert(c.distinct.size == 1 && c.head == "http://a.example.com/p?ref=home")
   }
 
   test("registeredDomain folds subdomains; hasTracking spots utm_ " +
@@ -69,8 +69,9 @@ class UrlsSpec extends AnyFunSuite {
     // one domain, 4 docs over 2 canonical urls; cap applies at k=25 so
     // kept = both survivors (min doc_id each)
     val u = Seq(
-      (1L, "http://a.com/p1"), (2L, "http://a.com/p1/"),
-      (3L, "http://a.com/p2?utm_x=1"), (4L, "HTTP://A.com/p2"))
+      (1L, "http://a.example.com/p1"), (2L, "http://a.example.com/p1/"),
+      (3L, "http://a.example.com/p2?utm_x=1"),
+      (4L, "HTTP://A.EXAMPLE.com/p2"))
       .toDF("doc_id", "url")
       .select(col("doc_id"),
         Urls.canonicalize(col("url")).as("canon"),
@@ -81,8 +82,8 @@ class UrlsSpec extends AnyFunSuite {
         sum("trk").as("trk"))
       .orderBy("canon").collect()
     assert(per.map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
-      .toSeq == Seq(("http://a.com/p1", 2L, 1L),
-        ("http://a.com/p2", 2L, 3L)))
-    assert(per.forall(_.getString(0) == "a.com"))
+      .toSeq == Seq(("http://a.example.com/p1", 2L, 1L),
+        ("http://a.example.com/p2", 2L, 3L)))
+    assert(per.forall(_.getString(0) == "a.example.com"))
   }
 }
