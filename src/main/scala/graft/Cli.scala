@@ -74,10 +74,38 @@ object Cli {
         df.write.mode("overwrite").parquet(outDir)
         println(s"dump [$after, $until) -> $outDir")
         Some(df)
+      case "load" :: path :: outDir :: rest if rest.size <= 1 =>
+        // kcidb-load: one report file (or same-shaped glob) into a
+        // per-type parquet warehouse
+        val types = rest.headOption.getOrElse("checkouts,builds,tests")
+          .split(",").toSeq
+        val rep = graft.sources.Reports.read(
+          session(new java.io.File(path).getParent), path, types)
+        rep.tables.foreach { case (t, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$t")
+          println(s"$t (v${rep.version._1}.${rep.version._2}) " +
+            s"-> $outDir/$t")
+        }
+        require(rep.tables.nonEmpty,
+          s"no report arrays among [${types.mkString(",")}] at $path")
+        Some(rep.tables.values.head)
+      case "merge" :: outDir :: paths if paths.size >= 2 =>
+        // kcidb-merge: union reports per type, drop exact duplicates
+        val s = session(new java.io.File(paths.head).getParent)
+        val types = Seq("checkouts", "builds", "tests")
+        val merged = graft.sources.Reports.merge(
+          paths.map(p => graft.sources.Reports.read(s, p, types)))
+        merged.foreach { case (t, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$t")
+          println(s"$t -> $outDir/$t")
+        }
+        merged.values.headOption
       case other =>
         throw new IllegalArgumentException(
           s"usage: list | run <query> <sfDir> <outDir> | count <sfDir> " +
             s"| dump <sfDir> <outDir> [afterIso untilIso] " +
+            s"| load <reportJson> <outDir> [types] " +
+            s"| merge <outDir> <reportJson> <reportJson>... " +
             s"(got: ${other.mkString(" ")})")
     }
 

@@ -31,6 +31,30 @@ class CliSpec extends AnyFunSuite {
     assert(all > 0 && some > 0 && some < all)
   }
 
+  test("load ingests a JSON report per type; merge dedups across " +
+      "reports") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cli-load")
+    def report(p: String, ids: Seq[Int]): String = {
+      val f = dir.resolve(p)
+      val builds = ids.map(i =>
+        s"""{"id": "b$i", "origin": "o${i % 2}"}""").mkString(",")
+      java.nio.file.Files.writeString(f,
+        s"""{"version": {"major": 4, "minor": 3},
+            "builds": [$builds]}""")
+      f.toString
+    }
+    val r1 = report("r1.json", Seq(1, 2, 3))
+    val r2 = report("r2.json", Seq(3, 4))
+    val out = dir.resolve("wh").toString
+    Cli.dispatch(Array("load", r1, out, "builds"))
+    assert(spark.read.parquet(s"$out/builds").count() == 3)
+    val mout = dir.resolve("merged").toString
+    Cli.dispatch(Array("merge", mout, r1, r2))
+    // b3 appears in both reports; exact-duplicate drop keeps one
+    assert(spark.read.parquet(s"$mout/builds").count() == 4)
+  }
+
   test("unknown query and bad usage fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Cli.dispatch(Array("run", "nope", sf, "/tmp/x"))
