@@ -64,6 +64,15 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 4.0 / 6.0 && r.getDouble(5) == 2.0)
   }
 
+  test("ks2Sample: identical single-value distributions read D = 0 " +
+      "with the lone grid value as witness") {
+    val df = Seq((5.0, true), (5.0, false), (5.0, true))
+      .toDF("v", "a")
+    val r = Eval.ks2Sample(df, col("v"), col("a")).collect()(0)
+    assert(r.getLong(2) == 0L && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 5.0)
+  }
+
   test("ks2Sample: supremum ties resolve to the smallest value") {
     // A = [1,3], B = [2,4]: diffs 2,0,2,0 -> max 2 first hit at v=1
     val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))

@@ -38,6 +38,19 @@ class SnapshotDiffSpec extends AnyFunSuite {
       (6L, "added", Nil)))
   }
 
+  test("composite keys classify independently per key tuple") {
+    val a = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L))
+      .toDF("k1", "k2", "v")
+    val b = Seq((1L, "x", 10L), (1L, "y", 21L), (3L, "z", 40L))
+      .toDF("k1", "k2", "v")
+    val got = SnapshotDiff.diff(a, b, Seq("k1", "k2"), Seq("v"))
+      .orderBy("k1", "k2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toList
+    assert(got == List((1L, "x", "unchanged"), (1L, "y", "changed"),
+      (2L, "x", "removed"), (3L, "z", "added")))
+  }
+
   test("missing column is rejected loudly") {
     val a = Seq((1L, "x")).toDF("k", "s")
     val e = intercept[IllegalArgumentException] {
