@@ -2064,6 +2064,39 @@ object OracleSql {
     // rebuilt relationally (k shared via SparkEntry.k05K). The rank
     // window runs over the per-source hash frame (bounded per group);
     // the estimator takes the k smallest of each pair's sketch UNION.
+    // k06: priority sampling re-derived — the same md5 60-bit coin,
+    // the identical two-division priority tree, row_number ranking
+    // (q DESC, id ASC — the TopKByScore tie order), tau as the (k+1)-th
+    // priority (0 when the corpus fits the sample), and the total's est
+    // folded in doc-id order.
+    "k06_priority_sample" -> {
+      val k = graft.SparkEntry.k06K
+      val seed = graft.SparkEntry.k06Seed
+      s"""WITH base AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS w
+             FROM documents),
+         sc AS (SELECT id, w,
+             w / ((CAST(CAST(concat('0x', substr(md5('$seed' ||
+               CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+               / 1152921504606846976.0) AS q
+           FROM base),
+         r AS (SELECT id, w, q,
+             row_number() OVER (ORDER BY q DESC, id ASC) AS rk FROM sc),
+         tau AS (SELECT COALESCE(
+             (SELECT q FROM r WHERE rk = ${k + 1}), 0.0) AS tau),
+         samp AS (SELECT 'sample' AS kind, id AS doc_id, w, q,
+             greatest(w, (SELECT tau FROM tau)) AS est
+           FROM r WHERE rk <= $k),
+         tot AS (SELECT 'total' AS kind, CAST(-1 AS BIGINT) AS doc_id,
+             (SELECT CAST(CAST(SUM(CAST(w AS DECIMAL(18,2))) AS
+                DECIMAL(18,2)) AS DOUBLE) FROM base) AS w,
+             (SELECT tau FROM tau) AS q,
+             (SELECT list_reduce(list(est ORDER BY doc_id),
+                (x, y) -> x + y) FROM samp) AS est)
+         SELECT kind, doc_id, w, q, est FROM
+           (SELECT * FROM samp UNION ALL SELECT * FROM tot)
+         ORDER BY kind, doc_id"""
+    },
+
     "k05_bottomk_overlap" -> {
       val k = graft.SparkEntry.k05K
       s"""WITH toks AS (SELECT DISTINCT source, tok FROM (

@@ -2074,6 +2074,20 @@ object SparkEntry {
     * drops). Deterministic given the hash, so — unlike the register
     * sketches k01/k02 — this carries a FULL SQL oracle that rebuilds
     * sketches, estimator and exact answer relationally. */
+  /** k06's knobs, shared with the oracle SQL generator. */
+  private[graft] val k06K = 64
+  private[graft] val k06Seed = "graft-psamp"
+
+  /** Priority sampling over the documents corpus weighted by n_chars
+    * (Sketches.prioritySample — the weighted-subsample sketch family
+    * member): k sample rows + the total row whose Σ max(w, τ) is the
+    * Horvitz–Thompson estimate of the exact Σw emitted next to it.
+    * Deterministic given md5, so FULL SQL oracle. */
+  private def k06(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.prioritySample(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), seed = k06Seed, k = k06K)
+      .orderBy("kind", "doc_id")
+
   private def k05(s: SparkSession, dir: String): DataFrame = {
     // materialize the split ONCE as a column: an inline `split(text)`
     // would re-tokenize the whole document for every element_at inside
@@ -3084,6 +3098,7 @@ object SparkEntry {
     "k03_ams_f2" -> (k03 _),
     "k04_cms_topk" -> (k04 _),
     "k05_bottomk_overlap" -> (k05 _),
+    "k06_priority_sample" -> (k06 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -20,6 +20,72 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums"): a fixed-k
+    * WEIGHTED sample with unbiased subset-sum estimates — the
+    * principled way to subsample a 100 TB corpus by importance
+    * (token counts, quality mass) and still answer "how much weight
+    * does stratum X hold" without the full scan. Per item, priority
+    * q = w / u with u a deterministic md5 uniform in (0, 1]
+    * ([[graft.pack.Pack.integerDraw]]'s 60-bit coin, +1 over 2^60 —
+    * the division by a power of two is exact, so u is bit-identical
+    * across engines); the sample is the k largest priorities, the
+    * threshold τ the (k+1)-th, and each sampled item's
+    * Horvitz–Thompson estimate is max(w, τ) — Σ over any subset of
+    * the sample unbiasedly estimates that subset's true weight.
+    *
+    * Scale shape: ONE map-side-combined bounded top-(k+1) aggregate
+    * over the corpus (the TopKByScore heap — k+1 entries of state at
+    * any size) plus one narrow k-row id join to restore weights (the
+    * closure family's width-restoring join). Deterministic given md5,
+    * so — like [[bottomKOverlap]] — the whole report carries a FULL
+    * SQL oracle, total row included (est fold in doc-id order, the
+    * dotD discipline; exact total as the decimal-sum anchor a 100 TB
+    * run could keep, since it is one map-side long/decimal sum).
+    *
+    * Output: k `sample` rows (doc_id, w, q, est = max(w, τ)) and one
+    * `total` row (doc_id = −1, w = exact Σw, q = τ, est = Σ est —
+    * the estimator's answer for the whole population). When n ≤ k the
+    * sample is the population, τ = 0 and every est = w exactly. */
+  def prioritySample(df: DataFrame, idCol: Column, weightCol: Column,
+      seed: String, k: Int): DataFrame = {
+    import graft.functions.TopK
+    require(k > 0, s"k must be positive: $k")
+    val base = df.select(idCol.cast("long").as("id"),
+      weightCol.cast("double").as("w"))
+    val u = (graft.pack.Pack.integerDraw(seed, col("id")).cast("double")
+      + lit(1.0)) / lit(1152921504606846976.0) // (v+1)/2^60 ∈ (0,1]
+    val scored = base.select(col("id"), col("w"), (col("w") / u).as("q"))
+    // one bounded aggregate row: best k+1 priorities + the exact total;
+    // memoized (q46 discipline) so the sample and total branches both
+    // read it without re-running the corpus aggregate
+    val agg = scored.agg(
+        TopK.topKByScore(col("q"), col("id"), k + 1).as("t"),
+        sum(graft.util.dec(col("w"))).cast("double").as("exact_total"))
+      .select(col("exact_total"),
+        when(size(col("t")) > k,
+          element_at(col("t"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("tau"),
+        slice(col("t"), 1, k).as("s"))
+      .localCheckpoint()
+    val ids = agg.select(explode(col("s")).as("e"), col("tau"))
+      .select(col("e").getField("id").as("id"),
+        col("e").getField("score").as("q"), col("tau"))
+    val sample = ids.join(base, "id")
+      .select(lit("sample").as("kind"), col("id").as("doc_id"),
+        col("w"), col("q"), greatest(col("w"), col("tau")).as("est"))
+      .localCheckpoint()
+    val total = sample.agg(
+        aggregate(
+          array_sort(collect_list(struct(col("doc_id"), col("est")))),
+          lit(0.0), (a, x) => a + x("est")).as("est"))
+      .crossJoin(agg.select(col("exact_total").as("w"),
+        col("tau").as("q")))
+      .select(lit("total").as("kind"), lit(-1L).as("doc_id"),
+        col("w"), col("q"), col("est"))
+    sample.unionByName(total)
+  }
+
   /** Pairwise set-overlap profiling via KMV bottom-k sketches
     * (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation"):
     * per group, the k lexicographically-smallest md5 hashes of the

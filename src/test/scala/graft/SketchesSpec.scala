@@ -185,4 +185,45 @@ class SketchesSpec extends AnyFunSuite {
       assert(!p.contains("Window"), p)
     }
   }
+
+  test("prioritySample matches a brute-force scala twin: same sample, " +
+      "same tau, same Horvitz-Thompson estimates") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val seed = "psamp-spec"
+    val k = 5
+    val rows = (0L until 40L).map(i => (i, (i % 7 + 1) * 10.0))
+    // brute-force twin of the md5 priority
+    def q(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((seed + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) /
+        1152921504606846976.0
+      w / u
+    }
+    val byQ = rows.map { case (id, w) => (id, w, q(id, w)) }
+      .sortBy { case (id, _, qq) => (-qq, id) }
+    val tau = byQ(k)._3
+    val want = byQ.take(k)
+      .map { case (id, w, qq) => (id, w, qq, math.max(w, tau)) }
+      .sortBy(_._1)
+    val got = Sketches.prioritySample(rows.toDF("doc_id", "wt"),
+        col("doc_id"), col("wt"), seed, k)
+      .filter(col("kind") === "sample").orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+    // n <= k degenerates to the population with tau = 0 and est = w
+    val small = Sketches.prioritySample(
+        rows.take(3).toDF("doc_id", "wt"),
+        col("doc_id"), col("wt"), seed, k).orderBy("kind", "doc_id")
+      .collect()
+    assert(small.length == 4)
+    assert(small.filter(_.getString(0) == "sample").forall(r =>
+      r.getDouble(4) == r.getDouble(2)))
+    val totalRow = small.last
+    assert(totalRow.getDouble(3) == 0.0 &&
+      totalRow.getDouble(4) == totalRow.getDouble(2))
+  }
 }
