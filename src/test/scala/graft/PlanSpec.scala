@@ -104,7 +104,10 @@ class PlanSpec extends AnyFunSuite {
       "p08_token_budget", "p09_mixture_expand", "s12_sq8_recall",
       "s13_kmeanspp_init", "p11_training_order", "k05_bottomk_overlap",
       // t23 zips two 1-row totals frames (N1, N2) — the p08 scalar class
-      "t23_pmi_collocations")
+      "t23_pmi_collocations",
+      // k06's total row zips the 1-row est fold with the 1-row
+      // checkpointed (tau, exact_total) frame — the same scalar class
+      "k06_priority_sample")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
