@@ -726,4 +726,15 @@ class BinarySpec extends AnyFunSuite {
     assert(bad.toSeq == Seq(Binary.SceneDelta(9L, -1L, -1L, -1L, -1L, -1L,
       -1)))
   }
+
+  test("codec prologue leaves ImageIO on memory-cached streams — the " +
+      "default file cache round-trips a temp file per decode/encode " +
+      "(the r14 3-4x decode-gate regression class)") {
+    // any decode path runs the prologue in-JVM under local mode
+    import spark.implicits._
+    Binary.pixelStats(Seq(Binary.PayloadRow(1L, Binary.makeRealPng(1L)))
+      .toDS()).collect()
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO.setUseCache(false) missing from Binary.codecPrologue")
+  }
 }
