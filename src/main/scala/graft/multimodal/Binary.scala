@@ -35,6 +35,68 @@ object Binary {
     javax.imageio.ImageIO.setUseCache(false)
   }
 
+  /** Per-partition image decoder. `ImageIO.read` resolves a reader from
+    * the service registry for EVERY call (iterating providers and magic-
+    * probing the stream) and allocates a fresh `ImageReader` + registry-
+    * routed `ImageInputStream` each time — allocation/registry-bound when
+    * a video gate decodes thousands of small frames per payload. This
+    * holds ONE reader per (partition, format), sniffed from the payload
+    * magic, wraps the bytes in a directly-constructed memory-cached
+    * stream, and only falls back to the registry probe for magics it
+    * doesn't know. Decode semantics are identical to `ImageIO.read`
+    * (same `setInput(iis, true, true)` + `read(0)` path). Not
+    * thread-safe — one instance per partition iterator, which is exactly
+    * the mapPartitions discipline. */
+  private final class FrameDecoder {
+    private val cache =
+      new java.util.HashMap[String, javax.imageio.ImageReader]()
+
+    private def sniff(p: Array[Byte]): String =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+          p(2) == 'N' && p(3) == 'G') "png"
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff &&
+               (p(1) & 0xff) == 0xd8) "jpeg"
+      else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+        "gif"
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+      else ""
+
+    /** Decode or null — the sentinel contract of every call site. */
+    def decode(p: Array[Byte]): java.awt.image.BufferedImage = {
+      val fmt = sniff(p)
+      if (fmt.isEmpty)
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        catch { case _: Exception => null }
+      else {
+        var reader = cache.get(fmt)
+        if (reader == null) {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (!it.hasNext)
+            return try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p))
+            catch { case _: Exception => null }
+          reader = it.next()
+          cache.put(fmt, reader)
+        }
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } catch {
+          case _: Exception =>
+            // A failed decode can leave reader state dirty — drop it so
+            // the next frame starts from a fresh instance.
+            cache.remove(fmt)
+            reader.dispose()
+            null
+        } finally {
+          try iis.close() catch { case _: Exception => () }
+        }
+      }
+    }
+  }
+
   /** Attach a binary payload column (here: utf8 bytes of a text column —
     * with real media this is the file/blob bytes). */
   def withPayload(df: DataFrame, srcCol: String): DataFrame =
@@ -941,11 +1003,9 @@ object Binary {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.flatMap { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+        val img = dec.decode(r.payload)
         if (img == null) None
         else {
           val w = img.getWidth; val h = img.getHeight
@@ -1022,11 +1082,9 @@ object Binary {
     ds.mapPartitions { rows =>
       // Per-partition init: headless decode, no display subsystem.
       codecPrologue()
+      val dec = new FrameDecoder
       rows.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+        val img = dec.decode(r.payload)
         if (img == null)
           PixelStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L)
         else {
@@ -1053,11 +1111,9 @@ object Binary {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.flatMap { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+        val img = dec.decode(r.payload)
         if (img == null) Seq(ColorHist(r.doc_id, -1L, -1L, -1L, -1L))
         else {
           val hr = new Array[Long](16)
@@ -1165,11 +1221,9 @@ object Binary {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+        val img = dec.decode(r.payload)
         if (img == null) {
           val n = math.min(r.payload.length.toLong, w * h).toInt
           ResizedMeta(r.doc_id, w, h, r.payload.take(n))
@@ -1482,6 +1536,7 @@ object Binary {
     require(stride > 0, s"stride must be positive: $stride")
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.flatMap { r =>
         if (notAvi(r.payload))
           Iterator.single(
@@ -1491,10 +1546,7 @@ object Binary {
             try aviFrames(r.payload)
             catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
           Iterator.range(0, frames.length, stride).map { i =>
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(frames(i)))
-              catch { case _: Exception => null }
+            val img = dec.decode(frames(i))
             if (img == null)
               FrameStats(r.doc_id, i.toLong, -1L, -1L, -1L, -1L, -1L, -1L)
             else {
@@ -1566,6 +1618,7 @@ object Binary {
     require(threshold >= 0, s"threshold must be non-negative: $threshold")
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.flatMap { r =>
         if (notAvi(r.payload))
           Iterator.single(SceneDelta(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1))
@@ -1574,10 +1627,7 @@ object Binary {
             try aviFrames(r.payload)
             catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
           val sums = frames.map { p =>
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(p))
-              catch { case _: Exception => null }
+            val img = dec.decode(p)
             if (img == null) None
             else Some(rgbSums(img))
           }
@@ -1605,11 +1655,9 @@ object Binary {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       codecPrologue()
+      val dec = new FrameDecoder
       rows.map { r =>
-        val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
+        val img = dec.decode(r.payload)
         if (img == null)
           FrameStats(r.doc_id, r.frame_idx, -1L, -1L, -1L, -1L, -1L, -1L)
         else {
