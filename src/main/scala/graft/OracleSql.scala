@@ -2917,6 +2917,32 @@ object OracleSql {
            ON cur.doc_id = pre.doc_id AND cur.f = pre.f + 1
          ORDER BY cur.doc_id, frame_idx""",
 
+    // MP4 Motion-JPEG frames: frame set/dims/n_pixels are arithmetic
+    // closed forms of doc_id; the DECODED color of each uniform JPEG
+    // frame comes from the gate's exported 20-row round-trip palette
+    // dict (JPEG's lossy shift is deterministic but not SQL-derivable;
+    // Mp4Spec pins dict probe == executor decode at every fixture dim).
+    // A demux bug (sample offsets/sizes/stsc runs) corrupts the JPEG
+    // bytes and breaks the decoded-sum hash.
+    "m13_mp4_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(11 + doc_id % 6 AS BIGINT) AS w,
+             CAST(9 + doc_id % 5 AS BIGINT) AS h,
+             CAST(3 + doc_id % 4 AS BIGINT) AS nf
+           FROM documents),
+         dict AS (SELECT c, dr, dg, db
+                  FROM read_parquet(${modelGlob("m13", "jpeg_dict")})),
+         fr AS (SELECT doc_id, w, h, fs.f AS f,
+                  (doc_id + 3 * fs.f) % 20 AS c
+                FROM d, unnest(generate_series(0, nf - 1)) AS fs(f))
+         SELECT fr.doc_id, fr.f AS frame_idx, fr.w AS width,
+           fr.h AS height, fr.w * fr.h AS n_pixels,
+           dict.dr * fr.w * fr.h AS sum_r,
+           dict.dg * fr.w * fr.h AS sum_g,
+           dict.db * fr.w * fr.h AS sum_b
+         FROM fr JOIN dict ON fr.c = dict.c
+         ORDER BY fr.doc_id, frame_idx""",
+
     // Quota admission replicated as a window cumsum: admit while the
     // PRIOR admitted-token total is under quota (the crossing doc is
     // still taken) — exactly the stream's greedy rule on a one-shot

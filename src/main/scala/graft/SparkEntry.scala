@@ -2594,6 +2594,36 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL MP4 Motion-JPEG frame decode: per-doc ISO-BMFF containers with
+    * full sample tables (Binary.makeMjpegMp4 — stsd 'jpeg' + stts/stsc/
+    * stsz/stco, samples two-per-chunk so the stsc run grammar is
+    * non-degenerate), demuxed by the pure-byte sample-table walk
+    * (Binary.mp4JpegFrames) and decoded by the bundled JPEG reader in
+    * one fused row-local pass (Binary.mp4FrameStats — zero shuffles,
+    * linear in frames). JPEG is lossy, so the decoded color of each
+    * uniform frame has no SQL closed form; the gate exports the 20-row
+    * round-trip palette dict (driver-side probes, Mp4Spec-pinned equal
+    * to the executor decode at every fixture dim) and the oracle joins
+    * it against the arithmetic palette index — the d02 exported-dict
+    * discipline. Frame set/dims/n_pixels stay fully arithmetic. */
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = (0 until 20).map { c =>
+      val (r, g, b) = Binary.mjpegColor(c)
+      val (dr, dg, db) = Binary.jpegRoundTripColor(r, g, b)
+      (c.toLong, dr, dg, db)
+    }
+    graft.sim.ModelStore.save(
+      s.createDataset(dict).toDF("c", "dr", "dg", "db").coalesce(1),
+      "jpeg_dict", s"${gateModelDir(dir, "m13")}/jpeg_dict")
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.mp4FrameStats(
+        src.map(id => Binary.PayloadRow(id, Binary.makeMjpegMp4(id))),
+        stride = 1)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private val stGateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming file source over a testdata table, schema from a
@@ -3175,6 +3205,7 @@ object SparkEntry {
     "m09_audio_stats" -> (m09 _),
     "m11_webp_meta" -> (m11 _),
     "m12_color_histogram" -> (m12 _),
+    "m13_mp4_frames" -> (m13 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -537,6 +537,288 @@ object Binary {
     ftyp ++ box("moov", mvhd ++ traks.reduce(_ ++ _))
   }
 
+  /** Uniform RGB fixture color for Motion-JPEG frames, indexed by a
+    * bounded palette id c ∈ [0, 20): every triple distinct, all under
+    * 256 — the closed form the m13 oracle recomputes, mapped to DECODED
+    * color via the exported [[jpegRoundTripColor]] dict (JPEG is lossy;
+    * the shift is deterministic but not SQL-expressible). */
+  def mjpegColor(c: Int): (Int, Int, Int) =
+    (10 + 12 * c, 5 + 11 * c, 20 + 9 * c)
+
+  private def uniformImage(w: Int, h: Int, r: Int, g: Int, b: Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** JPEG-encode at a PINNED quality (0.9): the default write param's
+    * quality is implementation-advisory, and the m13 oracle dict is only
+    * valid if fixture encode and probe encode share the exact
+    * quantization tables. */
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    codecPrologue()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = w.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** The decoded color of a uniform (r,g,b) image after a JPEG
+    * round-trip at the [[encodeJpeg]] quality. A uniform image stays
+    * uniform through JPEG (every block is DC-only → flat IDCT; chroma
+    * subsampling of a constant is the constant; partial edge blocks pad
+    * by edge replication) and the decoded value is INDEPENDENT of the
+    * image dimensions — Mp4Spec pins both properties across the fixture
+    * dim domain — so one 16×16 probe per palette entry is the whole
+    * oracle dict. */
+  def jpegRoundTripColor(r: Int, g: Int, b: Int): (Long, Long, Long) = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encodeJpeg(uniformImage(
+          16, 16, r, g, b))))
+      catch { case _: Exception => null }
+    require(img != null, s"jpeg probe failed for ($r,$g,$b)")
+    val p = img.getRGB(0, 0)
+    ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+  }
+
+  /** Deterministic Motion-JPEG-in-MP4: a REAL ISO-BMFF container whose
+    * video track is a full sample table (stsd 'jpeg' + stts + stsc +
+    * stsz + stco) over per-frame JPEG payloads in `mdat` — the fixture
+    * that lets [[mp4JpegFrames]] retire MP4 frame decode the way
+    * [[makeRealAvi]] retired AVI. 3 + id%4 frames of (11 + id%6) ×
+    * (9 + id%5) uniform pixels (odd dims on purpose: partial JPEG edge
+    * blocks), frame f's color = [[mjpegColor]]((id + 3f) % 20). Samples
+    * are laid out TWO per chunk (last chunk 1 when the count is odd), so
+    * the stsc run grammar is exercised non-degenerately, not as the
+    * trivial one-sample-per-chunk table. */
+  def makeMjpegMp4(docId: Long): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ fourcc(typ) ++ body
+    def full(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ body)
+    val w = (11 + docId % 6).toInt
+    val h = (9 + docId % 5).toInt
+    val nf = (3 + docId % 4).toInt
+    val frames = (0 until nf).map { f =>
+      val (r, g, b) = mjpegColor(((docId + 3 * f) % 20).toInt)
+      encodeJpeg(uniformImage(w, h, r, g, b))
+    }
+    val ftyp = box("ftyp", fourcc("isom") ++ be32(0) ++ fourcc("isom"))
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    // absolute file offsets: ftyp, then mdat header, then samples
+    val sampleOffs = frames.scanLeft(ftyp.length + 8L)(_ + _.length).init
+    val nChunks = (nf + 1) / 2
+    val chunkOffs = (0 until nChunks).map(ci => sampleOffs(2 * ci))
+    val timescale = 600L
+    val duration = nf * 150L
+    val mvhd = full("mvhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ be32(0x00010000L) ++ Array.fill(76)(0.toByte))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(duration) ++ Array.fill(52)(0.toByte) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = full("hdlr", be32(0) ++ fourcc("vide") ++
+      Array.fill(12)(0.toByte) ++ Array[Byte](0))
+    // VisualSampleEntry 'jpeg': 6 reserved + dataref(1) + 16 predefined/
+    // reserved + w + h + 72dpi×2 + reserved + framecount(1) + 32-byte
+    // compressor name + depth 24 + predefined -1
+    val sampleEntry = box("jpeg", Array.fill(6)(0.toByte) ++ be16(1) ++
+      Array.fill(16)(0.toByte) ++ be16(w) ++ be16(h) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+      Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff))
+    val stsd = full("stsd", be32(1) ++ sampleEntry)
+    val stts = full("stts", be32(1) ++ be32(nf.toLong) ++ be32(150))
+    val stscEntries =
+      if (nf % 2 == 0) be32(1) ++ be32(2) ++ be32(1)
+      else be32(1) ++ be32(2) ++ be32(1) ++
+        be32(nChunks.toLong) ++ be32(1) ++ be32(1)
+    val stsc = full("stsc",
+      be32(if (nf % 2 == 0) 1L else 2L) ++ stscEntries)
+    val stsz = full("stsz", be32(0) ++ be32(nf.toLong) ++
+      frames.flatMap(fr => be32(fr.length.toLong)).toArray)
+    val stco = full("stco", be32(nChunks.toLong) ++
+      chunkOffs.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1) ++
+      Array.fill(8)(0.toByte))
+    val dref = full("dref", be32(1) ++
+      box("url ", Array[Byte](0, 0, 0, 1)))
+    val minf = box("minf", vmhd ++ box("dinf", dref) ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
+  private def notMp4(p: Array[Byte]): Boolean =
+    p.length < 12 || new String(p.slice(4, 8), "US-ASCII") != "ftyp"
+
+  /** REAL MP4 Motion-JPEG demux — the full ISO-BMFF sample-table walk,
+    * pure byte arithmetic: moov → first trak whose stsd entry format is
+    * a JPEG fourcc (jpeg/mjpa/MJPG) → stsz sample sizes (fixed or
+    * per-sample), stco/co64 chunk offsets, stsc first_chunk/
+    * samples_per_chunk runs expanded per spec (a run covers chunks up to
+    * the next entry's first_chunk) — then slices each sample's JPEG
+    * bytes straight out of the payload at chunk_offset + intra-chunk
+    * cumulative size. Frames feed the bundled JPEG reader; this retires
+    * [[sampleFramesStub]] for MJPEG MP4 exactly as [[aviFrames]] did for
+    * AVI. Malformed tables stop the walk at the last consistent sample
+    * (all the information the bytes offer); no JPEG track → empty. */
+  def mp4JpegFrames(p: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    if (notMp4(p)) return IndexedSeq.empty
+    // (type, bodyStart, end) of each well-formed child box in [i0,limit)
+    def children(i0: Int, limit: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var i = i0
+      while (i + 8 <= limit) {
+        val sz0 = u32(i)
+        val (sz, hdr) =
+          if (sz0 == 1L && i + 16 <= limit) (u64(i + 8), 16)
+          else if (sz0 == 0L) ((limit - i).toLong, 8)
+          else (sz0, 8)
+        if (sz < hdr || i + sz > limit) i = limit
+        else { out += ((tag(i + 4), i + hdr, i + sz.toInt)); i += sz.toInt }
+      }
+      out.result()
+    }
+    def child(cs: List[(String, Int, Int)], t: String) = cs.find(_._1 == t)
+    val jpegTags = Set("jpeg", "mjpa", "MJPG")
+    val moov = child(children(0, p.length), "moov")
+      .getOrElse(return IndexedSeq.empty)
+    for ((t, b, e) <- children(moov._2, moov._3) if t == "trak") {
+      val stblOpt = for {
+        mdia <- child(children(b, e), "mdia")
+        minf <- child(children(mdia._2, mdia._3), "minf")
+        stbl <- child(children(minf._2, minf._3), "stbl")
+      } yield stbl
+      stblOpt.foreach { stbl =>
+        val cs = children(stbl._2, stbl._3)
+        val isJpeg = child(cs, "stsd").exists { case (_, sb, se) =>
+          // fullbox(4) + entry_count(4) + entry box: format at sb+12
+          sb + 16 <= se && u32(sb + 4) >= 1 && jpegTags(tag(sb + 12))
+        }
+        if (isJpeg) {
+          val sizes: IndexedSeq[Long] = child(cs, "stsz") match {
+            case Some((_, sb, se)) if sb + 12 <= se =>
+              val fixed = u32(sb + 4)
+              val n = u32(sb + 8).toInt
+              if (fixed != 0) IndexedSeq.fill(n)(fixed)
+              else (0 until n).takeWhile(i => sb + 12 + 4 * i + 4 <= se)
+                .map(i => u32(sb + 12 + 4 * i))
+            case _ => IndexedSeq.empty
+          }
+          val chunkOffs: IndexedSeq[Long] = cs.collectFirst {
+            case ("stco", sb, se) if sb + 8 <= se =>
+              val n = u32(sb + 4).toInt
+              (0 until n).takeWhile(i => sb + 8 + 4 * i + 4 <= se)
+                .map(i => u32(sb + 8 + 4 * i))
+            case ("co64", sb, se) if sb + 8 <= se =>
+              val n = u32(sb + 4).toInt
+              (0 until n).takeWhile(i => sb + 8 + 8 * i + 8 <= se)
+                .map(i => u64(sb + 8 + 8 * i))
+          }.getOrElse(IndexedSeq.empty)
+          val stscRuns: IndexedSeq[(Long, Long)] = child(cs, "stsc") match {
+            case Some((_, sb, se)) if sb + 8 <= se =>
+              val n = u32(sb + 4).toInt
+              (0 until n).takeWhile(i => sb + 8 + 12 * i + 12 <= se)
+                .map(i => (u32(sb + 8 + 12 * i), u32(sb + 8 + 12 * i + 4)))
+            case _ => IndexedSeq.empty
+          }
+          if (sizes.nonEmpty && chunkOffs.nonEmpty && stscRuns.nonEmpty) {
+            // expand stsc runs → samples_per_chunk for each chunk
+            val spc = chunkOffs.indices.map { ci =>
+              val chunkNo = ci + 1L
+              stscRuns.takeWhile(_._1 <= chunkNo).lastOption
+                .map(_._2).getOrElse(0L)
+            }
+            val out = IndexedSeq.newBuilder[Array[Byte]]
+            var si = 0
+            var ci = 0
+            var ok = true
+            while (ok && ci < chunkOffs.length && si < sizes.length) {
+              var off = chunkOffs(ci)
+              var j = 0L
+              while (ok && j < spc(ci) && si < sizes.length) {
+                val sz = sizes(si)
+                if (off < 0 || sz <= 0 || off + sz > p.length) ok = false
+                else {
+                  out += p.slice(off.toInt, (off + sz).toInt)
+                  off += sz; si += 1; j += 1
+                }
+              }
+              ci += 1
+            }
+            return out.result()
+          }
+        }
+      }
+    }
+    IndexedSeq.empty
+  }
+
+  /** [[mp4JpegFrames]] fused with [[frameStats]] — the MP4 sibling of
+    * [[videoFrameStatsFused]]: sample-table demux → bundled-JPEG decode
+    * ([[FrameDecoder]]: one reader per partition) → channel sums, all
+    * row-local (a clip's frames live in its own payload; zero shuffles,
+    * linear in frames — the property that holds at billions of clips).
+    * Sentinels: non-MP4 payload → one frame_idx −1 row; no JPEG track /
+    * broken sample table → no rows (the [[sampleVideoFrames]] zero-frame
+    * rule); an undecodable sample → −1 stats at its frame_idx. */
+  def mp4FrameStats(ds: Dataset[PayloadRow], stride: Int)
+      : Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    ds.mapPartitions { rows =>
+      codecPrologue()
+      val dec = new FrameDecoder
+      rows.flatMap { r =>
+        if (notMp4(r.payload))
+          Iterator.single(
+            FrameStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+        else {
+          val frames =
+            try mp4JpegFrames(r.payload)
+            catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+          Iterator.range(0, frames.length, stride).map { i =>
+            val img = dec.decode(frames(i))
+            if (img == null)
+              FrameStats(r.doc_id, i.toLong, -1L, -1L, -1L, -1L, -1L, -1L)
+            else {
+              val (fw, fh, sr, sg, sb) = rgbSums(img)
+              FrameStats(r.doc_id, i.toLong, fw, fh, fw * fh, sr, sg, sb)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** [[mp4Header]] over a payload Dataset — typed map, Tungsten
     * encoders, no per-row setup ([[audioHeaders]]' video sibling). */
   def videoHeaders(ds: Dataset[PayloadRow]): Dataset[VideoHeader] = {
@@ -1265,8 +1547,8 @@ object Binary {
     * `stride`-th frame, re-encode each as lossless PNG so downstream
     * per-frame ops ([[frameStats]], [[pixelStats]]) decode it exactly.
     * Partition-batched like [[decodePartitions]]; payloads with no
-    * reader (true video containers — genuinely env-blocked, the ONLY
-    * remaining stub territory, see [[sampleFramesStub]]) emit one
+    * reader (video containers with no JVM codec for their payload —
+    * genuinely env-blocked, see [[sampleFramesStub]]) emit one
     * doc-level sentinel row (frame_idx = -1, empty payload) rather than
     * failing the batch or vanishing. Frame count per payload is bounded
     * (a decode, not a scan), so the per-row materialization is fine. */
@@ -1673,11 +1955,12 @@ object Binary {
     * discipline is the real thing: per-partition demux context, lazy
     * output, no per-row setup, no materialized frame lists. Superseded by
     * [[sampleFrames]] for every format `javax.imageio` can read (GIF
-    * sequences included) and by [[sampleVideoFrames]] for RIFF/AVI;
+    * sequences included), by [[sampleVideoFrames]] for RIFF/AVI, and by
+    * [[mp4JpegFrames]]/[[mp4FrameStats]] for Motion-JPEG MP4;
     * MP4- and Matroska-class metadata is real too ([[mp4Header]],
-    * [[mkvHeader]]), so the stub's
-    * remaining territory is ONLY frame decode of containers with no JVM
-    * codec (MP4/Matroska payload bytes). */
+    * [[mkvHeader]]), so the stub's remaining territory is ONLY frame
+    * decode of payloads with no JVM codec (H.264/VP9-class codec bytes
+    * in MP4/Matroska). */
   def sampleFramesStub(ds: Dataset[PayloadRow], stride: Int,
                        frameBytes: Int): Dataset[Frame] = {
     import ds.sparkSession.implicits._

@@ -50,7 +50,12 @@ object ModelStore {
     // per-population per-dimension mean vectors
     // (operators/Eval.meanVectors — the embedding-drift fit): 2·dims
     // rows, the engine-order double averages e05's oracle reads back
-    "mean_vecs" -> Set("pop", "i", "w"))
+    "mean_vecs" -> Set("pop", "i", "w"),
+    // JPEG round-trip palette (Binary.jpegRoundTripColor per
+    // Binary.mjpegColor entry): input palette id → decoded channel
+    // values — m13's oracle dict (JPEG's deterministic lossy shift has
+    // no SQL closed form; Mp4Spec pins probe↔frame equivalence)
+    "jpeg_dict" -> Set("c", "dr", "dg", "db"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

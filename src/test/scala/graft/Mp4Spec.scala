@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Binary
+
+/** MP4 Motion-JPEG demux + decode (the m13 gate's machinery): the
+  * sample-table walk against the spec-shaped fixture, the JPEG
+  * round-trip invariants the exported oracle dict rests on, and the
+  * fused Dataset operator's sentinel discipline. */
+class Mp4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def decode(p: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+
+  test("makeMjpegMp4 is a parseable ISO-BMFF container (mp4Header reads it)") {
+    for (id <- 0L to 25L) {
+      val (brand, ts, ms, nTracks, w, h) = Binary.mp4Header(
+        Binary.makeMjpegMp4(id))
+      assert(brand == "isom")
+      assert(ts == 600L)
+      val nf = 3 + id % 4
+      assert(ms == nf * 150L * 1000L / 600L)
+      assert(nTracks == 1L)
+      assert(w == 11 + id % 6 && h == 9 + id % 5)
+    }
+  }
+
+  test("mp4JpegFrames walks stsd/stsc/stsz/stco to the exact sample set") {
+    for (id <- 0L to 25L) {
+      val frames = Binary.mp4JpegFrames(Binary.makeMjpegMp4(id))
+      assert(frames.length == 3 + id % 4, s"doc $id frame count")
+      for ((fr, f) <- frames.zipWithIndex) {
+        // each sample is a standalone JPEG: SOI marker + decodable
+        assert((fr(0) & 0xff) == 0xff && (fr(1) & 0xff) == 0xd8,
+          s"doc $id frame $f lacks SOI")
+        val img = decode(fr)
+        assert(img != null, s"doc $id frame $f undecodable")
+        assert(img.getWidth == 11 + id % 6 && img.getHeight == 9 + id % 5)
+      }
+    }
+  }
+
+  test("jpeg round-trip of a uniform image is uniform and dim-independent") {
+    // The oracle dict probes ONE 16x16 image per palette entry; the gate
+    // decodes (11+i%6)x(9+i%5) frames. Pin: for every fixture dim and a
+    // palette sample, the decoded image is a single color equal to the
+    // 16x16 probe's.
+    for (c <- Seq(0, 7, 13, 19)) {
+      val (r, g, b) = Binary.mjpegColor(c)
+      val (pr, pg, pb) = Binary.jpegRoundTripColor(r, g, b)
+      for (w <- 11 to 16; h <- 9 to 13) {
+        // go through the real fixture+demux path to use the same encoder
+        val id = (0L to 119L).find(i =>
+          11 + i % 6 == w && 9 + i % 5 == h && (i % 20) == c)
+        id.foreach { i =>
+          val img = decode(Binary.mp4JpegFrames(Binary.makeMjpegMp4(i))(0))
+          val colors = (0 until img.getHeight).flatMap(y =>
+            (0 until img.getWidth).map(x => img.getRGB(x, y))).distinct
+          assert(colors.length == 1, s"dims ${w}x$h c=$c not uniform")
+          val p = colors.head
+          assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) ==
+            (pr, pg, pb), s"dims ${w}x$h c=$c differs from 16x16 probe")
+        }
+      }
+    }
+  }
+
+  test("mp4FrameStats: fused demux+decode matches dict color x n_pixels; sentinels") {
+    import spark.implicits._
+    val ids = (0L until 40L).toSeq
+    val src = spark.createDataset(ids).map { id =>
+      if (id % 10 == 9)
+        Binary.PayloadRow(id, s"not a video $id".getBytes("UTF-8"))
+      else if (id % 10 == 8)
+        // real MP4 but header-only (no JPEG track): zero rows expected
+        Binary.PayloadRow(id, Binary.makeMp4(id))
+      else Binary.PayloadRow(id, Binary.makeMjpegMp4(id))
+    }
+    val got = Binary.mp4FrameStats(src, stride = 1).collect()
+      .groupBy(_.doc_id)
+    for (id <- ids) {
+      if (id % 10 == 9) {
+        assert(got(id).toSeq == Seq(
+          Binary.FrameStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)))
+      } else if (id % 10 == 8) {
+        assert(!got.contains(id), s"doc $id: no-JPEG-track must emit 0 rows")
+      } else {
+        val w = 11 + id % 6; val h = 9 + id % 5; val nf = 3 + id % 4
+        val rows = got(id).sortBy(_.frame_idx)
+        assert(rows.length == nf)
+        for (fs <- rows) {
+          val c = ((id + 3 * fs.frame_idx) % 20).toInt
+          val (r, g, b) = Binary.mjpegColor(c)
+          val (dr, dg, db) = Binary.jpegRoundTripColor(r, g, b)
+          assert(fs.width == w && fs.height == h && fs.n_pixels == w * h)
+          assert((fs.sum_r, fs.sum_g, fs.sum_b) ==
+            (dr * w * h, dg * w * h, db * w * h),
+            s"doc $id frame ${fs.frame_idx}")
+        }
+      }
+    }
+  }
+
+  test("malformed sample tables stop at the last consistent sample") {
+    val good = Binary.makeMjpegMp4(3L)
+    // truncate mid-mdat: offsets past the cut fail the bounds check and
+    // the walk stops; no exception, no garbage frames
+    val cut = java.util.Arrays.copyOf(good, good.length * 2 / 3)
+    val frames = Binary.mp4JpegFrames(cut)
+    assert(frames.forall(f => (f(0) & 0xff) == 0xff))
+    // moov was truncated away entirely -> empty is also acceptable shape
+    assert(frames.length <= Binary.mp4JpegFrames(good).length)
+  }
+}
