@@ -2173,6 +2173,47 @@ object OracleSql {
 
     // q46: snapshot synthesis + full-outer classification re-derived;
     // IS DISTINCT FROM mirrors SnapshotDiff's null-safe <=>.
+    // Jinja loop/conditional rendering (q47): the oracle re-renders the
+    // EXACT body string — the capped child list via a row_number()-capped
+    // string_agg (ties broken by the rendered line, matching the struct
+    // sort), the {% if %} via CASE on the child count, the "By" line via
+    // a distinct subquery (numeric order, as array_sort on longs).
+    "q47_notify_summary" ->
+      """WITH cnt AS (SELECT l_orderkey,
+             SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r
+           FROM lineitem GROUP BY 1),
+         ranked AS (SELECT l_orderkey,
+             'line ' || l_linenumber || ' part ' || l_partkey AS ln,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber,
+                 ('line ' || l_linenumber || ' part ' || l_partkey)) AS rn
+           FROM lineitem WHERE l_returnflag = 'R'),
+         ret AS (SELECT l_orderkey,
+             '        ' || string_agg(CASE WHEN rn <= 5 THEN ln END,
+               chr(10) || '        ' ORDER BY rn)
+               || CASE WHEN COUNT(*) > 5
+                  THEN chr(10) || '        ...' ELSE '' END AS ret_list
+           FROM ranked GROUP BY l_orderkey),
+         sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         byl AS (SELECT l_orderkey,
+             string_agg(l_suppkey, ', ' ORDER BY l_suppkey) AS by_line
+           FROM sup GROUP BY l_orderkey)
+         SELECT c.l_orderkey AS o_orderkey,
+           'Order ' || c.l_orderkey || ': ' || c.n_r || ' returned of '
+             || c.n_f || 'F/' || c.n_o || 'O' AS subject,
+           'ORDER ' || c.l_orderkey || chr(10) || '    Status' || chr(10)
+             || '        F: ' || c.n_f || '  O: ' || c.n_o
+             || CASE WHEN c.n_r > 0 THEN chr(10) || '    Returns'
+                  || chr(10) || r.ret_list ELSE '' END
+             || chr(10) || '    By' || chr(10) || '        ' || b.by_line
+             AS body
+         FROM cnt c
+         LEFT JOIN ret r ON c.l_orderkey = r.l_orderkey
+         JOIN byl b ON c.l_orderkey = b.l_orderkey
+         ORDER BY o_orderkey""",
+
     "q46_snapshot_diff" ->
       s"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
              o_orderpriority

@@ -436,6 +436,50 @@ object SparkEntry {
       .orderBy("notification_id")
   }
 
+  /** Conditional/loop notification rendering — the reference's Jinja2
+    * summary-with-children shape (templates/test.j2:11-52
+    * `container_summary`: per-container status counts, a capped ordered
+    * child list with an "..." overflow line gated on children existing,
+    * and a sorted-distinct "By" line; checkout_description.txt.j2's
+    * `max_list_len = 5`) rendered RELATIONALLY: one groupBy per
+    * container (order ← checkout, lineitems ← tests), the loop as
+    * [[graft.monitor.Subscriptions.cappedListAgg]] (collect → sort →
+    * slice → array_join, codegen'd), the `{% if %}` as a `when` on the
+    * child count, the subject through q24's `{col}` interpolation +
+    * clip discipline. One shuffle total; body width is bounded by the
+    * cap, never by fan-out. The DuckDB oracle re-renders the exact
+    * string with string_agg over a row_number()-capped subquery. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import graft.monitor.Subscriptions
+    val ind = "        "
+    val li = t(s, dir, "lineitem")
+    val agg = li.groupBy(col("l_orderkey"))
+      .agg(
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"),
+        Subscriptions.cappedListAgg(
+          concat(lit("line "), col("l_linenumber").cast("string"),
+            lit(" part "), col("l_partkey").cast("string")),
+          col("l_linenumber"), col("l_returnflag") === "R",
+          maxListLen = 5, indent = ind).as("ret_list"),
+        Subscriptions.distinctJoinAgg(col("l_suppkey"), ", ").as("by_line"))
+    agg.select(
+        col("l_orderkey").as("o_orderkey"),
+        Subscriptions.renderSubject(
+          "Order {l_orderkey}: {n_r} returned of {n_f}F/{n_o}O")
+          .as("subject"),
+        Subscriptions.renderBodyCol(concat(
+          lit("ORDER "), col("l_orderkey").cast("string"),
+          lit("\n    Status\n" + ind + "F: "), col("n_f").cast("string"),
+          lit("  O: "), col("n_o").cast("string"),
+          when(col("n_r") > 0,
+            concat(lit("\n    Returns\n"), col("ret_list")))
+            .otherwise(lit("")),
+          lit("\n    By\n" + ind), col("by_line"))).as("body"))
+      .orderBy("o_orderkey")
+  }
+
   /** Array-of-struct JSON extraction — the reference's `get-url-stats`
     * OBJECT_SPECS shape (get-url-stats:12-26: `output_files: [{url}]`
     * arrays of {name, url} objects next to scalar url fields, extracted
@@ -3118,6 +3162,7 @@ object SparkEntry {
     "q44_column_profile" -> (q44 _),
     "q45_incr_rollup" -> (q45 _),
     "q46_snapshot_diff" -> (q46 _),
+    "q47_notify_summary" -> (q47 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),

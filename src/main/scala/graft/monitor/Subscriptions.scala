@@ -110,6 +110,45 @@ object Subscriptions {
   def renderBody(tpl: String): Column =
     clip(renderTemplate(tpl), BodyMaxLen)
 
+  /** The body discipline over an already-built Column (the loop/
+    * conditional renderings of [[cappedListAgg]] compose bodies from
+    * aggregates, not `{col}` templates): the same 64 KiB clip. */
+  def renderBodyCol(c: Column): Column = clip(c, BodyMaxLen)
+
+  /** The Jinja loop-with-cap of the reference's container_summary
+    * macros (templates/test.j2:11-52: a capped, ordered child list with
+    * an overflow "..." line; templates/checkout_description.txt.j2's
+    * `max_list_len = 5` slices) as ONE codegen'd aggregate expression:
+    * collect (order, line) structs for children passing `include`
+    * (`when` without otherwise is null and collect_list drops nulls —
+    * Jinja's `if` inside the loop), sort by (order, line) — the line
+    * string is the deterministic tiebreak for duplicate orders — cap at
+    * `maxListLen`, join with newline+indent, append the overflow
+    * marker. Output is bounded (≤ maxListLen+1 lines); collected state
+    * is bounded by a single container's child fan-out, not corpus size
+    * — exactly what the reference renders from one loaded container.
+    * No UDF: rendering every container of a 100 TB load stays inside
+    * whole-stage codegen. */
+  def cappedListAgg(line: Column, order: Column, include: Column,
+                    maxListLen: Int, indent: String): Column = {
+    val sorted = array_sort(collect_list(
+      when(include, struct(order.as("o"), line.as("l")))))
+    val top = transform(slice(sorted, 1, maxListLen), x => x.getField("l"))
+    concat(lit(indent), array_join(top, "\n" + indent),
+      when(size(sorted) > maxListLen, lit("\n" + indent + "..."))
+        .otherwise(lit("")))
+  }
+
+  /** The sorted-distinct "By" line of the same macros
+    * (test.j2:49-51: `map(attribute="origin") | unique | sort |
+    * join(", ")`) — collect_set → array_sort → join, all codegen'd.
+    * Sorting happens in the value's own type (numeric ids sort
+    * numerically, as the oracle's ORDER BY does), then renders as
+    * string. */
+  def distinctJoinAgg(value: Column, sep: String): Column =
+    array_join(transform(array_sort(collect_set(value)),
+      _.cast("string")), sep)
+
   /** [[matchRaw]] plus the rendered message columns — what a
     * notification consumer reads beyond the spool id. Bodies travel as
     * md5 (the spool stores digests; full bodies are a transport

@@ -286,4 +286,32 @@ class SubscriptionsSpec extends AnyFunSuite {
     assert(subj.forall(_.startsWith("customer Customer#")),
       s"subject must interpolate c_name: ${subj.take(2).toSeq}")
   }
+
+  test("cappedListAgg: Jinja loop semantics — order, tiebreak, cap, overflow, if") {
+    import spark.implicits._
+    // container 1: 7 included children (cap 3 → overflow line);
+    // container 2: 2 included, 1 excluded (no overflow, if-filter);
+    // container 3: zero included (empty list body);
+    // duplicate order keys in container 1 pin the line-string tiebreak.
+    val rows = Seq(
+      (1L, 5L, "e"), (1L, 2L, "b"), (1L, 2L, "a"), (1L, 1L, "x"),
+      (1L, 9L, "g"), (1L, 7L, "f"), (1L, 3L, "c"),
+      (2L, 2L, "keep2"), (2L, 1L, "keep1"), (2L, 3L, "SKIP"),
+      (3L, 1L, "SKIP")).toDF("k", "o", "l")
+    val got = rows.groupBy("k").agg(
+        graft.monitor.Subscriptions.cappedListAgg(
+          col("l"), col("o"), col("l") =!= "SKIP",
+          maxListLen = 3, indent = "  ").as("list"),
+        graft.monitor.Subscriptions.distinctJoinAgg(col("o"), ", ")
+          .as("by"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    // sorted by (o, l): (1,x) (2,a) (2,b) | cap | ... overflow
+    assert(got(1L)._1 == "  x\n  a\n  b\n  ...")
+    assert(got(1L)._2 == "1, 2, 3, 5, 7, 9")
+    // under the cap: no overflow marker; excluded child absent
+    assert(got(2L)._1 == "  keep1\n  keep2")
+    // nothing included: bare indent (caller's {% if %} guards emission)
+    assert(got(3L)._1 == "  ")
+  }
 }
