@@ -19,8 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * catalog) and writes its result as parquet; `count` prints the
   * kcidb-count analog (q08); `dump` is the windowed dump
   * (Loader.dumpWindow over the events table) with optional
-  * [after, until) ISO bounds. Session config matches Verify/Bench so
-  * CLI results are the gate results.
+  * (after, until] ISO bounds — exclusive lower, inclusive upper, the
+  * reference's dump_iter window. `init`/`empty`/`cleanup` are the
+  * kcidb-db-init/-empty/-cleanup analogs over the parquet warehouse
+  * `load`/`merge` write (sources/Warehouse lifecycle). Session config
+  * matches Verify/Bench so CLI results are the gate results.
   */
 object Cli {
 
@@ -72,15 +75,18 @@ object Cli {
           lit(after.replace('T', ' ')).cast("timestamp"),
           lit(until.replace('T', ' ')).cast("timestamp"))
         df.write.mode("overwrite").parquet(outDir)
-        println(s"dump [$after, $until) -> $outDir")
+        println(s"dump ($after, $until] -> $outDir")
         Some(df)
       case "load" :: path :: outDir :: rest if rest.size <= 1 =>
         // kcidb-load: one report file (or same-shaped glob) into a
         // per-type parquet warehouse
         val types = rest.headOption.getOrElse("checkouts,builds,tests")
           .split(",").toSeq
+        // absolute parent: a bare relative filename has null getParent,
+        // which would NPE inside session() instead of reading the file
         val rep = graft.sources.Reports.read(
-          session(new java.io.File(path).getParent), path, types)
+          session(new java.io.File(path).getAbsoluteFile.getParent),
+          path, types)
         rep.tables.foreach { case (t, df) =>
           df.write.mode("overwrite").parquet(s"$outDir/$t")
           println(s"$t (v${rep.version._1}.${rep.version._2}) " +
@@ -91,7 +97,8 @@ object Cli {
         Some(rep.tables.values.head)
       case "merge" :: outDir :: paths if paths.size >= 2 =>
         // kcidb-merge: union reports per type, drop exact duplicates
-        val s = session(new java.io.File(paths.head).getParent)
+        val s = session(
+          new java.io.File(paths.head).getAbsoluteFile.getParent)
         val types = Seq("checkouts", "builds", "tests")
         val merged = graft.sources.Reports.merge(
           paths.map(p => graft.sources.Reports.read(s, p, types)))
@@ -100,12 +107,33 @@ object Cli {
           println(s"$t -> $outDir/$t")
         }
         merged.values.headOption
+      case "init" :: whDir :: rest if rest.size <= 1 =>
+        // kcidb-db-init: empty schema'd warehouse + version marker
+        val v = rest.headOption.map { r =>
+          val Array(ma, mi) = r.split("\\.")
+          (ma.toInt, mi.toInt)
+        }.getOrElse((4, 3))
+        graft.sources.Warehouse.init(session(whDir), whDir, v)
+        println(s"initialized $whDir at v${v._1}.${v._2}")
+        None
+      case "empty" :: whDir :: Nil =>
+        // kcidb-db-empty: drop data, keep schemas + initialization
+        graft.sources.Warehouse.empty(session(whDir), whDir)
+        println(s"emptied $whDir")
+        None
+      case "cleanup" :: whDir :: Nil =>
+        // kcidb-db-cleanup: deinitialize (tables + marker removed)
+        graft.sources.Warehouse.cleanup(whDir)
+        println(s"cleaned up $whDir")
+        None
       case other =>
         throw new IllegalArgumentException(
           s"usage: list | run <query> <sfDir> <outDir> | count <sfDir> " +
             s"| dump <sfDir> <outDir> [afterIso untilIso] " +
             s"| load <reportJson> <outDir> [types] " +
             s"| merge <outDir> <reportJson> <reportJson>... " +
+            s"| init <whDir> [major.minor] | empty <whDir> " +
+            s"| cleanup <whDir> " +
             s"(got: ${other.mkString(" ")})")
     }
 

@@ -908,6 +908,12 @@ object SparkEntry {
       }
     val base = new java.io.File(root, s"$gateRunId/$gate")
     java.nio.file.Files.createDirectories(base.toPath)
+    // touch OUR run dir on every call: GC keys liveness on the run
+    // dir's mtime, which otherwise only moves when a NEW gate dir is
+    // created — a run alive past the cutoff could have its models
+    // collected by a concurrent JVM mid-oracle
+    new java.io.File(root, gateRunId)
+      .setLastModified(System.currentTimeMillis)
     base.getAbsolutePath
   }
 

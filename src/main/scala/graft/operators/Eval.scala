@@ -143,8 +143,17 @@ object Eval {
         s"Eval.chi2FromCells: missing cells column '$c' " +
           s"(has: ${cells.columns.mkString(", ")})")
     val tot = cells.agg(sum("o_a").as("n_a"), sum("o_b").as("n_b"))
-    // 1-row totals zip — the p08/t05 declared scalar-broadcast class
+    // 1-row totals zip — the p08/t05 declared scalar-broadcast class.
+    // Degenerate input (one population empty) guards LOUDLY: every
+    // chi-squared term divides by nw·ct·n, so a zero population total
+    // would silently turn the whole frame Infinity/NaN downstream.
     val z = cells.crossJoin(broadcast(tot))
+      .withColumn("n_a", when(col("n_a") > 0, col("n_a")).otherwise(
+        raise_error(concat(lit("Eval.chi2FromCells: population A is " +
+          "empty — chi-squared is undefined on a one-population input")))))
+      .withColumn("n_b", when(col("n_b") > 0, col("n_b")).otherwise(
+        raise_error(concat(lit("Eval.chi2FromCells: population B is " +
+          "empty — chi-squared is undefined on a one-population input")))))
     def term(o: Column, nw: Column): Column = {
       val ct = col("o_a") + col("o_b")
       val n = col("n_a") + col("n_b")

@@ -46,10 +46,13 @@ object Mux {
     require(members.map(_.path).distinct.size == members.size,
       s"mux member paths must be distinct: ${members.map(_.path)}")
     val once = df.localCheckpoint(eager = false)
-    members.foreach { m =>
+    // unpersist after the last member write: a long-lived session
+    // loading repeatedly (the append-mode use case) would otherwise
+    // accumulate checkpoint blocks until storage pressure evicts them
+    try members.foreach { m =>
       sch.upgrade(once, from, m.version)
         .write.mode(mode).parquet(m.path)
-    }
+    } finally { once.unpersist(); () }
   }
 
   /** Read back the FIRST member — mux.py:433 `self.drivers[0]

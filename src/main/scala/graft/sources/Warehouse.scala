@@ -35,4 +35,115 @@ object Warehouse {
   /** Read a catalog table back (bucket metadata rides along). */
   def table(df: DataFrame, name: String): DataFrame =
     df.sparkSession.table(name)
+
+  // -- Parquet-warehouse lifecycle: the kcidb-db-init / -empty /
+  // -cleanup analogs (reference setup.py:84-88 entry points;
+  // kcidb/db/__init__.py:102-146 Client.init/cleanup/empty) over the
+  // per-type parquet directory the CLI's load/merge commands write.
+  // "Initialized" is a version marker file plus one parquet dir per
+  // object type; init refuses an initialized warehouse, empty/cleanup
+  // refuse an uninitialized one — the reference's assertion discipline
+  // surfaced as loud IllegalStateExceptions.
+
+  /** Object types of a report warehouse (the reference I/O schema's
+    * top-level arrays). */
+  val ReportTypes: Seq[String] = Seq("checkouts", "builds", "tests")
+
+  /** Minimal per-type schemas for an EMPTY initialized warehouse — the
+    * id/linkage core of the reference I/O schema (io/schema/v04_03.py:
+    * checkouts.id/origin/tree, builds.id→checkout_id, tests.id→
+    * build_id/status/path). Loads widen them: parquet reads merge
+    * schemas across files, so an empty core table plus loaded wide
+    * files query as the union, exactly like ALTER TABLE ADD COLUMN. */
+  private def coreSchema(t: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(t match {
+      case "checkouts" => Seq("id", "origin", "tree_name",
+        "git_commit_hash").map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType))
+      case "builds" => Seq("id", "checkout_id", "origin",
+        "architecture").map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType))
+      case "tests" => Seq("id", "build_id", "origin", "status",
+        "path").map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.StringType))
+      case other => throw new IllegalArgumentException(
+        s"unknown warehouse type '$other' (want: $ReportTypes)")
+    })
+
+  private def marker(dir: String) = new java.io.File(dir, "_graft_version")
+
+  /** kcidb Client.is_initialized: the version marker decides. */
+  def isInitialized(dir: String): Boolean = marker(dir).exists()
+
+  /** The initialized warehouse's schema version (major, minor). */
+  def version(dir: String): (Int, Int) = {
+    require(isInitialized(dir), s"warehouse $dir is not initialized")
+    val Array(ma, mi) = new String(java.nio.file.Files.readAllBytes(
+      marker(dir).toPath), "UTF-8").trim.split("\\.")
+    (ma.toInt, mi.toInt)
+  }
+
+  /** kcidb-db-init: create the warehouse at a schema version — one
+    * EMPTY parquet table per type (schema'd, so queries against a fresh
+    * warehouse plan normally and return zero rows) plus the version
+    * marker. Refuses an already-initialized warehouse, as the
+    * reference's init_main does without --ignore-initialized. */
+  def init(spark: org.apache.spark.sql.SparkSession, dir: String,
+           version: (Int, Int) = (4, 3)): Unit = {
+    if (isInitialized(dir)) throw new IllegalStateException(
+      s"warehouse $dir is already initialized")
+    ReportTypes.foreach { t =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        coreSchema(t))
+        // repartition(1), not coalesce: an empty RDD has ZERO
+        // partitions and coalesce keeps that — no part file, no footer,
+        // and the "initialized" table would be unreadable. repartition
+        // materializes one empty partition → one schema-bearing file.
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/$t")
+    }
+    java.nio.file.Files.write(marker(dir).toPath,
+      s"${version._1}.${version._2}\n".getBytes("UTF-8"))
+    ()
+  }
+
+  /** kcidb-db-empty: remove all DATA, keep the initialized warehouse —
+    * each type is rewritten as an empty frame with its CURRENT schema
+    * (loaded wide columns survive as schema, as the reference's empty()
+    * truncates tables without dropping them). */
+  def empty(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    require(isInitialized(dir), s"warehouse $dir is not initialized")
+    ReportTypes.filter(t => new java.io.File(dir, t).exists())
+      .foreach { t =>
+        val schema = spark.read.parquet(s"$dir/$t").schema
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // write to a sibling then swap: overwriting the dir being read
+        // would race the schema we just captured
+        val tmp = s"$dir/.${t}_empty_tmp"
+        empty.repartition(1).write.mode("overwrite").parquet(tmp)
+        rmTree(new java.io.File(dir, t))
+        require(new java.io.File(tmp).renameTo(new java.io.File(dir, t)),
+          s"could not swap emptied table into $dir/$t")
+      }
+  }
+
+  /** kcidb-db-cleanup: deinitialize — remove the type dirs and the
+    * marker; the warehouse directory itself survives (it may be a
+    * mount point, as the reference's database server does). */
+  def cleanup(dir: String): Unit = {
+    require(isInitialized(dir), s"warehouse $dir is not initialized")
+    ReportTypes.foreach(t => rmTree(new java.io.File(dir, t)))
+    marker(dir).delete()
+    ()
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
 }

@@ -22,13 +22,67 @@ class CliSpec extends AnyFunSuite {
       SparkEntry.queries("q08_count_objects")(spark, sf).columns.toSeq)
   }
 
-  test("dump honors the [after, until) window bounds") {
+  test("dump honors the (after, until] window bounds exactly") {
+    import org.apache.spark.sql.functions._
     val out = java.nio.file.Files
       .createTempDirectory("graft-cli-dump").toString
     val all = Cli.dispatch(Array("dump", sf, s"$out/all")).get.count()
-    val some = Cli.dispatch(Array("dump", sf, s"$out/some",
-      "2024-01-10T00:00:00", "2024-01-20T00:00:00")).get.count()
-    assert(all > 0 && some > 0 && some < all)
+    val a = "2024-01-10T00:00:00"; val u = "2024-01-20T00:00:00"
+    val some = Cli.dispatch(Array("dump", sf, s"$out/some", a, u)).get
+    // EXACT bound semantics (dump_iter's window): exclusive lower,
+    // inclusive upper — not just `some < all`
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") > lit(a.replace('T', ' ')).cast("timestamp") &&
+        col("ts") <= lit(u.replace('T', ' ')).cast("timestamp"))
+      .count()
+    assert(all > 0 && some.count() == want && want < all)
+  }
+
+  test("init/empty/cleanup: the warehouse lifecycle analogs") {
+    import graft.sources.Warehouse
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cli-wh")
+    val wh = dir.resolve("wh").toString
+    Cli.dispatch(Array("init", wh, "4.3"))
+    assert(Warehouse.isInitialized(wh) && Warehouse.version(wh) == (4, 3))
+    // initialized tables are schema'd and empty — queries plan normally
+    val builds = spark.read.parquet(s"$wh/builds")
+    assert(builds.count() == 0 &&
+      builds.columns.contains("checkout_id"))
+    // double-init refuses, like the reference without --ignore-initialized
+    intercept[IllegalStateException] { Cli.dispatch(Array("init", wh)) }
+    // load data in, then empty: data gone, schema + marker survive
+    val rep = dir.resolve("r.json")
+    java.nio.file.Files.writeString(rep,
+      """{"version": {"major": 4, "minor": 3},
+          "builds": [{"id": "b1", "checkout_id": "c1",
+                      "origin": "o", "extra_col": "wide"}]}""")
+    Cli.dispatch(Array("load", rep.toString, wh, "builds"))
+    assert(spark.read.parquet(s"$wh/builds").count() == 1)
+    Cli.dispatch(Array("empty", wh))
+    val emptied = spark.read.parquet(s"$wh/builds")
+    assert(emptied.count() == 0 && Warehouse.isInitialized(wh))
+    // empty() keeps the CURRENT (widened) schema, not the core one
+    assert(emptied.columns.contains("extra_col"))
+    // cleanup deinitializes; empty on uninitialized refuses
+    Cli.dispatch(Array("cleanup", wh))
+    assert(!Warehouse.isInitialized(wh) &&
+      !new java.io.File(wh, "builds").exists())
+    intercept[IllegalArgumentException] { Cli.dispatch(Array("empty", wh)) }
+  }
+
+  test("load accepts a bare relative report filename") {
+    val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
+    val f = java.io.File.createTempFile("graft-rel-", ".json", cwd)
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"version": {"major": 4, "minor": 3},
+          "builds": [{"id": "b1", "origin": "o"}]}""")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-rel").toString
+    // pre-fix this NPE'd inside session(new File(path).getParent)
+    Cli.dispatch(Array("load", f.getName, out, "builds"))
+    assert(spark.read.parquet(s"$out/builds").count() == 1)
   }
 
   test("load ingests a JSON report per type; merge dedups across " +

@@ -53,6 +53,19 @@ class EvalSpec extends AnyFunSuite {
     assert(tot.getDouble(4) == k1.getDouble(4) + k2.getDouble(4))
   }
 
+  test("chi2Drift refuses a one-population input loudly (no NaN frame)") {
+    // all rows on one side: every term would divide by zero and the
+    // doubles would go Infinity/NaN silently without the guard
+    val rows = Seq.fill(10)(("k1", true)) ++ Seq.fill(5)(("k2", true))
+    val e = intercept[Exception] {
+      Eval.chi2Drift(rows.toDF("k", "a"), col("k"), col("a")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("population")), s"got: ${msgs(e)}")
+  }
+
   test("ks2Sample: exact rational D and the FIRST witness value") {
     // A = [1,2,3], B = [3,4]: diffs over the grid are 2,4,3,0 ->
     // D = 4/6 at v=2
