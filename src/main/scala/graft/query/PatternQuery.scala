@@ -55,7 +55,11 @@ object PatternQuery {
   def parse(pattern: String): Seq[Step] = {
     var i = 0
     val n = pattern.length
-    def ws(): Unit = while (i < n && pattern(i).isWhitespace) i += 1
+    // ASCII whitespace ONLY (%x09-0d / %x20) — the reference compiles
+    // its grammar with re.ASCII, so U+2028-class Unicode whitespace is
+    // INVALID there and must be invalid here (r15 fuzz-parity finding)
+    def ws(): Unit = while (i < n && (pattern(i) == ' ' ||
+      (pattern(i) >= '\t' && pattern(i) <= '\r'))) i += 1
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(
         s"$msg at position $i in pattern: $pattern")
@@ -69,7 +73,11 @@ object PatternQuery {
             i += 1
             if (i >= n || (pattern(i) != '"' && pattern(i) != '\\'))
               fail("invalid escape in quoted ID field")
-          }
+          } else if (pattern(i) < ' ' || pattern(i) > '~')
+            // quoted fields admit PRINTABLE ASCII only (ABNF %x20-21 /
+            // %x23-5b / %x5d-7e) — control chars and non-ASCII are
+            // invalid in the reference's re.ASCII grammar
+            fail("non-printable-ASCII character in quoted ID field")
           sb += pattern(i); i += 1
         }
         if (i >= n) fail("unterminated quoted ID field")
@@ -111,8 +119,11 @@ object PatternQuery {
         if (i < n && pattern(i) == '*') { i += 1; "*" }
         else {
           val start = i
-          while (i < n && (pattern(i).isLower && pattern(i) < 128 ||
-            pattern(i).isDigit || pattern(i) == '_')) i += 1
+          // [a-z0-9_] ASCII-only: Char.isDigit would admit Unicode
+          // digits (U+0663-class) the re.ASCII reference rejects
+          while (i < n && (pattern(i) >= 'a' && pattern(i) <= 'z' ||
+            pattern(i) >= '0' && pattern(i) <= '9' ||
+            pattern(i) == '_')) i += 1
           if (i == start) fail("expected type name or '*'")
           pattern.substring(start, i)
         }

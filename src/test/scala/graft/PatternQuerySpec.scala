@@ -153,4 +153,138 @@ class PatternQuerySpec extends AnyFunSuite {
       PatternQuery.runAll(spark, dir, cat,
         Seq(">customer%#", ">customer%#"), idLists = Seq(Seq(Seq("21")))))
   }
+
+  // --------------------------------------------------- grammar fuzzing --
+
+  /** The reference grammar transliterated to a Java regex — every
+    * character class copied from orm/query.py's verbose patterns
+    * (compiled there with re.ASCII; Java \s is already exactly the
+    * ASCII %x09-0d / %x20 set). Acceptance = fullmatch of 1*pattern,
+    * the parse loop's repeated anchored match. */
+  private val refAcceptor: java.util.regex.Pattern = {
+    val unquoted = "[0-9A-Za-z_:/.?%+-]+"
+    val quoted = "\"(?:[\\x5d-\\x7e\\x20-\\x21\\x23-\\x5b]|\\\\[\"\\\\])*\""
+    val idField = s"(?:$unquoted|$quoted)"
+    val id = s"$idField(?:\\s*,\\s*$idField)*"
+    val idList = s"$id(?:\\s*;\\s*$id)*"
+    val specIdList = s"\\[\\s*(?:$idList\\s*)?\\]"
+    val spec = s"(?:%|$specIdList)"
+    val pat = "\\s*[<>]\\s*(?:[a-z0-9_]+|[*])\\s*" +
+      s"(?:$spec)?\\s*(?:[#$$])?\\s*"
+    java.util.regex.Pattern.compile(s"(?:$pat)+")
+  }
+
+  private def oursAccepts(s: String): Boolean =
+    try { PatternQuery.parse(s); true }
+    catch { case _: IllegalArgumentException => false }
+
+  test("fuzz parity: parse accepts exactly the reference grammar's set") {
+    val rnd = new scala.util.Random(20260815L)
+    // grammar-adjacent alphabet plus the ASCII-strictness landmines:
+    // Unicode digit (U+0663), Unicode line separator (U+2028), Latin-1
+    // letter, control char, DEL
+    val chars = "<>*#$%[];,\"\\ \t\nabz09_:/.?+-AZé٣ "
+    def randValid(): String = {
+      val sb = new StringBuilder
+      def ws() = if (rnd.nextInt(3) == 0)
+        sb += " \t\n\r"(rnd.nextInt(4))
+      def field() =
+        if (rnd.nextBoolean())
+          sb ++= Seq("a1", "red:107", "x.y/z?p%2B", "A-B+c")(rnd.nextInt(4))
+        else sb ++= Seq("\"\"", "\"a b\"", "\"q\\\"x\"", "\"\\\\s]\" ",
+          "\"[;,]\"")(rnd.nextInt(5)).trim
+      for (_ <- 0 to rnd.nextInt(3)) {
+        ws(); sb += "<>"(rnd.nextInt(2)); ws()
+        if (rnd.nextInt(4) == 0) sb += '*'
+        else sb ++= Seq("a", "build", "test_9", "0x")(rnd.nextInt(4))
+        ws()
+        rnd.nextInt(3) match {
+          case 0 => sb += '%'
+          case 1 =>
+            sb += '['; ws()
+            if (rnd.nextInt(4) > 0) {
+              field()
+              for (_ <- 0 until rnd.nextInt(3)) {
+                ws(); sb += ",;"(rnd.nextInt(2)); ws(); field()
+              }
+            }
+            ws(); sb += ']'
+          case _ =>
+        }
+        ws()
+        if (rnd.nextBoolean()) sb += "#$"(rnd.nextInt(2))
+        ws()
+      }
+      sb.result()
+    }
+    var valids = 0
+    for (trial <- 0 until 4000) {
+      val s = trial % 4 match {
+        case 0 => randValid()
+        case 1 => // mutate a valid string at one position
+          val v = randValid()
+          if (v.isEmpty) v
+          else {
+            val i = rnd.nextInt(v.length)
+            rnd.nextInt(3) match {
+              case 0 => v.substring(0, i) + chars(rnd.nextInt(chars.length)) +
+                v.substring(i)
+              case 1 => v.substring(0, i) + v.substring(
+                math.min(i + 1, v.length))
+              case _ => v.updated(i, chars(rnd.nextInt(chars.length)))
+            }
+          }
+        case _ => // raw noise over the landmine alphabet
+          (0 until 1 + rnd.nextInt(12))
+            .map(_ => chars(rnd.nextInt(chars.length))).mkString
+      }
+      if (s.nonEmpty) { // "" is vacuous 0*pattern either way; doc'd below
+        val ref = refAcceptor.matcher(s).matches()
+        val ours = oursAccepts(s)
+        assert(ours == ref,
+          s"acceptance divergence on " +
+            s"${s.map(c => f"\\u${c.toInt}%04x").mkString}" +
+            s" (rendered: $s): ours=$ours reference=$ref")
+        if (ref) valids += 1
+      }
+    }
+    assert(valids > 800, s"generator degenerated: only $valids accepted")
+    // the reference's parse LOOP vacuously accepts "" (its documented
+    // ABNF requires 1*pattern); we keep the documented grammar and
+    // fail loudly — pinned so the deviation is deliberate
+    assert(!oursAccepts(""))
+  }
+
+  test("fuzz structure: accepted strings decompose into the regex's groups") {
+    val one = java.util.regex.Pattern.compile(
+      "\\s*(?<relation>[<>])\\s*(?<type>[a-z0-9_]+|[*])\\s*" +
+        "(?<spec>%|\\[[^\\]]*\\])?\\s*(?<match>[#$])?\\s*")
+    val samples = Seq(">build%#", "  < a [x;y,\"q\\\"z\"] $ >*#",
+      ">test[redhat:1077834_0; redhat:1077834_1]<build#",
+      ">revision[c763deac7ff, 932e2d61add]#>*#", ">*$", "<*",
+      ">a[]#", "> a % $ < b")
+    for (s <- samples; if oursAccepts(s)) {
+      val steps = PatternQuery.parse(s)
+      val m = one.matcher(s)
+      var pos = 0
+      var k = 0
+      while (pos < s.length) {
+        assert(m.find(pos) && m.start == pos, s"regex stalls in $s at $pos")
+        val st = steps(k)
+        assert((m.group("relation") == ">") == st.child, s"$s step $k rel")
+        assert(m.group("type") == st.typeName, s"$s step $k type")
+        val specKind = Option(m.group("spec")).map(_.charAt(0))
+        st.spec match {
+          case Placeholder => assert(specKind.contains('%'), s"$s step $k")
+          case IdList(_) => assert(specKind.contains('['), s"$s step $k")
+          case NoSpec => assert(specKind.isEmpty, s"$s step $k")
+        }
+        assert(Option(m.group("match")).map(_.charAt(0)) == st.matchChar,
+          s"$s step $k match")
+        pos = m.end
+        k += 1
+      }
+      assert(k == steps.length, s"$s: step count ${steps.length} != $k")
+    }
+  }
 }
