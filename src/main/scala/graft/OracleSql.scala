@@ -2064,6 +2064,36 @@ object OracleSql {
     // rebuilt relationally (k shared via SparkEntry.k05K). The rank
     // window runs over the per-source hash frame (bounded per group);
     // the estimator takes the k smallest of each pair's sketch UNION.
+    // k07: the GK rank-window CONTRACT verified in SQL from the gate's
+    // exported estimate frame — ranks recomputed exactly over events,
+    // containment in the audit's q·n ± (n/accuracy + 1) window as pure
+    // integer arithmetic scaled by 100·accuracy (no float division).
+    "k07_quantile_contract" ->
+      s"""WITH o AS (SELECT * FROM read_parquet(
+             ${modelGlob("k07", "gk_quantiles")})),
+         m AS (SELECT series, n_rows, accuracy,
+                 CAST(50 AS BIGINT) AS q100, p50 AS qv FROM o
+               UNION ALL
+               SELECT series, n_rows, accuracy, 90, p90 FROM o
+               UNION ALL
+               SELECT series, n_rows, accuracy, 99, p99 FROM o),
+         rk AS (SELECT m.series, m.q100, m.qv, m.n_rows, m.accuracy,
+                  CAST(COUNT(e.value) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN e.value < m.qv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_lt,
+                  CAST(SUM(CASE WHEN e.value <= m.qv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_le
+                FROM m JOIN events e ON e.event_type = m.series
+                GROUP BY 1, 2, 3, 4, 5)
+         SELECT series, q100, n_rows, n, qv, r_lt, r_le,
+           CAST(CASE WHEN n_rows = n
+             AND r_lt * 100 * accuracy
+                 <= q100 * n * accuracy + 100 * n + 100 * accuracy
+             AND r_le * 100 * accuracy
+                 >= q100 * n * accuracy - 100 * n - 100 * accuracy
+             THEN 1 ELSE 0 END AS INT) AS contained
+         FROM rk ORDER BY series, q100""",
+
     // k06: priority sampling re-derived — the same md5 60-bit coin,
     // the identical two-division priority tree, row_number ranking
     // (q DESC, id ASC — the TopKByScore tie order), tau as the (k+1)-th

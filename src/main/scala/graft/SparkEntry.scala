@@ -2169,6 +2169,52 @@ object SparkEntry {
         col("event_type"), col("value"), accuracy = 10000)
       .orderBy("series")
 
+  /** The GK rank-window contract as a FULL SQL gate — the k02 audit's
+    * exported-model twin (the exported-model route applied to the
+    * CONTRACT, not the estimate): k02's quantileProfile estimates are
+    * persisted as a model frame, read back (so both engines see the
+    * same bytes), and the gate recomputes each estimate's exact rank
+    * window [count(<v)+1, count(<=v)] over the raw events in one scan
+    * (tiny estimate frame broadcast, ×3 fan per row) plus the audit's
+    * containment bound — target rank q·n ± (n/accuracy + 1) — in PURE
+    * INTEGER arithmetic (everything scaled by 100·accuracy, no float
+    * division). DuckDB re-derives the identical frame from the same
+    * export, so `contained` isn't just audited true — every rank and
+    * bound hash-matches. */
+  private def k07(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.operators.Sketches.quantileProfile(ev(s, dir),
+      col("event_type"), col("value"), accuracy = 10000)
+    val base = gateModelDir(dir, "k07")
+    graft.sim.ModelStore.save(prof.coalesce(1), "gk_quantiles",
+      s"$base/gk_quantiles")
+    val un = s.read.parquet(s"$base/gk_quantiles")
+      .select(col("series"), col("n_rows"), col("accuracy"),
+        explode(array(
+          struct(lit(50L).as("q100"), col("p50").as("qv")),
+          struct(lit(90L).as("q100"), col("p90").as("qv")),
+          struct(lit(99L).as("q100"), col("p99").as("qv")))).as("z"))
+      .select(col("series"), col("n_rows"), col("accuracy"),
+        col("z.q100").as("q100"), col("z.qv").as("qv"))
+    val rk = ev(s, dir)
+      .join(broadcast(un), col("event_type") === col("series"))
+      .groupBy(col("series"), col("q100"), col("qv"), col("n_rows"),
+        col("accuracy"))
+      .agg(count(col("value")).as("n"),
+        sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("r_le"))
+    rk.select(col("series"), col("q100"), col("n_rows"), col("n"),
+        col("qv"), col("r_lt"), col("r_le"),
+        when(col("n_rows") === col("n") &&
+          col("r_lt") * 100L * col("accuracy") <=
+            col("q100") * col("n") * col("accuracy") +
+              lit(100L) * col("n") + lit(100L) * col("accuracy") &&
+          col("r_le") * 100L * col("accuracy") >=
+            col("q100") * col("n") * col("accuracy") -
+              lit(100L) * col("n") - lit(100L) * col("accuracy"), 1)
+          .otherwise(0).as("contained"))
+      .orderBy("series", "q100")
+  }
+
   /** k-means|| init quality report (Ivf.kmeansParallelInit, Bahmani et
     * al. 2012): the same 3-iteration spherical k-means fit run from the
     * deterministic lowest-id seeds AND from the cost-proportional
@@ -3180,6 +3226,7 @@ object SparkEntry {
     "k04_cms_topk" -> (k04 _),
     "k05_bottomk_overlap" -> (k05 _),
     "k06_priority_sample" -> (k06 _),
+    "k07_quantile_contract" -> (k07 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

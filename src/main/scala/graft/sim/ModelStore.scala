@@ -55,7 +55,12 @@ object ModelStore {
     // Binary.mjpegColor entry): input palette id → decoded channel
     // values — m13's oracle dict (JPEG's deterministic lossy shift has
     // no SQL closed form; Mp4Spec pins probe↔frame equivalence)
-    "jpeg_dict" -> Set("c", "dr", "dg", "db"))
+    "jpeg_dict" -> Set("c", "dr", "dg", "db"),
+    // GK quantile estimates (Sketches.quantileProfile output — k07's
+    // export): the SKETCH estimate is engine-specific, but once
+    // exported its rank-window CONTRACT is pure SQL over the raw data
+    "gk_quantiles" -> Set("series", "n_rows", "p50", "p90", "p99",
+      "accuracy"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(
