@@ -2210,9 +2210,12 @@ object OracleSql {
     // a distinct subquery (numeric order, as array_sort on longs).
     "q47_notify_summary" ->
       """WITH cnt AS (SELECT l_orderkey,
-             SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_r
            FROM lineitem GROUP BY 1),
          ranked AS (SELECT l_orderkey,
              'line ' || l_linenumber || ' part ' || l_partkey AS ln,
