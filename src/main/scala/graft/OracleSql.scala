@@ -3017,6 +3017,28 @@ object OracleSql {
          FROM fr JOIN dict ON fr.c = dict.c
          ORDER BY fr.doc_id, frame_idx""",
 
+    // Matroska Motion-JPEG frames: m13's discipline over the EBML
+    // container — frame set/dims/n_pixels arithmetic, decoded colors
+    // via the gate's own exported round-trip palette dict.
+    "m14_mkv_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(10 + doc_id % 7 AS BIGINT) AS w,
+             CAST(8 + doc_id % 6 AS BIGINT) AS h,
+             CAST(2 + doc_id % 5 AS BIGINT) AS nf
+           FROM documents),
+         dict AS (SELECT c, dr, dg, db
+                  FROM read_parquet(${modelGlob("m14", "jpeg_dict")})),
+         fr AS (SELECT doc_id, w, h, fs.f AS f,
+                  (2 * doc_id + 5 * fs.f) % 20 AS c
+                FROM d, unnest(generate_series(0, nf - 1)) AS fs(f))
+         SELECT fr.doc_id, fr.f AS frame_idx, fr.w AS width,
+           fr.h AS height, fr.w * fr.h AS n_pixels,
+           dict.dr * fr.w * fr.h AS sum_r,
+           dict.dg * fr.w * fr.h AS sum_g,
+           dict.db * fr.w * fr.h AS sum_b
+         FROM fr JOIN dict ON fr.c = dict.c
+         ORDER BY fr.doc_id, frame_idx""",
+
     // Quota admission replicated as a window cumsum: admit while the
     // PRIOR admitted-token total is under quota (the crossing doc is
     // still taken) — exactly the stream's greedy rule on a one-shot

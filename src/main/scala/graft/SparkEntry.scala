@@ -2720,6 +2720,32 @@ object SparkEntry {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL Matroska Motion-JPEG frame decode — m13's EBML sibling: per-doc
+    * MKV containers with V_MJPEG tracks and per-frame SimpleBlocks (plus
+    * one BlockGroup{Block} and a multi-Cluster split, so all the spec's
+    * block shapes demux), walked by the pure-byte EBML grammar
+    * (Binary.mkvJpegFrames) and decoded in one fused row-local pass
+    * (Binary.mkvFrameStats). Same exported round-trip palette dict
+    * discipline as m13 (shared [[Binary.mjpegColor]] palette, own export
+    * so the oracle is self-contained). */
+  private def m14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = (0 until 20).map { c =>
+      val (r, g, b) = Binary.mjpegColor(c)
+      val (dr, dg, db) = Binary.jpegRoundTripColor(r, g, b)
+      (c.toLong, dr, dg, db)
+    }
+    graft.sim.ModelStore.save(
+      s.createDataset(dict).toDF("c", "dr", "dg", "db").coalesce(1),
+      "jpeg_dict", s"${gateModelDir(dir, "m14")}/jpeg_dict")
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.mkvFrameStats(
+        src.map(id => Binary.PayloadRow(id, Binary.makeMjpegMkv(id))),
+        stride = 1)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   private val stGateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming file source over a testdata table, schema from a
@@ -3304,6 +3330,7 @@ object SparkEntry {
     "m11_webp_meta" -> (m11 _),
     "m12_color_histogram" -> (m12 _),
     "m13_mp4_frames" -> (m13 _),
+    "m14_mkv_frames" -> (m14 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

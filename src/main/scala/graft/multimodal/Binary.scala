@@ -1033,6 +1033,197 @@ object Binary {
     ebml ++ segment
   }
 
+  /** Deterministic Motion-JPEG-in-Matroska: a REAL EBML container whose
+    * video track declares CodecID V_MJPEG and whose Clusters carry one
+    * SimpleBlock per JPEG frame (track-number VINT + 2-byte relative
+    * timestamp + flags, no lacing — the spec block layout) — the
+    * Matroska sibling of [[makeMjpegMp4]]. 2 + id%5 frames of
+    * (10 + id%7) × (8 + id%6) uniform pixels, frame f's color =
+    * [[mjpegColor]]((2·id + 5f) % 20). Frames split across TWO
+    * Clusters when more than 2 (multi-cluster walk exercised), and the
+    * second frame ships as BlockGroup{Block} instead of SimpleBlock so
+    * both block shapes are demuxed. */
+  def makeMjpegMkv(docId: Long): Array[Byte] = {
+    def beN(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    def sizeV(n: Int): Array[Byte] = {
+      require(n < (1 << 14) - 1); beN(0x4000L | n, 2)
+    }
+    def el(id: Long, idLen: Int, body: Array[Byte]): Array[Byte] =
+      beN(id, idLen) ++ sizeV(body.length) ++ body
+    val w = (10 + docId % 7).toInt
+    val h = (8 + docId % 6).toInt
+    val nf = (2 + docId % 5).toInt
+    val frames = (0 until nf).map { f =>
+      val (r, g, b) = mjpegColor(((2 * docId + 5 * f) % 20).toInt)
+      encodeJpeg(uniformImage(w, h, r, g, b))
+    }
+    val ebml =
+      el(0x1A45DFA3L, 4, el(0x4282L, 2, "matroska".getBytes("US-ASCII")))
+    val info = el(0x1549A966L, 4,
+      el(0x2AD7B1L, 3, beN(1000000L, 4)) ++
+        el(0x4489L, 2, beN(
+          java.lang.Double.doubleToLongBits(nf * 40.0), 8)))
+    val track = el(0xAEL, 1,
+      el(0xD7L, 1, beN(1L, 1)) ++                  // TrackNumber = 1
+        el(0x83L, 1, beN(1L, 1)) ++                // TrackType video
+        el(0x86L, 1, "V_MJPEG".getBytes("US-ASCII")) ++ // CodecID
+        el(0xE0L, 1, el(0xB0L, 1, beN(w, 2)) ++ el(0xBAL, 1, beN(h, 2))))
+    val tracks = el(0x1654AE6BL, 4, track)
+    // block body: track VINT (0x81 = track 1), s16 relative ts, flags
+    def blockBody(f: Int): Array[Byte] =
+      Array(0x81.toByte) ++ beN(f * 40L, 2) ++
+        Array(0x00.toByte) ++ frames(f)
+    def blockEl(f: Int): Array[Byte] =
+      if (f == 1) // second frame: BlockGroup{Block} shape
+        el(0xA0L, 1, el(0xA1L, 1, blockBody(f)))
+      else el(0xA3L, 1, blockBody(f)) // SimpleBlock
+    def cluster(fs: Seq[Int]): Array[Byte] =
+      el(0x1F43B675L, 4,
+        el(0xE7L, 1, beN(fs.head * 40L, 2)) ++   // Cluster Timestamp
+          fs.map(blockEl).reduce(_ ++ _))
+    val clusters =
+      if (nf <= 2) cluster(0 until nf)
+      else cluster(0 until 2) ++ cluster(2 until nf)
+    ebml ++ el(0x18538067L, 4, info ++ tracks ++ clusters)
+  }
+
+  private def notMkv(p: Array[Byte]): Boolean =
+    p.length < 4 || (p(0) & 0xff) != 0x1a || (p(1) & 0xff) != 0x45 ||
+      (p(2) & 0xff) != 0xdf || (p(3) & 0xff) != 0xa3
+
+  /** REAL Matroska Motion-JPEG demux — the EBML walk of [[mkvHeader]]
+    * extended to the data path: Segment → Tracks finds the track
+    * NUMBERS whose CodecID starts with V_MJPEG, then every Cluster's
+    * SimpleBlock (and BlockGroup→Block) whose track-number VINT matches
+    * yields its frame bytes (block header = track VINT + 2-byte
+    * relative timestamp + flags; laced blocks — flag bits 0x06 — are
+    * skipped, the fixture never laces and a demuxer must not guess
+    * frame boundaries it cannot read). Feeds the bundled JPEG reader;
+    * retires [[sampleFramesStub]] for MJPEG Matroska exactly as
+    * [[mp4JpegFrames]] did for MP4. */
+  def mkvJpegFrames(p: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (notMkv(p)) return IndexedSeq.empty
+    def vintLen(b: Int): Int =
+      if (b == 0) -1 else Integer.numberOfLeadingZeros(b) - 23
+    def uint(b0: Int, n: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 8) | (p(b0 + k) & 0xffL); k += 1 }
+      v
+    }
+    def readId(i: Int, limit: Int): Option[(Long, Int)] = {
+      if (i >= limit) return None
+      val len = vintLen(p(i) & 0xff)
+      if (len < 1 || len > 4 || i + len > limit) None
+      else Some((uint(i, len), len))
+    }
+    def readSize(i: Int, limit: Int): Option[(Long, Int, Boolean)] = {
+      if (i >= limit) return None
+      val len = vintLen(p(i) & 0xff)
+      if (len < 1 || len > 8 || i + len > limit) return None
+      var v = (p(i) & 0xffL) & ((1L << (8 - len)) - 1)
+      var k = 1
+      while (k < len) { v = (v << 8) | (p(i + k) & 0xffL); k += 1 }
+      Some((v, len, v == (1L << (7 * len)) - 1))
+    }
+    def children(i0: Int, limit: Int)(f: (Long, Int, Int) => Unit): Unit = {
+      var i = i0
+      while (i < limit) {
+        readId(i, limit) match {
+          case None => i = limit
+          case Some((id, idLen)) =>
+            readSize(i + idLen, limit) match {
+              case None => i = limit
+              case Some((sz, szLen, unknown)) =>
+                val b0 = i + idLen + szLen
+                if (!unknown && sz > limit - b0) i = limit
+                else {
+                  val b1 = if (unknown) limit else (b0 + sz).toInt
+                  f(id, b0, b1)
+                  i = b1
+                }
+            }
+        }
+      }
+    }
+    val mjpegTracks = scala.collection.mutable.Set.empty[Long]
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    // block body in [s, e): track VINT, s16 rel-ts, flags, frame bytes
+    def block(s: Int, e: Int): Unit = {
+      if (s >= e) return
+      val tl = vintLen(p(s) & 0xff)
+      if (tl < 1 || tl > 8 || s + tl + 3 > e) return
+      val track = uint(s, tl) & ((1L << (7 * tl)) - 1)
+      val flags = p(s + tl + 2) & 0xff
+      if (mjpegTracks(track) && (flags & 0x06) == 0)
+        out += java.util.Arrays.copyOfRange(p, s + tl + 3, e)
+    }
+    def walkSegment(b0: Int, b1: Int): Unit = children(b0, b1) {
+      (id, s, e) =>
+        if (id == 0x1654AE6BL) // Tracks
+          children(s, e) { (cid, cs, ce) =>
+            if (cid == 0xAEL) { // TrackEntry
+              var num = -1L
+              var codec: String = null
+              children(cs, ce) { (tid, ts, te) =>
+                if (tid == 0xD7L && num < 0) num = uint(ts, te - ts)
+                else if (tid == 0x86L && codec == null)
+                  codec = new String(p, ts, te - ts, "US-ASCII")
+              }
+              if (num > 0 && codec != null && codec.startsWith("V_MJPEG"))
+                mjpegTracks += num
+            }
+          }
+        else if (id == 0x1F43B675L) // Cluster
+          children(s, e) { (cid, cs, ce) =>
+            if (cid == 0xA3L) block(cs, ce) // SimpleBlock
+            else if (cid == 0xA0L) // BlockGroup
+              children(cs, ce) { (gid, gs, ge) =>
+                if (gid == 0xA1L) block(gs, ge) // Block
+              }
+          }
+    }
+    children(0, p.length) { (id, s, e) =>
+      if (id == 0x18538067L) walkSegment(s, e)
+    }
+    out.result()
+  }
+
+  /** [[mkvJpegFrames]] fused with [[frameStats]] — the Matroska sibling
+    * of [[mp4FrameStats]]: EBML block walk → bundled-JPEG decode (one
+    * [[FrameDecoder]] reader per partition) → channel sums, row-local,
+    * zero shuffles, linear in frames. Sentinels: non-EBML payload → one
+    * frame_idx −1 row; no MJPEG track / broken walk → no rows; an
+    * undecodable block → −1 stats at its frame_idx. */
+  def mkvFrameStats(ds: Dataset[PayloadRow], stride: Int)
+      : Dataset[FrameStats] = {
+    import ds.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive: $stride")
+    ds.mapPartitions { rows =>
+      codecPrologue()
+      val dec = new FrameDecoder
+      rows.flatMap { r =>
+        if (notMkv(r.payload))
+          Iterator.single(
+            FrameStats(r.doc_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+        else {
+          val frames =
+            try mkvJpegFrames(r.payload)
+            catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
+          Iterator.range(0, frames.length, stride).map { i =>
+            val img = dec.decode(frames(i))
+            if (img == null)
+              FrameStats(r.doc_id, i.toLong, -1L, -1L, -1L, -1L, -1L, -1L)
+            else {
+              val (fw, fh, sr, sg, sb) = rgbSums(img)
+              FrameStats(r.doc_id, i.toLong, fw, fh, fw * fh, sr, sg, sb)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** [[mkvHeader]] over a payload Dataset — typed map, Tungsten
     * encoders, no per-row setup ([[videoHeaders]]' EBML sibling). */
   def mkvHeaders(ds: Dataset[PayloadRow]): Dataset[MkvMeta] = {
@@ -1955,8 +2146,9 @@ object Binary {
     * discipline is the real thing: per-partition demux context, lazy
     * output, no per-row setup, no materialized frame lists. Superseded by
     * [[sampleFrames]] for every format `javax.imageio` can read (GIF
-    * sequences included), by [[sampleVideoFrames]] for RIFF/AVI, and by
-    * [[mp4JpegFrames]]/[[mp4FrameStats]] for Motion-JPEG MP4;
+    * sequences included), by [[sampleVideoFrames]] for RIFF/AVI, by
+    * [[mp4JpegFrames]]/[[mp4FrameStats]] for Motion-JPEG MP4, and by
+    * [[mkvJpegFrames]]/[[mkvFrameStats]] for Motion-JPEG Matroska;
     * MP4- and Matroska-class metadata is real too ([[mp4Header]],
     * [[mkvHeader]]), so the stub's remaining territory is ONLY frame
     * decode of payloads with no JVM codec (H.264/VP9-class codec bytes

@@ -102,6 +102,84 @@ class Mp4Spec extends AnyFunSuite {
     }
   }
 
+  test("makeMjpegMkv parses via mkvHeader; mkvJpegFrames demuxes " +
+      "SimpleBlock, BlockGroup and multi-Cluster layouts") {
+    for (id <- 0L to 25L) {
+      val p = Binary.makeMjpegMkv(id)
+      val (dt, ts, ms, nTracks, w, h) = Binary.mkvHeader(p)
+      assert(dt == "matroska" && ts == 1000000L && nTracks == 1L)
+      val nf = 2 + id % 5
+      assert(ms == nf * 40L)
+      assert(w == 10 + id % 7 && h == 8 + id % 6)
+      val frames = Binary.mkvJpegFrames(p)
+      assert(frames.length == nf, s"doc $id frame count")
+      for ((fr, f) <- frames.zipWithIndex) {
+        assert((fr(0) & 0xff) == 0xff && (fr(1) & 0xff) == 0xd8,
+          s"doc $id frame $f lacks SOI")
+        val img = decode(fr)
+        assert(img != null && img.getWidth == w && img.getHeight == h)
+      }
+    }
+  }
+
+  test("mkvFrameStats: dict colors x n_pixels; sentinels for non-EBML " +
+      "and no-MJPEG-track payloads") {
+    import spark.implicits._
+    val ids = (0L until 30L).toSeq
+    val src = spark.createDataset(ids).map { id =>
+      if (id % 10 == 9)
+        Binary.PayloadRow(id, s"not matroska $id".getBytes("UTF-8"))
+      else if (id % 10 == 8)
+        // real EBML container but header-only (makeMkv: no V_MJPEG
+        // track, no clusters): zero rows
+        Binary.PayloadRow(id, Binary.makeMkv(id))
+      else Binary.PayloadRow(id, Binary.makeMjpegMkv(id))
+    }
+    val got = Binary.mkvFrameStats(src, stride = 1).collect()
+      .groupBy(_.doc_id)
+    for (id <- ids) {
+      if (id % 10 == 9)
+        assert(got(id).toSeq == Seq(
+          Binary.FrameStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)))
+      else if (id % 10 == 8)
+        assert(!got.contains(id), s"doc $id: header-only must emit 0 rows")
+      else {
+        val w = 10 + id % 7; val h = 8 + id % 6; val nf = 2 + id % 5
+        val rows = got(id).sortBy(_.frame_idx)
+        assert(rows.length == nf)
+        for (fs <- rows) {
+          val c = ((2 * id + 5 * fs.frame_idx) % 20).toInt
+          val (r, g, b) = Binary.mjpegColor(c)
+          val (dr, dg, db) = Binary.jpegRoundTripColor(r, g, b)
+          assert(fs.n_pixels == w * h &&
+            (fs.sum_r, fs.sum_g, fs.sum_b) ==
+              (dr * w * h, dg * w * h, db * w * h),
+            s"doc $id frame ${fs.frame_idx}")
+        }
+      }
+    }
+  }
+
+  test("mkvJpegFrames skips laced blocks and foreign-track blocks") {
+    // hand-mutate a fixture: flip the flags byte of the first
+    // SimpleBlock to lacing (0x06) — that frame must be SKIPPED, not
+    // mis-sliced (a demuxer must not guess boundaries it cannot read)
+    val p = Binary.makeMjpegMkv(2L) // nf = 4, frames 0,2,3 SimpleBlocks
+    val all = Binary.mkvJpegFrames(p)
+    assert(all.length == 4)
+    // locate the first SimpleBlock STRUCTURALLY (a lone 0xa3 byte also
+    // occurs inside JPEG entropy data): id 0xA3, 2-byte size VINT,
+    // body = 0x81 tsHi tsLo flags(0x00) SOI(ff d8) — flags at +6
+    val i = (0 until p.length - 9).find { j =>
+      (p(j) & 0xff) == 0xa3 && (p(j + 3) & 0xff) == 0x81 &&
+        (p(j + 6) & 0xff) == 0x00 && (p(j + 7) & 0xff) == 0xff &&
+        (p(j + 8) & 0xff) == 0xd8
+    }.get
+    val laced = p.clone()
+    laced(i + 6) = 0x06.toByte
+    assert(Binary.mkvJpegFrames(laced).length == 3)
+  }
+
   test("malformed sample tables stop at the last consistent sample") {
     val good = Binary.makeMjpegMp4(3L)
     // truncate mid-mdat: offsets past the cut fail the bounds check and
