@@ -268,6 +268,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
   }
 
+  test("round-15 operators keep their declared plan shapes") {
+    def exch(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
+    def joins(p: String): Int = "Join \\(\\d".r.findAllIn(p).size
+    // m13/m14 codec gates: demux → decode → sums is ROW-LOCAL
+    // (mapPartitions over each doc's own payload) — no join anywhere,
+    // the only exchange is the presentation sort
+    for (g <- Seq("m13_mp4_frames", "m14_mkv_frames")) {
+      val p = plan(g)
+      assert(joins(p) == 0, s"$g must be join-free:\n$p")
+      assert(exch(p) <= 1, s"$g: only the dump sort may exchange:\n$p")
+      assert(!p.contains("Window"), s"$g must not window:\n$p")
+    }
+    // q47 loop rendering: ONE groupBy shuffle + the presentation sort;
+    // the capped child list is an aggregate, never a window or a join
+    val q47p = plan("q47_notify_summary")
+    assert(joins(q47p) == 0 && !q47p.contains("Window"), q47p)
+    assert(exch(q47p) <= 2,
+      s"q47 renders in one aggregation pass + dump sort:\n$q47p")
+    // k07 contract check: the estimate frame joins as a BROADCAST
+    // (bounded: |series|x3 rows), never a shuffled join; one aggregate
+    // exchange + the dump sort remain
+    val k07p = plan("k07_quantile_contract")
+    assert(k07p.contains("BroadcastHashJoin") &&
+      !k07p.contains("SortMergeJoin"), k07p)
+    assert(exch(k07p) <= 3, s"k07: agg + sort only:\n$k07p")
+  }
+
   test("round-13 operators keep their declared plan shapes") {
     def exch13(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
     // q42 catalog validation is scan-speed: per-row rlike rules fused
