@@ -2346,6 +2346,38 @@ object OracleSql {
     // deltas, the top-k drifted dims (|delta| DESC, i ASC), the
     // ascending-i folded L2/cosine — re-derived from the model parquet
     // with the dotD accumulation order.
+    // e06: calibration bins re-derived — p is a binary fraction
+    // (num/128), so SUM(p) and SUM((p-y)^2) are exact doubles in any
+    // order in both engines; bin = integer num*10/128 clamped to 9.
+    "e06_calibration" ->
+      s"""WITH b AS (SELECT ($wordCountSql) % 129 AS num,
+             (lang = 'en') AS y
+           FROM documents),
+         v AS (SELECT LEAST(num * 10 // 128, 9) AS bin,
+             CAST(num AS DOUBLE) / 128 AS p,
+             CASE WHEN y THEN 1.0 ELSE 0.0 END AS yd,
+             CASE WHEN y THEN 1 ELSE 0 END AS pos
+           FROM b),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p) AS sum_p,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             SUM((p - yd) * (p - yd)) AS brier_sum
+           FROM v GROUP BY 1),
+         rows_ AS (
+           SELECT 'bin' AS kind, bin, n,
+             round(sum_p / n, 6) AS avg_p, n_pos,
+             round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+             round(brier_sum / n, 6) AS brier
+           FROM g
+           UNION ALL
+           SELECT 'total', CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+             round(SUM(sum_p) / SUM(n), 6),
+             CAST(SUM(n_pos) AS BIGINT),
+             round(CAST(SUM(n_pos) AS DOUBLE) / SUM(n), 6),
+             round(SUM(brier_sum) / SUM(n), 6)
+           FROM g)
+         SELECT * FROM rows_ ORDER BY kind, bin""",
+
     "e05_embed_drift" ->
       s"""WITH m AS (SELECT pop, i, w
              FROM read_parquet(${modelGlob("e05", "mean_vecs")})),

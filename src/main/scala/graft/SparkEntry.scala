@@ -2376,6 +2376,17 @@ object SparkEntry {
     graft.operators.Eval.aucExact(t(s, dir, "documents"),
       TextOps.wordCount(col("text")), col("lang") === "en")
 
+  /** Calibration bins + Brier (operators/Eval.calibrationBins): is the
+    * pseudo-probability p = (wordCount mod 129)/128 calibrated against
+    * the English label? p is a BINARY fraction by construction, so
+    * every sum is exact across engines (the contract documented on the
+    * operator); 10 reliability bins + the overall Brier total row. */
+  private def e06(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.calibrationBins(t(s, dir, "documents"),
+        TextOps.wordCount(col("text")) % 129, pDenLog2 = 7,
+        col("lang") === "en", bins = 10)
+      .orderBy("kind", "bin")
+
   /** Chi-squared source-mix drift (operators/Eval.chi2Drift): did the
     * per-source document mix shift between the English and
     * non-English populations? Per-source contribution rows + one
@@ -3246,6 +3257,7 @@ object SparkEntry {
     "e03_ks_2sample" -> (e03 _),
     "e04_incr_auc" -> (e04 _),
     "e05_embed_drift" -> (e05 _),
+    "e06_calibration" -> (e06 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

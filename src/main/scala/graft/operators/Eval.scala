@@ -178,6 +178,61 @@ object Eval {
     perKey.unionByName(total)
   }
 
+  /** Calibration / reliability profile of a [0,1] prediction against a
+    * boolean label — the eval-family member that asks "do predicted
+    * probabilities MEAN their number?" (reliability diagram bins +
+    * Brier score, Brier 1950; the per-bin avg-prediction vs observed
+    * rate gap is Murphy's reliability term): `bins` equal-width bins
+    * with per-bin n / mean prediction / positive rate / Brier, plus
+    * one `total` row carrying the overall Brier score.
+    *
+    * EXACTNESS CONTRACT: the prediction arrives as an integer
+    * numerator over 2^`pDenLog2` (a binary fraction), so every p,
+    * (p − y) and (p − y)² is an exact IEEE double and every SUM of
+    * them is exact — order-independent across engines and partitions —
+    * until the final correctly-rounded 6-dp divisions; the bin index
+    * is pure integer arithmetic (num·bins div 2^k, top edge clamped
+    * into the last bin). One map-side-combined groupBy is the only
+    * corpus-sized stage; the bins-row frame is memoized (the q46
+    * discipline) so the total row reads partials, not the corpus. */
+  def calibrationBins(df: DataFrame, pNum: Column, pDenLog2: Int,
+                      label: Column, bins: Int = 10): DataFrame = {
+    require(pDenLog2 > 0 && pDenLog2 < 30 && bins > 0,
+      s"calibrationBins: bad knobs ($pDenLog2, $bins)")
+    val den = (1L << pDenLog2).toDouble
+    val p = pNum.cast("long").cast("double") / den
+    val y = when(label.cast("boolean"), 1.0).otherwise(0.0)
+    // Column `/` is IEEE division even on longs — floor-cast makes it
+    // the integer division the contract states (exact: num·bins/2^k is
+    // a binary fraction, so the floor is the true integer quotient)
+    val bin = least(
+      floor(pNum.cast("long") * bins / (1L << pDenLog2).toLong)
+        .cast("long"),
+      lit(bins - 1L))
+    val perBin = df
+      .select(bin.as("bin"), p.as("p"), y.as("y"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
+        sum(col("pos")).as("n_pos"),
+        sum((col("p") - col("y")) * (col("p") - col("y")))
+          .as("brier_sum"))
+      .localCheckpoint()
+    val binRows = perBin.select(lit("bin").as("kind"), col("bin"),
+      col("n"), round(col("sum_p") / col("n"), 6).as("avg_p"),
+      col("n_pos"),
+      round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+      round(col("brier_sum") / col("n"), 6).as("brier"))
+    val total = perBin
+      .agg(sum("n").as("n"), sum("sum_p").as("sum_p"),
+        sum("n_pos").as("n_pos"), sum("brier_sum").as("bs"))
+      .select(lit("total").as("kind"), lit(-1L).as("bin"), col("n"),
+        round(col("sum_p") / col("n"), 6).as("avg_p"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("bs") / col("n"), 6).as("brier"))
+    binRows.unionByName(total)
+  }
+
   /** Per-population per-dimension mean vectors over an embedding
     * column — the embedding-drift FIT (population `a` = `inA`, `b` =
     * the complement). The mean is an engine-order double average (the

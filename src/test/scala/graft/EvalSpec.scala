@@ -66,6 +66,30 @@ class EvalSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("population")), s"got: ${msgs(e)}")
   }
 
+  test("calibrationBins: exact binary-fraction sums, bin clamp, total row") {
+    // nums over /128: 0 (bin 0), 64 (bin 5), 127 (bin 9), 128 (p=1.0,
+    // bin 10 clamps to 9). Labels: y for 64 and 128.
+    val rows = Seq((0L, false), (64L, true), (127L, false), (128L, true))
+    val d = Eval.calibrationBins(rows.toDF("num", "y"), col("num"), 7,
+        col("y"), bins = 10)
+      .orderBy("kind", "bin").collect()
+    assert(d.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("bin", 0L), ("bin", 5L), ("bin", 9L), ("total", -1L)))
+    val bin9 = d(2)
+    // bin 9 holds nums 127 (y=0) and 128 (y=1): avg_p = 255/256,
+    // pos_rate 0.5, brier = ((127/128)^2 + 0)/2 — all exact pre-round
+    assert(bin9.getLong(2) == 2 && bin9.getLong(4) == 1)
+    assert(bin9.getDouble(3) ==
+      math.rint(255.0 / 256 * 1e6) / 1e6)
+    assert(bin9.getDouble(6) ==
+      math.rint(math.pow(127.0 / 128, 2) / 2 * 1e6) / 1e6)
+    val tot = d(3)
+    assert(tot.getLong(2) == 4 && tot.getLong(4) == 2)
+    // overall Brier: (0 + (1-0.5)^2 + (127/128)^2 + 0)/4
+    val brier = (math.pow(0.5, 2) + math.pow(127.0 / 128, 2)) / 4
+    assert(tot.getDouble(6) == math.rint(brier * 1e6) / 1e6)
+  }
+
   test("ks2Sample: exact rational D and the FIRST witness value") {
     // A = [1,2,3], B = [3,4]: diffs over the grid are 2,4,3,0 ->
     // D = 4/6 at v=2
