@@ -107,6 +107,47 @@ object Cli {
           println(s"$t -> $outDir/$t")
         }
         merged.values.headOption
+      case "schemas" :: Nil =>
+        // kcidb-db-schemas: the known schema-version lineage
+        SparkEntry.eventsSchematic.history
+          .foreach { case (ma, mi) => println(s"$ma.$mi") }
+        None
+      case "upgrade" :: sfDir :: outDir :: fromV :: Nil =>
+        // kcidb-upgrade: lift data at an older schema version to the
+        // latest via the inherit chain (Schematic.upgradeToLatest)
+        val Array(ma, mi) = fromV.split("\\.")
+        val s = session(sfDir)
+        val df = SparkEntry.eventsSchematic.upgradeToLatest(
+          graft.sources.Tables.events(s, sfDir), (ma.toInt, mi.toInt))
+        df.write.mode("overwrite").parquet(outDir)
+        println(s"events v$fromV -> " +
+          s"v${SparkEntry.eventsSchematic.history.last._1}." +
+          s"${SparkEntry.eventsSchematic.history.last._2} -> $outDir")
+        Some(df)
+      case "purge" :: sfDir :: outDir :: beforeIso :: Nil =>
+        // kcidb-db-purge: drop rows that arrived before the timestamp
+        import org.apache.spark.sql.functions._
+        val s = session(sfDir)
+        val df = graft.ingest.Loader.purge(
+          graft.sources.Tables.events(s, sfDir), col("ts"),
+          lit(beforeIso.replace('T', ' ')).cast("timestamp"))
+        df.write.mode("overwrite").parquet(outDir)
+        println(s"purged < $beforeIso -> $outDir")
+        Some(df)
+      case "ooquery" :: sfDir :: outDir :: pattern :: idLists =>
+        // kcidb-oo-query: run a pattern string against the catalog;
+        // one parquet dir per matched type. Optional trailing args are
+        // `%` placeholder ID lists (`;`-separated ids, `,` fields).
+        val s = session(sfDir)
+        val lists = idLists.map(_.split(";").toSeq
+          .map(_.split(",").toSeq))
+        val m = graft.query.PatternQuery.runAll(s, sfDir,
+          graft.model.TestCatalog.catalog, Seq(pattern), lists)
+        m.foreach { case (t, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$t")
+          println(s"$t -> $outDir/$t")
+        }
+        m.values.headOption
       case "init" :: whDir :: rest if rest.size <= 1 =>
         // kcidb-db-init: empty schema'd warehouse + version marker
         val v = rest.headOption.map { r =>
@@ -133,7 +174,10 @@ object Cli {
             s"| load <reportJson> <outDir> [types] " +
             s"| merge <outDir> <reportJson> <reportJson>... " +
             s"| init <whDir> [major.minor] | empty <whDir> " +
-            s"| cleanup <whDir> " +
+            s"| cleanup <whDir> | schemas " +
+            s"| upgrade <sfDir> <outDir> <fromMaj.Min> " +
+            s"| purge <sfDir> <outDir> <beforeIso> " +
+            s"| ooquery <sfDir> <outDir> <pattern> [idList...] " +
             s"(got: ${other.mkString(" ")})")
     }
 

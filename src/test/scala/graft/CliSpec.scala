@@ -71,6 +71,36 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cli.dispatch(Array("empty", wh)) }
   }
 
+  test("schemas/upgrade/purge/ooquery: the remaining console analogs") {
+    import org.apache.spark.sql.functions._
+    // schemas prints the lineage (smoke: dispatch returns cleanly)
+    assert(Cli.dispatch(Array("schemas")).isEmpty)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cli-more").toString
+    // upgrade from v1.0: latest adds status + score columns
+    val up = Cli.dispatch(Array("upgrade", sf, s"$out/up", "1.0")).get
+    assert(up.columns.contains("status") && up.columns.contains("score"))
+    assert(spark.read.parquet(s"$out/up").count() ==
+      graft.sources.Tables.events(spark, sf).count())
+    // purge drops exactly the pre-cutoff rows
+    val cut = "2024-01-10T00:00:00"
+    val purged = Cli.dispatch(Array("purge", sf, s"$out/purged", cut)).get
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") >= lit(cut.replace('T', ' ')).cast("timestamp"))
+      .count()
+    assert(purged.count() == want && want > 0)
+    // ooquery matches q16's fixed pattern, and the '%' placeholder
+    // consumes a CLI-supplied id list
+    Cli.dispatch(Array("ooquery", sf, s"$out/oo",
+      ">customer[21;22;23]>orders>lineitem#"))
+    val viaCli = spark.read.parquet(s"$out/oo/lineitem")
+    val viaGate = SparkEntry.queries("q16_pattern_query")(spark, sf)
+    assert(viaCli.count() == viaGate.count() && viaGate.count() > 0)
+    Cli.dispatch(Array("ooquery", sf, s"$out/oo2",
+      ">customer%#", "21;22"))
+    assert(spark.read.parquet(s"$out/oo2/customer").count() == 2)
+  }
+
   test("load accepts a bare relative report filename") {
     val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
     val f = java.io.File.createTempFile("graft-rel-", ".json", cwd)
