@@ -2347,7 +2347,7 @@ object OracleSql {
     // ascending-i folded L2/cosine — re-derived from the model parquet
     // with the dotD accumulation order.
     // e06: calibration bins re-derived — p is a binary fraction
-    // (num/128), so SUM(p) and SUM((p-y)^2) are exact doubles in any
+    // (num/128), so the p and (p-y)^2 sums are exact doubles in any
     // order in both engines; bin = integer num*10/128 clamped to 9.
     "e06_calibration" ->
       s"""WITH b AS (SELECT ($wordCountSql) % 129 AS num,
@@ -2359,10 +2359,15 @@ object OracleSql {
              CASE WHEN y THEN 1 ELSE 0 END AS pos
            FROM b),
          g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(p) AS sum_p,
+             CAST(SUM(p) AS DOUBLE) AS sum_p,
              CAST(SUM(pos) AS BIGINT) AS n_pos,
-             SUM((p - yd) * (p - yd)) AS brier_sum
+             CAST(SUM((p - yd) * (p - yd)) AS DOUBLE) AS brier_sum
            FROM v GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sum_p) AS DOUBLE) AS sum_p,
+             CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(brier_sum) AS DOUBLE) AS brier_sum
+           FROM g),
          rows_ AS (
            SELECT 'bin' AS kind, bin, n,
              round(sum_p / n, 6) AS avg_p, n_pos,
@@ -2370,12 +2375,11 @@ object OracleSql {
              round(brier_sum / n, 6) AS brier
            FROM g
            UNION ALL
-           SELECT 'total', CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
-             round(SUM(sum_p) / SUM(n), 6),
-             CAST(SUM(n_pos) AS BIGINT),
-             round(CAST(SUM(n_pos) AS DOUBLE) / SUM(n), 6),
-             round(SUM(brier_sum) / SUM(n), 6)
-           FROM g)
+           SELECT 'total', CAST(-1 AS BIGINT), n,
+             round(sum_p / n, 6), n_pos,
+             round(CAST(n_pos AS DOUBLE) / n, 6),
+             round(brier_sum / n, 6)
+           FROM t)
          SELECT * FROM rows_ ORDER BY kind, bin""",
 
     "e05_embed_drift" ->
