@@ -180,6 +180,48 @@ class Mp4Spec extends AnyFunSuite {
     assert(Binary.mkvJpegFrames(laced).length == 3)
   }
 
+  test("demux fuzz: mutated containers never throw and never mis-slice") {
+    // 600 random single/multi-byte mutations + truncations of valid
+    // MP4/MKV fixtures: the walkers must return normally (bounded
+    // walk, no exceptions) and anything they DO return must be a
+    // byte array (possibly undecodable — that's the decode stage's
+    // sentinel contract, not the demuxer's).
+    val rnd = new scala.util.Random(151L)
+    for (trial <- 0 until 600) {
+      val id = rnd.nextInt(20).toLong
+      val base =
+        if (trial % 2 == 0) Binary.makeMjpegMp4(id)
+        else Binary.makeMjpegMkv(id)
+      val p = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-4 random bytes
+          for (_ <- 0 to rnd.nextInt(4))
+            p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+        case 1 => // truncate
+          val n = 1 + rnd.nextInt(p.length)
+          val cut = java.util.Arrays.copyOf(p, n)
+          val frames =
+            if (trial % 2 == 0) Binary.mp4JpegFrames(cut)
+            else Binary.mkvJpegFrames(cut)
+          assert(frames.forall(_ != null))
+        case _ => // byte-swap two positions
+          val i = rnd.nextInt(p.length); val j = rnd.nextInt(p.length)
+          val t = p(i); p(i) = p(j); p(j) = t
+      }
+      val frames =
+        if (trial % 2 == 0) Binary.mp4JpegFrames(p)
+        else Binary.mkvJpegFrames(p)
+      assert(frames.forall(_ != null))
+      // exercise the decode stage on fuzzed bytes too — raw
+      // ImageIO.read MAY throw on corrupt JPEG (that's exactly why
+      // FrameDecoder.decode catches everything into the null
+      // sentinel); here we only require it not to hang or corrupt
+      frames.take(3).foreach { fr =>
+        try decode(fr) catch { case _: Exception => () }
+      }
+    }
+  }
+
   test("malformed sample tables stop at the last consistent sample") {
     val good = Binary.makeMjpegMp4(3L)
     // truncate mid-mdat: offsets past the cut fail the bounds check and
