@@ -2094,6 +2094,25 @@ object OracleSql {
              THEN 1 ELSE 0 END AS INT) AS contained
          FROM rk ORDER BY series, q100""",
 
+    // k08: the HLL error contract from the exported estimate frame —
+    // exact NDV recomputed over events, containment |est − exact| ≤
+    // 5·rsd·exact evaluated with the SAME left-associated double
+    // product as the gate (5 * rsd * exact) from the exported rsd.
+    "k08_distinct_contract" ->
+      s"""WITH m AS (SELECT series, n_rows, ndv_hll, rsd
+             FROM read_parquet(${modelGlob("k08", "hll_profile")})),
+         x AS (SELECT event_type AS series,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+           FROM events GROUP BY 1)
+         SELECT x.series, m.n_rows, x.n, m.ndv_hll, x.ndv_exact, m.rsd,
+           CAST(CASE WHEN m.n_rows = x.n
+             AND CAST(ABS(m.ndv_hll - x.ndv_exact) AS DOUBLE)
+                 <= 5 * m.rsd * CAST(x.ndv_exact AS DOUBLE)
+             THEN 1 ELSE 0 END AS INT) AS contained
+         FROM x JOIN m ON x.series = m.series
+         ORDER BY x.series""",
+
     // k06: priority sampling re-derived — the same md5 60-bit coin,
     // the identical two-division priority tree, row_number ranking
     // (q DESC, id ASC — the TopKByScore tie order), tau as the (k+1)-th

@@ -2215,6 +2215,37 @@ object SparkEntry {
       .orderBy("series", "q100")
   }
 
+  /** The HLL error contract as a FULL SQL gate — k07's route applied to
+    * k01 (the last sketch family with an audit-only contract): the
+    * distinctProfile estimates (WITHOUT the exact column — at 100 TB
+    * the exact NDV is what the sketch replaces) are persisted and read
+    * back, then exact NDV is recomputed from raw events and each
+    * series' |est − exact| ≤ 5·rsd·exact containment is evaluated from
+    * the SAME exported rsd knob (k01's knob-rides-the-output rule).
+    * The exact-NDV aggregate exists here precisely BECAUSE this is the
+    * contract-verification gate; production keeps only the sketch. */
+  private def k08(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.operators.Sketches.distinctProfile(ev(s, dir),
+        col("event_type"), col("user_id"), rsd = 0.02)
+      .select("series", "n_rows", "ndv_hll", "rsd")
+    val base = gateModelDir(dir, "k08")
+    graft.sim.ModelStore.save(prof.coalesce(1), "hll_profile",
+      s"$base/hll_profile")
+    val m = s.read.parquet(s"$base/hll_profile")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      .join(broadcast(m), "series")
+      .select(col("series"), col("n_rows"), col("n"), col("ndv_hll"),
+        col("ndv_exact"), col("rsd"),
+        when(col("n_rows") === col("n") &&
+          abs(col("ndv_hll") - col("ndv_exact")).cast("double") <=
+            lit(5.0) * col("rsd") * col("ndv_exact").cast("double"), 1)
+          .otherwise(0).as("contained"))
+      .orderBy("series")
+  }
+
   /** k-means|| init quality report (Ivf.kmeansParallelInit, Bahmani et
     * al. 2012): the same 3-iteration spherical k-means fit run from the
     * deterministic lowest-id seeds AND from the cost-proportional
@@ -3265,6 +3296,7 @@ object SparkEntry {
     "k05_bottomk_overlap" -> (k05 _),
     "k06_priority_sample" -> (k06 _),
     "k07_quantile_contract" -> (k07 _),
+    "k08_distinct_contract" -> (k08 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -60,7 +60,11 @@ object ModelStore {
     // export): the SKETCH estimate is engine-specific, but once
     // exported its rank-window CONTRACT is pure SQL over the raw data
     "gk_quantiles" -> Set("series", "n_rows", "p50", "p90", "p99",
-      "accuracy"))
+      "accuracy"),
+    // HLL distinct estimates (Sketches.distinctProfile sans the exact
+    // column — k08's export): the estimate is engine-specific register
+    // state, but its 5·rsd error CONTRACT is SQL over the raw data
+    "hll_profile" -> Set("series", "n_rows", "ndv_hll", "rsd"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(
