@@ -137,6 +137,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.exists { case (_, r, _) => r == 0 })
   }
 
+  test("calibrationBins is bit-identical under any partitioning " +
+      "(the binary-fraction exactness contract)") {
+    // Random (num, label) corpora: the operator's claim is that every
+    // sum is EXACT, so repartitioning — which reorders double
+    // accumulation — must change NOTHING, not even low bits.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 0 until 5) {
+      val rows = Seq.fill(500 + rnd.nextInt(500))(
+        (rnd.nextInt(129).toLong, rnd.nextBoolean()))
+      def run(parts: Int) =
+        graft.operators.Eval.calibrationBins(
+            rows.toDF("num", "y").repartition(parts),
+            col("num"), 7, col("y"), bins = 10)
+          .orderBy("kind", "bin")
+          .collect().map(_.toSeq).toSeq
+      val one = run(1)
+      assert(one == run(7) && one == run(32),
+        s"trial $trial: partitioning changed calibration output")
+    }
+  }
+
   test("media header parsers are total on arbitrary and mutated bytes") {
     import graft.multimodal.Binary
     val rng = new scala.util.Random(13)
