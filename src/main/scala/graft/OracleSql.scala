@@ -2266,6 +2266,18 @@ object OracleSql {
          JOIN byl b ON c.l_orderkey = b.l_orderkey
          ORDER BY o_orderkey""",
 
+    // q48: the day-window rollup recomputed straight from events (the
+    // partitioned LAYOUT is the gate's point — PlanSpec pins the
+    // pruning; values must match the unpartitioned recompute exactly).
+    "q48_partitioned_dump" ->
+      s"""SELECT strftime($tsUs, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_rows, ${decSum("value")} AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events
+         WHERE strftime($tsUs, '%Y-%m-%d') >= '2024-01-10'
+           AND strftime($tsUs, '%Y-%m-%d') < '2024-01-15'
+         GROUP BY 1, 2 ORDER BY day, event_type""",
+
     "q46_snapshot_diff" ->
       s"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
              o_orderpriority

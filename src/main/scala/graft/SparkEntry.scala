@@ -1122,6 +1122,33 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** Date-partitioned warehouse layout + partition PRUNING — the 100 TB
+    * storage posture the reference's windowed dump/purge implies (a
+    * time-partitioned events store where a day-window query must read
+    * ONLY its partitions' files, not filter a full scan): the gate
+    * materializes events as a `partitionBy(day)` parquet layout (the
+    * fit-once warehouse write), then answers a 5-day window rollup from
+    * it. PlanSpec pins the day bounds under `PartitionFilters` on the
+    * scan — directory-level pruning, so at 100 TB the window's I/O is
+    * proportional to the WINDOW, not the corpus. Day is re-emitted as
+    * string (partition-column type inference reads it back as DATE) so
+    * both engines hash the same text. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${gateModelDir(dir, "q48")}/events_by_day"
+    ev(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .filter(col("day") >= "2024-01-10" && col("day") < "2024-01-15")
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("day", "event_type")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -3283,6 +3310,7 @@ object SparkEntry {
     "q45_incr_rollup" -> (q45 _),
     "q46_snapshot_diff" -> (q46 _),
     "q47_notify_summary" -> (q47 _),
+    "q48_partitioned_dump" -> (q48 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),

@@ -293,6 +293,14 @@ class PlanSpec extends AnyFunSuite {
     assert(k07p.contains("BroadcastHashJoin") &&
       !k07p.contains("SortMergeJoin"), k07p)
     assert(exch(k07p) <= 3, s"k07: agg + sort only:\n$k07p")
+    // q48: the day window must prune at the DIRECTORY level — the
+    // bounds live in PartitionFilters on the scan (I/O proportional to
+    // the window), never as a post-scan data Filter over a full read
+    val q48p = plan("q48_partitioned_dump")
+    val pf = q48p.linesIterator
+      .filter(_.contains("PartitionFilters: ")).mkString("\n")
+    assert(pf.contains("2024-01-10") && pf.contains("2024-01-15"),
+      s"q48 day bounds must be partition filters:\n$q48p")
   }
 
   test("round-13 operators keep their declared plan shapes") {
