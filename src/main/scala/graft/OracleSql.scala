@@ -1865,6 +1865,20 @@ object OracleSql {
            AS BIGINT) AS has_alpha
          FROM documents ORDER BY doc_id""",
 
+    // Regenerates makeTiff's closed-form IFD fields — byte order by id
+    // parity, LONG width / SHORT height+orientation, two-page chain for
+    // ids %3==0; an endianness or IFD-walk bug on the Spark side breaks
+    // the hash.
+    "m15_tiff_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         CAST(100 + doc_id % 50 AS BIGINT) AS width,
+         CAST(80 + doc_id % 40 AS BIGINT) AS height,
+         CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_pages
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

@@ -1817,6 +1817,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL TIFF/EXIF-class metadata: per-doc header-only TIFF containers
+    * (Binary.makeTiff — even ids little-endian `II`, odd big-endian
+    * `MM`, so BOTH integer layouts run on every batch; every field a
+    * closed form of doc_id; ids %3==0 chain a second page IFD) walked
+    * by the pure-byte IFD parser (Binary.tiffHeader via tiffHeaders):
+    * byte order, ImageWidth (LONG type 4), ImageLength + Orientation
+    * (SHORT type 3, left-justified inline values — the EXIF rotation
+    * tag every image pipeline must honor before pixel ops), and the
+    * chained page count with first-IFD-wins dims (m06's first-track
+    * discipline). The oracle recomputes every field arithmetically —
+    * an endianness, inline-value-layout, or IFD-chain bug breaks the
+    * hash. Completes the still-image metadata family (PNG/GIF/JPEG
+    * m01, WebP m11) with the container the scan/EXIF world ships. */
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.tiffHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeTiff(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -3403,6 +3425,7 @@ object SparkEntry {
     "m12_color_histogram" -> (m12 _),
     "m13_mp4_frames" -> (m13 _),
     "m14_mkv_frames" -> (m14 _),
+    "m15_tiff_meta" -> (m15 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -1234,6 +1234,130 @@ object Binary {
     }
   }
 
+  final case class TiffMeta(doc_id: Long, byte_order: String,
+                            width: Long, height: Long, orientation: Long,
+                            n_pages: Long)
+
+  /** REAL TIFF/EXIF-class metadata — the pure-byte IFD walk (TIFF 6.0
+    * §2: 8-byte header `II`/`MM` + magic 42 + IFD0 offset; each IFD =
+    * entry count, count×12-byte entries (tag, type, count,
+    * value-or-offset with SHORT values LEFT-justified in the value
+    * field), next-IFD offset chaining multi-page files). Reads
+    * ImageWidth (256, SHORT or LONG), ImageLength (257), Orientation
+    * (274 — the EXIF rotation every image pipeline must honor before
+    * any pixel op), first-IFD-wins ([[mp4Header]]'s first-track
+    * discipline), and counts the IFD chain (page count; cycle-guarded).
+    * BOTH byte orders are real — `II` little- and `MM` big-endian
+    * change every integer's layout. Non-TIFF or malformed bytes yield
+    * ("unknown", −1, …). */
+  def tiffHeader(p: Array[Byte])
+      : (String, Long, Long, Long, Long) = {
+    val bad = ("unknown", -1L, -1L, -1L, -1L)
+    if (p.length < 8) return bad
+    val order = new String(p.slice(0, 2), "US-ASCII")
+    val little = order == "II"
+    if (!little && order != "MM") return bad
+    def u16(i: Int): Long =
+      if (i + 2 > p.length) -1L
+      else if (little) (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8)
+      else ((p(i) & 0xffL) << 8) | (p(i + 1) & 0xffL)
+    def u32(i: Int): Long =
+      if (i + 4 > p.length) -1L
+      else if (little) (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      else ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    if (u16(2) != 42L) return bad
+    var width, height, orient = -1L
+    var nPages = 0L
+    var ifd = u32(4)
+    var first = true
+    // cycle/ runaway guard: a chain longer than 64 IFDs in a metadata
+    // blob is malformed by construction
+    while (ifd > 0 && ifd + 2 <= p.length && nPages < 64) {
+      nPages += 1
+      val n = u16(ifd.toInt)
+      if (n < 0) return bad
+      val entries = ifd.toInt + 2
+      if (first) {
+        var k = 0
+        while (k < n) {
+          val e = entries + 12 * k
+          if (e + 12 <= p.length) {
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            // SHORT (3) value left-justified in the value field; LONG
+            // (4) fills it — both inline for count 1
+            val v =
+              if (typ == 3L) u16(e + 8)
+              else if (typ == 4L) u32(e + 8)
+              else -1L
+            if (tag == 256L && width < 0) width = v
+            else if (tag == 257L && height < 0) height = v
+            else if (tag == 274L && orient < 0) orient = v
+          }
+          k += 1
+        }
+        first = false
+      }
+      val next = u32(entries + 12 * n.toInt)
+      ifd = if (next == ifd) -1L else next
+    }
+    if (nPages == 0) bad
+    else (order, width, height, orient, nPages)
+  }
+
+  /** Deterministic TIFF fixture: spec-shaped header + IFD chain with
+    * every field a closed form of the doc id — even ids `II`
+    * little-endian, odd `MM` big-endian (both integer layouts
+    * exercised); ImageWidth as LONG, ImageLength and Orientation as
+    * SHORT (both inline value layouts); ids %3==0 carry a second
+    * (page) IFD. w = 100 + id%50, h = 80 + id%40,
+    * orientation = 1 + id%8, pages = 1 + (id%3==0). */
+  def makeTiff(docId: Long): Array[Byte] = {
+    val little = docId % 2 == 0
+    def b16(v: Long): Array[Byte] =
+      if (little) Array(v.toByte, (v >> 8).toByte)
+      else Array((v >> 8).toByte, v.toByte)
+    def b32(v: Long): Array[Byte] =
+      if (little) Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte)
+      else Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte,
+        v.toByte)
+    def entryShort(tag: Long, v: Long): Array[Byte] =
+      b16(tag) ++ b16(3) ++ b32(1) ++ b16(v) ++ b16(0)
+    def entryLong(tag: Long, v: Long): Array[Byte] =
+      b16(tag) ++ b16(4) ++ b32(1) ++ b32(v)
+    val w = 100 + docId % 50
+    val h = 80 + docId % 40
+    val orient = 1 + docId % 8
+    val twoPages = docId % 3 == 0
+    val header = (if (little) "II" else "MM").getBytes("US-ASCII") ++
+      b16(42) ++ b32(8)
+    // IFD0 at offset 8: 3 entries + next pointer
+    val ifd0Entries = entryLong(256, w) ++ entryShort(257, h) ++
+      entryShort(274, orient)
+    val ifd0Len = 2 + 3 * 12 + 4
+    val ifd1Off = if (twoPages) 8L + ifd0Len else 0L
+    val ifd0 = b16(3) ++ ifd0Entries ++ b32(ifd1Off)
+    val ifd1 =
+      if (twoPages)
+        // page 2: one entry (its own dims stay unread — first-wins)
+        b16(1) ++ entryLong(256, w / 2) ++ b32(0)
+      else Array.empty[Byte]
+    header ++ ifd0 ++ ifd1
+  }
+
+  /** [[tiffHeader]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup (the metadata family's TIFF member). */
+  def tiffHeaders(ds: Dataset[PayloadRow]): Dataset[TiffMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (o, w, h, or, n) = tiffHeader(r.payload)
+      TiffMeta(r.doc_id, o, w, h, or, n)
+    }
+  }
+
   final case class WebpMeta(doc_id: Long, variant: String, width: Long,
                             height: Long, has_alpha: Long)
 

@@ -291,6 +291,43 @@ class BinarySpec extends AnyFunSuite {
     assert(bad.toSeq == Seq(Binary.ColorHist(99L, -1L, -1L, -1L, -1L)))
   }
 
+  test("tiffHeader: closed-form fields recovered in both byte orders, " +
+      "first-IFD-wins dims, page-chain count, cycle guard") {
+    import graft.multimodal.Binary
+    // 0..29 covers both byte orders x orientation x page-count cases
+    for (id <- 0L to 29L) {
+      val (o, w, h, or, n) = Binary.tiffHeader(Binary.makeTiff(id))
+      assert(o == (if (id % 2 == 0) "II" else "MM"),
+        s"byte order for doc $id")
+      assert(w == 100 + id % 50, s"width for doc $id")
+      assert(h == 80 + id % 40, s"height for doc $id")
+      assert(or == 1 + id % 8, s"orientation for doc $id")
+      assert(n == (if (id % 3 == 0) 2L else 1L), s"pages for doc $id")
+    }
+    // the second IFD's own ImageWidth (w/2) must NOT override IFD0's —
+    // first-IFD-wins like mp4Header's first-track discipline
+    val (_, w0, _, _, n0) = Binary.tiffHeader(Binary.makeTiff(6L))
+    assert(w0 == 100 + 6 % 50 && n0 == 2L)
+    // non-TIFF payloads: unknown, never a throw
+    assert(Binary.tiffHeader("not a tiff".getBytes("UTF-8"))._1
+      == "unknown")
+    assert(Binary.tiffHeader(Binary.makeWebp(3L))._1 == "unknown")
+    assert(Binary.tiffHeader(Array.empty[Byte])._1 == "unknown")
+    // wrong magic (43) is rejected even with a valid order mark
+    val wrongMagic = Binary.makeTiff(2L).clone()
+    wrongMagic(2) = 43
+    assert(Binary.tiffHeader(wrongMagic)._1 == "unknown")
+    // truncated mid-IFD: bounds guards degrade, never read OOB
+    val cut = Binary.tiffHeader(Binary.makeTiff(4L).take(20))
+    assert(cut._5 >= 0L || cut._1 == "unknown")
+    // a self-looping next-IFD pointer terminates via the cycle guard
+    val selfLoop = Binary.makeTiff(1L).clone()
+    // next-IFD field of IFD0 sits at offset 8 + 2 + 36 (big-endian MM)
+    selfLoop(46) = 0; selfLoop(47) = 0; selfLoop(48) = 0; selfLoop(49) = 8
+    val looped = Binary.tiffHeader(selfLoop)
+    assert(looped._5 <= 64L, "cycle guard must bound the page chain")
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary

@@ -194,6 +194,7 @@ class PropertySpec extends AnyFunSuite {
       Binary.mp4Header(p)
       Binary.mkvHeader(p)
       Binary.webpHeader(p)
+      Binary.tiffHeader(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -215,10 +216,16 @@ class PropertySpec extends AnyFunSuite {
         val m = webp.clone(); m(i) = (m(i) + delta).toByte
         Binary.webpHeader(m)
       }
+      val tiff = Binary.makeTiff(id)
+      for (i <- tiff.indices; delta <- Seq(1, 0x80)) {
+        val m = tiff.clone(); m(i) = (m(i) + delta).toByte
+        Binary.tiffHeader(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
       for (cut <- 0 to webp.length) Binary.webpHeader(webp.take(cut))
+      for (cut <- 0 to tiff.length) Binary.tiffHeader(tiff.take(cut))
     }
   }
 
