@@ -1879,6 +1879,24 @@ object OracleSql {
            AS n_pages
          FROM documents ORDER BY doc_id""",
 
+    // Regenerates makeFlac's closed-form STREAMINFO fields — the 36-bit
+    // total (past u32 for ids %5==0) and the integer-division duration
+    // are the hash-sensitive parts; DuckDB's // floor-division matches
+    // Spark's Long / on these all-positive values.
+    "m16_flac_meta" ->
+      """SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 6) AS BIGINT) AS sample_rate,
+         CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+         CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS bits,
+         CAST(10000 + doc_id % 9973
+           + CASE WHEN doc_id % 5 = 0 THEN 8589934592 ELSE 0 END
+           AS BIGINT) AS total_samples,
+         CAST((10000 + doc_id % 9973
+           + CASE WHEN doc_id % 5 = 0 THEN 8589934592 ELSE 0 END) * 1000
+           // (8000 * (1 + doc_id % 6)) AS BIGINT) AS duration_ms,
+         CAST(1 + doc_id % 3 AS BIGINT) AS n_blocks
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

@@ -1839,6 +1839,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL FLAC metadata: per-doc header-only FLAC containers
+    * (Binary.makeFlac — every field a closed form of doc_id; ids %5==0
+    * carry a >2^32 total-sample count forcing the 36-bit read; ids %3
+    * chain PADDING blocks behind STREAMINFO) walked by the pure-byte
+    * METADATA_BLOCK parser (Binary.flacHeader via flacHeaders): sample
+    * rate (20-bit), channels (3-bit, −1-coded), bit depth (5-bit,
+    * −1-coded), total samples (36-bit), integer-division duration, and
+    * the last-flag-terminated block count. The oracle recomputes every
+    * field arithmetically — a bit-offset, −1-coding, or block-walk bug
+    * breaks the hash. Completes the audio metadata family (WAV m02)
+    * with the lossless-archive container. */
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.flacHeaders(
+        src.map(id => Binary.PayloadRow(id, Binary.makeFlac(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -3426,6 +3446,7 @@ object SparkEntry {
     "m13_mp4_frames" -> (m13 _),
     "m14_mkv_frames" -> (m14 _),
     "m15_tiff_meta" -> (m15 _),
+    "m16_flac_meta" -> (m16 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

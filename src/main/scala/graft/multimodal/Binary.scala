@@ -1358,6 +1358,96 @@ object Binary {
     }
   }
 
+  final case class FlacMeta(doc_id: Long, sample_rate: Long,
+                            channels: Long, bits: Long,
+                            total_samples: Long, duration_ms: Long,
+                            n_blocks: Long)
+
+  /** REAL FLAC metadata — the pure-byte METADATA_BLOCK walk (RFC 9639
+    * §8: `fLaC` magic, then blocks of 1-byte header — bit 7 the
+    * last-block flag, bits 0-6 the type — + 24-bit big-endian length;
+    * STREAMINFO is type 0 and mandatorily first). STREAMINFO's packed
+    * core is one big-endian u64 at body offset 10: sample rate (20
+    * bits) | channels−1 (3) | bits-per-sample−1 (5) | total samples
+    * (36 — the field that overflows a u32, which the fixture
+    * exercises). duration_ms = total·1000/rate in integer arithmetic
+    * so the oracle divides identically. Counts the block chain
+    * (runaway-capped like [[tiffHeader]]'s IFD guard). Non-FLAC or
+    * malformed bytes yield (−1, …). */
+  def flacHeader(p: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L, -1L, -1L)
+    if (p.length < 8 ||
+        new String(p.slice(0, 4), "US-ASCII") != "fLaC") return bad
+    var rate, chan, bits, total = -1L
+    var nBlocks = 0L
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= p.length && nBlocks < 64) {
+      val h = p(i) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = ((p(i + 1) & 0xffL) << 16) | ((p(i + 2) & 0xffL) << 8) |
+        (p(i + 3) & 0xffL)
+      if (i + 4 + len > p.length) return bad // truncated mid-block
+      nBlocks += 1
+      if (typ == 0 && rate < 0 && len >= 34) {
+        val b = i + 4
+        var u = 0L
+        var k = 0
+        while (k < 8) { u = (u << 8) | (p(b + 10 + k) & 0xffL); k += 1 }
+        rate = u >>> 44
+        chan = ((u >>> 41) & 0x7L) + 1
+        bits = ((u >>> 36) & 0x1fL) + 1
+        total = u & ((1L << 36) - 1)
+      }
+      i += 4 + len.toInt
+    }
+    if (rate <= 0) bad
+    else (rate, chan, bits, total, total * 1000L / rate, nBlocks)
+  }
+
+  /** Deterministic FLAC fixture: spec-shaped magic + STREAMINFO +
+    * id%3 PADDING blocks (last-block flag on the final one), every
+    * field a closed form of the doc id — rate = 8000·(1 + id%6),
+    * channels = 1 + id%8 (all 3 field bits), bits = 8 + (id%4)·4
+    * (the −1-coded 5-bit field), total = 10000 + id%9973 plus 2^33
+    * for ids %5==0 (forces the 36-bit read past u32). */
+  def makeFlac(docId: Long): Array[Byte] = {
+    val rate = 8000L * (1 + docId % 6)
+    val chan = 1 + docId % 8
+    val bits = 8 + (docId % 4) * 4
+    val total = 10000L + docId % 9973 +
+      (if (docId % 5 == 0) 1L << 33 else 0L)
+    val nPad = (docId % 3).toInt
+    val u = (rate << 44) | ((chan - 1) << 41) | ((bits - 1) << 36) | total
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO: type 0, 34 bytes; last-block flag iff no padding
+    out.write(if (nPad == 0) 0x80 else 0x00)
+    out.write(0); out.write(0); out.write(34)
+    // min/max block size 4096, min/max frame size unknown (0)
+    out.write(Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0))
+    var k = 7
+    while (k >= 0) { out.write(((u >>> (8 * k)) & 0xff).toInt); k -= 1 }
+    out.write(new Array[Byte](16)) // MD5 zeros
+    for (j <- 1 to nPad) {
+      out.write(if (j == nPad) 0x81 else 0x01) // PADDING, last on final
+      out.write(0); out.write(0); out.write(4)
+      out.write(new Array[Byte](4))
+    }
+    out.toByteArray
+  }
+
+  /** [[flacHeader]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup (the metadata family's FLAC member). */
+  def flacHeaders(ds: Dataset[PayloadRow]): Dataset[FlacMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (sr, c, b, t, d, n) = flacHeader(r.payload)
+      FlacMeta(r.doc_id, sr, c, b, t, d, n)
+    }
+  }
+
   final case class WebpMeta(doc_id: Long, variant: String, width: Long,
                             height: Long, has_alpha: Long)
 

@@ -328,6 +328,32 @@ class BinarySpec extends AnyFunSuite {
     assert(looped._5 <= 64L, "cycle guard must bound the page chain")
   }
 
+  test("flacHeader: closed-form STREAMINFO fields recovered incl the " +
+      "36-bit total past u32; block walk honors last flag and lengths") {
+    import graft.multimodal.Binary
+    // 0..39 covers rates x channels x bits x padding x the 2^33 total
+    for (id <- 0L to 39L) {
+      val (sr, c, b, t, d, n) = Binary.flacHeader(Binary.makeFlac(id))
+      val total = 10000L + id % 9973 + (if (id % 5 == 0) 1L << 33 else 0L)
+      assert(sr == 8000 * (1 + id % 6), s"rate for doc $id")
+      assert(c == 1 + id % 8, s"channels for doc $id")
+      assert(b == 8 + (id % 4) * 4, s"bits for doc $id")
+      assert(t == total, s"total for doc $id")
+      assert(d == total * 1000 / sr, s"duration for doc $id")
+      assert(n == 1 + id % 3, s"blocks for doc $id")
+    }
+    // non-FLAC payloads: sentinel, never a throw
+    assert(Binary.flacHeader("not a flac".getBytes("UTF-8"))._1 == -1L)
+    assert(Binary.flacHeader(Binary.makeWav(3L, 10L))._1 == -1L)
+    assert(Binary.flacHeader(Array.empty[Byte])._1 == -1L)
+    // truncated mid-block: the declared-length guard stops the walk
+    assert(Binary.flacHeader(Binary.makeFlac(7L).dropRight(3))._1 == -1L)
+    // a STREAMINFO shorter than 34 bytes is never bit-unpacked
+    val short = Binary.makeFlac(1L).clone()
+    short(7) = 33 // declared length 33
+    assert(Binary.flacHeader(short.dropRight(1))._1 == -1L)
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary

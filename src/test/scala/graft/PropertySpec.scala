@@ -195,6 +195,7 @@ class PropertySpec extends AnyFunSuite {
       Binary.mkvHeader(p)
       Binary.webpHeader(p)
       Binary.tiffHeader(p)
+      Binary.flacHeader(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -221,11 +222,17 @@ class PropertySpec extends AnyFunSuite {
         val m = tiff.clone(); m(i) = (m(i) + delta).toByte
         Binary.tiffHeader(m)
       }
+      val flac = Binary.makeFlac(id)
+      for (i <- flac.indices; delta <- Seq(1, 0x80)) {
+        val m = flac.clone(); m(i) = (m(i) + delta).toByte
+        Binary.flacHeader(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
       for (cut <- 0 to webp.length) Binary.webpHeader(webp.take(cut))
       for (cut <- 0 to tiff.length) Binary.tiffHeader(tiff.take(cut))
+      for (cut <- 0 to flac.length) Binary.flacHeader(flac.take(cut))
     }
   }
 
