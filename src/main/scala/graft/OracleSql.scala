@@ -2664,6 +2664,84 @@ object OracleSql {
              THEN md5(array_to_string(kl, chr(10))) ELSE '' END AS clean_md5
          FROM r ORDER BY doc_id""" },
 
+    // Re-derives t24's plants, counts and precedence verdict from the
+    // SAME knobs SparkEntry/HeuristicFilters compile against — every
+    // ratio an integer cross-multiplication, so no float enters the
+    // cross-engine compare.
+    "t24_gopher_rules" -> {
+      val hf = graft.text.HeuristicFilters
+      val e = graft.SparkEntry
+      val wpl = e.t21WordsPerLine
+      val stop = e.t24StopPhrase.map("'" + _ + "'").mkString("[", ",", "]")
+      val stopTerms = hf.gStopWords.map(sw =>
+        s"(CASE WHEN list_contains(ws,'$sw') THEN 1 ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS bw
+             FROM documents),
+         w AS (SELECT doc_id, bw
+             || CASE WHEN doc_id % ${e.t24StopMod} = 1 THEN $stop
+                ELSE []::VARCHAR[] END
+             || CASE WHEN doc_id % ${e.t24HashMod} = 0 THEN
+                  list_transform(range(greatest(1, len(bw) // 8)), x -> '#')
+                ELSE []::VARCHAR[] END
+             || CASE WHEN doc_id % ${e.t24OnesMod} = 0 THEN
+                  list_transform(range(len(bw) * 2), x -> 'a')
+                ELSE []::VARCHAR[] END
+             || CASE WHEN doc_id % ${e.t24NumMod} = 0 THEN
+                  list_transform(range(greatest(1, len(bw) // 3)), x -> '1234')
+                ELSE []::VARCHAR[] END AS ws
+           FROM b),
+         l AS (SELECT doc_id, ws,
+             list_transform(range((len(ws) + ${wpl - 1}) // $wpl), i ->
+               CASE WHEN doc_id % ${e.t24BulletMod} = 0 THEN '- '
+                 ELSE '' END
+               || array_to_string(
+                    array_slice(ws, i*$wpl + 1, i*$wpl + $wpl), ' ')
+               || CASE WHEN doc_id % ${e.t24EllipsisMod} = 0 AND i % 2 = 0
+                 THEN '...' ELSE '' END) AS ls
+           FROM w),
+         s AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+               AS BIGINT) AS sum_word_len,
+             CAST(COALESCE(list_sum(list_transform(ws, x ->
+               length(x) - length(replace(x, '#', ''))
+               + (length(x) - length(replace(x, '...', ''))) // 3)), 0)
+               AS BIGINT) AS n_symbols,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, x -> substr(x, 1, 2) = '- '))
+               AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(ls, x -> right(x, 3) = '...'))
+               AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST($stopTerms AS BIGINT) AS n_stop_words
+           FROM l),
+         r AS (SELECT *, CASE
+             WHEN n_words < ${hf.gMinWords} OR n_words > ${hf.gMaxWords}
+               THEN '${hf.gReasons(0)}'
+             WHEN sum_word_len < ${hf.gMinMeanLen} * n_words
+               OR sum_word_len > ${hf.gMaxMeanLen} * n_words
+               THEN '${hf.gReasons(1)}'
+             WHEN n_symbols * 100 >= ${hf.gSymbolRatioPct} * n_words
+               THEN '${hf.gReasons(2)}'
+             WHEN n_bullet_lines * 100 >= ${hf.gBulletPct} * n_lines
+               THEN '${hf.gReasons(3)}'
+             WHEN n_ellipsis_lines * 100 >= ${hf.gEllipsisPct} * n_lines
+               THEN '${hf.gReasons(4)}'
+             WHEN n_alpha_words * 100 < ${hf.gAlphaPct} * n_words
+               THEN '${hf.gReasons(5)}'
+             WHEN n_stop_words < ${hf.gMinStopWords}
+               THEN '${hf.gReasons(6)}'
+             ELSE '${hf.gReasons(7)}' END AS reason
+           FROM s)
+         SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_words,
+           CAST(CASE WHEN reason = '${hf.gReasons(7)}' THEN 1 ELSE 0 END
+             AS BIGINT) AS kept,
+           reason
+         FROM r ORDER BY doc_id""" },
+
     "t20_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest(string_split($normText, ' '))
              AS token FROM documents),

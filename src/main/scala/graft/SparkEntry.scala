@@ -2403,6 +2403,21 @@ object SparkEntry {
     11 -> "read our terms of use and privacy policy",
     13 -> "function() { return 0; }.")
 
+  /** t24's planted violations, keyed by doc_id residue (the t21
+    * fixture discipline; each modulus exercises one Gopher rule in the
+    * violating direction, odd ids get the stop-phrase that lets clean
+    * docs pass the stop-word rule — the corpus vocabulary carries only
+    * `the` from the stop set, so without planting the rule would fire
+    * on every row). */
+  private[graft] val t24StopPhrase =
+    Seq("with", "that", "loaded", "the", "data")
+  private[graft] val t24StopMod = 2    // odd ids carry the stop phrase
+  private[graft] val t24HashMod = 13   // append #-runs (symbol ratio)
+  private[graft] val t24OnesMod = 17   // append 1-char words (mean len)
+  private[graft] val t24NumMod = 19    // append digit words (alpha frac)
+  private[graft] val t24BulletMod = 7  // prefix every line with "- "
+  private[graft] val t24EllipsisMod = 11 // "..." on even lines
+
   /** C4-style heuristic page filtering
     * ([[graft.text.HeuristicFilters.c4Filter]], Raffel et al. 2020
     * §2.2) over deterministically synthesized pages: per-doc verdict
@@ -2428,6 +2443,47 @@ object SparkEntry {
     val pages = t(s, dir, "documents")
       .select(id, array_join(concat(raw +: boiler: _*), "\n").as("page"))
     graft.text.HeuristicFilters.c4Filter(pages, "doc_id", "page")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-rule quality filtering
+    * ([[graft.text.HeuristicFilters.gopherFilter]], Rae et al. 2021
+    * Appendix A1.1.1) — the corpus-hygiene sibling of t21's C4 pass,
+    * covering the rules C4 lacks: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, stop-word floor. Words and lines are
+    * staged ONCE ([[t21]]'s HOF discipline), every ratio is an integer
+    * cross-multiplication, and each rule is exercised in both
+    * directions by residue-class plants ([[t24StopPhrase]] etc). One
+    * row-local scan, no shuffle/UDF/explode; the FULL DuckDB oracle
+    * re-derives plants, counts and the precedence verdict. */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = split(col("text"), " ")
+    val nb = size(base)
+    def plant(cond: Column, arr: Column): Column =
+      when(cond, arr).otherwise(typedLit(Seq.empty[String]))
+    val ws0 = concat(base,
+      plant(id % t24StopMod === 1, typedLit(t24StopPhrase)),
+      plant(id % t24HashMod === 0, array_repeat(lit("#"),
+        greatest(lit(1), floor(nb / lit(8)).cast("int")))),
+      plant(id % t24OnesMod === 0, array_repeat(lit("a"), nb * 2)),
+      plant(id % t24NumMod === 0, array_repeat(lit("1234"),
+        greatest(lit(1), floor(nb / lit(3)).cast("int")))))
+    val staged1 = t(s, dir, "documents").select(id, ws0.as("__ws"))
+    val ws = col("__ws")
+    val nLines = floor((size(ws) + lit(t21WordsPerLine - 1)) /
+      lit(t21WordsPerLine)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - lit(1)), i =>
+      concat(
+        when(id % t24BulletMod === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(ws, i * lit(t21WordsPerLine) + lit(1),
+          lit(t21WordsPerLine)), " "),
+        when(id % t24EllipsisMod === 0 && i % 2 === 0, lit("..."))
+          .otherwise(lit(""))))
+    val staged2 = staged1.select(id, ws, lines.as("__ls"))
+    graft.text.HeuristicFilters.gopherFilter(staged2, "doc_id",
+        "__ws", "__ls")
       .orderBy("doc_id")
   }
 
@@ -3409,6 +3465,7 @@ object SparkEntry {
     "t21_c4_filters" -> (t21 _),
     "t22_url_filters" -> (t22 _),
     "t23_pmi_collocations" -> (t23 _),
+    "t24_gopher_rules" -> (t24 _),
     "p05_chunk_windows" -> (p05 _),
     "p06_group_sample" -> (p06 _),
     "p07_shuffle_shard" -> (p07 _),

@@ -46,6 +46,94 @@ object HeuristicFilters {
       substring(l, -1, 1).isin(".", "!", "?") &&
       !l.contains("javascript")
 
+  // ------------------------------------------------------ Gopher rules --
+
+  /** Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+    * Models", Appendix A1.1.1 — the repetition-free half; repetition
+    * itself is t06's operator). Every ratio test is run as an integer
+    * cross-multiplication so the verdict is exact and the SQL oracle
+    * divides nowhere. */
+  val gMinWords = 50
+  val gMaxWords = 100000
+  val gMinMeanLen = 3 // mean word length in [3, 10]
+  val gMaxMeanLen = 10
+  /** symbol-to-word ratio (`#` chars + `...` runs) must be < 0.1 */
+  val gSymbolRatioPct = 10
+  /** < 90% of lines may start with a bullet */
+  val gBulletPct = 90
+  /** < 30% of lines may end with an ellipsis */
+  val gEllipsisPct = 30
+  /** >= 80% of words must contain an alphabetic character */
+  val gAlphaPct = 80
+  /** at least 2 distinct members of the stop-word set must appear */
+  val gMinStopWords = 2
+  val gStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher reason labels, in precedence order (first violated wins). */
+  val gReasons: Seq[String] = Seq("word_count", "word_length",
+    "symbol_ratio", "bullet_lines", "ellipsis_lines", "alpha_words",
+    "stop_words", "kept")
+
+  /** Apply the Gopher rule set to a frame that has already staged the
+    * word array and line array ONCE (the [[c4Filter]] HOF discipline:
+    * higher-order-function expressions are CodegenFallback, so each
+    * array aggregate is computed in its own projection and the verdict
+    * references the scalar results — CollapseProject keeps the
+    * boundary because inlining would duplicate non-cheap expressions).
+    *
+    * Output (one row per input row, null-free, all counts long):
+    * `idCol, n_words, sum_word_len, n_symbols, n_lines,
+    * n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_words,
+    * kept, reason`. Entirely row-local — one scan, no shuffle, no UDF,
+    * no explode; at 100 TB this is a map-only pass whose cost is the
+    * scan itself. */
+  def gopherFilter(staged: DataFrame, idCol: String,
+                   wordsCol: String, linesCol: String): DataFrame = {
+    val ws = col(wordsCol)
+    val ls = col(linesCol)
+    // `...` occurrences per word: the length delta of a non-overlapping
+    // leftmost replace is an exact multiple of 3 in both engines
+    def symbolsIn(w: Column): Column =
+      (length(w) - length(replace(w, lit("#"), lit("")))) +
+        ((length(w) - length(replace(w, lit("..."), lit("")))) / 3)
+          .cast("int")
+    val scalars = staged.select(col(idCol),
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0), (a, w) => a + length(w)).cast("long")
+        .as("sum_word_len"),
+      aggregate(ws, lit(0), (a, w) => a + symbolsIn(w)).cast("long")
+        .as("n_symbols"),
+      size(ls).cast("long").as("n_lines"),
+      size(filter(ls, l => substring(l, 1, 2) === "- ")).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(ls, l => substring(l, -3, 3) === "...")).cast("long")
+        .as("n_ellipsis_lines"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      gStopWords.map(sw =>
+          when(array_contains(ws, sw), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _).as("n_stop_words"))
+    val n = col("n_words")
+    val nl = col("n_lines")
+    val reason =
+      when(n < gMinWords || n > gMaxWords, gReasons(0))
+        .when(col("sum_word_len") < n * gMinMeanLen ||
+          col("sum_word_len") > n * gMaxMeanLen, gReasons(1))
+        .when(col("n_symbols") * 100 >= n * gSymbolRatioPct, gReasons(2))
+        .when(col("n_bullet_lines") * 100 >= nl * gBulletPct, gReasons(3))
+        .when(col("n_ellipsis_lines") * 100 >= nl * gEllipsisPct,
+          gReasons(4))
+        .when(col("n_alpha_words") * 100 < n * gAlphaPct, gReasons(5))
+        .when(col("n_stop_words") < gMinStopWords, gReasons(6))
+        .otherwise(gReasons(7))
+    scalars.select(col(idCol), n, col("sum_word_len"), col("n_symbols"),
+      nl, col("n_bullet_lines"), col("n_ellipsis_lines"),
+      col("n_alpha_words"), col("n_stop_words"),
+      (reason === gReasons(7)).cast("long").as("kept"),
+      reason.as("reason"))
+  }
+
   /** Apply the C4 rule set to newline-separated pages.
     *
     * Output (one row per input row, null-free):

@@ -46,6 +46,56 @@ class HeuristicFiltersSpec extends AnyFunSuite {
       "verdict columns must be null-free")
   }
 
+  private def runGopher(rows: (Long, Seq[String], Seq[String])*) =
+    HeuristicFilters.gopherFilter(rows.toDF("doc_id", "ws", "ls"),
+        "doc_id", "ws", "ls")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopher rules: every reason fires at its documented threshold, " +
+      "ratio boundaries are exact, precedence is first-violated-wins") {
+    val water = Seq.fill(58)("water") ++ Seq("the", "of") // 60 clean words
+    val plainLines = Seq("water water", "water water")
+    val out = runGopher(
+      (1L, water, plainLines), // kept
+      (2L, Seq.fill(10)("water"), plainLines), // too few words
+      (3L, Seq.fill(58)("ab") ++ Seq("the", "of"), plainLines), // mean<3
+      // 6 '#' of 60 words = exactly 0.1 — the >= threshold trips
+      (4L, Seq.fill(52)("water") ++ Seq.fill(4)("#") ++
+        Seq("the", "of", "#", "#"), plainLines),
+      // 9 of 10 bulleted lines = exactly 90% — trips
+      (5L, water, Seq.fill(9)("- water") ++ Seq("water")),
+      // 3 of 10 ellipsis lines = exactly 30% — trips
+      (6L, water, Seq.fill(3)("water...") ++ Seq.fill(7)("water")),
+      // 48 alpha of 60 = exactly 80% — passes (the < test), then kept
+      (7L, Seq.fill(46)("water") ++ Seq("the", "of") ++
+        Seq.fill(12)("1234"), plainLines),
+      // 47 alpha of 60 < 80% — alpha_words
+      (8L, Seq.fill(45)("water") ++ Seq("the", "of") ++
+        Seq.fill(13)("1234"), plainLines),
+      // only one stop word present
+      (9L, Seq.fill(59)("water") :+ "the", plainLines),
+      // precedence: word_count beats symbol_ratio
+      (10L, Seq.fill(10)("#"), plainLines),
+      // '...' inside a word counts as one symbol run
+      (11L, Seq.fill(54)("water") ++ Seq("the", "of") ++
+        Seq.fill(4)("a...b"), plainLines))
+    def reason(id: Long) = out(id).getString(10)
+    assert(reason(1L) == "kept" && out(1L).getLong(9) == 1L)
+    assert(reason(2L) == "word_count")
+    assert(reason(3L) == "word_length")
+    assert(reason(4L) == "symbol_ratio" && out(4L).getLong(3) == 6L)
+    assert(reason(5L) == "bullet_lines" && out(5L).getLong(5) == 9L)
+    assert(reason(6L) == "ellipsis_lines" && out(6L).getLong(6) == 3L)
+    assert(reason(7L) == "kept" && out(7L).getLong(7) == 48L)
+    assert(reason(8L) == "alpha_words")
+    assert(reason(9L) == "stop_words" && out(9L).getLong(8) == 1L)
+    assert(reason(10L) == "word_count")
+    // 4 a...b words: 4 ellipsis runs, 0 hashes -> below 0.1 of 60, kept
+    assert(out(11L).getLong(3) == 4L && reason(11L) == "kept")
+    // counts null-free and consistent
+    assert(out.values.forall(r => (1 to 9).forall(!r.isNullAt(_))))
+  }
+
   test("the filter is one row-local pass: no shuffle, no explode, and " +
       "the kept-lines HOF evaluates once (staged projection holds)") {
     // parquet-backed: a local Seq constant-folds to LocalTableScan

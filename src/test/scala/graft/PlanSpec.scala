@@ -293,6 +293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(k07p.contains("BroadcastHashJoin") &&
       !k07p.contains("SortMergeJoin"), k07p)
     assert(exch(k07p) <= 3, s"k07: agg + sort only:\n$k07p")
+    // t24/m15/m16: row-local scan-stage operators — join/window-free,
+    // no explode (t24's per-line work lives inside array lambdas), the
+    // only exchange is the presentation sort
+    for (g <- Seq("t24_gopher_rules", "m15_tiff_meta", "m16_flac_meta")) {
+      val p = plan(g)
+      assert(joins(p) == 0, s"$g must be join-free:\n$p")
+      assert(exch(p) <= 1, s"$g: only the dump sort may exchange:\n$p")
+      assert(!p.contains("Window") && !p.contains("Generate"),
+        s"$g must not window or explode:\n$p")
+    }
     // q48: the day window must prune at the DIRECTORY level — the
     // bounds live in PartitionFilters on the scan (I/O proportional to
     // the window), never as a post-scan data Filter over a full read
