@@ -2145,6 +2145,29 @@ object OracleSql {
          FROM x JOIN m ON x.series = m.series
          ORDER BY x.series""",
 
+    // k09: the merge contract re-derived — the exported profile's
+    // sub-count must equal the SQL day count, merged must equal direct
+    // (mergeability), and the merged estimate must sit in the 5·rsd
+    // window around the SQL-exact distinct.
+    "k09_sketch_merge" ->
+      s"""WITH m AS (SELECT series, n_subs, ndv_merged, ndv_direct, rsd
+             FROM read_parquet(${modelGlob("k09", "merge_profile")})),
+         x AS (SELECT event_type AS series,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+             CAST(COUNT(DISTINCT strftime(date_trunc('day', $tsUs),
+               '%Y-%m-%d')) AS BIGINT) AS n_days
+           FROM events GROUP BY 1)
+         SELECT x.series, x.n_days, m.n_subs, m.ndv_merged,
+           m.ndv_direct, x.ndv_exact, m.rsd,
+           CAST(CASE WHEN m.n_subs = x.n_days
+             AND CAST(ABS(m.ndv_merged - x.ndv_exact) AS DOUBLE)
+                 <= 5 * m.rsd * CAST(x.ndv_exact AS DOUBLE)
+             AND CAST(ABS(m.ndv_direct - x.ndv_exact) AS DOUBLE)
+                 <= 5 * m.rsd * CAST(x.ndv_exact AS DOUBLE)
+             THEN 1 ELSE 0 END AS INT) AS contained
+         FROM x JOIN m ON x.series = m.series
+         ORDER BY x.series""",
+
     // k06: priority sampling re-derived — the same md5 60-bit coin,
     // the identical two-division priority tree, row_number ranking
     // (q DESC, id ASC — the TopKByScore tie order), tau as the (k+1)-th

@@ -2315,6 +2315,45 @@ object SparkEntry {
       .orderBy("series")
   }
 
+  /** HLL mergeability contract ([[graft.operators.Sketches
+    * .mergeProfile]]) — k08's distributed sibling: per-(series, day)
+    * Datasketches-HLL sketches union-merged to the per-series answer,
+    * proving the re-aggregation path a 100 TB warehouse actually runs
+    * (daily partials folded to monthly without a base rescan). The
+    * profile exports via ModelStore (the r13 exported-model route) and
+    * the gate re-joins it against the exact per-series distinct + day
+    * count, emitting the contract columns the FULL SQL oracle
+    * re-derives: sub-count == day-count, and BOTH the merged and the
+    * direct estimate within 5·rsd·exact — containment, not equality,
+    * because the Datasketches union is measurably order-sensitive in
+    * sparse mode (see mergeProfile's Scaladoc); the envelope is the
+    * property that survives any merge order. */
+  private def k09(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.operators.Sketches.mergeProfile(ev(s, dir),
+      col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+      col("user_id"), lgK = 12)
+    val base = gateModelDir(dir, "k09")
+    graft.sim.ModelStore.save(prof.coalesce(1), "hll_merge_profile",
+      s"$base/merge_profile")
+    val m = graft.sim.ModelStore.load(s, "hll_merge_profile",
+      s"$base/merge_profile")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"))
+      .agg(countDistinct(col("user_id")).as("ndv_exact"),
+        countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("n_days"))
+      .join(broadcast(m), "series")
+      .select(col("series"), col("n_days"), col("n_subs"),
+        col("ndv_merged"), col("ndv_direct"), col("ndv_exact"),
+        col("rsd"),
+        when(col("n_subs") === col("n_days") &&
+          abs(col("ndv_merged") - col("ndv_exact")).cast("double") <=
+            lit(5.0) * col("rsd") * col("ndv_exact").cast("double") &&
+          abs(col("ndv_direct") - col("ndv_exact")).cast("double") <=
+            lit(5.0) * col("rsd") * col("ndv_exact").cast("double"), 1)
+          .otherwise(0).as("contained"))
+      .orderBy("series")
+  }
+
   /** k-means|| init quality report (Ivf.kmeansParallelInit, Bahmani et
     * al. 2012): the same 3-iteration spherical k-means fit run from the
     * deterministic lowest-id seeds AND from the cost-proportional
@@ -3423,6 +3462,7 @@ object SparkEntry {
     "k06_priority_sample" -> (k06 _),
     "k07_quantile_contract" -> (k07 _),
     "k08_distinct_contract" -> (k08 _),
+    "k09_sketch_merge" -> (k09 _),
     "d01_dedup_exact" -> (d01 _),
     "d02_dedup_minhash" -> (d02 _),
     "d03_dedup_simhash" -> (d03 _),

@@ -177,6 +177,42 @@ object Sketches {
       // knob tweak can never leave the audit checking a stale constant
       .withColumn("rsd", lit(rsd))
 
+  /** Mergeability contract for the Datasketches HLL distinct sketch —
+    * THE property that makes sketched distinct usable at 100 TB:
+    * per-sub-group (per-day, per-shard) sketches fold into the global
+    * answer WITHOUT rescanning the base. Emits, per series: the
+    * sub-group count, the estimate from merging the per-sub sketches
+    * (`hll_union_agg`), and the estimate from one direct same-lgK
+    * pass. The contract is that BOTH estimates carry the sketch's
+    * published error bound — NOT that they are equal: measured on this
+    * engine (BENCHLOG r15), the Datasketches union is order-sensitive
+    * while sketches sit in sparse/coupon mode (a 13-vs-29-partition
+    * re-shuffle moved a 1500-NDV estimate by ~1%), so a hard equality
+    * or partitioning-invariance claim would be wrong by construction;
+    * what survives any merge order is the accuracy envelope, which is
+    * exactly what a daily→monthly rollup needs. The published `rsd`
+    * (1.04/√2^lgK) rides the output so the containment audit derives
+    * its bound from the knob the sketch ran with ([[distinctProfile]]'s
+    * discipline). Both aggregation passes are map-side combined; the
+    * final join is two |series|-row frames. */
+  def mergeProfile(df: DataFrame, groupCol: Column, subCol: Column,
+                   keyCol: Column, lgK: Int = 12): DataFrame = {
+    val rows = df.select(groupCol.as("series"), subCol.as("sub"),
+      keyCol.as("k"))
+    val perSub = rows.groupBy("series", "sub")
+      .agg(expr(s"hll_sketch_agg(k, $lgK)").as("sk"))
+    val merged = perSub.groupBy("series")
+      .agg(count(lit(1)).as("n_subs"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("ndv_merged"))
+    val direct = rows.groupBy("series")
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(k, $lgK))")
+        .as("ndv_direct"))
+    merged.join(direct, "series")
+      .select(col("series"), col("n_subs"), col("ndv_merged"),
+        col("ndv_direct"),
+        round(lit(1.04) / sqrt(lit((1L << lgK).toDouble)), 6).as("rsd"))
+  }
+
   /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996) with
     * its exact anchor: F2 = Σ_key count² — the self-join / join-size
     * estimate a query planner wants without shuffling every distinct

@@ -64,7 +64,12 @@ object ModelStore {
     // HLL distinct estimates (Sketches.distinctProfile sans the exact
     // column — k08's export): the estimate is engine-specific register
     // state, but its 5·rsd error CONTRACT is SQL over the raw data
-    "hll_profile" -> Set("series", "n_rows", "ndv_hll", "rsd"))
+    "hll_profile" -> Set("series", "n_rows", "ndv_hll", "rsd"),
+    // Datasketches-HLL merge profile (Sketches.mergeProfile — k09's
+    // export): per-series sub-sketch count plus the merged-vs-direct
+    // estimate pair whose equality IS the mergeability contract
+    "hll_merge_profile" -> Set("series", "n_subs", "ndv_merged",
+      "ndv_direct", "rsd"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

@@ -42,6 +42,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("ndv_hll")) == b.map(_.getAs[Long]("ndv_hll")))
   }
 
+  test("mergeProfile: merged AND direct estimates inside 5*rsd of exact " +
+      "under every partitioning (the contract that survives merge order)") {
+    // 3 series x 8 sub-groups; keys overlap across subs so the union is
+    // genuinely smaller than the sum of per-sub cardinalities.
+    // NB a hard merged==direct (or partitioning-invariance) assertion
+    // would be WRONG: the Datasketches union is order-sensitive in
+    // sparse mode (measured r15 — a re-shuffle moves estimates ~1%).
+    // The stable property is the accuracy envelope, checked under
+    // three different partitionings.
+    val rows = for {
+      g <- 0 until 3
+      i <- 0 until 4000
+    } yield (s"g$g", s"sub${i % 8}", (i % (500 * (g + 1))).toLong)
+    val df = rows.toDF("series", "sub", "k")
+    for (d <- Seq(df, df.repartition(13, col("k")),
+        df.repartition(29, col("sub")))) {
+      val got = Sketches.mergeProfile(d, col("series"), col("sub"),
+          col("k")).orderBy("series").collect()
+      assert(got.length == 3)
+      for ((r, g) <- got.zipWithIndex) {
+        assert(r.getAs[Long]("n_subs") == 8L)
+        val ndv = 500.0 * (g + 1)
+        val rsd = r.getAs[Double]("rsd")
+        assert(math.abs(r.getAs[Long]("ndv_merged") - ndv) <=
+          5 * rsd * ndv, s"series g$g merged outside 5*rsd")
+        assert(math.abs(r.getAs[Long]("ndv_direct") - ndv) <=
+          5 * rsd * ndv, s"series g$g direct outside 5*rsd")
+      }
+    }
+  }
+
   test("quantileProfile: every estimate's exact rank is inside the " +
       "n/accuracy window") {
     val df = synth()
