@@ -2333,6 +2333,38 @@ object OracleSql {
            AND strftime($tsUs, '%Y-%m-%d') < '2024-01-15'
          GROUP BY 1, 2 ORDER BY day, event_type""",
 
+    // q49: every column re-derived from the SAME two parquet trees the
+    // gate wrote (filename=true gives the physical file identity,
+    // hive_partitioning the day) plus raw events for the expected rows
+    // — identical verdict formula, so a conservation bug on either
+    // side breaks the hash.
+    "q49_compact" -> {
+      def leg(sub: String, tag: String) =
+        s"""SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT filename) AS BIGINT) AS n_files_$tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_$tag,
+           ${decSum("value")} AS sum_$tag
+         FROM read_parquet(
+           '${graft.SparkEntry.gateModelSqlPath("q49")}/$sub/*/*.parquet',
+           filename=true, hive_partitioning=true)
+         GROUP BY 1"""
+      s"""WITH sm AS (${leg("events_small", "small")}),
+         cp AS (${leg("events_compact", "compact")}),
+         x AS (SELECT strftime($tsUs, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows_expected
+           FROM events GROUP BY 1)
+         SELECT sm.day, sm.n_files_small, cp.n_files_compact,
+           sm.n_rows_small AS n_rows, x.n_rows_expected,
+           sm.sum_small AS sum_value,
+           CAST(CASE WHEN cp.n_files_compact = 1
+             AND cp.n_files_compact < sm.n_files_small
+             AND sm.n_rows_small = cp.n_rows_compact
+             AND sm.n_rows_small = x.n_rows_expected
+             AND sm.sum_small = cp.sum_compact
+             THEN 1 ELSE 0 END AS INT) AS compact_ok
+         FROM sm JOIN cp ON sm.day = cp.day JOIN x ON sm.day = x.day
+         ORDER BY sm.day""" },
+
     "q46_snapshot_diff" ->
       s"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
              o_orderpriority

@@ -1149,6 +1149,65 @@ object SparkEntry {
       .orderBy("day", "event_type")
   }
 
+  /** Small-file compaction — the 100 TB housekeeping operator every
+    * streaming-ingested warehouse needs: a tiny `maxRecordsPerFile`
+    * cap on a many-task write produces the pathological
+    * thousands-of-small-files layout, then ONE `repartition` on the
+    * partition key rewrites each day in a single task → exactly one
+    * file per day at the production cap. The gate emits the per-day
+    * before/after file counts (via `input_file_name`), conserved row
+    * counts (cross-checked against a direct events recompute) and the
+    * exact-decimal value checksum, plus a `compact_ok` verdict. The
+    * FULL DuckDB oracle re-derives every column from the SAME two
+    * parquet trees (`read_parquet(..., filename=true,
+    * hive_partitioning=true)`) and raw events — a compaction that
+    * dropped, duplicated or re-bucketed a row breaks the hash. Scale
+    * shape: the rewrite is one shuffle on the partition key; file
+    * listing happens in the engines' scans, never a driver loop. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val base = gateModelDir(dir, "q49")
+    val smallPath = s"$base/events_small"
+    val compactPath = s"$base/events_compact"
+    val keyed = ev(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // round-robin across 8 tasks guarantees every day fragments into
+    // >= min(8, rows) files even at tiny sf; the 256-row cap adds the
+    // per-file splitting a row-capped streaming sink produces
+    keyed.repartition(8)
+      .write.mode("overwrite").option("maxRecordsPerFile", 256)
+      .partitionBy("day").parquet(smallPath)
+    s.read.parquet(smallPath).repartition(col("day"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .partitionBy("day").parquet(compactPath)
+    def profile(path: String, tag: String) =
+      s.read.parquet(path)
+        // the _metadata.file_path column is the deterministic file
+        // identity (input_file_name() is non-deterministic and
+        // rejected inside aggregates)
+        .select(col("day").cast("string").as("day"), col("value"),
+          col("_metadata.file_path").as("__f"))
+        .groupBy("day")
+        .agg(countDistinct(col("__f")).as(s"n_files_$tag"),
+          count(lit(1)).as(s"n_rows_$tag"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as(s"sum_$tag"))
+    val expected = keyed.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows_expected"))
+    profile(smallPath, "small")
+      .join(profile(compactPath, "compact"), "day")
+      .join(expected, "day")
+      .select(col("day"), col("n_files_small"), col("n_files_compact"),
+        col("n_rows_small").as("n_rows"), col("n_rows_expected"),
+        col("sum_small").as("sum_value"),
+        when(col("n_files_compact") === 1 &&
+          col("n_files_compact") < col("n_files_small") &&
+          col("n_rows_small") === col("n_rows_compact") &&
+          col("n_rows_small") === col("n_rows_expected") &&
+          col("sum_small") === col("sum_compact"), 1)
+          .otherwise(0).as("compact_ok"))
+      .orderBy("day")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -3448,6 +3507,7 @@ object SparkEntry {
     "q46_snapshot_diff" -> (q46 _),
     "q47_notify_summary" -> (q47 _),
     "q48_partitioned_dump" -> (q48 _),
+    "q49_compact" -> (q49 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),

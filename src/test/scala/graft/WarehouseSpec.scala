@@ -109,4 +109,19 @@ class WarehouseSpec extends AnyFunSuite {
         s"batch $id membership diverges from the logical dumpBatched")
     }
   }
+
+  test("q49 compaction: one file per day after, strictly fewer than " +
+      "before, rows and checksums conserved") {
+    val out = SparkEntry.queries("q49_compact")(spark, dir).collect()
+    assert(out.length >= 5, s"expected a day per row, got ${out.length}")
+    for (r <- out) {
+      val day = r.getAs[String]("day")
+      assert(r.getAs[Long]("n_files_compact") == 1L, s"$day: not 1 file")
+      assert(r.getAs[Long]("n_files_small") > 1L,
+        s"$day: the small layout must actually be fragmented")
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_rows_expected"),
+        s"$day: rows not conserved")
+      assert(r.getAs[Int]("compact_ok") == 1, s"$day: verdict not ok")
+    }
+  }
 }
