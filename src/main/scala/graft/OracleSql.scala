@@ -1897,6 +1897,24 @@ object OracleSql {
          CAST(1 + doc_id % 3 AS BIGINT) AS n_blocks
          FROM documents ORDER BY doc_id""",
 
+    // Regenerates makeMp3's closed-form fields — the bitrate/rate
+    // table lookups and the truncating duration division are the
+    // hash-sensitive parts.
+    "m17_mp3_meta" ->
+      """SELECT doc_id,
+         list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+           CAST(1 + doc_id % 14 AS INT)) AS bitrate_kbps,
+         list_extract([44100,48000,32000],
+           CAST(1 + doc_id % 3 AS INT)) AS sample_rate,
+         CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT)
+           AS channels,
+         CAST(5 + doc_id % 20 AS BIGINT) AS n_frames,
+         CAST((5 + doc_id % 20) * 1152 * 1000
+           // list_extract([44100,48000,32000],
+             CAST(1 + doc_id % 3 AS INT)) AS BIGINT) AS duration_ms,
+         CAST(20 + doc_id % 200 AS BIGINT) AS id3_size
+         FROM documents ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

@@ -1918,6 +1918,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL MP3 metadata: per-doc MPEG-1 Layer III streams
+    * (Binary.makeMp3 — every field a closed form of doc_id; all 14
+    * bitrate rows, all 3 sample rates, all 4 channel modes and both
+    * padding hop lengths cycle through the corpus; the ID3v2 tag's
+    * payload is 0xFF-laced so only a correct SYNCSAFE size decode
+    * lands the walk on the first real frame) walked by the pure-byte
+    * frame hopper (Binary.mp3Header via mp3Headers): bitrate/rate
+    * table lookups, integer frame-length hops, first-frame-wins
+    * fields, frame count, integer-division duration. The oracle
+    * recomputes every field arithmetically — a table, bit-offset,
+    * syncsafe or hop-length bug breaks the hash. Completes the audio
+    * metadata family (WAV m02, FLAC m16) with the lossy-archive
+    * container. */
+  private def m17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.mp3Headers(
+        src.map(id => Binary.PayloadRow(id, Binary.makeMp3(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -3604,6 +3626,7 @@ object SparkEntry {
     "m14_mkv_frames" -> (m14 _),
     "m15_tiff_meta" -> (m15 _),
     "m16_flac_meta" -> (m16 _),
+    "m17_mp3_meta" -> (m17 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -1448,6 +1448,127 @@ object Binary {
     }
   }
 
+  final case class Mp3Meta(doc_id: Long, bitrate_kbps: Long,
+                           sample_rate: Long, channels: Long,
+                           n_frames: Long, duration_ms: Long,
+                           id3_size: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free,
+    * 15 = bad — both rejected). */
+  private val mp3Bitrates = Array(-1L, 32L, 40L, 48L, 56L, 64L, 80L,
+    96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L, -1L)
+  /** MPEG-1 sample-rate table (Hz), index 0..2 (3 = reserved). */
+  private val mp3Rates = Array(44100L, 48000L, 32000L, -1L)
+
+  /** REAL MP3 metadata — the pure-byte MPEG audio frame walk: an
+    * optional ID3v2 prefix (`ID3` magic, 2 version + 1 flag bytes, a
+    * 28-bit SYNCSAFE size — 4 bytes of 7 bits, the encoding that keeps
+    * tag bytes from faking a frame sync) is skipped, then CBR frames
+    * are hopped header-by-header: 11-bit sync, MPEG-1 (version bits
+    * 11) Layer III (layer bits 01) only, bitrate/sample-rate table
+    * lookups, padding bit, channel mode (11 = mono); frame length =
+    * 144000·bitrate/rate + padding in integer arithmetic, so the hop
+    * and the oracle truncate identically. First-frame-wins fields
+    * (m06's first-track rule), every frame's sync re-verified (a
+    * mid-stream desync stops the walk), runaway-capped. duration_ms =
+    * frames·1152·1000/rate. Non-MP3 or malformed bytes yield (−1, …).
+    */
+  def mp3Header(p: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L, -1L, -1L)
+    var i = 0
+    var id3 = 0L
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      // syncsafe: 7 data bits per byte, high bit must be clear
+      var sz = 0L
+      var k = 6
+      while (k < 10) {
+        if ((p(k) & 0x80) != 0) return bad
+        sz = (sz << 7) | (p(k) & 0x7fL)
+        k += 1
+      }
+      id3 = 10L + sz
+      if (id3 > p.length) return bad
+      i = id3.toInt
+    }
+    var br, sr, chan = -1L
+    var frames = 0L
+    var ok = true
+    while (ok && i + 4 <= p.length && frames < 10000) {
+      val b1 = p(i) & 0xff
+      val b2 = p(i + 1) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) ok = false
+      else if (((b2 >> 3) & 3) != 3 || ((b2 >> 1) & 3) != 1) ok = false
+      else {
+        val b3 = p(i + 2) & 0xff
+        val thisBr = mp3Bitrates((b3 >> 4) & 15)
+        val thisSr = mp3Rates((b3 >> 2) & 3)
+        val pad = (b3 >> 1) & 1
+        if (thisBr < 0 || thisSr < 0) ok = false
+        else {
+          if (frames == 0) {
+            br = thisBr; sr = thisSr
+            chan = if (((p(i + 3) & 0xff) >> 6) == 3) 1L else 2L
+          }
+          val len = 144000L * thisBr / thisSr + pad
+          if (len < 4 || i + len > p.length) ok = false
+          else { frames += 1; i += len.toInt }
+        }
+      }
+    }
+    if (frames == 0) bad
+    else (br, sr, chan, frames, frames * 1152L * 1000L / sr, id3)
+  }
+
+  /** Deterministic MP3 fixture: ID3v2 tag (syncsafe-sized payload of
+    * 10 + id%200 bytes, 0xFF-laced to prove the skip is size-driven,
+    * not sync-scan-driven) + 5 + id%20 CBR MPEG-1 Layer III frames,
+    * every field a closed form of the doc id — bitrate index
+    * 1 + id%14 (all 14 table rows), sample-rate index id%3 (all 3),
+    * channel mode id%4 (mono and all three stereo modes), per-frame
+    * padding bit (id + frame) % 2 (both hop lengths). Frame bodies are
+    * zero-filled — metadata-real, payload-free (the makeWav header
+    * discipline). */
+  def makeMp3(docId: Long): Array[Byte] = {
+    val brIdx = 1 + (docId % 14).toInt
+    val srIdx = (docId % 3).toInt
+    val mode = (docId % 4).toInt
+    val nFrames = 5 + (docId % 20).toInt
+    val tagLen = 10 + (docId % 200).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(4); out.write(0); out.write(0) // v2.4, no flags
+    // syncsafe size, 7 bits per byte
+    out.write((tagLen >> 21) & 0x7f); out.write((tagLen >> 14) & 0x7f)
+    out.write((tagLen >> 7) & 0x7f); out.write(tagLen & 0x7f)
+    var j = 0
+    while (j < tagLen) { out.write(0xff); j += 1 } // sync-bait payload
+    val br = mp3Bitrates(brIdx)
+    val sr = mp3Rates(srIdx)
+    var f = 0
+    while (f < nFrames) {
+      val pad = ((docId + f) % 2).toInt
+      val len = (144000L * br / sr + pad).toInt
+      out.write(0xff); out.write(0xfb) // sync + MPEG-1 Layer III
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(mode << 6)
+      var k = 4
+      while (k < len) { out.write(0); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** [[mp3Header]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup (the metadata family's MP3 member). */
+  def mp3Headers(ds: Dataset[PayloadRow]): Dataset[Mp3Meta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (b, sr, c, n, d, id3) = mp3Header(r.payload)
+      Mp3Meta(r.doc_id, b, sr, c, n, d, id3)
+    }
+  }
+
   final case class WebpMeta(doc_id: Long, variant: String, width: Long,
                             height: Long, has_alpha: Long)
 

@@ -354,6 +354,43 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.flacHeader(short.dropRight(1))._1 == -1L)
   }
 
+  test("mp3Header: closed-form fields recovered across all bitrate/" +
+      "rate/mode rows; syncsafe skip; per-frame sync re-verified") {
+    import graft.multimodal.Binary
+    // 0..59 covers all 14 bitrates x 3 rates x 4 modes x padding
+    for (id <- 0L to 59L) {
+      val (br, sr, c, n, d, id3) = Binary.mp3Header(Binary.makeMp3(id))
+      val brs = Seq(32L, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)
+      val srs = Seq(44100L, 48000L, 32000L)
+      assert(br == brs((id % 14).toInt), s"bitrate for doc $id")
+      assert(sr == srs((id % 3).toInt), s"rate for doc $id")
+      assert(c == (if (id % 4 == 3) 1L else 2L), s"channels for doc $id")
+      assert(n == 5 + id % 20, s"frames for doc $id")
+      assert(d == (5 + id % 20) * 1152L * 1000L / sr,
+        s"duration for doc $id")
+      assert(id3 == 20 + id % 200, s"id3 size for doc $id")
+    }
+    // non-MP3 payloads: sentinel, never a throw
+    assert(Binary.mp3Header("not an mp3".getBytes("UTF-8"))._1 == -1L)
+    assert(Binary.mp3Header(Binary.makeWav(3L, 10L))._1 == -1L)
+    assert(Binary.mp3Header(Array.empty[Byte])._1 == -1L)
+    // a truncated last frame is not counted (the hop bound check)
+    val whole = Binary.makeMp3(7L)
+    val cut = Binary.mp3Header(whole.dropRight(5))
+    assert(cut._4 == 5 + 7 % 20 - 1, "truncated tail frame must drop")
+    // a corrupted mid-stream sync stops the walk at that frame
+    val id3len = 20 + 7 % 200
+    // doc 7: bitrate idx 8 -> 112 kbps, rate idx 1 -> 48000, pad 1
+    val frame1len = (144000L * 112 / 48000 + 1).toInt
+    val desync = whole.clone()
+    desync(id3len + frame1len) = 0x00
+    assert(Binary.mp3Header(desync)._4 == 1L, "desync must stop the walk")
+    // an ID3 size pointing past the buffer is rejected, not chased
+    val lying = whole.clone(); lying(9) = 0x7f; lying(8) = 0x7f
+    assert(Binary.mp3Header(lying)._1 == -1L)
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary

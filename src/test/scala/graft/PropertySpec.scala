@@ -196,6 +196,7 @@ class PropertySpec extends AnyFunSuite {
       Binary.webpHeader(p)
       Binary.tiffHeader(p)
       Binary.flacHeader(p)
+      Binary.mp3Header(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -227,12 +228,18 @@ class PropertySpec extends AnyFunSuite {
         val m = flac.clone(); m(i) = (m(i) + delta).toByte
         Binary.flacHeader(m)
       }
+      val mp3 = Binary.makeMp3(id)
+      for (i <- mp3.indices; delta <- Seq(1, 0x80)) {
+        val m = mp3.clone(); m(i) = (m(i) + delta).toByte
+        Binary.mp3Header(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
       for (cut <- 0 to webp.length) Binary.webpHeader(webp.take(cut))
       for (cut <- 0 to tiff.length) Binary.tiffHeader(tiff.take(cut))
       for (cut <- 0 to flac.length) Binary.flacHeader(flac.take(cut))
+      for (cut <- 0 to mp3.length) Binary.mp3Header(mp3.take(cut))
     }
   }
 
