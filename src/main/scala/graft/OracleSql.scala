@@ -2424,6 +2424,41 @@ object OracleSql {
     // e01: exact midrank AUC re-derived — everything integer until the
     // final division, so the window formulation here equals the gate's
     // sorted-array fold bit-for-bit.
+    // e07: same counts frame as e01, descending-threshold cumulative
+    // TP/seen via a window over the BOUNDED score grid, each emitted
+    // value one correctly-rounded division of exact int64s, and the AP
+    // total a list_reduce in the same descending order the Spark fold
+    // runs.
+    "e07_pr_auc" ->
+      s"""WITH b AS (SELECT $wordCountSql AS s, (lang = 'en') AS y
+             FROM documents),
+         c AS (SELECT s, COUNT(*) AS n_s,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+           FROM b GROUP BY 1),
+         tt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+             CAST(SUM(p_s) AS BIGINT) AS n_pos FROM c),
+         pt AS (SELECT s, p_s AS d_tp,
+             CAST(SUM(p_s) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(SUM(n_s) OVER (ORDER BY s DESC) AS BIGINT) AS seen
+           FROM c),
+         p2 AS (SELECT 'point' AS kind, s, d_tp, tp,
+             seen - tp AS fp, (SELECT n_pos FROM tt) AS n_pos,
+             CAST(tp AS DOUBLE) / CAST(seen AS DOUBLE) AS precision,
+             CAST(tp AS DOUBLE) / CAST((SELECT n_pos FROM tt) AS DOUBLE)
+               AS recall,
+             CAST(d_tp * tp AS DOUBLE) /
+               CAST((SELECT n_pos FROM tt) * seen AS DOUBLE) AS term
+           FROM pt)
+         SELECT kind, s, d_tp, tp, fp, n_pos, precision, recall, term
+           FROM p2
+         UNION ALL
+         SELECT 'total', -1, 0, (SELECT n_pos FROM tt),
+             (SELECT n - n_pos FROM tt), (SELECT n_pos FROM tt),
+             0.0, 0.0,
+             list_reduce(list(term ORDER BY s DESC), (x, y) -> x + y)
+           FROM p2
+         ORDER BY kind, s""",
+
     "e01_auc_label" ->
       s"""WITH b AS (SELECT $wordCountSql AS s, (lang = 'en') AS y
              FROM documents),

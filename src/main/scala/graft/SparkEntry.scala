@@ -2663,6 +2663,17 @@ object SparkEntry {
         col("lang") === "en", bins = 10)
       .orderBy("kind", "bin")
 
+  /** Precision–recall curve + average precision
+    * (operators/Eval.prCurve) over the SAME score/label pair as e01's
+    * ROC AUC — the imbalance-robust ranking view of the identical
+    * signal: per-threshold exact TP/FP points with correctly-rounded
+    * precision/recall/ΔR·P terms, plus the AP total from one
+    * descending-threshold fold. */
+  private def e07(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.prCurve(t(s, dir, "documents"),
+        TextOps.wordCount(col("text")), col("lang") === "en")
+      .orderBy("kind", "s")
+
   /** Chi-squared source-mix drift (operators/Eval.chi2Drift): did the
     * per-source document mix shift between the English and
     * non-English populations? Per-source contribution rows + one
@@ -3536,6 +3547,7 @@ object SparkEntry {
     "e04_incr_auc" -> (e04 _),
     "e05_embed_drift" -> (e05 _),
     "e06_calibration" -> (e06 _),
+    "e07_pr_auc" -> (e07 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

@@ -104,6 +104,66 @@ object Eval {
         col("auc_num").cast("double") / col("auc_den").cast("double"))
   }
 
+  /** Precision–recall curve + average precision (AP — the PR-space
+    * AUC; step interpolation, the `average_precision_score` semantics;
+    * Davis & Goadrich 2006 on why PR beats ROC under class
+    * imbalance — exactly the regime of a rare-quality-label corpus):
+    * thresholds descend the distinct-score grid; at each threshold
+    * everything scoring >= s is predicted positive, giving exact
+    * integer TP/FP from the SAME counts frame [[aucExact]] uses,
+    * precision and recall as ONE correctly-rounded division each, the
+    * AP contribution ΔR·P = (p_s·TP)/(n_pos·(TP+FP)) likewise, and
+    * the total AP as a descending-threshold array fold (ONE
+    * deterministic accumulation order — the chi2/KS discipline).
+    * Output: one `point` row per distinct score + one `total` row
+    * whose `term` is AP.
+    *
+    * Guards: a one-class input raises loudly (AP degenerate), the
+    * [[chi2FromCells]] rule. Scale: the corpus collapses to the
+    * score-grid counts frame in one partial aggregate; everything
+    * after is |grid|-row work (the [[aucState]] bounded-state
+    * posture — |grid|² slice sums on a bounded grid, never a
+    * corpus-sized window). */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = aucState(df, score, label).agg(
+        reverse(array_sort(collect_list(struct(col("s"), col("n_s"),
+          col("p_s"))))).as("grid"),
+        sum("n_s").as("n"), sum("p_s").as("n_pos"))
+      .withColumn("n_pos", when(col("n_pos") > 0 &&
+        col("n_pos") < col("n"), col("n_pos")).otherwise(raise_error(
+        concat(lit("Eval.prCurve: both classes must be present — " +
+          "average precision is degenerate on a one-class input")))))
+    val pts = g.select(col("n_pos"),
+      explode(transform(col("grid"), (x, i) => struct(
+        x("s").as("s"), x("p_s").as("d_tp"),
+        aggregate(slice(col("grid"), lit(1), i + lit(1)), lit(0L),
+          (a, y) => a + y("p_s")).as("tp"),
+        aggregate(slice(col("grid"), lit(1), i + lit(1)), lit(0L),
+          (a, y) => a + y("n_s")).as("seen")))).as("pt"))
+    // |grid|-row frame, memoized (the q46 discipline) so the total
+    // branch folds these rows instead of re-running the corpus counts
+    val points = pts.select(lit("point").as("kind"),
+      col("pt.s").as("s"), col("pt.d_tp").as("d_tp"),
+      col("pt.tp").as("tp"), (col("pt.seen") - col("pt.tp")).as("fp"),
+      col("n_pos"),
+      (col("pt.tp").cast("double") / col("pt.seen").cast("double"))
+        .as("precision"),
+      (col("pt.tp").cast("double") / col("n_pos").cast("double"))
+        .as("recall"),
+      ((col("pt.d_tp") * col("pt.tp")).cast("double") /
+        (col("n_pos") * col("pt.seen")).cast("double")).as("term"))
+      .localCheckpoint()
+    val total = points.agg(
+        aggregate(reverse(array_sort(collect_list(struct(col("s"),
+          col("term"))))), lit(0.0), (a, x) => a + x("term")).as("term"),
+        sum("d_tp").as("tp"), max("fp").as("fp"),
+        max("n_pos").as("n_pos"))
+      .select(lit("total").as("kind"), lit(-1L).as("s"),
+        lit(0L).as("d_tp"), col("tp"), col("fp"), col("n_pos"),
+        lit(0.0).as("precision"), lit(0.0).as("recall"), col("term"))
+    points.unionByName(total)
+  }
+
   /** Chi-squared homogeneity drift between two populations (`inA` vs
     * not) over a categorical `key`: per key, the observed counts and
     * the key's additive chi-squared contribution

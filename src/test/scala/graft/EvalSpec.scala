@@ -35,6 +35,60 @@ class EvalSpec extends AnyFunSuite {
       .collect()(0).getDouble(4) == 0.0)
   }
 
+  test("prCurve: hand-computed points and AP, one-class raises, ties " +
+      "fold into their threshold") {
+    // scores 3,3,2,1 / labels T,F,T,F — descending thresholds:
+    //   s=3: tp=1 seen=2 -> P=0.5 R=0.5 term=(1*1)/(2*2)=0.25
+    //   s=2: tp=2 seen=3 -> P=2/3 R=1   term=(1*2)/(2*3)=1/3
+    //   s=1: tp=2 seen=4 -> P=0.5 R=1   term=0
+    // AP = 0.25 + 1/3 = 7/12
+    val df = Seq((3L, true), (3L, false), (2L, true), (1L, false))
+      .toDF("sc", "y")
+    val out = Eval.prCurve(df, col("sc"), col("y"))
+      .orderBy("kind", "s").collect()
+    assert(out.length == 4)
+    val p = out.filter(_.getString(0) == "point")
+      .map(r => r.getLong(1) -> r).toMap
+    assert((p(3L).getLong(3), p(3L).getLong(4)) == ((1L, 1L)))
+    assert(p(3L).getDouble(6) == 0.5 && p(3L).getDouble(7) == 0.5)
+    assert(p(3L).getDouble(8) == 0.25)
+    assert((p(2L).getLong(3), p(2L).getLong(4)) == ((2L, 1L)))
+    assert(p(2L).getDouble(6) == 2.0 / 3 && p(2L).getDouble(7) == 1.0)
+    assert(p(2L).getDouble(8) == 2.0 / 6)
+    assert(p(1L).getDouble(8) == 0.0)
+    val tot = out.filter(_.getString(0) == "total").head
+    assert(tot.getDouble(8) == 0.25 + 2.0 / 6, "AP fold")
+    assert((tot.getLong(3), tot.getLong(4)) == ((2L, 2L)))
+    // one-class input raises loudly, the chi2FromCells rule
+    val one = Seq((3L, true), (2L, true)).toDF("sc", "y")
+    val e = intercept[Exception] {
+      Eval.prCurve(one, col("sc"), col("y")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("prCurve AP equals the brute-force sklearn-style sweep on " +
+      "random ties-heavy data") {
+    val rng = new scala.util.Random(41)
+    val rows = Seq.fill(400)((rng.nextInt(12).toLong, rng.nextBoolean()))
+    val df = rows.toDF("sc", "y")
+    val tot = Eval.prCurve(df, col("sc"), col("y"))
+      .filter(col("kind") === "total").collect().head
+    // brute force: descending distinct thresholds over the raw rows
+    val nPos = rows.count(_._2).toDouble
+    val thresholds = rows.map(_._1).distinct.sorted.reverse
+    var prevTp = 0.0
+    var ap = 0.0
+    for (t <- thresholds) {
+      val sel = rows.filter(_._1 >= t)
+      val tp = sel.count(_._2).toDouble
+      ap += (tp - prevTp) / nPos * (tp / sel.size)
+      prevTp = tp
+    }
+    assert(math.abs(tot.getDouble(8) - ap) < 1e-12,
+      s"AP ${tot.getDouble(8)} vs brute $ap")
+  }
+
   test("chi2Drift: 2x2 contingency matches the closed form, total is " +
       "the ordered fold of the cells") {
     // k1: (10, 20), k2: (30, 20) -> chi2 = 25/15*2 + 25/25*2 = 16/3
