@@ -2383,6 +2383,50 @@ object OracleSql {
          FROM sm JOIN cp ON sm.day = cp.day JOIN x ON sm.day = x.day
          ORDER BY sm.day""" },
 
+    // q50: Morton codes, buckets, ranges and verdicts re-derived with
+    // the same integer shift/mask/div arithmetic — a bit-order or
+    // scaling bug on either side breaks the hash.
+    "q50_zorder_skip" -> {
+      val probe = "(SELECT max_u // 2 FROM sc)"
+      val zTerms = (0 until 16).map(i =>
+        s"((us >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((ds >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+      def leg(bucket: String, layout: String) =
+        s"""SELECT '$layout' AS layout, $bucket AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(u) AS min_u, MAX(u) AS max_u,
+           MIN(d) AS min_d, MAX(d) AS max_d,
+           CAST(CASE WHEN MIN(u) <= $probe AND MAX(u) >= $probe
+             THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
+         FROM k2 GROUP BY $bucket"""
+      s"""WITH sc AS (SELECT MIN(date_trunc('day', $tsUs)) AS d0,
+             date_diff('day', MIN(date_trunc('day', $tsUs)),
+               MAX(date_trunc('day', $tsUs))) + 1 AS nd,
+             MAX(user_id) AS max_u
+           FROM events),
+         b AS (SELECT user_id AS u,
+             date_diff('day', sc.d0, date_trunc('day', $tsUs)) AS d,
+             sc.nd AS nd, sc.max_u AS max_u
+           FROM events, sc),
+         k AS (SELECT u, d, nd,
+             (u * 65535) // max_u AS us,
+             (d * 65535) // (nd - 1) AS ds
+           FROM b),
+         k2 AS (SELECT u, d,
+             ($zTerms) >> 29 AS zbucket,
+             LEAST(7, (d * 8) // nd) AS tbucket
+           FROM k),
+         pts AS (${leg("zbucket", "zorder")}
+           UNION ALL ${leg("tbucket", "time")}),
+         summ AS (SELECT layout, CAST(-1 AS BIGINT) AS bucket,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             MIN(min_u) AS min_u, MAX(max_u) AS max_u,
+             MIN(min_d) AS min_d, MAX(max_d) AS max_d,
+             CAST(SUM(probe_hit) AS BIGINT) AS probe_hit
+           FROM pts GROUP BY layout)
+         SELECT * FROM (SELECT * FROM pts UNION ALL SELECT * FROM summ)
+         ORDER BY layout, bucket""" },
+
     "q46_snapshot_diff" ->
       s"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
              o_orderpriority

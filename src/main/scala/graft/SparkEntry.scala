@@ -1208,6 +1208,77 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  // q50's probe point is max_u div 2 — derived from the data so the
+  // gate holds at every sf (a fixed id sits outside sf0.001's range)
+
+  /** Z-order clustering vs time clustering, measured as data-skipping
+    * power — THE layout decision a 100 TB warehouse makes for
+    * multi-dimensional pruning (Morton order; the Delta/Iceberg
+    * OPTIMIZE ZORDER primitive): both (user, day) dimensions scale to
+    * 16 bits by exact integer division, interleave bit-by-bit into the
+    * Morton code, and the top 3 z-bits name 8 range buckets — each
+    * bucket then bounds BOTH dimensions, where the time layout's
+    * contiguous-day buckets bound only days. Per (layout, bucket):
+    * rows, min/max of each dimension (exactly what parquet row-group
+    * pruning reads), and whether a data-derived user point query
+    * (max_u div 2) can skip the bucket; plus one summary row per
+    * layout whose `probe_hit` is the HIT COUNT — z-order reads a
+    * fraction of the buckets, time reads all of them. Everything is
+    * closed-form integer arithmetic (`div`, shifts, masks), so the
+    * FULL DuckDB oracle re-derives codes, buckets, ranges and verdicts
+    * bit-for-bit. Scale shape: one scalar agg + two map-side-combined
+    * groupBys over the scan; the Morton code is a codegen'd 32-term
+    * shift-mask sum, no UDF. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("day"))
+    val scalars = e.agg(min(col("day")).as("d0"),
+      (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+        .as("nd"),
+      max(col("user_id")).as("max_u"))
+    // 1-row totals zip — the p08/t05 declared scalar-broadcast class
+    val base = e.crossJoin(broadcast(scalars))
+      .select(col("user_id").as("u"),
+        datediff(col("day"), col("d0")).cast("long").as("d"),
+        col("nd"), col("max_u"))
+    val uS = expr("(u * 65535) div max_u")
+    val dS = expr("(d * 65535) div (nd - 1)")
+    // u rides the ODD (higher) bit lanes so the code's top bits are
+    // (u15, d15, u14): 8 buckets quarter the user range and halve the
+    // day range — the probe dimension gets the finer cut
+    val z = (0 until 16).map(i =>
+      shiftright(uS, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(dS, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+      .reduce(_ + _)
+    val keyed = base.select(col("u"), col("d"),
+      shiftright(z, 29).as("zbucket"),
+      least(lit(7L), expr("(d * 8) div nd")).as("tbucket"),
+      expr("max_u div 2").as("probe_u"))
+    def prof(bucketCol: String, layout: String) =
+      keyed.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("u").as("min_u"), max("u").as("max_u"),
+          min("d").as("min_d"), max("d").as("max_d"),
+          min("probe_u").as("probe_u"))
+        .select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
+          col("min_u"), col("max_u"), col("min_d"), col("max_d"),
+          when(col("min_u") <= col("probe_u") &&
+            col("max_u") >= col("probe_u"), 1L).otherwise(0L)
+            .as("probe_hit"))
+    // bounded |buckets|-row frame, memoized (the q46 discipline) so
+    // the summary reads it instead of re-running the corpus counts
+    val pts = prof("zbucket", "zorder").unionByName(prof("tbucket",
+      "time")).localCheckpoint()
+    val summary = pts.groupBy("layout")
+      .agg(sum("n_rows").as("n_rows"), min("min_u").as("min_u"),
+        max("max_u").as("max_u"), min("min_d").as("min_d"),
+        max("max_d").as("max_d"), sum("probe_hit").as("probe_hit"))
+      .select(col("layout"), lit(-1L).as("bucket"), col("n_rows"),
+        col("min_u"), col("max_u"), col("min_d"), col("max_d"),
+        col("probe_hit"))
+    pts.unionByName(summary).orderBy("layout", "bucket")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -3541,6 +3612,7 @@ object SparkEntry {
     "q47_notify_summary" -> (q47 _),
     "q48_partitioned_dump" -> (q48 _),
     "q49_compact" -> (q49 _),
+    "q50_zorder_skip" -> (q50 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),

@@ -110,6 +110,36 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 z-order: buckets partition the corpus, bound both " +
+      "dimensions, and the probe query skips most z buckets") {
+    val out = SparkEntry.queries("q50_zorder_skip")(spark, dir).collect()
+    val (summ, pts) = out.partition(_.getAs[Long]("bucket") == -1L)
+    // both layouts partition every row
+    for (layout <- Seq("zorder", "time")) {
+      val total = summ.find(_.getAs[String]("layout") == layout).get
+        .getAs[Long]("n_rows")
+      val parts = pts.filter(_.getAs[String]("layout") == layout)
+      assert(parts.map(_.getAs[Long]("n_rows")).sum == total,
+        s"$layout buckets must partition the corpus")
+      assert(parts.length > 1, s"$layout must actually split")
+    }
+    val zHits = summ.find(_.getAs[String]("layout") == "zorder").get
+      .getAs[Long]("probe_hit")
+    val tHits = summ.find(_.getAs[String]("layout") == "time").get
+      .getAs[Long]("probe_hit")
+    // top-3 z bits = (u15, d15, u14): the probe's u-quadrant is fixed,
+    // so at most the two d-halves of that quadrant can hit
+    assert(zHits <= 2, s"z-order must bound the user dimension: $zHits")
+    assert(zHits < tHits,
+      s"z-order must skip more than time layout ($zHits vs $tHits)")
+    // every z bucket bounds the user range to at most ~a quadrant
+    val maxU = pts.map(_.getAs[Long]("max_u")).max
+    for (r <- pts.filter(_.getAs[String]("layout") == "zorder"))
+      assert(r.getAs[Long]("max_u") - r.getAs[Long]("min_u") <=
+        maxU / 4 + 2, s"z bucket ${r.getAs[Long]("bucket")} spans too " +
+          s"much of u: ${r.getAs[Long]("min_u")}..${r.getAs[Long]("max_u")}")
+  }
+
   test("q49 compaction: one file per day after, strictly fewer than " +
       "before, rows and checksums conserved") {
     val out = SparkEntry.queries("q49_compact")(spark, dir).collect()
