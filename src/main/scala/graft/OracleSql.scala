@@ -1127,6 +1127,49 @@ object OracleSql {
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM j WHERE jaccard >= 0.02 ORDER BY id_a, id_b""",
 
+    // d17: plant, shingles, size-orientation and threshold re-derived;
+    // the base CTE's quote twin mirrors the gate's raw-word slice
+    // BEFORE normalization, exactly as the Spark side builds it.
+    "d17_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+             array_to_string((string_split(text, ' '))[1:greatest(6,
+               len(string_split(text, ' ')) // 3)], ' ')
+           FROM documents WHERE doc_id % 20 = 0),
+         arrs AS (SELECT doc_id, string_split($normText, ' ') AS arr
+                  FROM base),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(arr[i:i+2], ' ') AS g
+                FROM arrs,
+                  unnest(generate_series(1, greatest(len(arr) - 2, 1)))
+                  AS u(i)),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS ix
+                   FROM sh a JOIN sh b USING (g)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         o AS (SELECT
+                 CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END
+                   AS id_small,
+                 CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END
+                   AS id_big,
+                 CAST(ix AS BIGINT) AS inter,
+                 LEAST(sa.sz, sb.sz) AS sz_small,
+                 GREATEST(sa.sz, sb.sz) AS sz_big,
+                 CAST(ix AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+                   AS containment
+               FROM inter
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b)
+         SELECT id_small, id_big, inter,
+           CAST(sz_small AS BIGINT) AS sz_small,
+           CAST(sz_big AS BIGINT) AS sz_big,
+           round(containment, 6) AS containment
+         FROM o WHERE containment >= 0.9
+         ORDER BY id_small, id_big""",
+
     // d16: d04's exact pair rule + recursive reach + per-cluster argmax
     // by (6-dp quality DESC, doc_id ASC) — keep-the-best disposal.
     "d16_cluster_best" ->

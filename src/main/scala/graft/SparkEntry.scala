@@ -1347,6 +1347,28 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Asymmetric containment near-subset pairs
+    * (Dedup.containmentPairs): every doc_id %20==0 plants a "quote"
+    * twin under id+2000000 carrying its first max(6, n/3) words — a
+    * subset Jaccard scores ~0.3 (invisible to d04's 0.9-class
+    * thresholds) but containment scores ~1.0. Shared-shingle
+    * equi-join blocking only; FULL DuckDB oracle re-derives plant,
+    * shingles, orientation and the threshold. */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(lit(6), floor(size(split(col("text"), " ")) / 3)
+            .cast("int"))), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select(col("id_small"), col("id_big"), col("inter"),
+        col("sz_small"), col("sz_big"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_small", "id_big")
+  }
+
   private def d05(s: SparkSession, dir: String): DataFrame =
     // the AUTO-knob deployment entry point is the gate default (r13):
     // knobs derive from the corpus size (b=1/L=18 at every test sf —
@@ -3692,6 +3714,7 @@ object SparkEntry {
     "d14_cdc_chunks" -> (d14 _),
     "d15_dedup_weights" -> (d15 _),
     "d16_cluster_best" -> (d16 _),
+    "d17_containment" -> (d17 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
     "m01_binary_meta" -> (m01 _),

@@ -366,6 +366,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT C(small→big) =
+    * |S(small)∩S(big)| / |S(small)| — the near-SUBSET detector
+    * symmetric Jaccard cannot see (Broder 1997's distinction between
+    * resemblance and containment): a short document quoted wholesale
+    * inside a much longer one has Jaccard ≈ |small|/|big| (arbitrarily
+    * low) but containment ≈ 1. The quote/snippet/boilerplate-extract
+    * duplicate class a corpus pipeline needs alongside [[d04's
+    * symmetric pairs|ngramJaccardPairs]]. Pairs are generated ONLY by
+    * the shared-shingle equi-join (the d04/d16 blocking rule — never
+    * doc × doc); direction is decided by shingle-set size (ties keep
+    * the smaller id on the small side, which the `id_a < id_b` join
+    * orientation already provides). `maxDf` is the usual hot-shingle
+    * guard at corpus scale. Emits (id_small, id_big, inter, sz_small,
+    * sz_big, containment >= threshold). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val index = dfCapped(explodedShingles(docs, idCol, textCol, n),
+      maxDf)
+    val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = index.select(col("id").as("id_a"), col("g"))
+      .join(index.select(col("id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .select(
+        when(col("sz_a") <= col("sz_b"), col("id_a"))
+          .otherwise(col("id_b")).as("id_small"),
+        when(col("sz_a") <= col("sz_b"), col("id_b"))
+          .otherwise(col("id_a")).as("id_big"),
+        col("inter"),
+        least(col("sz_a"), col("sz_b")).as("sz_small"),
+        greatest(col("sz_a"), col("sz_b")).as("sz_big"),
+        (col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Benchmark decontamination: flag evaluation documents whose word
     * n-grams collide with the training corpus — the standard train/eval
     * overlap test an LLM data pipeline runs before training (n-gram

@@ -26,6 +26,38 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(1L) != fps(4L))
   }
 
+  test("containmentPairs sees the near-subset pair Jaccard misses, " +
+      "orients small->big, and thresholds on containment") {
+    // doc 20 = the first 4 words of doc 10: every quote shingle (2 of
+    // them) appears in the parent's 10 -> containment 1.0, but
+    // jaccard = 2/10 = 0.2 — invisible at any high-Jaccard threshold
+    val d = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "the quick brown fox"),
+      (30L, "completely different content discussing catalyst optimizer")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_small"),
+        r.getAs[Long]("id_big"), r.getAs[Long]("inter"),
+        r.getAs[Long]("sz_small"), r.getAs[Long]("sz_big"),
+        r.getAs[Double]("containment")))
+    assert(pairs.toSeq == Seq((20L, 10L, 2L, 2L, 10L, 1.0)),
+      s"got ${pairs.toSeq}")
+    // the same pair is invisible to symmetric Jaccard at 0.9
+    val j = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+      probeFilter = lit(true), threshold = 0.9).collect()
+    assert(j.isEmpty, "jaccard at 0.9 must not see the subset pair")
+    // a lower containment than the threshold is dropped: doc sharing
+    // only half its shingles stays out at 0.9
+    val half = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (21L, "the quick brown fox sat still")
+    ).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(half, "doc_id", "text", n = 3,
+      threshold = 0.9).collect().isEmpty)
+  }
+
   test("minhash signature: identical normalized docs get identical sigs") {
     val sh = docs.select(col("doc_id").as("id"),
       Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
