@@ -2426,6 +2426,28 @@ object OracleSql {
          FROM sm JOIN cp ON sm.day = cp.day JOIN x ON sm.day = x.day
          ORDER BY sm.day""" },
 
+    // q51: the quarantine classification re-derived from the plant
+    // rules over raw orders — the oracle never parses the CSV, it
+    // asserts the parser classified EXACTLY the planted-bad rows.
+    // PERMISSIVE is partial-result: a quarantined row keeps every
+    // field that parsed, so the corrupt group still sums the %41-only
+    // prices and counts the %37 custkeys — the oracle mirrors that,
+    // not an all-null fiction.
+    "q51_csv_robust" ->
+      """WITH cls AS (SELECT
+             CASE WHEN o_orderkey % 37 = 0 OR o_orderkey % 41 = 0
+               THEN '_corrupt' ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 37 = 0 THEN NULL
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p,
+             CASE WHEN o_orderkey % 41 = 0 AND o_orderkey % 37 <> 0
+               THEN NULL ELSE o_custkey END AS cust
+           FROM orders)
+         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COALESCE(CAST(SUM(p) AS DOUBLE), 0.0) AS sum_price,
+           CAST(COUNT(cust) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_dated
+         FROM cls GROUP BY status ORDER BY status""",
+
     // q50: Morton codes, buckets, ranges and verdicts re-derived with
     // the same integer shift/mask/div arithmetic — a bit-order or
     // scaling bug on either side breaks the hash.

@@ -1279,6 +1279,57 @@ object SparkEntry {
     pts.unionByName(summary).orderBy("layout", "bucket")
   }
 
+  /** Error-tolerant CSV ingestion — the messy-feed half of the source
+    * family (q39 reads clean JSON; real interchange files carry rows
+    * that don't parse): a CSV twin of orders is written with planted
+    * type-mismatch rows (ids %37 break the decimal price, ids %41 the
+    * bigint custkey), read back under PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`, and the gate rolls up per-status
+    * counts + the exact-decimal price checksum of the GOOD rows plus
+    * one `_corrupt` quarantine row — ingest never drops data
+    * silently; bad rows are counted, not lost. The FULL DuckDB oracle
+    * re-derives the classification from the plant rules over raw
+    * orders — a parser that quarantined too much or too little breaks
+    * the hash. Scale shape: text write + one schema-driven parse +
+    * one map-side-combined rollup; the corrupt column is schema-level
+    * (Catalyst's parser), no UDF, no driver loop. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${gateModelDir(dir, "q51")}/orders_csv"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    val price = when(col("o_orderkey") % 37 === 0, lit("broken-price"))
+      .otherwise(col("p").cast("string"))
+    val cust = when(col("o_orderkey") % 41 === 0 &&
+        col("o_orderkey") % 37 =!= 0, lit("x-cust"))
+      .otherwise(col("o_custkey").cast("string"))
+    o.select(concat_ws(",", col("o_orderkey").cast("string"), cust,
+        col("o_orderstatus"), price, col("od")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parsed = s.read
+      .schema("k LONG, cust LONG, status STRING, price DECIMAL(18,2), " +
+        "odate DATE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+    // Reference EVERY typed column in the rollup: Spark's CSV parser
+    // prunes unreferenced columns, and an unparsed column can't fail —
+    // so pruning silently changes WHICH rows are quarantined (measured
+    // r15: dropping `cust` from this projection halved the corrupt
+    // set). PERMISSIVE is also partial-result: a quarantined row keeps
+    // every field that did parse (n_cust/n_dated expose exactly that),
+    // only the failing field is null.
+    parsed.groupBy(coalesce(when(col("_corrupt").isNotNull,
+        lit("_corrupt")), col("status")).as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("price")).cast("double"), lit(0.0))
+          .as("sum_price"),
+        count(col("cust")).as("n_cust"),
+        count(col("odate")).as("n_dated"))
+      .orderBy("status")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -3635,6 +3686,7 @@ object SparkEntry {
     "q48_partitioned_dump" -> (q48 _),
     "q49_compact" -> (q49 _),
     "q50_zorder_skip" -> (q50 _),
+    "q51_csv_robust" -> (q51 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),

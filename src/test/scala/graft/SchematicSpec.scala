@@ -50,4 +50,35 @@ class SchematicSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](chain.upgrade(v1, (2, 1), (1, 0)))
     intercept[IllegalArgumentException](chain.upgrade(v1, (0, 9), (2, 1)))
   }
+
+  test("q51's parser contract: PERMISSIVE keeps partially-parsed " +
+      "fields, and an unreferenced column cannot quarantine a row") {
+    import org.apache.spark.sql.functions.col
+    val path = "/tmp/graft-q51-probe"
+    Seq("1,10,O,100.50,2024-01-01",
+        "37,10,F,broken-price,2024-01-02",
+        "41,x-cust,P,200.25,2024-01-03")
+      .toDF("value").write.mode("overwrite").text(path)
+    def read() = spark.read
+      .schema("k LONG, cust LONG, status STRING, " +
+        "price DECIMAL(18,2), odate DATE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+    val full = read().select("k", "cust", "status", "price", "odate",
+        "_corrupt").collect().map(r => r.getLong(0) -> r).toMap
+    // partial results: the broken-price row keeps cust/status/odate,
+    // the broken-cust row keeps price/status/odate
+    assert(full(37L).get(5) != null && full(37L).isNullAt(3) &&
+      !full(37L).isNullAt(1) && !full(37L).isNullAt(4))
+    assert(full(41L).get(5) != null && full(41L).isNullAt(1) &&
+      full(41L).getDecimal(3).doubleValue == 200.25)
+    assert(full(1L).get(5) == null)
+    // column pruning: with cust unreferenced the x-cust row never
+    // fails — the gate must reference every typed column
+    val pruned = read().select("k", "price", "_corrupt")
+      .collect().map(r => r.getLong(0) -> (r.get(2) != null)).toMap
+    assert(pruned(37L) && !pruned(41L),
+      "an unparsed column must not quarantine its row")
+  }
 }
