@@ -1958,6 +1958,21 @@ object OracleSql {
          CAST(20 + doc_id % 200 AS BIGINT) AS id3_size
          FROM documents ORDER BY doc_id""",
 
+    // Regenerates makeZip's closed-form central-directory totals.
+    "m18_zip_listing" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS k FROM documents)
+         SELECT doc_id,
+         CAST(k AS BIGINT) AS n_entries,
+         CAST(list_sum(list_transform(range(k), j ->
+           10 + (doc_id + j) % 50)) AS BIGINT) AS total_comp,
+         CAST(list_sum(list_transform(range(k), j ->
+           10 + (doc_id + j) % 50 + (doc_id + j) % 7)) AS BIGINT)
+           AS total_uncomp,
+         CAST(list_sum(list_transform(range(k), j ->
+           (doc_id + j) % 2)) AS BIGINT) AS n_deflated,
+         CAST(k * doc_id * 31 + k * (k - 1) // 2 AS BIGINT) AS crc_sum
+         FROM d ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

@@ -2084,6 +2084,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL ZIP archive listing: per-doc spec-shaped archives
+    * (Binary.makeZip — 1 + id%5 members with closed-form methods,
+    * sizes and CRCs; trailing comments laced with `P` bytes so only a
+    * true backward EOCD scan lands) walked by the pure-byte
+    * central-directory parser (Binary.zipListing via zipListings):
+    * entry count, compressed/uncompressed byte totals, deflated-member
+    * count, CRC-32 checksum sum — the list-without-decompressing
+    * primitive corpus ingest runs over archive shards. The oracle
+    * recomputes every total arithmetically — an EOCD-scan, stride, or
+    * field-offset bug breaks the hash. */
+  private def m18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.zipListings(
+        src.map(id => Binary.PayloadRow(id, Binary.makeZip(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -3786,6 +3805,7 @@ object SparkEntry {
     "m15_tiff_meta" -> (m15 _),
     "m16_flac_meta" -> (m16 _),
     "m17_mp3_meta" -> (m17 _),
+    "m18_zip_listing" -> (m18 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

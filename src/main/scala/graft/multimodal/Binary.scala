@@ -1569,6 +1569,111 @@ object Binary {
     }
   }
 
+  final case class ZipMeta(doc_id: Long, n_entries: Long,
+                           total_comp: Long, total_uncomp: Long,
+                           n_deflated: Long, crc_sum: Long)
+
+  /** REAL ZIP archive listing — the pure-byte central-directory walk
+    * (APPNOTE.TXT §4.3: the End Of Central Directory record is found
+    * by scanning BACKWARD from EOF for PK\5\6 — the only correct way,
+    * since a trailing archive comment of up to 64 KiB floats it — then
+    * entry count / CD offset fields point at the PK\1\2 entry chain,
+    * each carrying method, CRC-32, compressed/uncompressed sizes and
+    * variable name/extra/comment lengths that stride the walk). The
+    * archive-ingest primitive a corpus pipeline needs before any
+    * member decode: list without decompressing a byte. Every entry's
+    * signature is re-verified (a mis-stride stops the walk, never
+    * mis-slices); non-ZIP or malformed bytes yield (−1, …). */
+  def zipListing(p: Array[Byte])
+      : (Long, Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L, -1L)
+    def u16(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8)
+    def u32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    if (p.length < 22) return bad
+    // EOCD backward scan (bounded by the 64 KiB max comment)
+    var e = p.length - 22
+    val stop = math.max(0, p.length - 22 - 65535)
+    while (e >= stop && !(p(e) == 0x50 && p(e + 1) == 0x4b &&
+      p(e + 2) == 0x05 && p(e + 3) == 0x06)) e -= 1
+    if (e < stop) return bad
+    val n = u16(e + 10)
+    val cdOff = u32(e + 16)
+    if (cdOff < 0 || cdOff > p.length) return bad
+    var i = cdOff.toInt
+    var k = 0L
+    var comp, uncomp, defl, crc = 0L
+    while (k < n) {
+      if (i + 46 > p.length || u32(i) != 0x02014b50L) return bad
+      val method = u16(i + 10)
+      crc += u32(i + 16)
+      comp += u32(i + 20)
+      uncomp += u32(i + 24)
+      if (method == 8L) defl += 1
+      i += 46 + (u16(i + 28) + u16(i + 30) + u16(i + 32)).toInt
+      k += 1
+    }
+    (n, comp, uncomp, defl, crc)
+  }
+
+  /** Deterministic ZIP fixture: 1 + id%5 central-directory entries
+    * with closed-form method ((id+j)%2 → stored/deflated), sizes
+    * (comp 10+(id+j)%50, uncomp comp+(id+j)%7), CRC (id·31+j), entry
+    * names of varying length (striding the walk), local headers with
+    * zero-filled payloads, and an id%20-byte trailing comment laced
+    * with PK bytes so only the true backward EOCD scan lands. */
+  def makeZip(docId: Long): Array[Byte] = {
+    val k = (1 + docId % 5).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    }
+    def w32(v: Long): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    val offs = new Array[Long](k)
+    val names = (0 until k).map(j => s"member_${docId % 97}_$j.txt")
+    for (j <- 0 until k) {
+      offs(j) = out.size().toLong
+      val comp = 10 + (docId + j) % 50
+      w32(0x04034b50L); w16(20); w16(0); w16((docId + j) % 2 * 8)
+      w16(0); w16(0) // time/date
+      w32(docId * 31 + j) // crc
+      w32(comp); w32(comp + (docId + j) % 7)
+      w16(names(j).length.toLong); w16(0)
+      out.write(names(j).getBytes("US-ASCII"))
+      out.write(new Array[Byte](comp.toInt)) // payload (zeros)
+    }
+    val cdOff = out.size().toLong
+    for (j <- 0 until k) {
+      val comp = 10 + (docId + j) % 50
+      w32(0x02014b50L); w16(20); w16(20); w16(0)
+      w16((docId + j) % 2 * 8); w16(0); w16(0)
+      w32(docId * 31 + j)
+      w32(comp); w32(comp + (docId + j) % 7)
+      w16(names(j).length.toLong); w16(0); w16(0)
+      w16(0); w16(0); w32(0); w32(offs(j))
+      out.write(names(j).getBytes("US-ASCII"))
+    }
+    val cdSize = out.size().toLong - cdOff
+    val comment = Array.fill((docId % 20).toInt)('P'.toByte)
+    w32(0x06054b50L); w16(0); w16(0); w16(k.toLong); w16(k.toLong)
+    w32(cdSize); w32(cdOff); w16(comment.length.toLong)
+    out.write(comment)
+    out.toByteArray
+  }
+
+  /** [[zipListing]] over a payload Dataset — typed map, Tungsten
+    * encoders, no per-row setup (the metadata family's archive
+    * member). */
+  def zipListings(ds: Dataset[PayloadRow]): Dataset[ZipMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (n, c, u, d, crc) = zipListing(r.payload)
+      ZipMeta(r.doc_id, n, c, u, d, crc)
+    }
+  }
+
   final case class WebpMeta(doc_id: Long, variant: String, width: Long,
                             height: Long, has_alpha: Long)
 

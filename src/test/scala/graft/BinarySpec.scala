@@ -391,6 +391,40 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.mp3Header(lying)._1 == -1L)
   }
 
+  test("zipListing: closed-form central-directory totals; backward " +
+      "EOCD scan past the comment; mis-stride and non-ZIP rejected") {
+    import graft.multimodal.Binary
+    for (id <- 0L to 29L) {
+      val (n, c, u, d, crc) = Binary.zipListing(Binary.makeZip(id))
+      val k = 1 + id % 5
+      val comps = (0L until k).map(j => 10 + (id + j) % 50)
+      assert(n == k, s"entries for doc $id")
+      assert(c == comps.sum, s"comp total for doc $id")
+      assert(u == comps.sum + (0L until k).map(j => (id + j) % 7).sum,
+        s"uncomp total for doc $id")
+      assert(d == (0L until k).count(j => (id + j) % 2 == 1),
+        s"deflated for doc $id")
+      assert(crc == (0L until k).map(j => id * 31 + j).sum,
+        s"crc sum for doc $id")
+    }
+    // non-ZIP payloads: sentinel, never a throw
+    assert(Binary.zipListing("not a zip archive bytes".getBytes)._1
+      == -1L)
+    assert(Binary.zipListing(Binary.makeWav(3L, 10L))._1 == -1L)
+    assert(Binary.zipListing(Array.empty[Byte])._1 == -1L)
+    // corrupting one central-directory signature stops the walk
+    val z = Binary.makeZip(7L)
+    // find the first CD entry signature and break it
+    val cd = (0 until z.length - 4).indexWhere(i =>
+      z(i) == 0x50 && z(i + 1) == 0x4b && z(i + 2) == 0x01 &&
+        z(i + 3) == 0x02)
+    val broken = z.clone(); broken(cd + 2) = 0x07
+    assert(Binary.zipListing(broken)._1 == -1L,
+      "a bad entry signature must reject, not mis-slice")
+    // truncation that removes the EOCD rejects
+    assert(Binary.zipListing(z.dropRight(10 + (7 % 20)))._1 == -1L)
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary

@@ -197,6 +197,7 @@ class PropertySpec extends AnyFunSuite {
       Binary.tiffHeader(p)
       Binary.flacHeader(p)
       Binary.mp3Header(p)
+      Binary.zipListing(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -233,6 +234,11 @@ class PropertySpec extends AnyFunSuite {
         val m = mp3.clone(); m(i) = (m(i) + delta).toByte
         Binary.mp3Header(m)
       }
+      val zip = Binary.makeZip(id)
+      for (i <- zip.indices; delta <- Seq(1, 0x80)) {
+        val m = zip.clone(); m(i) = (m(i) + delta).toByte
+        Binary.zipListing(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
@@ -240,6 +246,7 @@ class PropertySpec extends AnyFunSuite {
       for (cut <- 0 to tiff.length) Binary.tiffHeader(tiff.take(cut))
       for (cut <- 0 to flac.length) Binary.flacHeader(flac.take(cut))
       for (cut <- 0 to mp3.length) Binary.mp3Header(mp3.take(cut))
+      for (cut <- 0 to zip.length) Binary.zipListing(zip.take(cut))
     }
   }
 
