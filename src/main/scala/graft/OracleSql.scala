@@ -2441,6 +2441,26 @@ object OracleSql {
          FROM sm JOIN cp ON sm.day = cp.day JOIN x ON sm.day = x.day
          ORDER BY sm.day""" },
 
+    // q52: the same window pair over the same (seq, tie) order — a
+    // version-chain or open-end bug breaks the hash.
+    "q52_scd2" ->
+      """WITH v AS (SELECT o_custkey,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             o_orderkey, o_orderstatus,
+             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+               AS valid_from,
+             COALESCE(LEAD(strftime(CAST(o_orderdate AS TIMESTAMP),
+               '%Y-%m-%d')) OVER w, '9999-12-31') AS valid_to
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY strftime(CAST(o_orderdate AS TIMESTAMP),
+               '%Y-%m-%d'), o_orderkey))
+         SELECT o_custkey, version, o_orderkey, o_orderstatus,
+           valid_from, valid_to,
+           CAST(CASE WHEN valid_to = '9999-12-31' THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+         FROM v ORDER BY o_custkey, version""",
+
     // q51: the quarantine classification re-derived from the plant
     // rules over raw orders — the oracle never parses the CSV, it
     // asserts the parser classified EXACTLY the planted-bad rows.

@@ -1330,6 +1330,24 @@ object SparkEntry {
       .orderBy("status")
   }
 
+  /** SCD type-2 order history per customer
+    * ([[graft.operators.Scd.scd2]]): each customer's orders become
+    * interval-versioned rows — version index, valid_from/valid_to
+    * chain (open end '9999-12-31'), exactly one current row per key.
+    * One shuffle on the key, per-key local sort; FULL DuckDB oracle
+    * mirrors the window pair. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+      col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.Scd.scd2(o, "o_custkey", "valid_from",
+        "o_orderkey", endMarker = "9999-12-31")
+      .select(col("o_custkey"), col("version"), col("o_orderkey"),
+        col("o_orderstatus"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -3706,6 +3724,7 @@ object SparkEntry {
     "q49_compact" -> (q49 _),
     "q50_zorder_skip" -> (q50 _),
     "q51_csv_robust" -> (q51 _),
+    "q52_scd2" -> (q52 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),
