@@ -2013,6 +2013,24 @@ object OracleSql {
     // exactly the batch operator's sessions - same SQL oracle as q37.
     "st06_sessionize_stream" -> sessionizeSql,
 
+    // st13: the drained SCD stream equals the batch window pair —
+    // floor-second + event_id ordering on BOTH sides so sub-second
+    // jitter can never reorder a chain between engines.
+    "st13_scd_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, ${sec(tsUs)} AS ts_sec
+             FROM events),
+         v AS (SELECT user_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             event_id, ts_sec AS valid_from_sec,
+             COALESCE(LEAD(ts_sec) OVER w, 9999999999) AS valid_to_sec
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+         SELECT user_id, version, event_id, valid_from_sec,
+           CAST(valid_to_sec AS BIGINT) AS valid_to_sec,
+           CAST(CASE WHEN valid_to_sec = 9999999999 THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+         FROM v ORDER BY user_id, version""",
+
 
     "q38_ingest_patterns" ->
       """WITH lo AS (SELECT o_orderkey, o_custkey FROM orders

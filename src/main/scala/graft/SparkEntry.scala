@@ -3646,6 +3646,33 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** st13 runs q52's SCD type-2 builder as REAL micro-batch streaming
+    * (Streams.scd2Stream): the events table replays through the file
+    * source as a per-user version log, ONE open version per key lives
+    * in the state store, every newcomer closes its predecessor
+    * immediately (the batch `lead`), and the watermark flushes each
+    * idle key's final version as `is_current = 1` (st06's sentinel
+    * files fire the final closes). The drained stream equals the batch
+    * window pair — the FULL SQL oracle IS the batch twin. */
+  private def st13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (srcDir, schema) = sentinelEventsDir(s, dir, "stream_src13",
+      (one, k) => one
+        .withColumn("user_id", lit(-1L).cast(one.schema("user_id").dataType))
+        .withColumn("event_id",
+          lit(2100000000L + k).cast(one.schema("event_id").dataType)))
+    val events = graft.sources.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "35 days")
+      .as[Streams.SessionEvent]
+    runStreamOnce(s, Streams.scd2Stream(events).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "version")
+  }
+
   /** st08 runs q41's trailing-window rate anomaly as REAL micro-batch
     * streaming (Streams.rateAnomalyStream): the events table replays
     * through the file source, per-series day counts accumulate in
@@ -3836,7 +3863,8 @@ object SparkEntry {
     "st09_sketch_stream" -> (st09 _),
     "st10_cms_stream" -> (st10 _),
     "st11_stream_join" -> (st11 _),
-    "st12_drift_stream" -> (st12 _)
+    "st12_drift_stream" -> (st12 _),
+    "st13_scd_stream" -> (st13 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

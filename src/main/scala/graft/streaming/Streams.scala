@@ -155,6 +155,69 @@ object Streams {
           })
   }
 
+  final case class Scd2St(idx: Long, eid: Long, fromSec: Long)
+  final case class Scd2Out(user_id: Long, version: Long, event_id: Long,
+                           valid_from_sec: Long, valid_to_sec: Long,
+                           is_current: Long)
+
+  /** q52's open-end marker on the epoch-seconds axis. */
+  val scd2EndMarkerSec: Long = 9999999999L
+
+  /** Streaming twin of the q52 SCD type-2 builder
+    * ([[graft.operators.Scd.scd2]]): state is ONE open version per key
+    * (3 longs — never a version buffer). Each arriving version CLOSES
+    * the previous one immediately (valid_to = the newcomer's second,
+    * exactly the batch `lead`); the final open version of an idle key
+    * is flushed as `is_current = 1` by the WATERMARK via
+    * EventTimeTimeout (`flushDelaySec` of event time past its
+    * valid_from), after which the key's state is removed — a version
+    * arriving after that flush starts a new chain (the documented
+    * trade, [[sessionizeStream]]'s marker discipline without the
+    * marker: SCD consumers re-key on the warehouse merge anyway).
+    * Versions order by (floor-second, event_id) — the SAME sort the
+    * batch twin and its SQL oracle use, so sub-second arrival jitter
+    * can never reorder a chain between engines. Events strictly behind
+    * the watermark drop on entry (ties kept). Callers must set a
+    * watermark on `ts` before calling. */
+  def scd2Stream(events: Dataset[SessionEvent],
+                 flushDelaySec: Long = 86400L): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[SessionEvent],
+         state: GroupState[Scd2St]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Scd2Out(uid, s.idx, s.eid, s.fromSec,
+              scd2EndMarkerSec, 1L))
+          } else {
+            val wm = state.getCurrentWatermarkMs
+            val sorted = rows.filter(_.ts.getTime >= wm).toArray
+              .sortBy(r => (math.floorDiv(r.ts.getTime, 1000L),
+                r.event_id))
+            var out = List.empty[Scd2Out]
+            var st = state.getOption
+            for (r <- sorted) {
+              val sec = math.floorDiv(r.ts.getTime, 1000L)
+              st = st match {
+                case Some(s) =>
+                  out ::= Scd2Out(uid, s.idx, s.eid, s.fromSec, sec, 0L)
+                  Some(Scd2St(s.idx + 1, r.event_id, sec))
+                case None => Some(Scd2St(1L, r.event_id, sec))
+              }
+            }
+            if (sorted.nonEmpty) for (s <- st) {
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                (s.fromSec + flushDelaySec) * 1000,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.reverseIterator
+          })
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long,
                                 ts: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, session_idx: Long,

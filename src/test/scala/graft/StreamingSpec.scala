@@ -719,4 +719,63 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 4L), (2L, 3L)))
   }
+
+  test("q52 streaming twin: chunked in-order replay equals the batch " +
+      "SCD2 window pair, watermark flushes current versions") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Streams.SessionEvent
+    // batch twin on the same (floor-second, event_id) order
+    val batch = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"),
+        graft.util.epochSec(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        sorted.zipWithIndex.map { case ((_, eid, sec), i) =>
+          val to = if (i + 1 < sorted.length) sorted(i + 1)._3
+            else Streams.scd2EndMarkerSec
+          (uid, (i + 1).toLong, eid, sec, to,
+            if (to == Streams.scd2EndMarkerSec) 1L else 0L)
+        }
+      }.toSet
+    assert(batch.nonEmpty)
+    val all = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy("ts", "event_id")
+      .as[SessionEvent].collect().toSeq
+    val chunks = all.grouped((all.size + 3) / 4).toSeq
+    val input = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-st13-ckpt").toString
+    // the GATE's watermark: 35 days of lag, so the 30-day corpus never
+    // triggers a mid-stream flush (a tight watermark WOULD flush and
+    // restart idle chains — scd2Stream's documented trade; this spec
+    // pins the batch-parity regime the gate runs in)
+    val q = Streams.scd2Stream(input.toDS.withWatermark("ts", "35 days"))
+      .writeStream.format("memory").queryName("st13_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      for (chunk <- chunks) {
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // the sentinel must outrun the 35-day watermark lag PLUS the
+      // 1-day flush delay for every timeout to fire
+      val far = new Timestamp(all.map(_.ts.getTime).max + 37L * 86400000L)
+      for (i <- 0 to 1) {
+        input.addData(Seq(SessionEvent(-1L, 3000000L + i, far)))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("st13_stream")
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: extra=${(streamed diff batch).take(3)} " +
+          s"missing=${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
 }
