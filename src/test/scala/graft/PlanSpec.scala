@@ -296,7 +296,8 @@ class PlanSpec extends AnyFunSuite {
     // t24/m15/m16: row-local scan-stage operators — join/window-free,
     // no explode (t24's per-line work lives inside array lambdas), the
     // only exchange is the presentation sort
-    for (g <- Seq("t24_gopher_rules", "m15_tiff_meta", "m16_flac_meta")) {
+    for (g <- Seq("t24_gopher_rules", "m15_tiff_meta", "m16_flac_meta",
+        "m17_mp3_meta", "m18_zip_listing")) {
       val p = plan(g)
       assert(joins(p) == 0, s"$g must be join-free:\n$p")
       assert(exch(p) <= 1, s"$g: only the dump sort may exchange:\n$p")
