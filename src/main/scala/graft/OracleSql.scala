@@ -2591,6 +2591,25 @@ object OracleSql {
     // value one correctly-rounded division of exact int64s, and the AP
     // total a list_reduce in the same descending order the Spark fold
     // runs.
+    // p13: the same sqrt/fold/divide/floor chain — Z folded in
+    // source-name order (list_reduce starts at the first element;
+    // Spark starts at 0.0 + first, identical doubles), sqrt/divide
+    // correctly rounded on both engines, so every emitted double is
+    // bit-identical.
+    "p13_temperature_mix" -> {
+      val budget = graft.SparkEntry.p13Budget
+      s"""WITH s AS (SELECT source,
+             CAST(SUM($wordCountSql) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM s),
+         z AS (SELECT list_reduce(list(weight ORDER BY source),
+             (a, b) -> a + b) AS z FROM w)
+         SELECT source, n_tokens, weight, weight / z.z AS share,
+           CAST(FLOOR($budget * weight / z.z) AS BIGINT)
+             AS budget_tokens
+         FROM w, z ORDER BY source""" },
+
     "e07_pr_auc" ->
       s"""WITH b AS (SELECT $wordCountSql AS s, (lang = 'en') AS y
              FROM documents),

@@ -1698,6 +1698,20 @@ object SparkEntry {
         TextOps.wordCount(col("text")), p08Weights)
       .orderBy("source")
 
+  /** p13's total training-token budget, shared with the oracle. */
+  private[graft] val p13Budget = 1000000L
+
+  /** Temperature mixture allocation (Pack.temperatureMix, alpha = 0.5
+    * via correctly-rounded sqrt): per-source sqrt-of-size shares and
+    * floor token budgets out of [[p13Budget]] — the up-weight-the-tail
+    * recipe step before p08/p09's integer-weight plan. One map-side
+    * aggregate + a 1-row totals zip; FULL SQL oracle runs the same
+    * sqrt/fold/divide/floor chain in the same source-name order. */
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    graft.pack.Pack.temperatureMix(t(s, dir, "documents"), col("source"),
+        TextOps.wordCount(col("text")), totalBudget = p13Budget)
+      .orderBy("source")
+
   /** p09's coin seed, shared with the oracle SQL generator. */
   private[graft] val p09Seed = "graft-expand-r12"
 
@@ -3834,6 +3848,7 @@ object SparkEntry {
     "d17_containment" -> (d17 _),
     "p01_pack_sequences" -> (p01 _),
     "p02_mixture_sample" -> (p02 _),
+    "p13_temperature_mix" -> (p13 _),
     "m01_binary_meta" -> (m01 _),
     "m02_audio_meta" -> (m02 _),
     "m03_pixel_stats" -> (m03 _),

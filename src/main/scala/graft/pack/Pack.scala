@@ -283,6 +283,42 @@ object Pack {
         col("desired_tokens"), col("full_epochs"), col("epochs"))
   }
 
+  /** Temperature-based mixture allocation — the multilingual/
+    * multi-source up-weighting trick (mT5 §3.1 / XLM-R: sample source s
+    * proportional to size^alpha, alpha < 1, so small sources are seen
+    * more than their share and huge ones less): here alpha is FIXED at
+    * 0.5 because sqrt is a correctly-rounded IEEE operation on every
+    * engine, while a general pow is not — the whole output stays
+    * bit-identical cross-engine (the e02 determinism discipline; a
+    * caller wanting another alpha accepts pow's ulp risk explicitly).
+    * Emits per source: token total, sqrt weight, normalized share, and
+    * the floor token budget out of `totalBudget`.
+    *
+    * Exactness: the normalizer Z folds the sqrt weights in SOURCE-NAME
+    * order inside one aggregate row (never an order-dependent double
+    * sum), and each emitted double is the same operation chain the SQL
+    * oracle runs — sqrt, one multiply, one divide, floor. Scale shape:
+    * ONE map-side-combined aggregate to |sources| keys + a 1-row
+    * totals zip (the t05 scalar class). */
+  def temperatureMix(docs: DataFrame, sourceCol: Column,
+                     tokensCol: Column, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val sizes = docs
+      .select(sourceCol.as("source"), tokensCol.cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+    val z = sizes.agg(
+      aggregate(array_sort(collect_list(struct(col("source"),
+          col("weight")))),
+        lit(0.0), (a, x) => a + x("weight")).as("z"))
+    sizes.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (col("weight") / col("z")).as("share"),
+        floor(lit(totalBudget.toDouble) * col("weight") / col("z"))
+          .cast("long").as("budget_tokens"))
+  }
+
   /** Materialize a [[tokenBudget]] plan into the actual epoch-expanded
     * training mix: every doc of source s appears `full_epochs(s)` times,
     * plus one extra copy with probability `remainder/avail` on a seeded

@@ -374,4 +374,33 @@ class PackSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("temperatureMix: sqrt shares sum to 1, budgets floor-allocate, " +
+      "small sources up-weight vs their raw share, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // sources sized 100/400/2500 tokens: sqrt weights 10/20/50
+    val docs = Seq(
+      ("a", 100L), ("b", 400L), ("c", 2500L)
+    ).toDF("source", "toks")
+    val out = graft.pack.Pack.temperatureMix(docs, col("source"),
+        col("toks"), totalBudget = 8000L)
+      .orderBy("source").collect()
+    val z = 10.0 + 20.0 + 50.0
+    assert(out.map(_.getAs[Double]("share")).sum == 1.0)
+    for ((r, w) <- out.zip(Seq(10.0, 20.0, 50.0))) {
+      assert(r.getAs[Double]("weight") == w)
+      assert(r.getAs[Double]("share") == w / z)
+      assert(r.getAs[Long]("budget_tokens") ==
+        math.floor(8000.0 * w / z).toLong)
+    }
+    // the tail up-weights: source a holds 100/3000 of tokens but gets
+    // 10/80 of budget
+    assert(out.head.getAs[Long]("budget_tokens") * 3000L >
+      100L * 8000L)
+    // partitioning must not move a single bit (the ordered-fold Z)
+    val re = graft.pack.Pack.temperatureMix(docs.repartition(7),
+        col("source"), col("toks"), totalBudget = 8000L)
+      .orderBy("source").collect()
+    assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+  }
 }
