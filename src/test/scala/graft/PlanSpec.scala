@@ -107,7 +107,10 @@ class PlanSpec extends AnyFunSuite {
       "t23_pmi_collocations",
       // k06's total row zips the 1-row est fold with the 1-row
       // checkpointed (tau, exact_total) frame — the same scalar class
-      "k06_priority_sample")
+      "k06_priority_sample",
+      // p13 zips in the 1-row sqrt-weight normalizer fold (the p08
+      // scalar class)
+      "p13_temperature_mix")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
