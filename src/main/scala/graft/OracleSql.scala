@@ -1970,7 +1970,8 @@ object OracleSql {
            AS total_uncomp,
          CAST(list_sum(list_transform(range(k), j ->
            (doc_id + j) % 2)) AS BIGINT) AS n_deflated,
-         CAST(k * doc_id * 31 + k * (k - 1) // 2 AS BIGINT) AS crc_sum
+         CAST(list_sum(list_transform(range(k), j ->
+           (doc_id * 31 + j) % 4294967296)) AS BIGINT) AS crc_sum
          FROM d ORDER BY doc_id""",
 
     "m02_audio_meta" ->
@@ -2528,7 +2529,7 @@ object OracleSql {
            FROM events, sc),
          k AS (SELECT u, d, nd,
              (u * 65535) // max_u AS us,
-             (d * 65535) // (nd - 1) AS ds
+             (d * 65535) // greatest(nd - 1, 1) AS ds
            FROM b),
          k2 AS (SELECT u, d,
              ($zTerms) >> 29 AS zbucket,

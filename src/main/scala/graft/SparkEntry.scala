@@ -1242,7 +1242,9 @@ object SparkEntry {
         datediff(col("day"), col("d0")).cast("long").as("d"),
         col("nd"), col("max_u"))
     val uS = expr("(u * 65535) div max_u")
-    val dS = expr("(d * 65535) div (nd - 1)")
+    // greatest(..,1): a single-day corpus (nd = 1) must degrade to one
+    // day-lane, not a null z-code (Spark div null) vs a DuckDB error
+    val dS = expr("(d * 65535) div greatest(nd - 1, 1L)")
     // u rides the ODD (higher) bit lanes so the code's top bits are
     // (u15, d15, u14): 8 buckets quarter the user range and halve the
     // day range — the probe dimension gets the finer cut

@@ -728,7 +728,15 @@ object Binary {
             case Some((_, sb, se)) if sb + 12 <= se =>
               val fixed = u32(sb + 4)
               val n = u32(sb + 8).toInt
-              if (fixed != 0) IndexedSeq.fill(n)(fixed)
+              // fixed-size branch: bound sample_count by what the
+              // payload can physically hold — a hostile u32 count near
+              // 2^31 would otherwise allocate gigabytes here before the
+              // offset walk ever rejects it (the stco/stsc/variable-stsz
+              // reads are already takeWhile-bounded by box size)
+              if (fixed != 0)
+                IndexedSeq.fill(
+                  math.min(math.max(n, 0).toLong, p.length / fixed).toInt
+                )(fixed)
               else (0 until n).takeWhile(i => sb + 12 + 4 * i + 4 <= se)
                 .map(i => u32(sb + 12 + 4 * i))
             case _ => IndexedSeq.empty
@@ -1070,18 +1078,20 @@ object Binary {
         el(0x86L, 1, "V_MJPEG".getBytes("US-ASCII")) ++ // CodecID
         el(0xE0L, 1, el(0xB0L, 1, beN(w, 2)) ++ el(0xBAL, 1, beN(h, 2))))
     val tracks = el(0x1654AE6BL, 4, track)
-    // block body: track VINT (0x81 = track 1), s16 relative ts, flags
-    def blockBody(f: Int): Array[Byte] =
-      Array(0x81.toByte) ++ beN(f * 40L, 2) ++
+    // block body: track VINT (0x81 = track 1), s16 ts RELATIVE to the
+    // enclosing Cluster's Timestamp (the spec shape — a demuxer places
+    // the frame at cluster_ts + block_ts), flags
+    def blockBody(f: Int, base: Int): Array[Byte] =
+      Array(0x81.toByte) ++ beN((f - base) * 40L, 2) ++
         Array(0x00.toByte) ++ frames(f)
-    def blockEl(f: Int): Array[Byte] =
+    def blockEl(f: Int, base: Int): Array[Byte] =
       if (f == 1) // second frame: BlockGroup{Block} shape
-        el(0xA0L, 1, el(0xA1L, 1, blockBody(f)))
-      else el(0xA3L, 1, blockBody(f)) // SimpleBlock
+        el(0xA0L, 1, el(0xA1L, 1, blockBody(f, base)))
+      else el(0xA3L, 1, blockBody(f, base)) // SimpleBlock
     def cluster(fs: Seq[Int]): Array[Byte] =
       el(0x1F43B675L, 4,
         el(0xE7L, 1, beN(fs.head * 40L, 2)) ++   // Cluster Timestamp
-          fs.map(blockEl).reduce(_ ++ _))
+          fs.map(blockEl(_, fs.head)).reduce(_ ++ _))
     val clusters =
       if (nf <= 2) cluster(0 until nf)
       else cluster(0 until 2) ++ cluster(2 until nf)

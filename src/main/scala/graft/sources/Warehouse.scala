@@ -52,9 +52,11 @@ object Warehouse {
   /** Minimal per-type schemas for an EMPTY initialized warehouse — the
     * id/linkage core of the reference I/O schema (io/schema/v04_03.py:
     * checkouts.id/origin/tree, builds.id→checkout_id, tests.id→
-    * build_id/status/path). Loads widen them: parquet reads merge
-    * schemas across files, so an empty core table plus loaded wide
-    * files query as the union, exactly like ALTER TABLE ADD COLUMN. */
+    * build_id/status/path). Loads widen them when read through
+    * [[readType]], which sets `mergeSchema` explicitly (Spark's parquet
+    * reader resolves a mixed-schema dir to ONE file's footer by
+    * default) — with it, an empty core table plus loaded wide files
+    * query as the union, like ALTER TABLE ADD COLUMN. */
   private def coreSchema(t: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(t match {
       case "checkouts" => Seq("id", "origin", "tree_name",
@@ -72,6 +74,15 @@ object Warehouse {
       case other => throw new IllegalArgumentException(
         s"unknown warehouse type '$other' (want: $ReportTypes)")
     })
+
+  /** Read one warehouse type table as the UNION of its file schemas.
+    * `mergeSchema` is off by default in Spark, so a dir holding the
+    * init-time core file plus wider loaded files would otherwise
+    * resolve to a single footer's schema; the footer-merge cost is a
+    * per-file metadata read, negligible against the scan. */
+  def readType(spark: org.apache.spark.sql.SparkSession, dir: String,
+               t: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/$t")
 
   private def marker(dir: String) = new java.io.File(dir, "_graft_version")
 
@@ -118,7 +129,7 @@ object Warehouse {
     require(isInitialized(dir), s"warehouse $dir is not initialized")
     ReportTypes.filter(t => new java.io.File(dir, t).exists())
       .foreach { t =>
-        val schema = spark.read.parquet(s"$dir/$t").schema
+        val schema = readType(spark, dir, t).schema
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         // write to a sibling then swap: overwriting the dir being read

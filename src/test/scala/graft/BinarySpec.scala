@@ -407,6 +407,15 @@ class BinarySpec extends AnyFunSuite {
       assert(crc == (0L until k).map(j => id * 31 + j).sum,
         s"crc sum for doc $id")
     }
+    // u32 truncation boundary: once doc_id*31 >= 2^32 (~138.5M, real
+    // at large scale factors) the stored CRC is (id*31+j) mod 2^32 —
+    // the oracle's closed form must carry the same mod (m18 oracle)
+    for (id <- Seq(138547332L, 200000000L, 3000000000L)) {
+      val (_, _, _, _, crc) = Binary.zipListing(Binary.makeZip(id))
+      val k = 1 + id % 5
+      assert(crc == (0L until k).map(j => (id * 31 + j) & 0xffffffffL).sum,
+        s"masked crc sum for doc $id")
+    }
     // non-ZIP payloads: sentinel, never a throw
     assert(Binary.zipListing("not a zip archive bytes".getBytes)._1
       == -1L)

@@ -71,6 +71,27 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cli.dispatch(Array("empty", wh)) }
   }
 
+  test("readType merges mixed file schemas in a warehouse table dir " +
+      "(append-widened files union with the init-time core file)") {
+    import graft.sources.Warehouse
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cli-wh-merge")
+    val wh = dir.resolve("wh").toString
+    Cli.dispatch(Array("init", wh, "4.3"))
+    // append (not overwrite) a WIDER file beside the core file —
+    // the ALTER TABLE ADD COLUMN shape the Scaladoc promises
+    import spark.implicits._
+    Seq(("b9", "c9", "o", "arm64", "wide"))
+      .toDF("id", "checkout_id", "origin", "architecture", "extra_col")
+      .write.mode("append").parquet(s"$wh/builds")
+    val merged = Warehouse.readType(spark, wh, "builds")
+    assert(merged.columns.contains("extra_col") &&
+      merged.columns.contains("architecture"), // core col survives too
+      s"union schema expected, got ${merged.columns.mkString(",")}")
+    assert(merged.count() == 1)
+    Cli.dispatch(Array("cleanup", wh))
+  }
+
   test("schemas/upgrade/purge/ooquery: the remaining console analogs") {
     import org.apache.spark.sql.functions._
     // schemas prints the lineage (smoke: dispatch returns cleanly)
