@@ -167,6 +167,16 @@ object Cli {
         graft.sources.Warehouse.cleanup(whDir)
         println(s"cleaned up $whDir")
         None
+      case "time" :: sfDir :: Nil =>
+        // kcidb-db-time (db/abstract.py:104-112, setup.py:92): the
+        // WAREHOUSE clock, for scripting dump-after-last-run — the
+        // engine's own current_timestamp(), evaluated in the session
+        // (UTC), distinct from q11's first/last-modified DATA clock.
+        val df = session(sfDir).sql(
+          "SELECT date_format(current_timestamp(), " +
+            "\"yyyy-MM-dd'T'HH:mm:ssXXX\") AS now_utc")
+        println(df.head().getString(0))
+        Some(df)
       case other =>
         throw new IllegalArgumentException(
           s"usage: list | run <query> <sfDir> <outDir> | count <sfDir> " +
@@ -174,7 +184,7 @@ object Cli {
             s"| load <reportJson> <outDir> [types] " +
             s"| merge <outDir> <reportJson> <reportJson>... " +
             s"| init <whDir> [major.minor] | empty <whDir> " +
-            s"| cleanup <whDir> | schemas " +
+            s"| cleanup <whDir> | time <sfDir> | schemas " +
             s"| upgrade <sfDir> <outDir> <fromMaj.Min> " +
             s"| purge <sfDir> <outDir> <beforeIso> " +
             s"| ooquery <sfDir> <outDir> <pattern> [idList...] " +

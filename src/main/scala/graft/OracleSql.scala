@@ -2032,6 +2032,29 @@ object OracleSql {
              AS BIGINT) AS is_current
          FROM v ORDER BY user_id, version""",
 
+    // st14: the st09 stream's HLL contract from the exported drained
+    // estimate frame — k08's route on the streaming axis: exact
+    // per-(series, day) NDV recomputed over events, containment
+    // |est − exact| ≤ 5·rsd·exact with the gate's left-associated
+    // double product (5 * rsd * exact) from the exported rsd.
+    "st14_ndv_contract" ->
+      s"""WITH m AS (SELECT series, day, n_rows, ndv_hll, rsd
+             FROM read_parquet(
+               ${modelGlob("st14", "ndv_stream_profile")})),
+         x AS (SELECT event_type AS series,
+             strftime(date_trunc('day', $tsUs), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+           FROM events GROUP BY 1, 2)
+         SELECT x.series, x.day, m.n_rows, x.n, m.ndv_hll, x.ndv_exact,
+           m.rsd,
+           CAST(CASE WHEN m.n_rows = x.n
+             AND CAST(ABS(m.ndv_hll - x.ndv_exact) AS DOUBLE)
+                 <= 5 * m.rsd * CAST(x.ndv_exact AS DOUBLE)
+             THEN 1 ELSE 0 END AS INT) AS contained
+         FROM x JOIN m ON x.series = m.series AND x.day = m.day
+         ORDER BY x.series, x.day""",
+
 
     "q38_ingest_patterns" ->
       """WITH lo AS (SELECT o_orderkey, o_custkey FROM orders
@@ -2479,6 +2502,86 @@ object OracleSql {
            CAST(CASE WHEN valid_to = '9999-12-31' THEN 1 ELSE 0 END
              AS BIGINT) AS is_current
          FROM v ORDER BY o_custkey, version""",
+
+    // q53: the spool delivery state machine re-folded per id by a
+    // recursive CTE — each recursion step applies ONE op's transition
+    // (post create/update/refuse, pick lease, ack seal) with the
+    // identical lease/due comparisons as the gate's replay.
+    "q53_spool_deliver" ->
+      s"""WITH RECURSIVE
+         ops0 AS (SELECT user_id AS id, event_id AS seq,
+             ${sec(tsUs)} AS ts_sec,
+             CASE WHEN event_id % 5 <= 1 THEN 'post'
+                  WHEN event_id % 5 <= 3 THEN 'pick'
+                  ELSE 'ack' END AS op,
+             ${sec(tsUs)} + (event_id % 7) * 900 AS due_sec,
+             3600 AS timeout_sec
+           FROM events),
+         ops AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY id ORDER BY ts_sec, seq) AS k FROM ops0),
+         st AS (
+           SELECT id, CAST(0 AS BIGINT) AS k, false AS ex,
+               CAST(-1 AS BIGINT) AS created_sec,
+               CAST(-1 AS BIGINT) AS due_sec,
+               CAST(0 AS BIGINT) AS msg_rev,
+               CAST(-1 AS BIGINT) AS picked_at_sec,
+               CAST(-9999999999 AS BIGINT) AS picked_until_sec,
+               CAST(-1 AS BIGINT) AS acked_at_sec,
+               CAST(0 AS BIGINT) AS n_posts,
+               CAST(0 AS BIGINT) AS n_rejected_posts,
+               CAST(0 AS BIGINT) AS n_picks,
+               CAST(0 AS BIGINT) AS n_rejected_picks
+             FROM (SELECT DISTINCT id FROM ops)
+           UNION ALL
+           SELECT o.id, o.k,
+               st.ex OR o.op = 'post',
+               CASE WHEN o.op = 'post' AND NOT st.ex
+                    THEN o.ts_sec ELSE st.created_sec END,
+               CASE WHEN o.op = 'post' AND (NOT st.ex
+                      OR st.picked_until_sec <= o.ts_sec)
+                    THEN greatest(o.due_sec, o.ts_sec)
+                    ELSE st.due_sec END,
+               CASE WHEN o.op = 'post' AND (NOT st.ex
+                      OR st.picked_until_sec <= o.ts_sec)
+                    THEN st.msg_rev + 1 ELSE st.msg_rev END,
+               CASE WHEN o.op = 'pick' AND st.ex
+                      AND st.picked_until_sec <= o.ts_sec
+                      AND st.due_sec <= o.ts_sec
+                    THEN o.ts_sec ELSE st.picked_at_sec END,
+               CASE WHEN o.op = 'pick' AND st.ex
+                      AND st.picked_until_sec <= o.ts_sec
+                      AND st.due_sec <= o.ts_sec
+                    THEN o.ts_sec + o.timeout_sec
+                    WHEN o.op = 'ack' AND st.ex THEN 9999999999
+                    ELSE st.picked_until_sec END,
+               CASE WHEN o.op = 'ack' AND st.ex
+                    THEN o.ts_sec ELSE st.acked_at_sec END,
+               st.n_posts + CASE WHEN o.op = 'post' AND (NOT st.ex
+                   OR st.picked_until_sec <= o.ts_sec)
+                 THEN 1 ELSE 0 END,
+               st.n_rejected_posts + CASE WHEN o.op = 'post' AND st.ex
+                   AND st.picked_until_sec > o.ts_sec
+                 THEN 1 ELSE 0 END,
+               st.n_picks + CASE WHEN o.op = 'pick' AND st.ex
+                   AND st.picked_until_sec <= o.ts_sec
+                   AND st.due_sec <= o.ts_sec
+                 THEN 1 ELSE 0 END,
+               st.n_rejected_picks + CASE
+                 WHEN (o.op = 'pick' AND NOT (st.ex
+                     AND st.picked_until_sec <= o.ts_sec
+                     AND st.due_sec <= o.ts_sec))
+                   OR (o.op = 'ack' AND NOT st.ex)
+                 THEN 1 ELSE 0 END
+           FROM st JOIN ops o ON o.id = st.id AND o.k = st.k + 1),
+         fin AS (SELECT * FROM st QUALIFY
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY k DESC) = 1),
+         t AS (SELECT max(${sec(tsUs)}) + 1 AS t_end FROM events)
+         SELECT id, created_sec, due_sec, msg_rev, picked_at_sec,
+           picked_until_sec, acked_at_sec, n_posts, n_rejected_posts,
+           n_picks, n_rejected_picks,
+           CAST(CASE WHEN picked_until_sec < t_end THEN 1 ELSE 0 END
+             AS INT) AS free_at_end
+         FROM fin, t WHERE ex ORDER BY id""",
 
     // q51: the quarantine classification re-derived from the plant
     // rules over raw orders — the oracle never parses the CSV, it

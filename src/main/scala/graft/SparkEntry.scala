@@ -1350,6 +1350,42 @@ object SparkEntry {
       .orderBy("o_custkey", "version")
   }
 
+  /** Spool delivery bookkeeping ([[graft.monitor.Spool]]): the
+    * reference notification spool's post/pick/ack/unpicked state
+    * machine (monitor/spool/__init__.py:95-275) replayed over a
+    * deterministic operation timeline planted on the events table —
+    * event_id decides the op (0,1→post 2,3→pick 4→ack mod 5), the due
+    * lag (15-min steps mod 7) and the tie order; pick leases run 1 h.
+    * Output: each notification's final delivery state (lease, ack,
+    * accepted/refused counters) plus the `unpicked(T)` re-delivery
+    * flag at end-of-log T (1-row scalar zip, the declared p08/t05
+    * class). FULL SQL oracle: a recursive CTE folds the identical
+    * transitions per id in op order. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ops = ev(s, dir).select(
+        col("user_id").as("id"), col("event_id").as("seq"),
+        col("ts").cast("long").as("ts_sec"),
+        when(col("event_id") % 5 <= 1, "post")
+          .when(col("event_id") % 5 <= 3, "pick")
+          .otherwise("ack").as("op"),
+        (col("ts").cast("long") + (col("event_id") % 7) * 900L)
+          .as("due_sec"),
+        lit(3600L).as("timeout_sec"))
+      .as[graft.monitor.Spool.Op]
+    val state = graft.monitor.Spool.replay(ops).toDF()
+    val tEnd = ev(s, dir)
+      .agg((max(col("ts").cast("long")) + 1L).as("t_end"))
+    state.crossJoin(broadcast(tEnd))
+      .select(col("id"), col("created_sec"), col("due_sec"),
+        col("msg_rev"), col("picked_at_sec"), col("picked_until_sec"),
+        col("acked_at_sec"), col("n_posts"), col("n_rejected_posts"),
+        col("n_picks"), col("n_rejected_picks"),
+        when(col("picked_until_sec") < col("t_end"), 1).otherwise(0)
+          .as("free_at_end"))
+      .orderBy("id")
+  }
+
   private def d01(s: SparkSession, dir: String): DataFrame = {
     val fp = t(s, dir, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
@@ -1372,7 +1408,10 @@ object SparkEntry {
     graft.sim.ModelStore.save(
       Dedup.shingleHashDict(docs, "doc_id", "text", n = 3).coalesce(1),
       "shingle_hashes", s"${gateModelDir(dir, "d02")}/shingle_hashes")
-    Dedup.minhashNearDups(docs, "doc_id", "text",
+    // production default (r16): the corpus-derived boilerplate df cap
+    // rides the pipeline — a no-op at every gate sf (DedupSpec pins the
+    // margin; the oracle stays exact), the linear-work guard at 100 TB
+    Dedup.minhashNearDupsAuto(docs, "doc_id", "text",
         k = mhK, nBands = mhBands, threshold = d02Tau)
       .orderBy("id_a", "id_b")
   }
@@ -1388,7 +1427,7 @@ object SparkEntry {
     graft.sim.ModelStore.save(
       Dedup.shingleHashDict(docs, "doc_id", "text", n = 3).coalesce(1),
       "shingle_hashes", s"${gateModelDir(dir, "d13")}/shingle_hashes")
-    Dedup.crossMinhashNearDups(docs, "doc_id", "text",
+    Dedup.crossMinhashNearDupsAuto(docs, "doc_id", "text",
         evalFilter = col("doc_id") % 10 === 0,
         k = mhK, nBands = mhBands, threshold = d13Tau)
       .select(col("eval_id"), col("train_id"),
@@ -1413,7 +1452,7 @@ object SparkEntry {
   /** Exact (not LSH-approximate) — so it carries a full DuckDB oracle:
     * jaccard rounded to 6 dp on both sides, threshold applied pre-round. */
   private def d04(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccardPairsAuto(t(s, dir, "documents"), "doc_id", "text",
         n = 3, probeFilter = col("doc_id") % 10 === 0, threshold = 0.02)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -1432,7 +1471,7 @@ object SparkEntry {
         array_join(slice(split(col("text"), " "), lit(1),
           greatest(lit(6), floor(size(split(col("text"), " ")) / 3)
             .cast("int"))), " ").as("text"))
-    Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text",
+    Dedup.containmentPairsAuto(docs.unionByName(quotes), "doc_id", "text",
         n = 3, threshold = 0.9)
       .select(col("id_small"), col("id_big"), col("inter"),
         col("sz_small"), col("sz_big"),
@@ -1475,7 +1514,7 @@ object SparkEntry {
   private def d16(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
         n = 3, probeFilter = col("doc_id") % 10 === 0, threshold = 0.02),
       "id_a", "id_b")
     val q = docs.select(col("doc_id").as("id"),
@@ -3338,6 +3377,40 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Complete)
       .orderBy("series", "day")
 
+  /** The st09 STREAM's HLL error contract as a FULL SQL gate — k08's
+    * exported-estimate route applied on the streaming axis (the last
+    * audit-only family): the drained per-(series, day) estimate frame
+    * persists via ModelStore, exact per-(series, day) NDV is recomputed
+    * from raw events, and each window's |est − exact| ≤ 5·rsd·exact
+    * containment is evaluated with identically-associated arithmetic
+    * from the exported rsd knob. st09 itself stays rows-only for cause
+    * (HLL register state has no SQL twin); THIS gate makes its error
+    * contract hash-exact, so every sketch family now carries a SQL
+    * contract gate (k07 for GK, k08 for batch HLL, st14 for stream
+    * HLL). */
+  private def st14(s: SparkSession, dir: String): DataFrame = {
+    val prof = runStreamOnce(s,
+      Streams.dailyNdvStream(streamEvents(s, dir)),
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val base = gateModelDir(dir, "st14")
+    graft.sim.ModelStore.save(prof.coalesce(1), "ndv_stream_profile",
+      s"$base/ndv_stream_profile")
+    val m = s.read.parquet(s"$base/ndv_stream_profile")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      .join(broadcast(m), Seq("series", "day"))
+      .select(col("series"), col("day"), col("n_rows"), col("n"),
+        col("ndv_hll"), col("ndv_exact"), col("rsd"),
+        when(col("n_rows") === col("n") &&
+          abs(col("ndv_hll") - col("ndv_exact")).cast("double") <=
+            lit(5.0) * col("rsd") * col("ndv_exact").cast("double"), 1)
+          .otherwise(0).as("contained"))
+      .orderBy("series", "day")
+  }
+
   /** st10 builds k04's count-min table INSIDE the streaming state store
     * (Sketches.cmsCells on the streamed documents table): the state is
     * the fixed 4×1024 cell grid — never tokens — so continuous
@@ -3768,6 +3841,7 @@ object SparkEntry {
     "q50_zorder_skip" -> (q50 _),
     "q51_csv_robust" -> (q51 _),
     "q52_scd2" -> (q52 _),
+    "q53_spool_deliver" -> (q53 _),
     "e01_auc_label" -> (e01 _),
     "e02_chi2_drift" -> (e02 _),
     "e03_ks_2sample" -> (e03 _),
@@ -3881,7 +3955,8 @@ object SparkEntry {
     "st10_cms_stream" -> (st10 _),
     "st11_stream_join" -> (st11 _),
     "st12_drift_stream" -> (st12 _),
-    "st13_scd_stream" -> (st13 _)
+    "st13_scd_stream" -> (st13 _),
+    "st14_ndv_contract" -> (st14 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

@@ -96,6 +96,55 @@ object Dedup {
         all.join(keep, "g")
     }
 
+  /** Default posting-length budget of the `*Auto` df caps: a shingle
+    * may occupy at most this many TYPICAL DOCUMENTS' worth of index
+    * mass before it is boilerplate. */
+  val DefaultDfBudget: Int = 4
+
+  /** CORPUS-DERIVED document-frequency cap — the [[graft.sim.LshKnobs]]
+    * discipline applied to the shared-shingle inverted index. The
+    * index's "bucket" is a shingle's posting list (length = its df) and
+    * the equi-join's candidate work is Σ df² — one corpus-fraction
+    * ("boilerplate") shingle turns it quadratic on that key. Unlike
+    * SRP-LSH, a posting list cannot be subdivided by widening bits (the
+    * rows genuinely collide), so the one linear-work lever is dropping
+    * lists longer than a cap D: Σ min(df, D)² ≤ D·Σdf = D·R — linear in
+    * index size R with constant multiplier D.
+    *
+    * D derives from the corpus's own shape, not a magic number:
+    * D = ceil(dfBudget × avgShinglesPerDoc), i.e. a shingle whose
+    * posting list outweighs `dfBudget` typical documents is corpus
+    * boilerplate, not pairwise signal. Doc length is scale-invariant,
+    * so D is O(1) in corpus size and the linear bound holds at any
+    * scale. Recall: a true near-dup pair is lost only when EVERY shared
+    * shingle is boilerplate — the documented approximation of this
+    * family; identical-doc clusters larger than D (whose every shingle
+    * has df ≥ cluster size) belong to [[exactDups]]' pass, which runs
+    * first in the pipeline ordering. At the driver corpora the derived
+    * cap (≈210 = 4×52 shingles/doc) is a NO-OP — max observed df is 7
+    * at sf0.01 / 25 at sf0.1 (DedupSpec pins the margin) — so the gate
+    * oracles stay exact while the gates run the production default.
+    *
+    * The derivation is the d05 `*Auto` discipline exactly: ONE small
+    * aggregate action computes the knob (as `embeddingNearDupsAuto`
+    * derives bits from `emb.count()`), then the pipeline runs the
+    * SAME plan shape as the manual cap — the scalar never rides the
+    * plan, so the nested-loop and broadcast-hint sweeps stay clean.
+    * At 100 TB the one derivation pass amortizes across the run (or
+    * derive from corpus stats you already track). */
+  private def dfCappedAuto(all: DataFrame, dfBudget: Int): DataFrame =
+    dfCapped(all,
+      Some(math.min(Int.MaxValue.toLong, autoDfCap(all, dfBudget)).toInt))
+
+  /** The derived cap value itself (an action) — DedupSpec's no-op pin
+    * and the scale probes read it; gates use [[dfCappedAuto]]'s
+    * action-free scalar zip instead. */
+  def autoDfCap(all: DataFrame, dfBudget: Int = DefaultDfBudget): Long = {
+    val r = all.agg((count(lit(1)).cast("double") /
+      countDistinct(col("id"))).as("__avg")).head().getDouble(0)
+    math.ceil(r * dfBudget).toLong
+  }
+
   /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
   private def rotl64(c: Column, s: Int): Column =
     if (s % 64 == 0) c
@@ -172,10 +221,25 @@ object Dedup {
     *              exact semantics. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, nBands: Int, threshold: Double,
-                      maxDf: Option[Int] = None): DataFrame = {
+                      maxDf: Option[Int] = None): DataFrame =
+    minhashCore(
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf),
+      k, nBands, threshold)
+
+  /** [[minhashNearDups]] with the PRODUCTION df-cap default: the
+    * corpus-derived boilerplate cap of [[dfCappedAuto]] is ON (a no-op
+    * at gate corpora — DedupSpec pins the margin — and the linear-work
+    * guard at 100 TB). The d05 `*Auto` discipline: gates run this. */
+  def minhashNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, nBands: Int, threshold: Double,
+                          dfBudget: Int = DefaultDfBudget): DataFrame =
+    minhashCore(
+      dfCappedAuto(explodedShingles(docs, idCol, textCol, n = 3), dfBudget),
+      k, nBands, threshold)
+
+  private def minhashCore(exploded: DataFrame, k: Int, nBands: Int,
+                          threshold: Double): DataFrame = {
     val rowsPerBand = k / nBands
-    val exploded =
-      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf)
     val sigs = sigAndShingles(exploded, k)
     val banded = sigs
       .select(col("id"),
@@ -212,10 +276,26 @@ object Dedup {
   def crossMinhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                            evalFilter: Column, k: Int, nBands: Int,
                            threshold: Double,
-                           maxDf: Option[Int] = None): DataFrame = {
+                           maxDf: Option[Int] = None): DataFrame =
+    crossMinhashCore(
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf),
+      docs, idCol, evalFilter, k, nBands, threshold)
+
+  /** [[crossMinhashNearDups]] with the production df-cap default —
+    * see [[minhashNearDupsAuto]]. */
+  def crossMinhashNearDupsAuto(docs: DataFrame, idCol: String,
+                               textCol: String, evalFilter: Column,
+                               k: Int, nBands: Int, threshold: Double,
+                               dfBudget: Int = DefaultDfBudget): DataFrame =
+    crossMinhashCore(
+      dfCappedAuto(explodedShingles(docs, idCol, textCol, n = 3), dfBudget),
+      docs, idCol, evalFilter, k, nBands, threshold)
+
+  private def crossMinhashCore(exploded: DataFrame, docs: DataFrame,
+                               idCol: String, evalFilter: Column,
+                               k: Int, nBands: Int,
+                               threshold: Double): DataFrame = {
     val rowsPerBand = k / nBands
-    val exploded =
-      dfCapped(explodedShingles(docs, idCol, textCol, n = 3), maxDf)
     val sigs = sigAndShingles(exploded, k)
     val flags = docs.select(col(idCol).as("id"), evalFilter.as("__ev"))
     val banded = sigs.join(flags, "id")
@@ -334,23 +414,34 @@ object Dedup {
     *               approximation); None keeps exact semantics. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, probeFilter: Column, threshold: Double,
-                        maxDf: Option[Int] = None): DataFrame = {
-    val all = explodedShingles(docs, idCol, textCol, n)
-    val index = maxDf match {
-      case None => all
-      case Some(cap) =>
-        // df per shingle, computed once; hot shingles leave the index
-        val df = all.groupBy("g").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select("g")
-        all.join(df, "g")
-    }
+                        maxDf: Option[Int] = None): DataFrame =
+    ngramJaccardCore(
+      dfCapped(explodedShingles(docs, idCol, textCol, n), maxDf),
+      docs, idCol, textCol, n, probeFilter, threshold,
+      capped = maxDf.isDefined)
+
+  /** [[ngramJaccardPairs]] with the production df-cap default —
+    * see [[minhashNearDupsAuto]]. */
+  def ngramJaccardPairsAuto(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int, probeFilter: Column,
+                            threshold: Double,
+                            dfBudget: Int = DefaultDfBudget): DataFrame =
+    ngramJaccardCore(
+      dfCappedAuto(explodedShingles(docs, idCol, textCol, n), dfBudget),
+      docs, idCol, textCol, n, probeFilter, threshold, capped = true)
+
+  private def ngramJaccardCore(index: DataFrame, docs: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               probeFilter: Column, threshold: Double,
+                               capped: Boolean): DataFrame = {
     val probes = explodedShingles(
         docs.filter(probeFilter), idCol, textCol, n)
       .select(col("id").as("id_a"), col("g"))
-    val probeIndex = maxDf match {
-      case None => probes
-      case Some(_) => probes.join(index.select("g").distinct(), "g")
-    }
+    // a capped index may have dropped shingles the probe docs still
+    // carry — the probe side must see the same capped universe
+    val probeIndex =
+      if (!capped) probes
+      else probes.join(index.select("g").distinct(), "g")
     val corpus = index.select(col("id").as("id_b"), col("g"))
     val inter = probeIndex.join(corpus, "g")
       .filter(col("id_a") < col("id_b"))
@@ -382,9 +473,22 @@ object Dedup {
     * sz_big, containment >= threshold). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
-                       maxDf: Option[Int] = None): DataFrame = {
-    val index = dfCapped(explodedShingles(docs, idCol, textCol, n),
-      maxDf)
+                       maxDf: Option[Int] = None): DataFrame =
+    containmentCore(
+      dfCapped(explodedShingles(docs, idCol, textCol, n), maxDf),
+      threshold)
+
+  /** [[containmentPairs]] with the production df-cap default —
+    * see [[minhashNearDupsAuto]]. */
+  def containmentPairsAuto(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int, threshold: Double,
+                           dfBudget: Int = DefaultDfBudget): DataFrame =
+    containmentCore(
+      dfCappedAuto(explodedShingles(docs, idCol, textCol, n), dfBudget),
+      threshold)
+
+  private def containmentCore(index: DataFrame,
+                              threshold: Double): DataFrame = {
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = index.select(col("id").as("id_a"), col("g"))
       .join(index.select(col("id").as("id_b"), col("g")), "g")

@@ -69,7 +69,12 @@ object ModelStore {
     // export): per-series sub-sketch count plus the merged-vs-direct
     // estimate pair whose equality IS the mergeability contract
     "hll_merge_profile" -> Set("series", "n_subs", "ndv_merged",
-      "ndv_direct", "rsd"))
+      "ndv_direct", "rsd"),
+    // Drained streaming HLL estimates (Streams.dailyNdvStream — st14's
+    // export): per-(series, day) window estimates whose 5·rsd error
+    // contract is SQL over the raw events (k08's route, stream axis)
+    "ndv_stream_profile" -> Set("series", "day", "n_rows", "ndv_hll",
+      "rsd"))
 
   private def validate(df: DataFrame, kind: String, path: String): DataFrame = {
     val want = Shapes.getOrElse(kind, throw new IllegalArgumentException(

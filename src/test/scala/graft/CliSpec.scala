@@ -160,6 +160,16 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$mout/builds").count() == 4)
   }
 
+  test("time is the kcidb-db-time analog: the warehouse clock, ISO " +
+      "UTC, parseable and current") {
+    val df = Cli.dispatch(Array("time", TestSpark.sf)).get
+    val s = df.head().getString(0)
+    val t = java.time.OffsetDateTime.parse(s)
+    val now = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+    assert(math.abs(java.time.Duration.between(t, now).getSeconds) < 300,
+      s"warehouse clock '$s' should be within minutes of wall time")
+  }
+
   test("unknown query and bad usage fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Cli.dispatch(Array("run", "nope", sf, "/tmp/x"))

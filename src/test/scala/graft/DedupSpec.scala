@@ -104,6 +104,70 @@ class DedupSpec extends AnyFunSuite {
       "low-df exact dups survive the cap with exact jaccard")
   }
 
+  test("auto df cap is a NO-OP at gate corpora: derived cap clears the " +
+      "hottest observed shingle by a wide margin, and every *Auto " +
+      "entry point is result-identical to exact semantics") {
+    // the embeddingNearDupsAuto invariance discipline for the shingle
+    // family: the gates run the production default, so this pin is what
+    // keeps the DuckDB oracles exact
+    val corpus = graft.sources.Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = corpus.select(col("doc_id").as("id"),
+      explode(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("g"))
+    val cap = Dedup.autoDfCap(idx)
+    val maxDf = idx.groupBy("g").agg(count(lit(1)).as("f"))
+      .agg(max("f")).head().getLong(0)
+    assert(cap >= 4 * maxDf,
+      s"derived cap $cap too close to observed max df $maxDf — the " +
+        "no-op margin eroded; the gate oracles are at risk")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = col("doc_id") % 10 === 0
+    assert(set(Dedup.ngramJaccardPairsAuto(corpus, "doc_id", "text",
+        n = 3, probeFilter = probe, threshold = 0.02)) ==
+      set(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, probeFilter = probe, threshold = 0.02)))
+    assert(set(Dedup.minhashNearDupsAuto(corpus, "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.3)) ==
+      set(Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.3)))
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_small", "id_big").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cset(Dedup.containmentPairsAuto(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)) ==
+      cset(Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)))
+  }
+
+  test("auto df cap BINDS on corpus-fraction boilerplate: the hot " +
+      "shingles leave the index, sub-cap near-dups survive") {
+    // 120 docs share a boilerplate sentence (its trigrams have df=120,
+    // far past 4x the ~13 shingles/doc average) with unique tails; two
+    // docs are near-identical with unique content.
+    val boiler = (100 to 219).map(i => (i.toLong,
+      "terms and conditions apply to all users of this service " +
+        s"unique$i tail$i")).toSeq
+    val near = Seq(
+      (1L, "zebra quartz mango delta epsilon theta kappa sigma omega"),
+      (2L, "zebra quartz mango delta epsilon theta kappa sigma omicron"))
+    val corpus = (near ++ boiler).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAuto(corpus, "doc_id", "text",
+        k = 64, nBands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      "boilerplate-only doc pairs must vanish under the binding cap")
+    assert(pairs.contains((1L, 2L)),
+      "sub-cap near-dup pair must survive the binding cap")
+    val cont = Dedup.containmentPairsAuto(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("id_small", "id_big").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cont.exists { case (a, b) => a >= 100L && b >= 100L },
+      "containment: boilerplate-only pairs must vanish too")
+  }
+
   test("simhash: identical docs at distance 0, disjoint docs not paired") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
       .collect()

@@ -110,7 +110,10 @@ class PlanSpec extends AnyFunSuite {
       "k06_priority_sample",
       // p13 zips in the 1-row sqrt-weight normalizer fold (the p08
       // scalar class)
-      "p13_temperature_mix")
+      "p13_temperature_mix",
+      // q53 zips the 1-row end-of-log timestamp into the state table
+      // for the unpicked(T) flag (the p08 scalar class)
+      "q53_spool_deliver")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -211,7 +214,11 @@ class PlanSpec extends AnyFunSuite {
     // broadcast (vec_id < 5 on both the float and code sides).
     val exempt = Set("s01_knn_brute", "s05_knn_classify", "s07_knn_pq",
       "s08_knn_ivfpq", "s09_incr_encode", "s11_sq8_encode",
-      "s12_sq8_recall")
+      "s12_sq8_recall",
+      // st14 broadcasts its exported ndv_stream_profile — a bounded
+      // per-(series, day) model frame (k08's hll_profile pattern; k*
+      // gates are outside this sweep's s*/d* prefix net by name)
+      "st14_ndv_contract")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)
