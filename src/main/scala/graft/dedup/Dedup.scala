@@ -91,8 +91,18 @@ object Dedup {
     maxDf match {
       case None => all
       case Some(cap) =>
+        // localCheckpoint (the q46 memoization discipline): the capped
+        // index is re-executed by every downstream consumer (banding +
+        // both exact-verify sides / probes + corpus + sizes), and
+        // without memoization EACH re-execution would re-aggregate df
+        // over the whole exploded corpus — measured 2-3x on the d02/d04
+        // gates. The surviving-g frame is |G|-bounded (distinct
+        // shingles, not corpus rows), exactly the frame a production
+        // run would persist as the boilerplate blocklist; with it
+        // materialized, a re-execution costs scan+explode+join(small).
         val keep = all.groupBy("g").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("g")
+          .localCheckpoint()
         all.join(keep, "g")
     }
 
@@ -119,8 +129,8 @@ object Dedup {
     * scale. Recall: a true near-dup pair is lost only when EVERY shared
     * shingle is boilerplate — the documented approximation of this
     * family; identical-doc clusters larger than D (whose every shingle
-    * has df ≥ cluster size) belong to [[exactDups]]' pass, which runs
-    * first in the pipeline ordering. At the driver corpora the derived
+    * has df ≥ cluster size) belong to the exact [[fingerprint]] dedup
+    * pass (d01), which runs first in the pipeline ordering. At the driver corpora the derived
     * cap (≈210 = 4×52 shingles/doc) is a NO-OP — max observed df is 7
     * at sf0.01 / 25 at sf0.1 (DedupSpec pins the margin) — so the gate
     * oracles stay exact while the gates run the production default.
@@ -130,20 +140,30 @@ object Dedup {
     * derives bits from `emb.count()`), then the pipeline runs the
     * SAME plan shape as the manual cap — the scalar never rides the
     * plan, so the nested-loop and broadcast-hint sweeps stay clean.
-    * At 100 TB the one derivation pass amortizes across the run (or
-    * derive from corpus stats you already track). */
-  private def dfCappedAuto(all: DataFrame, dfBudget: Int): DataFrame =
-    dfCapped(all,
-      Some(math.min(Int.MaxValue.toLong, autoDfCap(all, dfBudget)).toInt))
-
-  /** The derived cap value itself (an action) — DedupSpec's no-op pin
-    * and the scale probes read it; gates use [[dfCappedAuto]]'s
-    * action-free scalar zip instead. */
-  def autoDfCap(all: DataFrame, dfBudget: Int = DefaultDfBudget): Long = {
-    val r = all.agg((count(lit(1)).cast("double") /
-      countDistinct(col("id"))).as("__avg")).head().getDouble(0)
+    * The knob scan is MAP-SIDE ONLY and HOF-free: avgShinglesPerDoc is
+    * measured as the average shingle POSITION count max(|toks|−n+1, 1)
+    * — one split per doc in the scan stage. Positions ≥ distinct
+    * shingles, so the derived cap only errs LARGER (safer no-op, same
+    * O(1)-in-corpus-size bound). Building the exact distinct-shingle
+    * arrays here would walk the `shingles` transform lambda, and
+    * Catalyst inlines the tokenization INTO the lambda (CollapseProject
+    * counts lambda refs once but they evaluate per element — the
+    * documented HOF trap): measured 4.4 s vs ~0.3 s for this scan at
+    * sf0.1. At 100 TB the pass amortizes across the run (or derive
+    * from corpus stats you already track). */
+  def autoDfCap(docs: DataFrame, textCol: String, n: Int,
+                dfBudget: Int = DefaultDfBudget): Long = {
+    val r = docs
+      .agg(avg(greatest(size(tokens(col(textCol))) - (n - 1), lit(1)))
+        .as("__avg"))
+      .head().getDouble(0)
     math.ceil(r * dfBudget).toLong
   }
+
+  private def autoCapInt(docs: DataFrame, textCol: String, n: Int,
+                         dfBudget: Int): Option[Int] =
+    Some(math.min(Int.MaxValue.toLong,
+      autoDfCap(docs, textCol, n, dfBudget)).toInt)
 
   /** Rotate a 64-bit column left by `s` bits (s in [0, 63]). */
   private def rotl64(c: Column, s: Int): Column =
@@ -227,14 +247,15 @@ object Dedup {
       k, nBands, threshold)
 
   /** [[minhashNearDups]] with the PRODUCTION df-cap default: the
-    * corpus-derived boilerplate cap of [[dfCappedAuto]] is ON (a no-op
+    * corpus-derived boilerplate cap of [[autoDfCap]] is ON (a no-op
     * at gate corpora — DedupSpec pins the margin — and the linear-work
     * guard at 100 TB). The d05 `*Auto` discipline: gates run this. */
   def minhashNearDupsAuto(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, nBands: Int, threshold: Double,
                           dfBudget: Int = DefaultDfBudget): DataFrame =
     minhashCore(
-      dfCappedAuto(explodedShingles(docs, idCol, textCol, n = 3), dfBudget),
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3),
+        autoCapInt(docs, textCol, 3, dfBudget)),
       k, nBands, threshold)
 
   private def minhashCore(exploded: DataFrame, k: Int, nBands: Int,
@@ -288,7 +309,8 @@ object Dedup {
                                k: Int, nBands: Int, threshold: Double,
                                dfBudget: Int = DefaultDfBudget): DataFrame =
     crossMinhashCore(
-      dfCappedAuto(explodedShingles(docs, idCol, textCol, n = 3), dfBudget),
+      dfCapped(explodedShingles(docs, idCol, textCol, n = 3),
+        autoCapInt(docs, textCol, 3, dfBudget)),
       docs, idCol, evalFilter, k, nBands, threshold)
 
   private def crossMinhashCore(exploded: DataFrame, docs: DataFrame,
@@ -417,8 +439,7 @@ object Dedup {
                         maxDf: Option[Int] = None): DataFrame =
     ngramJaccardCore(
       dfCapped(explodedShingles(docs, idCol, textCol, n), maxDf),
-      docs, idCol, textCol, n, probeFilter, threshold,
-      capped = maxDf.isDefined)
+      docs, idCol, textCol, n, probeFilter, threshold)
 
   /** [[ngramJaccardPairs]] with the production df-cap default —
     * see [[minhashNearDupsAuto]]. */
@@ -427,23 +448,24 @@ object Dedup {
                             threshold: Double,
                             dfBudget: Int = DefaultDfBudget): DataFrame =
     ngramJaccardCore(
-      dfCappedAuto(explodedShingles(docs, idCol, textCol, n), dfBudget),
-      docs, idCol, textCol, n, probeFilter, threshold, capped = true)
+      dfCapped(explodedShingles(docs, idCol, textCol, n),
+        autoCapInt(docs, textCol, n, dfBudget)),
+      docs, idCol, textCol, n, probeFilter, threshold)
 
   private def ngramJaccardCore(index: DataFrame, docs: DataFrame,
                                idCol: String, textCol: String, n: Int,
-                               probeFilter: Column, threshold: Double,
-                               capped: Boolean): DataFrame = {
+                               probeFilter: Column,
+                               threshold: Double): DataFrame = {
+    // probe rows carrying a df-capped (dropped) shingle need no
+    // pre-filter: the inner join against the CAPPED corpus is itself
+    // the membership test, and sizes come from the capped index on
+    // both sides — an explicit probe-side semi-join would only add an
+    // index re-execution
     val probes = explodedShingles(
         docs.filter(probeFilter), idCol, textCol, n)
       .select(col("id").as("id_a"), col("g"))
-    // a capped index may have dropped shingles the probe docs still
-    // carry — the probe side must see the same capped universe
-    val probeIndex =
-      if (!capped) probes
-      else probes.join(index.select("g").distinct(), "g")
     val corpus = index.select(col("id").as("id_b"), col("g"))
-    val inter = probeIndex.join(corpus, "g")
+    val inter = probes.join(corpus, "g")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -484,7 +506,8 @@ object Dedup {
                            textCol: String, n: Int, threshold: Double,
                            dfBudget: Int = DefaultDfBudget): DataFrame =
     containmentCore(
-      dfCappedAuto(explodedShingles(docs, idCol, textCol, n), dfBudget),
+      dfCapped(explodedShingles(docs, idCol, textCol, n),
+        autoCapInt(docs, textCol, n, dfBudget)),
       threshold)
 
   private def containmentCore(index: DataFrame,

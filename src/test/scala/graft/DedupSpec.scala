@@ -114,7 +114,7 @@ class DedupSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"))
     val idx = corpus.select(col("doc_id").as("id"),
       explode(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("g"))
-    val cap = Dedup.autoDfCap(idx)
+    val cap = Dedup.autoDfCap(corpus, "text", 3)
     val maxDf = idx.groupBy("g").agg(count(lit(1)).as("f"))
       .agg(max("f")).head().getLong(0)
     assert(cap >= 4 * maxDf,
