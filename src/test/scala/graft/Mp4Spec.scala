@@ -232,4 +232,32 @@ class Mp4Spec extends AnyFunSuite {
     // moov was truncated away entirely -> empty is also acceptable shape
     assert(frames.length <= Binary.mp4JpegFrames(good).length)
   }
+
+  test("hostile fixed-size stsz sample_count near 2^31 cannot allocate " +
+      "gigabytes: the count is capped by payload capacity") {
+    // rewrite the real fixture's stsz into the FIXED-size form with a
+    // hostile sample_count: fullbox(4) + sample_size=16 + count=2^31-1
+    val good = Binary.makeMjpegMp4(3L)
+    def tag(p: Array[Byte], i: Int) = new String(p, i + 4, 4, "US-ASCII")
+    var i = 0
+    var stsz = -1
+    while (i + 8 <= good.length && stsz < 0) { // top-level + nested walk
+      if (tag(good, i) == "stsz") stsz = i
+      i += 1 // byte-scan: fixture is small, the test only needs the offset
+    }
+    assert(stsz > 0, "fixture must contain an stsz box")
+    val p = good.clone()
+    def w32(at: Int, v: Long): Unit = {
+      p(at) = ((v >> 24) & 0xff).toByte; p(at + 1) = ((v >> 16) & 0xff).toByte
+      p(at + 2) = ((v >> 8) & 0xff).toByte; p(at + 3) = (v & 0xff).toByte
+    }
+    w32(stsz + 12, 16L)          // sample_size != 0 -> fixed-size branch
+    w32(stsz + 16, 0x7fffffffL)  // hostile sample_count
+    val before = Runtime.getRuntime.totalMemory()
+    val frames = Binary.mp4JpegFrames(p) // must return, not OOM
+    assert(frames.length <= p.length / 16,
+      "sample count must be bounded by payload capacity")
+    assert(Runtime.getRuntime.totalMemory() - before < (1L << 31),
+      "no multi-GB allocation for a hostile count")
+  }
 }
