@@ -2513,7 +2513,8 @@ object OracleSql {
              ${sec(tsUs)} AS ts_sec,
              CASE WHEN event_id % 5 <= 1 THEN 'post'
                   WHEN event_id % 5 <= 3 THEN 'pick'
-                  ELSE 'ack' END AS op,
+                  WHEN event_id % 10 = 4 THEN 'ack'
+                  ELSE 'delete' END AS op,
              ${sec(tsUs)} + (event_id % 7) * 900 AS due_sec,
              3600 AS timeout_sec
            FROM events),
@@ -2534,44 +2535,56 @@ object OracleSql {
              FROM (SELECT DISTINCT id FROM ops)
            UNION ALL
            SELECT o.id, o.k,
-               st.ex OR o.op = 'post',
-               CASE WHEN o.op = 'post' AND NOT st.ex
+               CASE WHEN o.op = 'delete' THEN false
+                    ELSE st.ex OR o.op = 'post' END,
+               CASE WHEN o.op = 'delete' THEN CAST(-1 AS BIGINT)
+                    WHEN o.op = 'post' AND NOT st.ex
                     THEN o.ts_sec ELSE st.created_sec END,
-               CASE WHEN o.op = 'post' AND (NOT st.ex
+               CASE WHEN o.op = 'delete' THEN CAST(-1 AS BIGINT)
+                    WHEN o.op = 'post' AND (NOT st.ex
                       OR st.picked_until_sec <= o.ts_sec)
                     THEN greatest(o.due_sec, o.ts_sec)
                     ELSE st.due_sec END,
-               CASE WHEN o.op = 'post' AND (NOT st.ex
+               CASE WHEN o.op = 'delete' THEN CAST(0 AS BIGINT)
+                    WHEN o.op = 'post' AND (NOT st.ex
                       OR st.picked_until_sec <= o.ts_sec)
                     THEN st.msg_rev + 1 ELSE st.msg_rev END,
-               CASE WHEN o.op = 'pick' AND st.ex
+               CASE WHEN o.op = 'delete' THEN CAST(-1 AS BIGINT)
+                    WHEN o.op = 'pick' AND st.ex
                       AND st.picked_until_sec <= o.ts_sec
                       AND st.due_sec <= o.ts_sec
                     THEN o.ts_sec ELSE st.picked_at_sec END,
-               CASE WHEN o.op = 'pick' AND st.ex
+               CASE WHEN o.op = 'delete'
+                    THEN CAST(-9999999999 AS BIGINT)
+                    WHEN o.op = 'pick' AND st.ex
                       AND st.picked_until_sec <= o.ts_sec
                       AND st.due_sec <= o.ts_sec
                     THEN o.ts_sec + o.timeout_sec
                     WHEN o.op = 'ack' AND st.ex THEN 9999999999
                     ELSE st.picked_until_sec END,
-               CASE WHEN o.op = 'ack' AND st.ex
+               CASE WHEN o.op = 'delete' THEN CAST(-1 AS BIGINT)
+                    WHEN o.op = 'ack' AND st.ex
                     THEN o.ts_sec ELSE st.acked_at_sec END,
-               st.n_posts + CASE WHEN o.op = 'post' AND (NOT st.ex
-                   OR st.picked_until_sec <= o.ts_sec)
-                 THEN 1 ELSE 0 END,
-               st.n_rejected_posts + CASE WHEN o.op = 'post' AND st.ex
-                   AND st.picked_until_sec > o.ts_sec
-                 THEN 1 ELSE 0 END,
-               st.n_picks + CASE WHEN o.op = 'pick' AND st.ex
-                   AND st.picked_until_sec <= o.ts_sec
-                   AND st.due_sec <= o.ts_sec
-                 THEN 1 ELSE 0 END,
-               st.n_rejected_picks + CASE
-                 WHEN (o.op = 'pick' AND NOT (st.ex
+               CASE WHEN o.op = 'delete' THEN CAST(0 AS BIGINT)
+                 ELSE st.n_posts + CASE WHEN o.op = 'post' AND (NOT st.ex
+                     OR st.picked_until_sec <= o.ts_sec)
+                   THEN 1 ELSE 0 END END,
+               CASE WHEN o.op = 'delete' THEN CAST(0 AS BIGINT)
+                 ELSE st.n_rejected_posts + CASE WHEN o.op = 'post'
+                     AND st.ex AND st.picked_until_sec > o.ts_sec
+                   THEN 1 ELSE 0 END END,
+               CASE WHEN o.op = 'delete' THEN CAST(0 AS BIGINT)
+                 ELSE st.n_picks + CASE WHEN o.op = 'pick' AND st.ex
                      AND st.picked_until_sec <= o.ts_sec
-                     AND st.due_sec <= o.ts_sec))
-                   OR (o.op = 'ack' AND NOT st.ex)
-                 THEN 1 ELSE 0 END
+                     AND st.due_sec <= o.ts_sec
+                   THEN 1 ELSE 0 END END,
+               CASE WHEN o.op = 'delete' THEN CAST(0 AS BIGINT)
+                 ELSE st.n_rejected_picks + CASE
+                   WHEN (o.op = 'pick' AND NOT (st.ex
+                       AND st.picked_until_sec <= o.ts_sec
+                       AND st.due_sec <= o.ts_sec))
+                     OR (o.op = 'ack' AND NOT st.ex)
+                   THEN 1 ELSE 0 END END
            FROM st JOIN ops o ON o.id = st.id AND o.k = st.k + 1),
          fin AS (SELECT * FROM st QUALIFY
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY k DESC) = 1),

@@ -1354,8 +1354,10 @@ object SparkEntry {
     * reference notification spool's post/pick/ack/unpicked state
     * machine (monitor/spool/__init__.py:95-275) replayed over a
     * deterministic operation timeline planted on the events table —
-    * event_id decides the op (0,1→post 2,3→pick 4→ack mod 5), the due
-    * lag (15-min steps mod 7) and the tie order; pick leases run 1 h.
+    * event_id decides the op (0,1→post 2,3→pick mod 5; the residue-4
+    * class splits mod 10 into 4→ack 9→delete, so re-created
+    * incarnations are exercised too), the due lag (15-min steps mod 7)
+    * and the tie order; pick leases run 1 h.
     * Output: each notification's final delivery state (lease, ack,
     * accepted/refused counters) plus the `unpicked(T)` re-delivery
     * flag at end-of-log T (1-row scalar zip, the declared p08/t05
@@ -1368,7 +1370,8 @@ object SparkEntry {
         col("ts").cast("long").as("ts_sec"),
         when(col("event_id") % 5 <= 1, "post")
           .when(col("event_id") % 5 <= 3, "pick")
-          .otherwise("ack").as("op"),
+          .when(col("event_id") % 10 === 4, "ack")
+          .otherwise("delete").as("op"),
         (col("ts").cast("long") + (col("event_id") % 7) * 900L)
           .as("due_sec"),
         lit(3600L).as("timeout_sec"))

@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *  - `ack(ts)`: delivery confirmed — acked_at = ts, picked_until = +∞
   *    so the id is never picked again (spool/__init__.py:201-221).
   *    Acks for ids never posted are refused (Firestore would error).
+  *  - `delete(ts)`: remove the notification REGARDLESS of state
+  *    (spool/__init__.py:223-232's unconditional document delete) —
+  *    the id leaves the store entirely; a later post re-creates a
+  *    fresh incarnation (new created_at, revision restarts). Deleting
+  *    a non-existent id is a silent no-op, as a Firestore delete is.
   *  - `unpicked(T)`: every id with picked_until < T — never-picked ids
   *    (−∞) and TIMED-OUT leases alike; acked ids (+∞) never show
   *    (spool/__init__.py:255-275). This is the re-delivery scan a
@@ -94,6 +99,13 @@ object Spool {
           case "ack" =>
             if (exists) { ackedAt = o.ts_sec; pickedUntil = PosInf }
             else nRejPicks += 1 // ack of a non-existent doc: refused
+          case "delete" =>
+            // unconditional removal; state (incl. counters) restarts
+            // with the next incarnation — the table mirrors the STORE
+            exists = false
+            created = -1L; due = -1L; msgRev = 0L
+            pickedAt = -1L; pickedUntil = NegInf; ackedAt = -1L
+            nPosts = 0L; nRejPosts = 0L; nPicks = 0L; nRejPicks = 0L
           case other =>
             throw new IllegalArgumentException(s"unknown spool op $other")
         }

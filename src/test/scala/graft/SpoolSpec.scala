@@ -67,6 +67,26 @@ class SpoolSpec extends AnyFunSuite {
     assert(!st.contains(5L), "never-posted id must have no spool row")
   }
 
+  test("delete removes regardless of state (even mid-lease or acked); " +
+      "a later post re-creates a FRESH incarnation; deleting a " +
+      "non-existent id is a silent no-op") {
+    val st = replay(Seq(
+      Op(7, 1, 1000, "post", 1000, 0),
+      Op(7, 2, 1100, "pick", 0, 600),    // lease to 1700
+      Op(7, 3, 1200, "delete", 0, 0),    // mid-lease: still removed
+      Op(7, 4, 2000, "post", 2500, 0),   // fresh incarnation
+      Op(8, 1, 1000, "post", 1000, 0),
+      Op(8, 2, 1100, "ack", 0, 0),
+      Op(8, 3, 1200, "delete", 0, 0),    // acked: still removed
+      Op(9, 1, 500, "delete", 0, 0)))    // never existed: no-op
+    assert(st(7).created_sec == 2000 && st(7).msg_rev == 1 &&
+      st(7).n_posts == 1 && st(7).n_picks == 0 &&
+      st(7).picked_until_sec == NegInf,
+      s"re-created incarnation must start fresh: ${st(7)}")
+    assert(!st.contains(8L), "deleted-after-ack id has no row")
+    assert(!st.contains(9L), "delete of a non-existent id leaves nothing")
+  }
+
   test("ties at one timestamp replay in seq order on both engines' " +
       "convention (ts, seq)") {
     val st = replay(Seq(
