@@ -278,6 +278,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "expect partial aggregation before shuffle")
   }
 
+  test("round-16 operators keep their declared plan shapes") {
+    def exch(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
+    // q53 spool replay: the per-id fold is ONE MapGroups behind its
+    // groupByKey exchange; the only other exchanges are the 1-row
+    // end-of-log scalar's and the dump sort's — never a shuffled join
+    // or a window over the log
+    val q53p = plan("q53_spool_deliver")
+    assert(q53p.contains("MapGroups"), s"q53 must fold per id:\n$q53p")
+    assert(exch(q53p) <= 4,
+      s"q53: id shuffle + scalar agg + its broadcast + sort:\n$q53p")
+    assert(!q53p.contains("SortMergeJoin") && !q53p.contains("Window"),
+      q53p)
+    // st14 contract: exported profile joins as a BROADCAST (bounded
+    // per-(series, day) frame — the k07/k08 shape), never shuffled
+    val st14p = plan("st14_ndv_contract")
+    assert(st14p.contains("BroadcastHashJoin") &&
+      !st14p.contains("SortMergeJoin"), st14p)
+    assert(exch(st14p) <= 4,
+      s"st14: agg + model broadcast + sort only:\n$st14p")
+  }
+
   test("round-15 operators keep their declared plan shapes") {
     def exch(p: String): Int = "Exchange \\(\\d".r.findAllIn(p).size
     def joins(p: String): Int = "Join \\(\\d".r.findAllIn(p).size

@@ -113,6 +113,37 @@ class SpoolSpec extends AnyFunSuite {
       s"free set at T=5000 must be the never-picked + timed-out: $free")
   }
 
+  test("replay is input-order invariant (seeded fuzz): any shuffle of " +
+      "the op log folds to the identical state table, and every row " +
+      "obeys the machine invariants") {
+    val rnd = new scala.util.Random(42)
+    val ops = (1 to 400).map { seq =>
+      val id = 1L + rnd.nextInt(12)
+      val ts = 1000L + rnd.nextInt(5000)
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => "post"
+        case 4 | 5 | 6 | 7 => "pick"
+        case 8             => "ack"
+        case _             => "delete"
+      }
+      Op(id, seq.toLong, ts, op, ts + rnd.nextInt(3) * 600L, 900L)
+    }
+    def key(s: Spool.State) = s.toString
+    val sorted = replay(ops).view.mapValues(key).toMap
+    for (round <- 1 to 3) {
+      val shuffled = new scala.util.Random(round).shuffle(ops)
+      assert(replay(shuffled).view.mapValues(key).toMap == sorted,
+        s"shuffle $round must not change the replayed state")
+    }
+    replay(ops).values.foreach { s =>
+      assert(s.n_posts >= 1, "a state row implies a live incarnation")
+      assert((s.acked_at_sec >= 0) == (s.picked_until_sec == PosInf))
+      assert(s.picked_at_sec >= 0 || s.picked_until_sec == NegInf ||
+        s.picked_until_sec == PosInf,
+        "a finite lease implies a successful pick")
+    }
+  }
+
   test("q53 gate smoke at sf0.001: counters are consistent and every " +
       "row's lease state is one of the three machine states") {
     val df = SparkEntry.queries("q53_spool_deliver")(spark, TestSpark.sf)
