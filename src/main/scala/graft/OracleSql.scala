@@ -1974,6 +1974,33 @@ object OracleSql {
            (doc_id * 31 + j) % 4294967296)) AS BIGINT) AS crc_sum
          FROM d ORDER BY doc_id""",
 
+    // m19: makeH264's closed forms — NAL census and the SPS-coded
+    // dimensions (16 x mb counts; no cropping, frame_mbs_only).
+    "m19_h264_meta" ->
+      """SELECT doc_id,
+         CAST(4 + doc_id % 6 AS BIGINT) AS n_nals,
+         CAST(1 AS BIGINT) AS n_sps,
+         CAST(1 AS BIGINT) AS n_pps,
+         CAST(1 AS BIGINT) AS n_idr,
+         CAST(2 + doc_id % 6 AS BIGINT) AS n_slices,
+         CAST(16 * (4 + doc_id % 5) AS BIGINT) AS width,
+         CAST(16 * (3 + doc_id % 4) AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+
+    // m20: makeIvf's closed forms — header fields, the walked frame
+    // census and the summed payload bytes.
+    "m20_ivf_meta" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 6 AS nf FROM documents)
+         SELECT doc_id, 'VP90' AS codec,
+         CAST(64 + 8 * (doc_id % 9) AS BIGINT) AS width,
+         CAST(48 + 8 * (doc_id % 7) AS BIGINT) AS height,
+         CAST(nf AS BIGINT) AS n_frames_header,
+         CAST(nf AS BIGINT) AS n_frames_walked,
+         CAST(list_sum(list_transform(range(nf), f ->
+           12 + (doc_id + f) % 33)) AS BIGINT) AS frame_bytes,
+         CAST(nf - 1 AS BIGINT) AS last_pts
+         FROM d ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

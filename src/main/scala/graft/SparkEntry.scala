@@ -2179,6 +2179,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL H.264 Annex-B STRUCTURE metadata (Binary.h264Meta): NAL
+    * start-code walk + exp-Golomb SPS parse (emulation prevention
+    * stripped) over deterministic baseline-profile fixtures — NAL/SPS/
+    * PPS/IDR/slice counts and the coded dimensions, all closed forms
+    * of doc_id the oracle recomputes arithmetically. The pixel half of
+    * H.264 stays environment-blocked (no JVM codec); this retires the
+    * STRUCTURE half, as mp4Header did for ISO-BMFF. */
+  private def m19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.h264Metas(
+        src.map(id => Binary.PayloadRow(id, Binary.makeH264(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** REAL IVF (VP8/VP9 transport) metadata (Binary.ivfMeta): DKIF
+    * header + bounds-checked length-prefixed frame walk — codec
+    * fourcc, dims, declared vs walked frame counts, payload byte
+    * total, last 64-bit pts; every column a closed form of doc_id. */
+  private def m20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.ivfMetas(
+        src.map(id => Binary.PayloadRow(id, Binary.makeIvf(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -3946,6 +3975,8 @@ object SparkEntry {
     "m16_flac_meta" -> (m16 _),
     "m17_mp3_meta" -> (m17 _),
     "m18_zip_listing" -> (m18 _),
+    "m19_h264_meta" -> (m19 _),
+    "m20_ivf_meta" -> (m20 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

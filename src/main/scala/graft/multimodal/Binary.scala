@@ -2620,4 +2620,307 @@ object Binary {
       }
     }
   }
+
+  // ---- H.264 Annex-B elementary streams (structure, not pixels) ----
+
+  final case class H264Meta(doc_id: Long, n_nals: Long, n_sps: Long,
+                            n_pps: Long, n_idr: Long, n_slices: Long,
+                            width: Long, height: Long)
+
+  /** Exp-Golomb bit writer for RBSP payloads (ITU-T H.264 §9.1): ue(v)
+    * = (leading zeros = bits(v+1) − 1) ++ binary(v+1). Emits the RBSP
+    * stop bit + zero padding on `bytes`, and inserts EMULATION
+    * PREVENTION (§7.4.1: 0x03 after any 0x0000 so payload bytes can
+    * never fake a start code) on `nalBytes`. */
+  private final class BitWriter {
+    private var acc = 0L; private var nbits = 0
+    private val out = IndexedSeq.newBuilder[Byte]
+    def u(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L); nbits += 1
+        if (nbits == 8) { out += acc.toByte; acc = 0L; nbits = 0 }
+        i -= 1
+      }
+    }
+    def ue(v: Long): Unit = {
+      val lz = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+      u(0L, lz); u(v + 1, lz + 1)
+    }
+    def bytes: Array[Byte] = {
+      u(1L, 1) // rbsp_stop_one_bit
+      while (nbits != 0) u(0L, 1)
+      out.result().toArray
+    }
+    def nalBytes: Array[Byte] = {
+      val raw = bytes
+      val b = IndexedSeq.newBuilder[Byte]
+      var zeros = 0
+      raw.foreach { x =>
+        if (zeros >= 2 && (x & 0xfc) == 0) { b += 0x03.toByte; zeros = 0 }
+        if (x == 0) zeros += 1 else zeros = 0
+        b += x
+      }
+      b.result().toArray
+    }
+  }
+
+  /** Exp-Golomb bit reader over an emulation-stripped RBSP. */
+  private final class BitReader(p: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) {
+        val by = bit >> 3
+        if (by >= p.length) return -1L
+        v = (v << 1) | ((p(by) >> (7 - (bit & 7))) & 1L)
+        bit += 1; i += 1
+      }
+      v
+    }
+    def ue(): Long = {
+      var lz = 0
+      var b = u(1)
+      while (b == 0L && lz < 32) { lz += 1; b = u(1) }
+      if (b < 0L || lz >= 32) return -1L
+      ((1L << lz) | u(lz)) - 1L
+    }
+    def se(): Long = { // signed exp-Golomb: k -> (-1)^(k+1) * ceil(k/2)
+      val k = ue()
+      if (k < 0) k else if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Strip H.264 emulation-prevention bytes (00 00 03 -> 00 00). */
+  private def stripEmulation(p: Array[Byte]): Array[Byte] = {
+    val b = IndexedSeq.newBuilder[Byte]
+    var zeros = 0
+    var i = 0
+    while (i < p.length) {
+      val x = p(i)
+      if (zeros >= 2 && x == 0x03) zeros = 0 // drop the emulation byte
+      else {
+        b += x
+        if (x == 0) zeros += 1 else zeros = 0
+      }
+      i += 1
+    }
+    b.result().toArray
+  }
+
+  /** Deterministic H.264 Annex-B fixture: SPS (baseline profile 66,
+    * poc type 2, no cropping, frame_mbs_only) with mb dims from doc_id,
+    * PPS, one IDR slice then nf−1 non-IDR slices — 4-byte start code
+    * on the SPS, 3-byte on the rest (both real). Slice payload bytes
+    * are all non-zero (a REAL encoder guarantees no start-code
+    * collision via emulation prevention; the fixture does it by
+    * construction). */
+  def makeH264(docId: Long): Array[Byte] = {
+    val wMbs = 4 + docId % 5
+    val hMbs = 3 + docId % 4
+    val nf = (2 + docId % 6).toInt
+    val sps = {
+      val w = new BitWriter
+      w.u(66L, 8); w.u(0L, 8); w.u(30L, 8) // profile/constraints/level
+      w.ue(0L)        // seq_parameter_set_id
+      w.ue(0L)        // log2_max_frame_num_minus4
+      w.ue(2L)        // pic_order_cnt_type
+      w.ue(1L)        // max_num_ref_frames
+      w.u(0L, 1)      // gaps_in_frame_num_value_allowed_flag
+      w.ue(wMbs - 1)  // pic_width_in_mbs_minus1
+      w.ue(hMbs - 1)  // pic_height_in_map_units_minus1
+      w.u(1L, 1)      // frame_mbs_only_flag
+      w.u(1L, 1)      // direct_8x8_inference_flag
+      w.u(0L, 1)      // frame_cropping_flag
+      w.u(0L, 1)      // vui_parameters_present_flag
+      w.nalBytes
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, typ: Int, rbsp: Array[Byte],
+            long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write((refIdc << 5) | typ)
+      out.write(rbsp, 0, rbsp.length)
+    }
+    nal(3, 7, sps, long = true)
+    nal(3, 8, Array(0x40.toByte), long = false) // PPS (opaque rbsp)
+    for (f <- 0 until nf) {
+      val sz = (8 + (docId + f) % 24).toInt
+      val body = Array.tabulate(sz)(j =>
+        (1 + (docId + f + j) % 255).toByte) // never 0x00
+      nal(if (f == 0) 3 else 2, if (f == 0) 5 else 1, body, long = false)
+    }
+    out.toByteArray
+  }
+
+  /** REAL H.264 Annex-B STRUCTURE metadata — the pure-byte walk a
+    * training pipeline can run without a codec: start-code scan (00 00
+    * 01 / 00 00 00 01) to NAL units, nal_unit_type = header & 0x1f,
+    * slice/IDR/SPS/PPS counts, and the coded frame dimensions parsed
+    * from the first SPS with a real exp-Golomb reader (emulation
+    * prevention stripped; poc types 0/1/2; interlace doubling via
+    * frame_mbs_only_flag; frame cropping subtracted in 4:2:0 units).
+    * PIXEL decode stays environment-blocked (no JVM H.264 codec); the
+    * structure walk retires the metadata half, as mp4Header did for
+    * ISO-BMFF. Non-Annex-B bytes yield the −1 sentinel row. */
+  def h264Meta(p: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L, -1L, -1L, -1L)
+    // must OPEN with a start code (leading zeros then 00 00 01)
+    val first = {
+      var i = 0
+      while (i < p.length && p(i) == 0) i += 1
+      if (i >= 2 && i + 1 <= p.length && i <= 3 &&
+        p(i) == 1) i + 1 else -1
+    }
+    if (first < 0) return bad
+    // collect NAL payload ranges [start, end)
+    val nals = IndexedSeq.newBuilder[(Int, Int)]
+    var s = first
+    var i = first
+    while (i + 2 < p.length) {
+      if (p(i) == 0 && p(i + 1) == 0 && p(i + 2) == 1) {
+        val e = if (i > s && p(i - 1) == 0) i - 1 else i // 4-byte code
+        if (e > s) nals += ((s, e))
+        s = i + 3; i += 3
+      } else i += 1
+    }
+    if (p.length > s) nals += ((s, p.length))
+    val rs = nals.result()
+    var nSps, nPps, nIdr, nSlices = 0L
+    var width, height = -1L
+    rs.foreach { case (b, e) =>
+      val typ = p(b) & 0x1f
+      typ match {
+        case 7 =>
+          nSps += 1
+          if (width < 0) {
+            val r = new BitReader(
+              stripEmulation(p.slice(b + 1, e)))
+            r.u(24) // profile_idc + constraints + level_idc
+            r.ue()  // seq_parameter_set_id
+            r.ue() match { // log2_max_frame_num_minus4 ... poc handling
+              case -1L => ()
+              case _ =>
+                r.ue() match {
+                  case 0L => r.ue(); ()
+                  case 1L =>
+                    r.u(1); r.se(); r.se()
+                    val n = r.ue()
+                    var j = 0L
+                    while (j < n && j >= 0) { r.se(); j += 1 }
+                  case _ => ()
+                }
+                r.ue()      // max_num_ref_frames
+                r.u(1)      // gaps allowed
+                val wm = r.ue()
+                val hm = r.ue()
+                val frameOnly = r.u(1)
+                if (frameOnly == 0L) r.u(1) // mb_adaptive flag
+                r.u(1)      // direct_8x8_inference_flag
+                val crop = r.u(1)
+                var (cl, cr, ct, cb) = (0L, 0L, 0L, 0L)
+                if (crop == 1L) { cl = r.ue(); cr = r.ue()
+                                  ct = r.ue(); cb = r.ue() }
+                if (wm >= 0 && hm >= 0) {
+                  width = 16 * (wm + 1) - 2 * (cl + cr) // 4:2:0 units
+                  height = 16 * (hm + 1) * (2 - frameOnly) -
+                    2 * (2 - frameOnly) * (ct + cb)
+                }
+            }
+          }
+        case 8 => nPps += 1
+        case 5 => nIdr += 1; nSlices += 1
+        case 1 => nSlices += 1
+        case _ => ()
+      }
+    }
+    (rs.length.toLong, nSps, nPps, nIdr, nSlices, width, height)
+  }
+
+  /** [[h264Meta]] over a payload Dataset (the metadata family's
+    * elementary-stream member). */
+  def h264Metas(ds: Dataset[PayloadRow]): Dataset[H264Meta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (n, sp, pp, idr, sl, w, h) = h264Meta(r.payload)
+      H264Meta(r.doc_id, n, sp, pp, idr, sl, w, h)
+    }
+  }
+
+  // ---- IVF containers (the VP8/VP9 transport; structure walk) ----
+
+  final case class IvfMeta(doc_id: Long, codec: String, width: Long,
+                           height: Long, n_frames_header: Long,
+                           n_frames_walked: Long, frame_bytes: Long,
+                           last_pts: Long)
+
+  /** Deterministic IVF fixture: 32-byte header (DKIF, version 0,
+    * fourcc VP90, LE dims, 30/1 timebase, frame count) + nf frames of
+    * (u32 LE size, u64 LE pts, payload) with closed-form sizes. */
+  def makeIvf(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    }
+    def w32(v: Long): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    val nf = (1 + docId % 6).toInt
+    out.write("DKIF".getBytes("US-ASCII"))
+    w16(0); w16(32)
+    out.write("VP90".getBytes("US-ASCII"))
+    w16(64 + 8 * (docId % 9)); w16(48 + 8 * (docId % 7))
+    w32(30); w32(1)
+    w32(nf.toLong); w32(0)
+    for (f <- 0 until nf) {
+      val sz = 12 + (docId + f) % 33
+      w32(sz); w32(f.toLong); w32(0) // pts as u64 LE (low, high)
+      out.write(new Array[Byte](sz.toInt))
+    }
+    out.toByteArray
+  }
+
+  /** REAL IVF metadata — the container walk of VP8/VP9 elementary
+    * streams (DKIF header: version, header length, fourcc, LE dims,
+    * declared frame count; then length-prefixed frames with 64-bit
+    * presentation timestamps). Walks every frame record bounds-checked
+    * (truncation stops the walk — the declared vs walked counts
+    * diverging IS the signal), sums payload bytes, and keeps the last
+    * pts. Codec PAYLOAD decode stays environment-blocked; the
+    * transport walk is the real, codec-free half. Non-IVF bytes yield
+    * the sentinel row. */
+  def ivfMeta(p: Array[Byte])
+      : (String, Long, Long, Long, Long, Long, Long) = {
+    val bad = ("unknown", -1L, -1L, -1L, -1L, -1L, -1L)
+    def u16(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8)
+    def u32(i: Int): Long = u16(i) | (u16(i + 2) << 16)
+    if (p.length < 32 ||
+      new String(p.slice(0, 4), "US-ASCII") != "DKIF") return bad
+    val hdrLen = u16(6).toInt
+    if (hdrLen < 32 || hdrLen > p.length) return bad
+    val codec = new String(p.slice(8, 12), "US-ASCII")
+    val (w, h) = (u16(12), u16(14))
+    val declared = u32(24)
+    var i = hdrLen
+    var walked = 0L; var bytes = 0L; var lastPts = -1L
+    while (i + 12 <= p.length && walked < declared) {
+      val sz = u32(i)
+      if (sz < 0 || i + 12 + sz > p.length) i = p.length
+      else {
+        walked += 1; bytes += sz
+        lastPts = u32(i + 4) | (u32(i + 8) << 32)
+        i += 12 + sz.toInt
+      }
+    }
+    (codec, w, h, declared, walked, bytes, lastPts)
+  }
+
+  /** [[ivfMeta]] over a payload Dataset. */
+  def ivfMetas(ds: Dataset[PayloadRow]): Dataset[IvfMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (c, w, h, nd, nw, b, pts) = ivfMeta(r.payload)
+      IvfMeta(r.doc_id, c, w, h, nd, nw, b, pts)
+    }
+  }
 }

@@ -434,6 +434,99 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.zipListing(z.dropRight(10 + (7 % 20)))._1 == -1L)
   }
 
+  test("h264Meta: NAL census + exp-Golomb SPS dims match the closed " +
+      "forms; cropped/interlaced SPS arms; non-stream and mutation " +
+      "totality") {
+    import graft.multimodal.Binary
+    for (id <- 0L to 29L) {
+      val (n, sps, pps, idr, sl, w, h) =
+        Binary.h264Meta(Binary.makeH264(id))
+      val nf = 2 + id % 6
+      assert(n == 2 + nf, s"nal count for doc $id")
+      assert(sps == 1 && pps == 1 && idr == 1, s"census for doc $id")
+      assert(sl == nf, s"slices for doc $id")
+      assert(w == 16 * (4 + id % 5), s"width for doc $id")
+      assert(h == 16 * (3 + id % 4), s"height for doc $id")
+    }
+    // hand-built SPS exercising the arms the fixture keeps off:
+    // poc type 0, INTERLACED (frame_mbs_only = 0) and frame cropping —
+    // H.264 §7.4.2.1: width = 16(wm+1) − 2(cl+cr),
+    // height = 16(hm+1)·2 − 2·2·(ct+cb) for 4:2:0 field coding
+    val spsBits = {
+      // replicate the fixture's writer via a tiny local twin
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      def u(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1L); nb += 1
+          if (nb == 8) { out.write(acc.toInt); acc = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def ue(v: Long): Unit = {
+        val lz = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+        u(0L, lz); u(v + 1, lz + 1)
+      }
+      u(66, 8); u(0, 8); u(30, 8)
+      ue(0); ue(0); ue(0); ue(4) // sps_id, frame_num, POC TYPE 0, lsb
+      ue(1); u(0, 1)
+      ue(9); ue(4)               // 10x5 mbs
+      u(0, 1); u(0, 1)           // INTERLACED + mb_adaptive
+      u(1, 1); u(1, 1)           // direct_8x8, CROPPING ON
+      ue(1); ue(2); ue(1); ue(0) // crops l/r/t/b
+      u(0, 1); u(1, 1)           // vui off, stop bit
+      while (nb != 0) u(0, 1)
+      out.toByteArray
+    }
+    val stream = Array[Byte](0, 0, 0, 1, 0x67) ++ spsBits ++
+      Array[Byte](0, 0, 1, 0x65, 0x11, 0x22) // one IDR slice
+    val (_, _, _, _, _, cw, ch) = Binary.h264Meta(stream)
+    assert(cw == 16 * 10 - 2 * (1 + 2), s"cropped width, got $cw")
+    assert(ch == 16 * 5 * 2 - 4 * (1 + 0), s"interlaced height, got $ch")
+    // emulation prevention: the writer inserts 0x03 after 00 00 and
+    // the reader strips it — a wide ue run forces real zero bytes
+    val wide = Binary.makeH264(0L) // contains SPS; mutate nothing
+    assert(Binary.h264Meta(wide)._1 > 0)
+    // totality: non-streams and every 1-byte mutation parse or reject,
+    // never throw
+    assert(Binary.h264Meta("plainly not a video".getBytes)._1 == -1L)
+    assert(Binary.h264Meta(Array.empty[Byte])._1 == -1L)
+    val g = Binary.makeH264(5L)
+    for (i <- g.indices) {
+      val m = g.clone(); m(i) = (m(i) ^ 0x41).toByte
+      Binary.h264Meta(m) // must be total
+    }
+  }
+
+  test("ivfMeta: closed-form header/frame census; truncation stops " +
+      "the walk with declared > walked; non-IVF rejected") {
+    import graft.multimodal.Binary
+    for (id <- 0L to 29L) {
+      val (c, w, h, nd, nw, b, pts) = Binary.ivfMeta(Binary.makeIvf(id))
+      val nf = 1 + id % 6
+      assert(c == "VP90" && nd == nf && nw == nf, s"census for doc $id")
+      assert(w == 64 + 8 * (id % 9) && h == 48 + 8 * (id % 7),
+        s"dims for doc $id")
+      assert(b == (0L until nf).map(f => 12 + (id + f) % 33).sum,
+        s"payload bytes for doc $id")
+      assert(pts == nf - 1, s"last pts for doc $id")
+    }
+    // truncating the last frame's payload: walked < declared — the
+    // divergence IS the corruption signal
+    val v = Binary.makeIvf(11L) // nf = 6
+    val cut = java.util.Arrays.copyOf(v, v.length - 4)
+    val (_, _, _, nd, nw, _, _) = Binary.ivfMeta(cut)
+    assert(nd == 6 && nw == 5, s"declared $nd vs walked $nw")
+    assert(Binary.ivfMeta("DKIG not an ivf file".getBytes)._1
+      == "unknown")
+    assert(Binary.ivfMeta(Array.empty[Byte])._1 == "unknown")
+    for (i <- v.indices) {
+      val m = v.clone(); m(i) = (m(i) ^ 0x41).toByte
+      Binary.ivfMeta(m) // total
+    }
+  }
+
   test("webpHeader: closed-form fields recovered across all three " +
       "variants; degrades on non-WebP, truncated, and skip-chunk inputs") {
     import graft.multimodal.Binary

@@ -198,6 +198,8 @@ class PropertySpec extends AnyFunSuite {
       Binary.flacHeader(p)
       Binary.mp3Header(p)
       Binary.zipListing(p)
+      Binary.h264Meta(p)
+      Binary.ivfMeta(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
