@@ -2935,6 +2935,88 @@ object OracleSql {
            at.ks_at
          FROM t, m, at""",
 
+    // e08: the Poisson bootstrap re-drawn coin-for-coin — the same
+    // 60-bit md5 draws, the same pinned integer CDF thresholds
+    // (Eval.poissonCdf60, shared constants), exact integer partial
+    // sums per replicate, and the nearest-rank CI picked by the
+    // identical (mean, b) order statistics.
+    "e08_bootstrap_ci" -> {
+      val w = graft.operators.Eval.poissonCdf60
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      val seed = graft.SparkEntry.e08Seed
+      s"""WITH v AS (SELECT doc_id AS id, $wordCountSql AS v
+             FROM documents),
+         draws AS (SELECT id, v, b,
+             CAST(concat('0x', substr(md5('$seed' ||
+               CAST(id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+               1, 15)) AS BIGINT) AS u
+           FROM v, unnest(generate_series(0,
+             ${graft.SparkEntry.e08Replicates - 1})) AS t(b)),
+         reps AS (SELECT CAST(b AS BIGINT) AS b,
+             CAST(SUM($w) AS BIGINT) AS n_eff,
+             CAST(SUM($w * v) AS BIGINT) AS wsum
+           FROM draws GROUP BY 1),
+         rep_rows AS (SELECT 'rep' AS kind, b, n_eff, wsum,
+             CAST(wsum AS DOUBLE)/CAST(n_eff AS DOUBLE) AS mean
+           FROM reps),
+         total AS (SELECT 'total' AS kind, CAST(-1 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_eff,
+             CAST(SUM(v) AS BIGINT) AS wsum,
+             CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+           FROM v),
+         ord AS (SELECT b, n_eff, wsum, mean,
+             row_number() OVER (ORDER BY mean, b) AS rk FROM rep_rows)
+         SELECT kind, b, n_eff, wsum, mean FROM (
+           SELECT * FROM rep_rows
+           UNION ALL SELECT * FROM total
+           UNION ALL SELECT 'ci_lo', b, n_eff, wsum, mean FROM ord
+             WHERE rk = ${graft.SparkEntry.e08LoRank}
+           UNION ALL SELECT 'ci_hi', b, n_eff, wsum, mean FROM ord
+             WHERE rk = ${graft.SparkEntry.e08HiRank})
+         ORDER BY kind, b"""
+    },
+
+    // e09: Spearman with midranks — doubled midranks off each
+    // marginal's cumulative window (2·cum_incl − n_v + 1 ≡ the gate's
+    // 2·cum_before + n_v + 1), exact HUGEINT moment sums twinning the
+    // gate's decimal(38,0), the same single-cast/sqrt/divide chain.
+    "e09_spearman" ->
+      s"""WITH b AS (SELECT $wordCountSql AS x, n_chars AS y
+             FROM documents),
+         pc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+           FROM b GROUP BY 1, 2),
+         rx AS (SELECT x,
+             2*CAST(SUM(nv) OVER (ORDER BY x) AS BIGINT) - nv + 1
+               AS r2x
+           FROM (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS nv
+                 FROM pc GROUP BY 1)),
+         ry AS (SELECT y,
+             2*CAST(SUM(nv) OVER (ORDER BY y) AS BIGINT) - nv + 1
+               AS r2y
+           FROM (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS nv
+                 FROM pc GROUP BY 1)),
+         m AS (SELECT
+             CAST(SUM(CAST(n_xy AS HUGEINT)) AS HUGEINT) AS n,
+             CAST(SUM(CAST(n_xy AS HUGEINT)*r2x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(n_xy AS HUGEINT)*r2y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(n_xy AS HUGEINT)*r2x*r2x) AS HUGEINT)
+               AS sxx,
+             CAST(SUM(CAST(n_xy AS HUGEINT)*r2y*r2y) AS HUGEINT)
+               AS syy,
+             CAST(SUM(CAST(n_xy AS HUGEINT)*r2x*r2y) AS HUGEINT)
+               AS sxy
+           FROM pc JOIN rx USING (x) JOIN ry USING (y))
+         SELECT CAST(n AS BIGINT) AS n,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(sxy AS DOUBLE) AS sxy,
+           CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+           CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+              sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rho
+         FROM m""",
+
     // t22: URL synthesis, canonicalization, dedup and per-domain cap
     // re-derived byte-for-byte (knobs shared via SparkEntry.t22*; the
     // tracking filter mirrors Urls.isTracking: utm_ prefix + fbclid/

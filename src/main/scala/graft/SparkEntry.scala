@@ -2960,6 +2960,37 @@ object SparkEntry {
       ev(s, dir).filter(col("event_type").isin("click", "error")),
       col("value"), col("event_type") === "click")
 
+  /** e08's knobs, shared with the oracle SQL generator: 64 md5-coin
+    * Poisson replicates, nearest-rank 95% CI = the 2nd / 63rd order
+    * statistics of the sorted replicate means (ceil(0.025·64) /
+    * ceil(0.975·64)). */
+  private[graft] val e08Replicates = 64
+  private[graft] val e08LoRank = 2
+  private[graft] val e08HiRank = 63
+  private[graft] val e08Seed = "graft-boot"
+
+  /** Poisson-bootstrap CI (operators/Eval.poissonBootstrap — the
+    * one-scan bootstrap a 100 TB corpus can actually afford): how
+    * tight is the corpus mean word count? 64 deterministic Poisson(1)
+    * md5-replicates of the t03 integer token grid, exact int64
+    * partial sums per replicate, nearest-rank 95% CI picked (never
+    * interpolated) from the sorted replicate means. */
+  private def e08(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.poissonBootstrap(t(s, dir, "documents"),
+        col("doc_id"), TextOps.wordCount(col("text")),
+        replicates = e08Replicates, seed = e08Seed,
+        loRank = e08LoRank, hiRank = e08HiRank)
+      .orderBy("kind", "b")
+
+  /** Exact tie-aware Spearman rank correlation
+    * (operators/Eval.spearmanExact): does the whitespace token count
+    * rank documents the same way raw length does? x = t03's word
+    * count, y = n_chars — doubled midranks on both marginals, exact
+    * decimal moment sums, one pinned-order ρ. */
+  private def e09(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.spearmanExact(t(s, dir, "documents"),
+      TextOps.wordCount(col("text")), col("n_chars"))
+
   /** e05's top-k knob, shared with the oracle SQL generator. */
   private[graft] val e05TopK = 5
 
@@ -3881,6 +3912,8 @@ object SparkEntry {
     "e05_embed_drift" -> (e05 _),
     "e06_calibration" -> (e06 _),
     "e07_pr_auc" -> (e07 _),
+    "e08_bootstrap_ci" -> (e08 _),
+    "e09_spearman" -> (e09 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

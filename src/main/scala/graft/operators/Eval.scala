@@ -349,6 +349,170 @@ object Eval {
     dims.unionByName(stats)
   }
 
+  /** Poisson(1) CDF thresholds scaled to 2^60 —
+    * floor(P(X ≤ k)·2^60) for k = 0..6, computed once at 60-digit
+    * precision and pinned as integer constants so BOTH engines draw
+    * the identical weight from the identical 60-bit md5 coin (the
+    * [[graft.pack.Pack.integerDraw]] convention — no transcendental
+    * evaluation happens at query time on either engine). A draw u
+    * maps to weight = #{k : u ≥ T_k} ∈ [0, 7]: the capped-at-7
+    * Poisson(1) (P(X > 7) ≈ 1.0e-5 — the truncation shifts the
+    * expected replicate mass by < 2.6e-5, a stated semantic of the
+    * operator, not an approximation the oracle forgives). */
+  val poissonCdf60: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L)
+
+  /** The deterministic capped Poisson(1) draw behind
+    * [[poissonBootstrap]]: weight = how many CDF thresholds the
+    * row's 60-bit coin clears. Pure per-row integer comparisons —
+    * zero state, engine-portable by the md5/hex contract. */
+  def poissonWeight(seed: String, key: Column): Column = {
+    val u = graft.pack.Pack.integerDraw(seed, key)
+    poissonCdf60.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** Poisson-bootstrap confidence interval for a corpus mean (the
+    * bootstrap that actually runs at 100 TB — Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams": resampling
+    * WITH replacement needs corpus-sized coordination, but each row's
+    * multiplicity in replicate b is ≈ independent Poisson(1), so ONE
+    * scan emits every (replicate, weight·value) partial and the
+    * corpus never materializes per replicate):
+    * `replicates` deterministic md5-coin replicates over an INTEGER
+    * `value`, each replicate's weighted sum/count exact int64, its
+    * mean one correctly-rounded division; the CI is a nearest-rank
+    * pick over the sorted replicate means (order statistics `loRank`
+    * / `hiRank`, 1-indexed, ties broken by replicate id — a PICK,
+    * never an interpolation, so the emitted doubles are bit-exact).
+    *
+    * Output: one `rep` row per replicate (b, n_eff = Σw,
+    * wsum = Σw·v, mean), one `total` row (b = −1: the exact corpus
+    * n / Σv / mean — the point estimate the CI brackets), and
+    * `ci_lo` / `ci_hi` rows carrying the picked replicates verbatim.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the scan exploded
+    * ×`replicates` feeding a map-side-combined groupBy to
+    * `replicates` rows of state (B partial sums per executor — the
+    * sketch-family posture); the sort/pick runs on the B-row frame.
+    * Weighted sums stay int64 up to Σw·v ≈ 7·B·Σv — past that a
+    * caller quantizes the value the way k02's histogram does. An
+    * empty replicate (possible only on a toy corpus) raises loudly
+    * rather than emitting a NaN mean. */
+  def poissonBootstrap(df: DataFrame, id: Column, value: Column,
+      replicates: Int, seed: String, loRank: Int,
+      hiRank: Int): DataFrame = {
+    require(replicates > 1 && loRank >= 1 && hiRank <= replicates &&
+      loRank < hiRank,
+      s"poissonBootstrap: bad knobs ($replicates, $loRank, $hiRank)")
+    val base = df.select(id.cast("long").as("id"),
+        value.cast("long").as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
+    val key = concat(col("id").cast("string"), lit("|"),
+      col("b").cast("string"))
+    val reps = base
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("b"), poissonWeight(seed, key).as("w"), col("v"))
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("v")).as("wsum"))
+      .withColumn("n_eff", when(col("n_eff") > 0, col("n_eff"))
+        .otherwise(raise_error(concat(lit(
+          "Eval.poissonBootstrap: replicate "), col("b"), lit(
+          " drew zero total weight — corpus too small to bootstrap")))))
+      .withColumn("mean",
+        col("wsum").cast("double") / col("n_eff").cast("double"))
+      // B-row frame, memoized (the q46 discipline): the rep rows, the
+      // CI picks and nothing else read it — the corpus scans once
+      .localCheckpoint()
+    val repRows = reps.select(lit("rep").as("kind"), col("b"),
+      col("n_eff"), col("wsum"), col("mean"))
+    val total = base.agg(count(lit(1)).as("n_eff"), sum("v").as("s"))
+      .select(lit("total").as("kind"), lit(-1L).as("b"),
+        col("n_eff"), col("s").cast("long").as("wsum"),
+        (col("s").cast("double") / col("n_eff").cast("double"))
+          .as("mean"))
+    val sorted = reps.agg(array_sort(collect_list(struct(col("mean"),
+      col("b"), col("n_eff"), col("wsum")))).as("g"))
+    def pick(kind: String, rank: Int) = sorted
+      .select(element_at(col("g"), rank).as("p"))
+      .select(lit(kind).as("kind"), col("p.b").as("b"),
+        col("p.n_eff").as("n_eff"), col("p.wsum").as("wsum"),
+        col("p.mean").as("mean"))
+    repRows.unionByName(total)
+      .unionByName(pick("ci_lo", loRank))
+      .unionByName(pick("ci_hi", hiRank))
+  }
+
+  /** Exact tie-aware Spearman rank correlation between two INTEGER
+    * signals (Spearman 1904 with midranks — the monotone-association
+    * check a pipeline runs before trusting one quality signal as a
+    * proxy for another): ranks arrive as DOUBLED midranks
+    * 2r(v) = 2·cum_before(v) + n_v + 1 (integers — the [[aucExact]]
+    * identity applied to both marginals), every moment sum
+    * Σn·2r, Σn·(2r)², Σn·2rx·2ry accumulates in exact decimal(38,0),
+    * and ρ = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) is a
+    * stated chain of single casts/sqrts/one division — so the DuckDB
+    * oracle reproduces every emitted value bit-for-bit.
+    *
+    * Output: one row with n, the six moment sums (each one exact
+    * decimal surfaced by a single cast to double), and `rho`.
+    * Degenerate marginals (a constant signal — zero variance) raise
+    * loudly rather than emitting NaN, the [[chi2FromCells]] rule.
+    *
+    * Scale shape: the corpus collapses to the (x, y) pair-counts
+    * frame in ONE map-side-combined aggregate; marginal rank frames
+    * fold on the bounded value grids (the [[aucFromState]] posture);
+    * the rank join-back is grid-sized, never corpus-sized. */
+  def spearmanExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pc = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    def ranks(k: String) = pc.groupBy(col(k).as("v"))
+      .agg(sum("n_xy").as("nv"))
+      .agg(array_sort(collect_list(struct(col("v"), col("nv"))))
+        .as("g"))
+      .select(explode(transform(col("g"), (e, i) => struct(
+        e("v").as("v"),
+        (lit(2L) * aggregate(slice(col("g"), lit(1), i), lit(0L),
+          (a, z) => a + z("nv")) + e("nv") + lit(1L)).as("r2"))))
+        .as("p"))
+      .select(col("p.v").as(k), col("p.r2").as(s"r2$k"))
+    val j = pc.join(ranks("x"), "x").join(ranks("y"), "y")
+    val sums = j.agg(
+      sum(col("n_xy")).cast(d38).as("n"),
+      sum(col("n_xy").cast(d38) * col("r2x")).as("sx"),
+      sum(col("n_xy").cast(d38) * col("r2y")).as("sy"),
+      sum(col("n_xy").cast(d38) * col("r2x") * col("r2x")).as("sxx"),
+      sum(col("n_xy").cast(d38) * col("r2y") * col("r2y")).as("syy"),
+      sum(col("n_xy").cast(d38) * col("r2x") * col("r2y")).as("sxy"))
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    sums.select(col("n").cast("long").as("n"),
+        col("sx").cast("double").as("sx"),
+        col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"),
+        col("sxy").cast("double").as("sxy"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("num"),
+        when(denx > 0, denx).otherwise(raise_error(lit(
+          "Eval.spearmanExact: x has zero rank variance — " +
+            "correlation is undefined on a constant signal"))).as("dx"),
+        when(deny > 0, deny).otherwise(raise_error(lit(
+          "Eval.spearmanExact: y has zero rank variance — " +
+            "correlation is undefined on a constant signal"))).as("dy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"), col("num"),
+        (col("num") / (sqrt(col("dx")) * sqrt(col("dy")))).as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of population `inA` and its complement: one row
     * with `n_a`, `n_b`, the EXACT integer `ks_num` =

@@ -340,4 +340,83 @@ class EvalSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), p2)
     assert(!p2.contains("CartesianProduct"), p2)
   }
+
+  test("poissonWeight: weights live in [0,7] and the coin is fair — " +
+      "empirical mean within 3% of 1 over 20k draws") {
+    val df = spark.range(20000).toDF("id")
+      .select(Eval.poissonWeight("spec-boot",
+        concat(col("id").cast("string"), lit("|0"))).as("w"))
+    val r = df.agg(min("w"), max("w"), avg("w")).collect()(0)
+    assert(r.getLong(0) >= 0L && r.getLong(1) <= 7L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 0.03,
+      s"Poisson(1) mean drifted: ${r.getDouble(2)}")
+  }
+
+  test("poissonBootstrap: total row is the exact corpus mean, rep " +
+      "rows count B, CI picks are real replicates bracketing the " +
+      "point estimate on gate data") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val out = Eval.poissonBootstrap(docs, col("doc_id"),
+        graft.text.TextOps.wordCount(col("text")),
+        replicates = 64, seed = "graft-boot", loRank = 2, hiRank = 63)
+      .collect()
+    val reps = out.filter(_.getString(0) == "rep")
+    assert(reps.length == 64)
+    val tot = out.filter(_.getString(0) == "total").head
+    val exact = docs.select(graft.text.TextOps.wordCount(col("text"))
+      .as("v")).agg(sum("v"), count(lit(1))).collect()(0)
+    assert(tot.getLong(3) == exact.getLong(0) &&
+      tot.getLong(2) == exact.getLong(1))
+    val lo = out.filter(_.getString(0) == "ci_lo").head.getDouble(4)
+    val hi = out.filter(_.getString(0) == "ci_hi").head.getDouble(4)
+    assert(lo <= hi, "CI is ordered")
+    // the point estimate sits inside the 95% interval, and both ends
+    // are genuine replicate means (2nd / 63rd order statistics)
+    assert(lo <= tot.getDouble(4) && tot.getDouble(4) <= hi)
+    val sortedMeans = reps.map(r => (r.getDouble(4), r.getLong(1)))
+      .sortBy(identity)
+    assert(lo == sortedMeans(1)._1 && hi == sortedMeans(62)._1)
+  }
+
+  test("spearmanExact: monotone is exactly ±1, hand-computed ties " +
+      "match, constant signal raises loudly") {
+    // rho is DETERMINISTIC (pinned cast/sqrt/divide chain), not
+    // algebraically ideal: sqrt(d)·sqrt(d) != d in IEEE, so monotone
+    // reads 1 − O(ulp), never a different algebraic answer
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 40L))
+      .toDF("x", "y")
+    assert(math.abs(Eval.spearmanExact(mono, col("x"), col("y"))
+      .collect()(0).getAs[Double]("rho") - 1.0) < 1e-12)
+    val anti = Seq((1L, 40L), (2L, 25L), (3L, 20L), (4L, 10L))
+      .toDF("x", "y")
+    assert(math.abs(Eval.spearmanExact(anti, col("x"), col("y"))
+      .collect()(0).getAs[Double]("rho") + 1.0) < 1e-12)
+    // x = 1,1,2 / y = 5,7,7: doubled midranks 2rx = 3,3,6 ;
+    // 2ry = 2,5,5 -> with n=3: num = n*Sxy - Sx*Sy =
+    // 3*(6+15+30) - 12*12 = 153 - 144 = 9; dx = 3*(9+9+36)-144 = 18;
+    // dy = 3*(4+25+25)-144 = 18 -> rho = 9/18 = 0.5
+    val ties = Seq((1L, 5L), (1L, 7L), (2L, 7L)).toDF("x", "y")
+    val r = Eval.spearmanExact(ties, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Double]("num") == 9.0)
+    assert(math.abs(r.getAs[Double]("rho") - 0.5) < 1e-12)
+    val const = Seq((1L, 5L), (1L, 7L)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Eval.spearmanExact(const, col("x"), col("y")).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("zero rank variance"))
+  }
+
+  test("plans: e08's corpus stage is one map-side-combined groupBy to " +
+      "B rows (no window, no join); e09's joins are grid-sized rank " +
+      "restorations, never a window over the corpus") {
+    val sf = TestSpark.sf
+    val p8 = plan(SparkEntry.queries("e08_bootstrap_ci")(spark, sf))
+    assert(!p8.contains("Window"), s"e08 must fold, not window:\n$p8")
+    assert(!p8.contains("Join"), s"e08 must not join:\n$p8")
+    assert(p8.contains("partial"), "e08 partials must map-side combine")
+    val p9 = plan(SparkEntry.queries("e09_spearman")(spark, sf))
+    assert(!p9.contains("Window"), s"e09 must fold, not window:\n$p9")
+    assert(p9.contains("partial"), "e09 counts must map-side combine")
+  }
 }
