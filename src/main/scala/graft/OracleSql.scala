@@ -2977,6 +2977,57 @@ object OracleSql {
          ORDER BY kind, b"""
     },
 
+    // g01: fixed-point PageRank replayed round-for-round — the same
+    // planted md5 edges, the same integer div/mod/sum arithmetic
+    // (DuckDB's // is the BIGINT floor division twinning Spark's div
+    // on the all-positive ranks), all iterations UNROLLED as chained
+    // CTEs (deterministic fixed iteration count — no recursion needed).
+    "g01_pagerank" -> {
+      val u = graft.SparkEntry.g01Unit
+      val num = graft.SparkEntry.g01DampNum
+      val den = graft.SparkEntry.g01DampDen
+      val seed = graft.SparkEntry.g01Seed
+      val iters = graft.SparkEntry.g01Iters
+      val sb = new StringBuilder
+      sb ++= s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(doc_id) AS BIGINT) AS lo FROM documents),
+         edges AS (SELECT node AS src,
+             lo + (CAST(concat('0x', substr(md5('$seed' ||
+               CAST(j AS VARCHAR) || '|' || CAST(node AS VARCHAR)),
+               1, 15)) AS BIGINT) % n) AS dst
+           FROM nodes, nn, unnest(generate_series(0,
+             ${graft.SparkEntry.g01OutDeg - 1})) AS t(j)),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY 1),
+         r0 AS (SELECT node, $u // n AS r FROM nodes, nn)"""
+      for (i <- 1 to iters) {
+        sb ++= s""",
+         c$i AS (SELECT e.dst AS node,
+             CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_sum
+           FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY 1),
+         d$i AS (SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dmass
+           FROM r${i - 1} r LEFT JOIN deg dg ON r.node = dg.src
+           WHERE dg.src IS NULL),
+         r$i AS (SELECT nd.node,
+             ((${den - num} * $u) // ($den * nn.n)) +
+             (($num * (COALESCE(c.in_sum, 0) + (dm.dmass // nn.n)))
+               // $den) AS r
+           FROM nodes nd CROSS JOIN nn CROSS JOIN d$i dm
+           LEFT JOIN c$i c ON nd.node = c.node)"""
+      }
+      sb ++= s""",
+         indeg AS (SELECT dst AS node,
+             CAST(COUNT(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1)
+         SELECT n.node, COALESCE(i.in_deg, 0) AS in_deg, r.r AS r,
+           CAST(r.r AS DOUBLE) / CAST($u AS DOUBLE) AS rank
+         FROM nodes n JOIN r$iters r ON n.node = r.node
+         LEFT JOIN indeg i ON n.node = i.node
+         ORDER BY n.node"""
+      sb.toString
+    },
+
     // e09: Spearman with midranks — doubled midranks off each
     // marginal's cumulative window (2·cum_incl − n_v + 1 ≡ the gate's
     // 2·cum_before + n_v + 1), exact HUGEINT moment sums twinning the

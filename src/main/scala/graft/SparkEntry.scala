@@ -2991,6 +2991,32 @@ object SparkEntry {
     graft.operators.Eval.spearmanExact(t(s, dir, "documents"),
       TextOps.wordCount(col("text")), col("n_chars"))
 
+  /** g01's knobs, shared with the oracle SQL generator: 10 power
+    * iterations at damping 17/20 = 0.85 over 3 md5-coin out-links per
+    * document, ranks in 10^12 micro-units. */
+  private[graft] val g01Iters = 10
+  private[graft] val g01OutDeg = 3
+  private[graft] val g01Seed = "graft-pr"
+  private[graft] val g01DampNum = 17
+  private[graft] val g01DampDen = 20
+  private[graft] val g01Unit = 1000000000000L
+
+  /** Fixed-point PageRank over a planted crawl graph
+    * (graph/Graph.pageRank — the link-graph quality weight a crawl
+    * pipeline derives per document/host; Page et al. 1999): nodes =
+    * doc_ids, edges = [[graft.graph.Graph.hashLinks]]' 3 deterministic
+    * md5 out-links per node (the makeZip planted-fixture discipline),
+    * 10 integer power-iteration rounds — every step div/mod/sum on
+    * micro-unit ranks, so in-sums are plain order-free integer SUMs
+    * and the FULL DuckDB oracle replays all 10 rounds bit-for-bit. */
+  private def g01(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+    val edges = graft.graph.Graph.hashLinks(nodes, g01Seed, g01OutDeg)
+    graft.graph.Graph.pageRank(nodes, edges, iters = g01Iters,
+        dampNum = g01DampNum, dampDen = g01DampDen, unit = g01Unit)
+      .orderBy("node")
+  }
+
   /** e05's top-k knob, shared with the oracle SQL generator. */
   private[graft] val e05TopK = 5
 
@@ -3914,6 +3940,7 @@ object SparkEntry {
     "e07_pr_auc" -> (e07 _),
     "e08_bootstrap_ci" -> (e08 _),
     "e09_spearman" -> (e09 _),
+    "g01_pagerank" -> (g01 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

@@ -1,0 +1,135 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl-quality weighting — the graph signal
+  * a large-scale training-data pipeline derives over its URL/document
+  * link structure (Page et al. 1999; CommonCrawl publishes exactly this
+  * class of ranks for host-level quality weighting). The reference's
+  * analytics are per-object rollups over a TREE (kcidb's
+  * checkout→build→test hierarchy, kcidb/orm/__init__.py); a crawl
+  * corpus needs the general-graph analog, so this family is a scale
+  * addition in SURVEY §2's sense, not a port.
+  *
+  * Design rule — FIXED-POINT power iteration: ranks live as integer
+  * micro-units (`unit` = 10^12 by default) and every step is integer
+  * div/mod/sum. Consequences that matter at 100 TB:
+  *   - per-target in-sums are plain integer SUMs — order-insensitive,
+  *     partitioning-invariant, map-side combined; NO ordered fold, NO
+  *     collect_list of a corpus-sized group (a double-rank PageRank
+  *     would need one to stay deterministic);
+  *   - the dangling-mass total is one integer SUM over the dangling
+  *     nodes (a 1-row frame), redistributed by integer division —
+  *     again order-free;
+  *   - the oracle states the identical integer arithmetic, so a hash
+  *     mismatch is a real bug, never float noise.
+  * The floor divisions leak ≤ 1 micro-unit per node per step of
+  * probability mass (bounded, deterministic, documented) — PageRank
+  * consumers rank by the score, and the ORDER is what the fixed point
+  * preserves.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list with
+  * the rank frame (shuffle on src — or a co-partitioned zip when both
+  * sides are bucketed by node) plus one map-side-combined groupBy on
+  * dst; K iterations = K such rounds, the standard distributed
+  * PageRank schedule. The rank frame is localCheckpoint'd per round so
+  * the plan stays K-shallow instead of exponentially nested.
+  */
+object Graph {
+
+  /** Deterministic synthetic out-links: `outDeg` md5-coin targets per
+    * node over a CONTIGUOUS id space — the fixture generator for graph
+    * gates (the Binary.makeZip discipline: the corpus supplies no link
+    * column, so the gate plants one both engines can re-derive).
+    * Requires ids to be contiguous (max−min+1 = n) and raises loudly
+    * otherwise — the modulo draw must land on a real node. */
+  def hashLinks(nodes: DataFrame, seed: String, outDeg: Int): DataFrame = {
+    require(outDeg > 0, s"hashLinks: outDeg must be positive: $outDeg")
+    require(nodes.columns.contains("node"),
+      s"hashLinks: need a 'node' column (has: ${nodes.columns.mkString(", ")})")
+    val stats = nodes.agg(count(lit(1)).as("n"), min("node").as("lo"),
+      max("node").as("hi"))
+    // 1-row scalar zip (the p08 declared class)
+    nodes.crossJoin(broadcast(stats))
+      .withColumn("n", when(col("hi") - col("lo") + 1 === col("n"),
+        col("n")).otherwise(raise_error(concat(
+          lit("Graph.hashLinks: node ids must be contiguous (min "),
+          col("lo"), lit(", max "), col("hi"), lit(", n "), col("n"),
+          lit(")")))))
+      .select(col("node").as("src"), col("lo"), col("n"),
+        explode(sequence(lit(0), lit(outDeg - 1))).as("j"))
+      .select(col("src"),
+        (col("lo") + pmod(graft.pack.Pack.integerDraw(seed,
+          concat(col("j").cast("string"), lit("|"),
+            col("src").cast("string"))), col("n"))).as("dst"))
+  }
+
+  /** Fixed-point PageRank (see the object doc for the integer
+    * contract): `iters` synchronous power-iteration rounds at damping
+    * `dampNum/dampDen` (default 17/20 = 0.85), rank unit = `unit`
+    * micro-units. Per round, with N = |nodes|, D = Σ ranks of
+    * out-degree-0 nodes:
+    *
+    *   r'(v) = ((dampDen−dampNum)·unit) div (dampDen·N)
+    *         + (dampNum·(Σ_{u→v} r(u) div outdeg(u) + D div N))
+    *           div dampDen
+    *
+    * Output: (node, in_deg, r, rank) — r the integer micro-units,
+    * rank = r/unit as one exact-cast division. Every column is
+    * integer-derived, so the FULL SQL oracle replays all `iters`
+    * rounds bit-for-bit. Self-links and parallel edges are legal and
+    * kept (a crawl graph has both). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      dampNum: Int = 17, dampDen: Int = 20,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters > 0 && iters <= 50, s"pageRank: bad iters $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"pageRank: damping must be in (0,1): $dampNum/$dampDen")
+    require(unit >= 1000000L,
+      s"pageRank: unit too coarse for div arithmetic: $unit")
+    for (c <- Seq("src", "dst"))
+      require(edges.columns.contains(c),
+        s"pageRank: edges need '$c' (has: ${edges.columns.mkString(", ")})")
+    val nd = nodes.select(col("node").cast("long").as("node"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg rides the edge list once; per-round joins stay (edge ⋈
+    // rank) only
+    val ewd = e.join(deg, "src").localCheckpoint()
+    val nTotal = nd.agg(count(lit(1)).as("n_nodes"))
+    // 1-row scalar zip (the p08 declared class)
+    var ranks = nd.crossJoin(broadcast(nTotal))
+      .select(col("node"), col("n_nodes"),
+        expr(s"${unit}L div n_nodes").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ewd.join(ranks.select("node", "r"),
+          ewd("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("in_sum"))
+      val dangling = ranks.select("node", "r")
+        .join(deg.select(col("src").as("node")), Seq("node"),
+          "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
+      // two 1-row scalar zips (n_nodes already rides the rank frame)
+      ranks = ranks.select("node", "n_nodes")
+        .crossJoin(broadcast(dangling))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("n_nodes"),
+          expr(s"((${dampDen - dampNum}L * ${unit}L) div " +
+            s"(${dampDen}L * n_nodes)) + ((${dampNum}L * " +
+            s"(coalesce(in_sum, 0L) + (dmass div n_nodes))) div " +
+            s"${dampDen}L)").as("r"))
+        .localCheckpoint()
+    }
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    ranks.join(indeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("r"),
+        (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
+  }
+}

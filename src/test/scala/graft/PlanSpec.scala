@@ -113,7 +113,11 @@ class PlanSpec extends AnyFunSuite {
       "p13_temperature_mix",
       // q53 zips the 1-row end-of-log timestamp into the state table
       // for the unpicked(T) flag (the p08 scalar class)
-      "q53_spool_deliver")
+      "q53_spool_deliver",
+      // g01 zips the 1-row node-count frame into the rank seed and the
+      // 1-row dangling-mass fold into each power-iteration round (the
+      // p08 scalar class — 11 scalar zips, all 1-row broadcasts)
+      "g01_pagerank")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
