@@ -2989,10 +2989,10 @@ object OracleSql {
       val seed = graft.SparkEntry.g01Seed
       val iters = graft.SparkEntry.g01Iters
       val sb = new StringBuilder
-      sb ++= s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      sb ++= s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+         nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(MIN(doc_id) AS BIGINT) AS lo FROM documents),
-         edges AS (SELECT node AS src,
+         edges AS MATERIALIZED (SELECT node AS src,
              lo + (CAST(concat('0x', substr(md5('$seed' ||
                CAST(j AS VARCHAR) || '|' || CAST(node AS VARCHAR)),
                1, 15)) AS BIGINT) % n) AS dst
@@ -3000,17 +3000,17 @@ object OracleSql {
              ${graft.SparkEntry.g01OutDeg - 1})) AS t(j)),
          deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
            FROM edges GROUP BY 1),
-         r0 AS (SELECT node, $u // n AS r FROM nodes, nn)"""
+         r0 AS MATERIALIZED (SELECT node, $u // n AS r FROM nodes, nn)"""
       for (i <- 1 to iters) {
         sb ++= s""",
-         c$i AS (SELECT e.dst AS node,
+         c$i AS MATERIALIZED (SELECT e.dst AS node,
              CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_sum
            FROM edges e JOIN r${i - 1} r ON e.src = r.node
            JOIN deg d ON e.src = d.src GROUP BY 1),
-         d$i AS (SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dmass
+         d$i AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dmass
            FROM r${i - 1} r LEFT JOIN deg dg ON r.node = dg.src
            WHERE dg.src IS NULL),
-         r$i AS (SELECT nd.node,
+         r$i AS MATERIALIZED (SELECT nd.node,
              ((${den - num} * $u) // ($den * nn.n)) +
              (($num * (COALESCE(c.in_sum, 0) + (dm.dmass // nn.n)))
                // $den) AS r
@@ -3018,13 +3018,62 @@ object OracleSql {
            LEFT JOIN c$i c ON nd.node = c.node)"""
       }
       sb ++= s""",
-         indeg AS (SELECT dst AS node,
+         indeg AS MATERIALIZED (SELECT dst AS node,
              CAST(COUNT(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1)
          SELECT n.node, COALESCE(i.in_deg, 0) AS in_deg, r.r AS r,
            CAST(r.r AS DOUBLE) / CAST($u AS DOUBLE) AS rank
          FROM nodes n JOIN r$iters r ON n.node = r.node
          LEFT JOIN indeg i ON n.node = i.node
          ORDER BY n.node"""
+      sb.toString
+    },
+
+    // g02: fixed-point HITS replayed round-for-round over g01's edge
+    // fixture — integer L1 normalization, the ·unit products in
+    // HUGEINT twinning the gate's decimal(38,0), // the integral
+    // division, all rounds unrolled as chained CTEs.
+    "g02_hits" -> {
+      val u = graft.SparkEntry.g01Unit
+      val seed = graft.SparkEntry.g01Seed
+      val iters = graft.SparkEntry.g02Iters
+      val sb = new StringBuilder
+      sb ++= s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+         nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(doc_id) AS BIGINT) AS lo FROM documents),
+         edges AS MATERIALIZED (SELECT node AS src,
+             lo + (CAST(concat('0x', substr(md5('$seed' ||
+               CAST(j AS VARCHAR) || '|' || CAST(node AS VARCHAR)),
+               1, 15)) AS BIGINT) % n) AS dst
+           FROM nodes, nn, unnest(generate_series(0,
+             ${graft.SparkEntry.g01OutDeg - 1})) AS t(j)),
+         h0 AS MATERIALIZED (SELECT node, $u // n AS h FROM nodes, nn)"""
+      for (i <- 1 to iters) {
+        sb ++= s""",
+         ar$i AS MATERIALIZED (SELECT e.dst AS node,
+             CAST(SUM(h.h) AS BIGINT) AS a_raw
+           FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         sa$i AS MATERIALIZED (SELECT CAST(SUM(a_raw) AS BIGINT) AS s FROM ar$i),
+         a$i AS MATERIALIZED (SELECT nd.node,
+             CAST((CAST(COALESCE(ar.a_raw, 0) AS HUGEINT) * $u)
+               // sa.s AS BIGINT) AS a
+           FROM nodes nd CROSS JOIN sa$i sa
+           LEFT JOIN ar$i ar ON nd.node = ar.node),
+         hr$i AS MATERIALIZED (SELECT e.src AS node,
+             CAST(SUM(a.a) AS BIGINT) AS h_raw
+           FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         sh$i AS MATERIALIZED (SELECT CAST(SUM(h_raw) AS BIGINT) AS s FROM hr$i),
+         h$i AS MATERIALIZED (SELECT nd.node,
+             CAST((CAST(COALESCE(hr.h_raw, 0) AS HUGEINT) * $u)
+               // sh.s AS BIGINT) AS h
+           FROM nodes nd CROSS JOIN sh$i sh
+           LEFT JOIN hr$i hr ON nd.node = hr.node)"""
+      }
+      sb ++= s"""
+         SELECT a.node, a.a, h.h,
+           CAST(a.a AS DOUBLE) / CAST($u AS DOUBLE) AS auth,
+           CAST(h.h AS DOUBLE) / CAST($u AS DOUBLE) AS hub
+         FROM a$iters a JOIN h$iters h USING (node)
+         ORDER BY a.node"""
       sb.toString
     },
 

@@ -3017,6 +3017,25 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** g02's iteration knob, shared with the oracle SQL generator. */
+  private[graft] val g02Iters = 8
+
+  /** Fixed-point HITS hubs/authorities (graph/Graph.hits, Kleinberg
+    * 1999) over the SAME planted crawl graph as g01 — the seed-vs-
+    * content split PageRank conflates: 8 rounds of the mutual
+    * recursion with integer L1 normalization (same fixed points as
+    * the textbook L2 up to scale, but every step stays order-free
+    * integer arithmetic; ·unit products run in decimal(38,0)); FULL
+    * DuckDB oracle unrolls all rounds with identical HUGEINT //
+    * arithmetic. */
+  private def g02(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+    val edges = graft.graph.Graph.hashLinks(nodes, g01Seed, g01OutDeg)
+    graft.graph.Graph.hits(nodes, edges, iters = g02Iters,
+        unit = g01Unit)
+      .orderBy("node")
+  }
+
   /** e05's top-k knob, shared with the oracle SQL generator. */
   private[graft] val e05TopK = 5
 
@@ -3941,6 +3960,7 @@ object SparkEntry {
     "e08_bootstrap_ci" -> (e08 _),
     "e09_spearman" -> (e09 _),
     "g01_pagerank" -> (g01 _),
+    "g02_hits" -> (g02 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

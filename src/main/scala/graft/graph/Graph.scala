@@ -132,4 +132,70 @@ object Graph {
         col("r"),
         (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
+
+  /** Fixed-point HITS (Kleinberg 1999 — hubs and authorities; the
+    * companion link signal to [[pageRank]]: a crawl pipeline seeds new
+    * fetches from strong HUBS and weights content by strong
+    * AUTHORITIES, two different things PageRank conflates): `iters`
+    * synchronous rounds of the mutual recursion with L1 normalization
+    * kept in INTEGER micro-units —
+    *
+    *   a_raw(v) = Σ_{u→v} h(u)     a(v) = (a_raw·unit) div Σ a_raw
+    *   h_raw(u) = Σ_{u→v} a(v)     h(u) = (h_raw·unit) div Σ h_raw
+    *
+    * L1 (not the textbook L2) because a sum-normalizer stays in
+    * integer arithmetic end-to-end — same fixed points up to scaling
+    * (power iteration is norm-agnostic), same ORDER of nodes, and the
+    * partitioning-invariance argument of [[pageRank]] carries over
+    * verbatim: plain integer SUMs, two 1-row normalizer zips per
+    * round, zero ordered folds. The ·unit products run in
+    * decimal(38,0) (a_raw can reach |V|·unit, past int64 when
+    * multiplied up) and come back to int64 via integral division —
+    * the oracle states the identical HUGEINT `//`.
+    *
+    * A graph with zero edges has no fixed point to normalize toward
+    * and raises loudly. Output: (node, a, h, auth, hub) — integer
+    * micro-units plus the two exact-cast divisions. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters > 0 && iters <= 50, s"hits: bad iters $iters")
+    require(unit >= 1000000L, s"hits: unit too coarse: $unit")
+    for (c <- Seq("src", "dst"))
+      require(edges.columns.contains(c),
+        s"hits: edges need '$c' (has: ${edges.columns.mkString(", ")})")
+    val nd = nodes.select(col("node").cast("long").as("node"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nTotal = nd.agg(count(lit(1)).as("n_nodes"))
+    // 1-row scalar zip (the p08 declared class)
+    var hub = nd.crossJoin(broadcast(nTotal))
+      .select(col("node"), expr(s"${unit}L div n_nodes").as("h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    def normalize(raw: DataFrame, c: String): DataFrame = {
+      // Σ raw as a loud 1-row normalizer (zero edges -> no signal)
+      val s = raw.agg(sum(c).as("s"))
+        .select(when(col("s") > 0, col("s")).otherwise(raise_error(lit(
+          s"Graph.hits: the $c mass is zero — the graph has no " +
+            "edges to rank"))).as("s"))
+      nd.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"(cast(coalesce($c, 0L) as decimal(38,0)) * " +
+            s"${unit}L) div s").as(c))
+        .localCheckpoint()
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum("h").as("a"))
+      auth = normalize(aRaw, "a")
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("node")).agg(sum("a").as("h"))
+      hub = normalize(hRaw, "h")
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a"), col("h"),
+        (col("a").cast("double") / lit(unit.toDouble)).as("auth"),
+        (col("h").cast("double") / lit(unit.toDouble)).as("hub"))
+  }
 }

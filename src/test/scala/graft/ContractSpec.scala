@@ -43,7 +43,7 @@ class ContractSpec extends AnyFunSuite {
     // Every coverage row's key (3rd cell of a table row) must name a gate
     // query, and every gate query must have a row — pins the ledger so a
     // shipped operator can't stay undocumented (round-6/7 audit finding).
-    val keyPattern = "^(q|d|s|t|m|p|k|e|st)\\d+\\w*_\\w+$".r
+    val keyPattern = "^(q|d|s|t|m|p|k|e|g|st)\\d+\\w*_\\w+$".r
     val src = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8)
     val surveyKeys =
       try src.getLines().filter(_.startsWith("|")).flatMap { l =>
@@ -60,7 +60,7 @@ class ContractSpec extends AnyFunSuite {
     // 4th cell of each row is `sql` or `rows`; the `rows` set must equal
     // declaredRowsOnly exactly, so the ledger can't claim an oracle a
     // query doesn't have (or vice versa).
-    val keyPattern = "^(q|d|s|t|m|p|k|e|st)\\d+\\w*_\\w+$".r
+    val keyPattern = "^(q|d|s|t|m|p|k|e|g|st)\\d+\\w*_\\w+$".r
     val src = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8)
     val surveyRowsOnly =
       try src.getLines().filter(_.startsWith("|")).flatMap { l =>

@@ -90,6 +90,34 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: pure hub and pure authority separate exactly; L1 " +
+      "normalization keeps each side summing to ~unit") {
+    // 0 -> 1, 0 -> 2: node 0 is the only hub, 1/2 split authority
+    val r = Graph.hits(Seq(0L, 1L, 2L).toDF("node"),
+        Seq((0L, 1L), (0L, 2L)).toDF("src", "dst"), iters = 5)
+      .orderBy("node").collect()
+    assert(r(0).getLong(1) == 0L, "pure hub has no authority")
+    assert(r(0).getLong(2) == U, "the only hub takes the whole L1 mass")
+    assert(r(1).getLong(1) == U / 2 && r(2).getLong(1) == U / 2)
+    assert(r(1).getLong(2) == 0L && r(2).getLong(2) == 0L)
+  }
+
+  test("hits: partitioning-invariant and loud on an edgeless graph") {
+    val nodes = spark.range(0, 60).toDF("node")
+    val edges = Graph.hashLinks(nodes, "spec-hits", 3).localCheckpoint()
+    val a = Graph.hits(nodes.repartition(1), edges.repartition(1),
+      iters = 4).orderBy("node").collect().toSeq
+    val b = Graph.hits(nodes.repartition(7), edges.repartition(13),
+      iters = 4).orderBy("node").collect().toSeq
+    assert(a == b)
+    val ex = intercept[Exception] {
+      Graph.hits(Seq(0L, 1L).toDF("node"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 3).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("no"),
+      s"edgeless graph must raise: ${ex.getMessage}")
+  }
+
   test("plan: g01's per-round in-sums map-side combine; no cartesian, " +
       "no window — the only nested loops are the declared 1-row " +
       "scalar zips") {

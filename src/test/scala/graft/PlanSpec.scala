@@ -117,7 +117,10 @@ class PlanSpec extends AnyFunSuite {
       // g01 zips the 1-row node-count frame into the rank seed and the
       // 1-row dangling-mass fold into each power-iteration round (the
       // p08 scalar class — 11 scalar zips, all 1-row broadcasts)
-      "g01_pagerank")
+      "g01_pagerank",
+      // g02 zips the two 1-row L1 normalizers into each HITS round
+      // (the same scalar class)
+      "g02_hits")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
