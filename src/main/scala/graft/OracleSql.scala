@@ -2001,6 +2001,36 @@ object OracleSql {
          CAST(nf - 1 AS BIGINT) AS last_pts
          FROM d ORDER BY doc_id""",
 
+    // m21: the Ogg fixture's closed forms re-derived — page/stream/
+    // flag censuses, the packet count over the same lacing grammar
+    // (255 = continuation), payload byte totals and last granule.
+    "m21_ogg_meta" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS np,
+           CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS extra
+           FROM documents),
+         m AS (SELECT doc_id, np, extra,
+           CAST(list_sum(list_transform(range(np), f ->
+             list_sum(list_transform(range(1 + (doc_id + f) % 3), j ->
+               CASE WHEN (doc_id + f + j) % 4 = 0 THEN 255
+                    ELSE (doc_id + f + j) % 200 END)))) AS BIGINT)
+             AS body,
+           CAST(list_sum(list_transform(range(np), f ->
+             list_sum(list_transform(range(1 + (doc_id + f) % 3), j ->
+               CASE WHEN (doc_id + f + j) % 4 = 0 THEN 0
+                    ELSE 1 END)))) AS BIGINT) AS pk
+           FROM d)
+         SELECT doc_id,
+           CAST(np + extra AS BIGINT) AS n_pages,
+           CAST(1 + extra AS BIGINT) AS n_streams,
+           CAST(1 + extra AS BIGINT) AS n_bos,
+           CAST(1 + extra AS BIGINT) AS n_eos,
+           CAST(pk + extra AS BIGINT) AS n_packets,
+           CAST(body + extra * (doc_id % 200) AS BIGINT)
+             AS payload_bytes,
+           CAST(CASE WHEN extra = 1 THEN 777 ELSE np * 441 END
+             AS BIGINT) AS last_granule
+         FROM m ORDER BY doc_id""",
+
     "m02_audio_meta" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(1 + doc_id % 2 AS BIGINT) AS channels,

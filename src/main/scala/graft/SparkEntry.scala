@@ -2208,6 +2208,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL Ogg (RFC 3533) page-walk metadata (Binary.oggMeta): page
+    * census with BOS/EOS flags, distinct bitstream serials (the
+    * multiplexed-stream arm planted for id%7 = 0), completed packets
+    * via the lacing-value grammar (255 = continuation — genuinely
+    * exercised by the fixture), payload byte totals and the last
+    * granule position; every column a closed form of doc_id the
+    * oracle recomputes arithmetically. Codec payload decode stays
+    * environment-blocked (the ivfMeta discipline). */
+  private def m21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    Binary.oggMetas(
+        src.map(id => Binary.PayloadRow(id, Binary.makeOgg(id))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Image near-dup detection by perceptual hash (Binary.aHashes +
     * Dedup.hammingNearDups): every doc gets a deterministic noise PNG;
     * docs with doc_id % 25 == 0 also plant a monotone brightness/contrast
@@ -4057,6 +4074,7 @@ object SparkEntry {
     "m18_zip_listing" -> (m18 _),
     "m19_h264_meta" -> (m19 _),
     "m20_ivf_meta" -> (m20 _),
+    "m21_ogg_meta" -> (m21 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

@@ -2923,4 +2923,116 @@ object Binary {
       IvfMeta(r.doc_id, c, w, h, nd, nw, b, pts)
     }
   }
+
+  final case class OggMeta(doc_id: Long, n_pages: Long, n_streams: Long,
+    n_bos: Long, n_eos: Long, n_packets: Long, payload_bytes: Long,
+    last_granule: Long)
+
+  /** Deterministic spec-shaped Ogg container (RFC 3533 page layout):
+    * one logical stream of 1 + id%5 pages — BOS flag on the first,
+    * EOS on the last (both when the stream is one page), granule
+    * (f+1)·441, 1 + (id+f)%3 lacing values per page where value j is
+    * 255 (packet-continuation) when (id+f+j)%4 = 0 else (id+f+j)%200 —
+    * so the 255-terminator grammar is genuinely exercised — plus, for
+    * id%7 = 0, a second single-page BOS|EOS stream at granule 777
+    * (the multiplexed-stream arm). CRC is written as zero: the walk
+    * reports structure and the walker does not validate checksums
+    * (the makeZip closed-form-CRC convention). */
+  def makeOgg(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit =
+      for (k <- 0 until 4) out.write(((v >> (8 * k)) & 0xff).toInt)
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32(v >>> 32) }
+    def page(serial: Long, seq: Long, hdrType: Int, granule: Long,
+        laces: Seq[Int]): Unit = {
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0) // version
+      out.write(hdrType)
+      w64(granule)
+      w32(serial)
+      w32(seq)
+      w32(0) // CRC (unvalidated by the walker)
+      out.write(laces.length)
+      laces.foreach(out.write)
+      out.write(new Array[Byte](laces.sum))
+    }
+    val np = (1 + docId % 5).toInt
+    for (f <- 0 until np) {
+      val hdr = (if (f == 0) 0x02 else 0) | (if (f == np - 1) 0x04 else 0)
+      val ns = (1 + (docId + f) % 3).toInt
+      val laces = (0 until ns).map { j =>
+        if ((docId + f + j) % 4 == 0) 255 else ((docId + f + j) % 200).toInt
+      }
+      page(docId % 100000, f.toLong, hdr, (f + 1) * 441L, laces)
+    }
+    if (docId % 7 == 0)
+      page(docId % 100000 + 1, 0L, 0x06, 777L,
+        Seq(((docId % 200)).toInt))
+    out.toByteArray
+  }
+
+  /** REAL Ogg metadata — the page walk of RFC 3533 multiplexed
+    * streams (the transport under Vorbis/Opus/Theora): capture
+    * pattern, header-type flag census (BOS/EOS), distinct bitstream
+    * serials, completed packets (lacing values < 255 terminate a
+    * packet — 255 means continuation), payload byte total from the
+    * segment tables, and the last page's granule position. Every page
+    * is bounds-checked; truncation stops the walk (the ivfMeta
+    * discipline). Codec payload decode stays environment-blocked;
+    * non-Ogg bytes yield the sentinel row. */
+  def oggMeta(p: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L, -1L, -1L, -1L)
+    def u32(i: Int): Long = (0 until 4)
+      .map(k => (p(i + k) & 0xffL) << (8 * k)).sum
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
+    if (p.length < 27 ||
+      new String(p.slice(0, 4), "US-ASCII") != "OggS") return bad
+    var i = 0
+    var pages = 0L; var bos = 0L; var eos = 0L
+    var packets = 0L; var bytes = 0L; var lastGranule = -1L
+    val serials = scala.collection.mutable.HashSet.empty[Long]
+    while (i + 27 <= p.length &&
+      new String(p.slice(i, i + 4), "US-ASCII") == "OggS") {
+      val hdrType = p(i + 5) & 0xff
+      val granule = u64(i + 6)
+      val serial = u32(i + 14)
+      val nSegs = p(i + 26) & 0xff
+      if (i + 27 + nSegs > p.length) { i = p.length }
+      else {
+        var body = 0
+        var pagePackets = 0L
+        for (k <- 0 until nSegs) {
+          val lace = p(i + 27 + k) & 0xff
+          body += lace
+          if (lace < 255) pagePackets += 1
+        }
+        // a truncated body rejects the WHOLE page — its packet and
+        // byte counts must not leak into the totals
+        if (i + 27 + nSegs + body > p.length) { i = p.length }
+        else {
+          pages += 1
+          if ((hdrType & 0x02) != 0) bos += 1
+          if ((hdrType & 0x04) != 0) eos += 1
+          serials += serial
+          packets += pagePackets
+          bytes += body
+          lastGranule = granule
+          i += 27 + nSegs + body
+        }
+      }
+    }
+    if (pages == 0) bad
+    else (pages, serials.size.toLong, bos, eos, packets, bytes,
+      lastGranule)
+  }
+
+  /** [[oggMeta]] over a payload Dataset. */
+  def oggMetas(ds: Dataset[PayloadRow]): Dataset[OggMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val (np, nst, nb, ne, npk, b, g) = oggMeta(r.payload)
+      OggMeta(r.doc_id, np, nst, nb, ne, npk, b, g)
+    }
+  }
 }

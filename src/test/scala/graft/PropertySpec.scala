@@ -200,6 +200,7 @@ class PropertySpec extends AnyFunSuite {
       Binary.zipListing(p)
       Binary.h264Meta(p)
       Binary.ivfMeta(p)
+      Binary.oggMeta(p)
     }
     // structured fuzz: valid containers with one mutated byte — size
     // fields, VINT markers, float widths, ids all get hit; walkers must
@@ -241,6 +242,11 @@ class PropertySpec extends AnyFunSuite {
         val m = zip.clone(); m(i) = (m(i) + delta).toByte
         Binary.zipListing(m)
       }
+      val ogg = Binary.makeOgg(id)
+      for (i <- ogg.indices; delta <- Seq(1, 0x80)) {
+        val m = ogg.clone(); m(i) = (m(i) + delta).toByte
+        Binary.oggMeta(m)
+      }
       // truncations at every length
       for (cut <- 0 to mkv.length) Binary.mkvHeader(mkv.take(cut))
       for (cut <- 0 to mp4.length) Binary.mp4Header(mp4.take(cut))
@@ -249,6 +255,7 @@ class PropertySpec extends AnyFunSuite {
       for (cut <- 0 to flac.length) Binary.flacHeader(flac.take(cut))
       for (cut <- 0 to mp3.length) Binary.mp3Header(mp3.take(cut))
       for (cut <- 0 to zip.length) Binary.zipListing(zip.take(cut))
+      for (cut <- 0 to ogg.length) Binary.oggMeta(ogg.take(cut))
     }
   }
 
