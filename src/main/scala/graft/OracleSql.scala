@@ -198,6 +198,50 @@ object OracleSql {
               THEN 1 ELSE 0 END AS INT) AS anomaly
        FROM z ORDER BY series, day"""
 
+  /** Poisson-bootstrap CI — the shared oracle of the e08 batch
+    * gate and its st15 streaming twin (the stream-drained reps
+    * frame equals the batch build bit-for-bit: integer counting is
+    * order-insensitive and the coins md5-derived).
+    * Re-draws every 60-bit coin against the pinned integer CDF
+    * thresholds (Eval.poissonCdf60, shared constants) and re-picks
+    * the identical (mean, b) order statistics. */
+  private lazy val bootstrapCiSql: String = {
+      val w = graft.operators.Eval.poissonCdf60
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      val seed = graft.SparkEntry.e08Seed
+      s"""WITH v AS (SELECT doc_id AS id, $wordCountSql AS v
+             FROM documents),
+         draws AS (SELECT id, v, b,
+             CAST(concat('0x', substr(md5('$seed' ||
+               CAST(id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+               1, 15)) AS BIGINT) AS u
+           FROM v, unnest(generate_series(0,
+             ${graft.SparkEntry.e08Replicates - 1})) AS t(b)),
+         reps AS (SELECT CAST(b AS BIGINT) AS b,
+             CAST(SUM($w) AS BIGINT) AS n_eff,
+             CAST(SUM($w * v) AS BIGINT) AS wsum
+           FROM draws GROUP BY 1),
+         rep_rows AS (SELECT 'rep' AS kind, b, n_eff, wsum,
+             CAST(wsum AS DOUBLE)/CAST(n_eff AS DOUBLE) AS mean
+           FROM reps),
+         total AS (SELECT 'total' AS kind, CAST(-1 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_eff,
+             CAST(SUM(v) AS BIGINT) AS wsum,
+             CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
+           FROM v),
+         ord AS (SELECT b, n_eff, wsum, mean,
+             row_number() OVER (ORDER BY mean, b) AS rk FROM rep_rows)
+         SELECT kind, b, n_eff, wsum, mean FROM (
+           SELECT * FROM rep_rows
+           UNION ALL SELECT * FROM total
+           UNION ALL SELECT 'ci_lo', b, n_eff, wsum, mean FROM ord
+             WHERE rk = ${graft.SparkEntry.e08LoRank}
+           UNION ALL SELECT 'ci_hi', b, n_eff, wsum, mean FROM ord
+             WHERE rk = ${graft.SparkEntry.e08HiRank})
+         ORDER BY kind, b"""
+  }
+
   /** Count-min point-query audit — the shared oracle of the k04 batch
     * gate and its st10 streaming twin (the stream-built cell table
     * equals the batch build bit-for-bit: counts are order-insensitive
@@ -2112,7 +2156,6 @@ object OracleSql {
          FROM x JOIN m ON x.series = m.series AND x.day = m.day
          ORDER BY x.series, x.day""",
 
-
     "q38_ingest_patterns" ->
       """WITH lo AS (SELECT o_orderkey, o_custkey FROM orders
                      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
@@ -2970,42 +3013,15 @@ object OracleSql {
     // (Eval.poissonCdf60, shared constants), exact integer partial
     // sums per replicate, and the nearest-rank CI picked by the
     // identical (mean, b) order statistics.
-    "e08_bootstrap_ci" -> {
-      val w = graft.operators.Eval.poissonCdf60
-        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
-        .mkString("(", " + ", ")")
-      val seed = graft.SparkEntry.e08Seed
-      s"""WITH v AS (SELECT doc_id AS id, $wordCountSql AS v
-             FROM documents),
-         draws AS (SELECT id, v, b,
-             CAST(concat('0x', substr(md5('$seed' ||
-               CAST(id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
-               1, 15)) AS BIGINT) AS u
-           FROM v, unnest(generate_series(0,
-             ${graft.SparkEntry.e08Replicates - 1})) AS t(b)),
-         reps AS (SELECT CAST(b AS BIGINT) AS b,
-             CAST(SUM($w) AS BIGINT) AS n_eff,
-             CAST(SUM($w * v) AS BIGINT) AS wsum
-           FROM draws GROUP BY 1),
-         rep_rows AS (SELECT 'rep' AS kind, b, n_eff, wsum,
-             CAST(wsum AS DOUBLE)/CAST(n_eff AS DOUBLE) AS mean
-           FROM reps),
-         total AS (SELECT 'total' AS kind, CAST(-1 AS BIGINT) AS b,
-             CAST(COUNT(*) AS BIGINT) AS n_eff,
-             CAST(SUM(v) AS BIGINT) AS wsum,
-             CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS mean
-           FROM v),
-         ord AS (SELECT b, n_eff, wsum, mean,
-             row_number() OVER (ORDER BY mean, b) AS rk FROM rep_rows)
-         SELECT kind, b, n_eff, wsum, mean FROM (
-           SELECT * FROM rep_rows
-           UNION ALL SELECT * FROM total
-           UNION ALL SELECT 'ci_lo', b, n_eff, wsum, mean FROM ord
-             WHERE rk = ${graft.SparkEntry.e08LoRank}
-           UNION ALL SELECT 'ci_hi', b, n_eff, wsum, mean FROM ord
-             WHERE rk = ${graft.SparkEntry.e08HiRank})
-         ORDER BY kind, b"""
-    },
+    "e08_bootstrap_ci" -> bootstrapCiSql,
+
+    // st15: the SAME bootstrap with the replicate partials maintained
+    // in streaming state — integer counting is order-insensitive, so
+    // the drained complete-mode state equals the batch reps frame
+    // bit-for-bit and the oracle is shared verbatim (st10/st12's
+    // shared-oracle discipline on the uncertainty axis).
+    "st15_bootstrap_stream" -> bootstrapCiSql,
+
 
     // g01: fixed-point PageRank replayed round-for-round — the same
     // planted md5 edges, the same integer div/mod/sum arithmetic

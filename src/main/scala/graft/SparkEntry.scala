@@ -3592,6 +3592,27 @@ object SparkEntry {
     graft.operators.Eval.chi2FromCells(cells).orderBy("kind", "k")
   }
 
+  /** st15 maintains e08's bootstrap replicate partials INSIDE the
+    * streaming state store (Eval.bootstrapReps on the streamed
+    * documents table): the state is the (replicates+1)-row integer
+    * frame — including the b = −1 exact-totals sentinel — never
+    * documents, so continuous uncertainty monitoring holds constant
+    * state at any stream rate. Counting is order-insensitive, so the
+    * drained complete-mode state equals the batch reps bit-for-bit
+    * and the composed CI report shares e08's FULL SQL oracle verbatim
+    * (st10/st12's shared-oracle discipline on the uncertainty axis —
+    * the CI a pipeline wants live, not at the next batch audit). */
+  private def st15(s: SparkSession, dir: String): DataFrame = {
+    val reps = runStreamOnce(s,
+      graft.operators.Eval.bootstrapReps(
+        streamTable(s, dir, "documents"),
+        col("doc_id"), TextOps.wordCount(col("text")),
+        replicates = e08Replicates, seed = e08Seed),
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    graft.operators.Eval.bootstrapFromReps(reps, e08LoRank, e08HiRank)
+      .orderBy("kind", "b")
+  }
+
   /** st02 runs REAL micro-batch streaming through the stateful
     * first-occurrence path (st03's `flatMapGroupsWithState` machinery
     * on the MONITOR side): file source over the events table (st01's
@@ -4088,7 +4109,8 @@ object SparkEntry {
     "st11_stream_join" -> (st11 _),
     "st12_drift_stream" -> (st12 _),
     "st13_scd_stream" -> (st13 _),
-    "st14_ndv_contract" -> (st14 _)
+    "st14_ndv_contract" -> (st14 _),
+    "st15_bootstrap_stream" -> (st15 _)
   )
 
   /** [[queries]] filtered by the builder-side SPARK_GRAFT_ONLY env var

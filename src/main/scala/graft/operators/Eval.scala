@@ -404,40 +404,73 @@ object Eval {
   def poissonBootstrap(df: DataFrame, id: Column, value: Column,
       replicates: Int, seed: String, loRank: Int,
       hiRank: Int): DataFrame = {
-    require(replicates > 1 && loRank >= 1 && hiRank <= replicates &&
-      loRank < hiRank,
-      s"poissonBootstrap: bad knobs ($replicates, $loRank, $hiRank)")
-    val base = df.select(id.cast("long").as("id"),
-        value.cast("long").as("v"))
-      .where(col("id").isNotNull && col("v").isNotNull)
+    require(hiRank <= replicates,
+      s"poissonBootstrap: hiRank $hiRank exceeds $replicates replicates")
+    bootstrapFromReps(
+      bootstrapReps(df, id, value, replicates, seed),
+      loRank, hiRank)
+  }
+
+  /** The bootstrap's mergeable STATE half: per-replicate (b, n_eff =
+    * Σw, wsum = Σw·v) integer partials, PLUS the sentinel replicate
+    * b = −1 whose weight is the constant 1 — its row carries the
+    * exact corpus (n, Σv), so ONE aggregate holds both the replicate
+    * grid and the point estimate. Counting is order-insensitive and
+    * the state is `replicates`+1 rows at ANY corpus size, so a
+    * STREAMING query maintains the identical frame in the state store
+    * (the chi2Cells discipline) and feeds the same finisher. */
+  def bootstrapReps(df: DataFrame, id: Column, value: Column,
+      replicates: Int, seed: String): DataFrame = {
+    require(replicates > 1,
+      s"bootstrapReps: need at least 2 replicates: $replicates")
     val key = concat(col("id").cast("string"), lit("|"),
       col("b").cast("string"))
-    val reps = base
+    df.select(id.cast("long").as("id"), value.cast("long").as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
       .select(col("id"), col("v"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
-      .select(col("b"), poissonWeight(seed, key).as("w"), col("v"))
+        explode(sequence(lit(-1L), lit(replicates - 1L))).as("b"))
+      .select(col("b"),
+        when(col("b") === -1L, lit(1L))
+          .otherwise(poissonWeight(seed, key)).as("w"),
+        col("v"))
       .groupBy("b")
       .agg(sum("w").as("n_eff"), sum(col("w") * col("v")).as("wsum"))
+  }
+
+  /** The bootstrap finisher over a (drained or batch) reps frame —
+    * see [[poissonBootstrap]] for the output contract. */
+  def bootstrapFromReps(repsIn: DataFrame, loRank: Int,
+      hiRank: Int): DataFrame = {
+    for (c <- Seq("b", "n_eff", "wsum"))
+      require(repsIn.columns.contains(c),
+        s"Eval.bootstrapFromReps: missing reps column '$c' " +
+          s"(has: ${repsIn.columns.mkString(", ")})")
+    require(loRank >= 1 && loRank < hiRank,
+      s"bootstrapFromReps: bad ranks ($loRank, $hiRank)")
+    val withMean = repsIn
       .withColumn("n_eff", when(col("n_eff") > 0, col("n_eff"))
         .otherwise(raise_error(concat(lit(
-          "Eval.poissonBootstrap: replicate "), col("b"), lit(
+          "Eval.bootstrapFromReps: replicate "), col("b"), lit(
           " drew zero total weight — corpus too small to bootstrap")))))
       .withColumn("mean",
         col("wsum").cast("double") / col("n_eff").cast("double"))
-      // B-row frame, memoized (the q46 discipline): the rep rows, the
-      // CI picks and nothing else read it — the corpus scans once
+      // (replicates+1)-row frame, memoized (the q46 discipline): the
+      // rep rows, the total and the CI picks all read it — the corpus
+      // aggregate runs once
       .localCheckpoint()
+    val reps = withMean.where(col("b") >= 0)
     val repRows = reps.select(lit("rep").as("kind"), col("b"),
       col("n_eff"), col("wsum"), col("mean"))
-    val total = base.agg(count(lit(1)).as("n_eff"), sum("v").as("s"))
-      .select(lit("total").as("kind"), lit(-1L).as("b"),
-        col("n_eff"), col("s").cast("long").as("wsum"),
-        (col("s").cast("double") / col("n_eff").cast("double"))
-          .as("mean"))
+    val total = withMean.where(col("b") === -1L)
+      .select(lit("total").as("kind"), col("b"), col("n_eff"),
+        col("wsum"), col("mean"))
     val sorted = reps.agg(array_sort(collect_list(struct(col("mean"),
       col("b"), col("n_eff"), col("wsum")))).as("g"))
     def pick(kind: String, rank: Int) = sorted
-      .select(element_at(col("g"), rank).as("p"))
+      .select(when(size(col("g")) >= rank, element_at(col("g"), rank))
+        .otherwise(raise_error(concat(lit(
+          s"Eval.bootstrapFromReps: rank $rank exceeds the "),
+          size(col("g")), lit(" replicates present")))).as("p"))
       .select(lit(kind).as("kind"), col("p.b").as("b"),
         col("p.n_eff").as("n_eff"), col("p.wsum").as("wsum"),
         col("p.mean").as("mean"))

@@ -407,6 +407,16 @@ class EvalSpec extends AnyFunSuite {
       ex.getMessage.contains("zero rank variance"))
   }
 
+  test("st15 streaming bootstrap equals the e08 batch report row-for-" +
+      "row on gate data (order-insensitive integer counting in state)") {
+    val sf = TestSpark.sf
+    val batch = SparkEntry.queries("e08_bootstrap_ci")(spark, sf)
+      .collect().toSeq
+    val stream = SparkEntry.queries("st15_bootstrap_stream")(spark, sf)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
   test("plans: e08's corpus stage is one map-side-combined groupBy to " +
       "B rows (no window, no join); e09's joins are grid-sized rank " +
       "restorations, never a window over the corpus") {
