@@ -3633,6 +3633,43 @@ object OracleSql {
     // DSIR hashed-bigram importance weights: the oracle re-derives the
     // bucket of every bigram (same md5-hex-integer convention as p06/p07)
     // and both smoothed distributions, then the per-doc log-ratio sum.
+    // t25: pairwise JS divergence re-derived — the same md5 slot
+    // hashing (t14's convention), the same add-0.5 smoothing over ALL
+    // slots (empty slots keep their smoothing mass), the same
+    // slot-ascending fold; ln at 6 dp is the t14 libm precedent.
+    "t25_js_divergence" -> {
+      val b = graft.SparkEntry.t25Buckets
+      s"""WITH tk AS (SELECT source AS src,
+             string_split($normText, ' ') AS t FROM documents),
+         bg AS (SELECT src,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i + 1]),
+               1, 15)) AS BIGINT) % $b AS b
+           FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+         cnt AS (SELECT src, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n
+           FROM cnt GROUP BY 1),
+         dense AS (SELECT t.src, u.b, t.n,
+             (COALESCE(c.c, 0) + 0.5) / (t.n + 0.5 * $b) AS p
+           FROM tot t
+           CROSS JOIN unnest(generate_series(0, $b - 1)) AS u(b)
+           LEFT JOIN cnt c ON c.src = t.src AND c.b = u.b),
+         pr AS (SELECT x.src AS src_a, y.src AS src_b,
+             x.n AS n_a, y.n AS n_b, x.b,
+             0.5 * (x.p * ln(2.0 * x.p / (x.p + y.p)) +
+                    y.p * ln(2.0 * y.p / (x.p + y.p))) AS t
+           FROM dense x JOIN dense y ON x.b = y.b AND x.src < y.src)
+         SELECT src_a, src_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           round(list_reduce(list(t ORDER BY b), (a, x) -> a + x), 6)
+             AS js_nats,
+           round(list_reduce(list(t ORDER BY b), (a, x) -> a + x)
+             / ln(2), 6) AS js_bits
+         FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     "t14_dsir_weights" ->
       s"""WITH tk AS (SELECT doc_id,
                source = '${graft.SparkEntry.t14Target}' AS is_t,

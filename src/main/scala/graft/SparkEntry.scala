@@ -3037,6 +3037,19 @@ object SparkEntry {
   /** g02's iteration knob, shared with the oracle SQL generator. */
   private[graft] val g02Iters = 8
 
+  /** t25's slot knob, shared with the oracle SQL generator. */
+  private[graft] val t25Buckets = 256
+
+  /** Pairwise source-divergence profile (text/TextOps.jsDivergence,
+    * Lin 1991): the which-sources-differ report a mixture designer
+    * reads next to t14's which-docs-match-the-target weights — JS
+    * divergence between every source pair's smoothed hashed-bigram
+    * distribution, folded slot-ascending, in nats and bits at 6 dp. */
+  private def t25(s: SparkSession, dir: String): DataFrame =
+    TextOps.jsDivergence(t(s, dir, "documents"), "text", "source",
+        buckets = t25Buckets)
+      .orderBy("src_a", "src_b")
+
   /** Fixed-point HITS hubs/authorities (graph/Graph.hits, Kleinberg
     * 1999) over the SAME planted crawl graph as g01 — the seed-vs-
     * content split PageRank conflates: 8 rounds of the mutual
@@ -4096,6 +4109,7 @@ object SparkEntry {
     "m19_h264_meta" -> (m19 _),
     "m20_ivf_meta" -> (m20 _),
     "m21_ogg_meta" -> (m21 _),
+    "t25_js_divergence" -> (t25 _),
     "st01_stream_window" -> (st01 _),
     "st02_monitor" -> (st02 _),
     "st03_incr_dedup_stream" -> (st03 _),

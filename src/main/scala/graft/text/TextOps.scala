@@ -368,6 +368,74 @@ object TextOps {
         coalesce(col("logw"), lit(0d)).as("logw"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source bigram
+    * distributions (Lin 1991 — the symmetric, bounded corpus-divergence
+    * profile a mixture designer reads before re-weighting sources:
+    * which sources say the same things, which are genuinely distinct):
+    * bigrams hash into `buckets` fixed slots (the [[dsirWeights]] md5
+    * convention — the model is O(B·|sources|) regardless of corpus
+    * size), each source induces an add-`alpha`-smoothed distribution
+    * over ALL B slots (empty slots keep their smoothing mass — they
+    * are where divergence hides), and each source pair (a < b) reports
+    *
+    *   JS = Σ_slot ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    *
+    * folded in ascending slot order (ONE deterministic accumulation —
+    * the chi2/KS discipline), emitted in nats and bits at 6 dp (`ln`
+    * is the one transcendental; both engines' libm agree at 6 dp, the
+    * t14 precedent).
+    *
+    * Scale shape: ONE corpus scan to the (source, slot) counts frame
+    * (map-side combined); densification, totals, the |pairs|·B pair
+    * frame and the folds are all model-sized — never corpus-sized.
+    * The pair join is the k05 declared bounded class. */
+  def jsDivergence(docs: DataFrame, textCol: String, srcCol: String,
+                   buckets: Int = 1024,
+                   alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    import graft.dedup.Dedup
+    val bg = docs
+      .select(col(srcCol).as("src"), Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("src"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("pos"),
+        col("toks"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat(
+            element_at(col("toks"), col("pos")), lit(" "),
+            element_at(col("toks"), col("pos") + 1))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("b"))
+    val cnt = bg.groupBy("src", "b").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum("c").as("n"))
+    // densify: every (source, slot) — empty slots keep smoothing mass
+    val dense = tot
+      .select(col("src"), col("n"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+      .join(cnt, Seq("src", "b"), "left")
+      .select(col("src"), col("b"), col("n"),
+        ((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+          (col("n") + lit(alpha * buckets))).as("p"))
+      .localCheckpoint()
+    val x = dense.select(col("src").as("src_a"), col("b"),
+      col("n").as("n_a"), col("p").as("pa"))
+    val y = dense.select(col("src").as("src_b"), col("b"),
+      col("n").as("n_b"), col("p").as("pb"))
+    val term = lit(0.5) *
+      (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+       col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+    x.join(y, Seq("b")).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("b"), term.as("t"))
+      .groupBy("src_a", "src_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("t")))),
+          lit(0.0), (a, e) => a + e("t")).as("js"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(col("js"), 6).as("js_nats"),
+        round(col("js") / lit(math.log(2.0)), 6).as("js_bits"))
+  }
+
   /** Quality score in [0,1]-ish: rewards mid-length docs, word lengths near
     * natural language, and stopword presence. Single-expression double
     * arithmetic (one division per term, fixed order). */

@@ -379,4 +379,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("aa", "bb")))
   }
+
+  test("jsDivergence: identical sources read exactly 0, disjoint " +
+      "sources read high, everything sits in [0, 1] bits with a < b " +
+      "pairs only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"),
+      (2L, "alpha beta gamma delta", "b"),   // b == a verbatim
+      (3L, "omega psi chi phi", "c"))        // c disjoint from both
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.jsDivergence(docs, "text", "source", buckets = 64)
+      .orderBy("src_a", "src_b").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val byPair = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // identical distributions: every slot term is p·ln(1) = 0 exactly
+    assert(byPair(("a", "b")).getAs[Double]("js_nats") == 0.0)
+    for (x <- r) {
+      val bits = x.getAs[Double]("js_bits")
+      assert(bits >= 0.0 && bits <= 1.0, s"JS out of [0,1] bits: $bits")
+    }
+    assert(byPair(("a", "c")).getAs[Double]("js_bits") >
+      byPair(("a", "b")).getAs[Double]("js_bits"))
+  }
+
+  test("jsDivergence plan: one corpus scan to a partial-aggregated " +
+      "counts frame; pair work is model-sized, never a window") {
+    val p = SparkEntry.queries("t25_js_divergence")(spark, TestSpark.sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial"), "slot counts must map-side combine")
+  }
 }
