@@ -3123,6 +3123,44 @@ object OracleSql {
       sb.toString
     },
 
+    // e10: Mann–Whitney with midranks — the same doubled-midrank
+    // cumulative window as e01/e09, the tie term and variance in
+    // HUGEINT twinning the gate's decimal(38,0), the same
+    // cast/sqrt/divide z chain.
+    "e10_mannwhitney" ->
+      s"""WITH b AS (SELECT value AS v, (event_type = 'click') AS a
+             FROM events WHERE event_type IN ('click', 'error')),
+         c AS (SELECT v,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+           FROM b GROUP BY 1),
+         w AS (SELECT v, c_a, c_b, c_a + c_b AS t,
+             COALESCE(CAST(SUM(c_a + c_b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cumb
+           FROM c),
+         agg AS (SELECT
+             CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b,
+             CAST(SUM(c_a * (2*cumb + t + 1)) AS BIGINT) AS two_r1,
+             CAST(SUM(CAST(t AS HUGEINT)*t*t - t) AS HUGEINT) AS t_ties
+           FROM w),
+         e AS (SELECT n_a, n_b, n_a + n_b AS n, two_r1, t_ties
+           FROM agg),
+         f AS (SELECT n_a, n_b,
+             two_r1 - n_a*(n_a + 1) AS u2,
+             n_a*n_b AS mu2,
+             CAST(t_ties AS DOUBLE) AS t_ties,
+             CAST(CAST(n_a AS HUGEINT)*n_b*
+                 ((CAST(n AS HUGEINT) + 1)*n*(n - 1) - t_ties)
+               AS DOUBLE) /
+             CAST(12*CAST(n AS HUGEINT)*(n - 1) AS DOUBLE) AS var_u
+           FROM e)
+         SELECT n_a, n_b, u2, mu2, t_ties, var_u,
+           CAST(u2 - mu2 AS DOUBLE) / (2.0 * sqrt(var_u)) AS z
+         FROM f""",
+
     // e09: Spearman with midranks — doubled midranks off each
     // marginal's cumulative window (2·cum_incl − n_v + 1 ≡ the gate's
     // 2·cum_before + n_v + 1), exact HUGEINT moment sums twinning the

@@ -3040,6 +3040,17 @@ object SparkEntry {
   /** t25's slot knob, shared with the oracle SQL generator. */
   private[graft] val t25Buckets = 256
 
+  /** Mann–Whitney U z-test (operators/Eval.mannWhitney) on the SAME
+    * click-vs-error value populations as e03's KS — the rank-based
+    * location-shift test next to the CDF-supremum test: exact integer
+    * 2U₁/2μ off the doubled-midrank fold, tie-corrected variance in
+    * exact rational decimal(38,0), z a stated cast/sqrt/divide
+    * chain. */
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.mannWhitney(
+      ev(s, dir).filter(col("event_type").isin("click", "error")),
+      col("value"), col("event_type") === "click")
+
   /** Pairwise source-divergence profile (text/TextOps.jsDivergence,
     * Lin 1991): the which-sources-differ report a mixture designer
     * reads next to t14's which-docs-match-the-target weights — JS
@@ -4010,6 +4021,7 @@ object SparkEntry {
     "e07_pr_auc" -> (e07 _),
     "e08_bootstrap_ci" -> (e08 _),
     "e09_spearman" -> (e09 _),
+    "e10_mannwhitney" -> (e10 _),
     "g01_pagerank" -> (g01 _),
     "g02_hits" -> (g02 _),
     "k01_sketch_distinct" -> (k01 _),

@@ -546,6 +546,70 @@ object Eval {
         (col("num") / (sqrt(col("dx")) * sqrt(col("dy")))).as("rho"))
   }
 
+  /** Mann–Whitney U two-sample test with tie correction (Mann &
+    * Whitney 1947; the rank-based did-the-distribution-shift test
+    * next to [[ks2Sample]]'s CDF supremum — more powerful against
+    * location shifts, and the U statistic is [[aucExact]]'s numerator
+    * wearing its hypothesis-test hat): one row with exact integer
+    * `u2` = 2·U₁ = 2·ΣR₁ − n₁(n₁+1) and `mu2` = 2·μ = n₁·n₂ off the
+    * same doubled-midrank fold, the tie-corrected variance in exact
+    * rational form
+    *
+    *   Var = n₁·n₂·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1))
+    *
+    * (numerator and denominator exact decimal(38,0) — t³ passes int64
+    * at probe scale), and z = (u2 − mu2) / (2·√Var) as a stated
+    * cast/sqrt/divide chain. All-tied input (zero variance) raises
+    * loudly, the [[chi2FromCells]] rule.
+    *
+    * Scale shape: the corpus collapses to the value-grid counts frame
+    * in ONE map-side-combined aggregate (the [[aucState]] posture);
+    * the fold runs on the bounded grid. */
+  def mannWhitney(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.select(value.as("v"), inA.cast("boolean").as("a"))
+      .where(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("c_b"))
+    val g = counts.agg(
+      array_sort(collect_list(struct(col("v"), col("c_a"), col("c_b"))))
+        .as("grid"),
+      sum("c_a").as("n_a"), sum("c_b").as("n_b"),
+      sum((col("c_a") + col("c_b")).cast(d38) *
+        (col("c_a") + col("c_b")) * (col("c_a") + col("c_b")) -
+        (col("c_a") + col("c_b")).cast(d38)).as("t_ties"))
+    val folded = g.select(col("n_a"), col("n_b"), col("t_ties"),
+      aggregate(col("grid"),
+        struct(lit(0L).as("cum"), lit(0L).as("two_r")),
+        (acc, x) => {
+          val t = x("c_a") + x("c_b")
+          struct((acc("cum") + t).as("cum"),
+            (acc("two_r") + x("c_a") *
+              (lit(2L) * acc("cum") + t + lit(1L))).as("two_r"))
+        },
+        acc => acc("two_r")).as("two_r1"))
+    val n = (col("n_a") + col("n_b")).cast(d38)
+    val varNum = (col("n_a").cast(d38) * col("n_b")) *
+      ((n + 1) * n * (n - 1) - col("t_ties"))
+    val varDen = lit(12).cast(d38) * n * (n - 1)
+    folded.select(col("n_a"), col("n_b"),
+        (col("two_r1") - col("n_a") * (col("n_a") + lit(1L))).as("u2"),
+        (col("n_a") * col("n_b")).as("mu2"),
+        col("t_ties").cast("double").as("t_ties"),
+        when(varNum > 0, varNum).otherwise(raise_error(lit(
+          "Eval.mannWhitney: zero rank variance — every value is " +
+            "tied (or a population is empty), the test is undefined")))
+          .as("vn"),
+        varDen.as("vd"))
+      .select(col("n_a"), col("n_b"), col("u2"), col("mu2"),
+        col("t_ties"),
+        (col("vn").cast("double") / col("vd").cast("double"))
+          .as("var_u"))
+      .withColumn("z", (col("u2") - col("mu2")).cast("double") /
+        (lit(2.0) * sqrt(col("var_u"))))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of population `inA` and its complement: one row
     * with `n_a`, `n_b`, the EXACT integer `ks_num` =

@@ -407,6 +407,28 @@ class EvalSpec extends AnyFunSuite {
       ex.getMessage.contains("zero rank variance"))
   }
 
+  test("mannWhitney: hand-computed ties match exactly; all-tied " +
+      "input raises loudly") {
+    // A = {1, 2}, B = {2, 3}: midranks 1, 2.5 | 2.5, 4 -> R1 = 3.5,
+    // U1 = 0.5 -> u2 = 1; mu2 = 4; T = 2³-2 = 6;
+    // Var = 4·(5·4·3 − 6)/144 = 1.5; z = −3/(2·√1.5)
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "a")
+    val r = graft.operators.Eval.mannWhitney(df, col("v"), col("a"))
+      .collect()(0)
+    assert(r.getAs[Long]("u2") == 1L && r.getAs[Long]("mu2") == 4L)
+    assert(r.getAs[Double]("t_ties") == 6.0)
+    assert(r.getAs[Double]("var_u") == 1.5)
+    assert(r.getAs[Double]("z") == -3.0 / (2.0 * math.sqrt(1.5)))
+    val tied = Seq((5L, true), (5L, false)).toDF("v", "a")
+    val ex = intercept[Exception] {
+      graft.operators.Eval.mannWhitney(tied, col("v"), col("a"))
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("zero rank variance"))
+  }
+
   test("st15 streaming bootstrap equals the e08 batch report row-for-" +
       "row on gate data (order-insensitive integer counting in state)") {
     val sf = TestSpark.sf
