@@ -3123,6 +3123,47 @@ object OracleSql {
       sb.toString
     },
 
+    // e11: PSI re-derived — the same exact cent binning (decimal cast
+    // · 100 → BIGINT, // the integral div, top bin clamped), the same
+    // smoothed densities over ALL bins, the same bin-ascending fold;
+    // ln at 6 dp is the t14/t25 libm precedent.
+    "e11_psi" -> {
+      val bins = graft.SparkEntry.e11Bins
+      val bc = graft.SparkEntry.e11BinCents
+      s"""WITH b AS (SELECT
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             (event_type = 'click') AS a
+           FROM events WHERE event_type IN ('click', 'error')),
+         c AS (SELECT least(cents // $bc, ${bins - 1}) AS bin,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_b FROM c),
+         dense AS (SELECT u.bin,
+             COALESCE(c.c_a, 0) AS c_a, COALESCE(c.c_b, 0) AS c_b,
+             (COALESCE(c.c_a, 0) + 0.5) / (t.n_a + 0.5 * $bins) AS p_a,
+             (COALESCE(c.c_b, 0) + 0.5) / (t.n_b + 0.5 * $bins) AS p_b
+           FROM unnest(generate_series(0, ${bins - 1})) AS u(bin)
+           CROSS JOIN t
+           LEFT JOIN c ON c.bin = u.bin),
+         d2 AS (SELECT bin, c_a, c_b, p_a, p_b,
+             (p_a - p_b) * ln(p_a / p_b) AS t_raw FROM dense)
+         SELECT kind, bin, c_a, c_b, p_a, p_b, term FROM (
+           SELECT 'bin' AS kind, CAST(bin AS BIGINT) AS bin, c_a, c_b,
+             p_a, p_b, round(t_raw, 6) AS term FROM d2
+           UNION ALL
+           SELECT 'total', CAST(-1 AS BIGINT),
+             CAST(SUM(c_a) AS BIGINT), CAST(SUM(c_b) AS BIGINT),
+             0.0, 0.0,
+             round(list_reduce(list(t_raw ORDER BY bin),
+               (x, y) -> x + y), 6)
+           FROM d2)
+         ORDER BY kind, bin"""
+    },
+
     // e10: Mann–Whitney with midranks — the same doubled-midrank
     // cumulative window as e01/e09, the tie term and variance in
     // HUGEINT twinning the gate's decimal(38,0), the same

@@ -3040,6 +3040,23 @@ object SparkEntry {
   /** t25's slot knob, shared with the oracle SQL generator. */
   private[graft] val t25Buckets = 256
 
+  /** e11's knobs, shared with the oracle SQL generator: 10 bins of
+    * 50.00 (5000 cents) each, top bin clamped. */
+  private[graft] val e11Bins = 10
+  private[graft] val e11BinCents = 5000L
+
+  /** Population Stability Index (operators/Eval.psi) on the SAME
+    * click-vs-error value populations as e03/e10 — the ML-ops drift
+    * score (PSI > 0.25 = the classic retrain alarm) next to the
+    * hypothesis tests: exact integer cent binning, smoothed densities
+    * over ALL bins, the bin-ascending ln fold at 6 dp. */
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.psi(
+        ev(s, dir).filter(col("event_type").isin("click", "error")),
+        col("value"), col("event_type") === "click",
+        bins = e11Bins, binCents = e11BinCents)
+      .orderBy("kind", "bin")
+
   /** Mann–Whitney U z-test (operators/Eval.mannWhitney) on the SAME
     * click-vs-error value populations as e03's KS — the rank-based
     * location-shift test next to the CDF-supremum test: exact integer
@@ -4022,6 +4039,7 @@ object SparkEntry {
     "e08_bootstrap_ci" -> (e08 _),
     "e09_spearman" -> (e09 _),
     "e10_mannwhitney" -> (e10 _),
+    "e11_psi" -> (e11 _),
     "g01_pagerank" -> (g01 _),
     "g02_hits" -> (g02 _),
     "k01_sketch_distinct" -> (k01 _),

@@ -546,6 +546,80 @@ object Eval {
         (col("num") / (sqrt(col("dx")) * sqrt(col("dy")))).as("rho"))
   }
 
+  /** Population Stability Index between two populations' value
+    * distributions (the industry-standard model-monitoring drift
+    * score — the ML-ops companion to [[chi2Drift]]'s hypothesis test
+    * and [[ks2Sample]]'s supremum: PSI > 0.25 is the classic
+    * "retrain" alarm): values bin by EXACT INTEGER cent arithmetic
+    * (2-dp value → cents via the decimal cast, bin = cents div
+    * `binCents`, top bin clamped — no IEEE boundary hazards), each
+    * population induces an add-`alpha`-smoothed distribution over ALL
+    * `bins` bins (empty bins keep smoothing mass), and
+    *
+    *   PSI = Σ_bin (p_a − p_b)·ln(p_a/p_b)
+    *
+    * folds bin-ascending (the chi2/KS order discipline). Output: one
+    * `bin` row per bin (exact counts, both smoothed densities, the
+    * 6-dp term) + one `total` row with the 6-dp PSI (ln at 6 dp is
+    * the t14/t25 libm precedent). Negative values and an empty
+    * population raise loudly.
+    *
+    * Scale shape: ONE map-side-combined groupBy to ≤`bins` rows is
+    * the only corpus-sized stage; densify/totals/fold are bin-count
+    * work. */
+  def psi(df: DataFrame, value: Column, inA: Column, bins: Int,
+      binCents: Long, alpha: Double = 0.5): DataFrame = {
+    require(bins > 1 && binCents > 0 && alpha > 0,
+      s"psi: bad knobs ($bins, $binCents, $alpha)")
+    val cnt = df.select(
+        (graft.util.dec(value) * 100).cast("long").as("cents"),
+        inA.cast("boolean").as("a"))
+      .where(col("cents").isNotNull && col("a").isNotNull)
+      .select(
+        when(col("cents") >= 0,
+          expr(s"least(cents div ${binCents}L, ${bins - 1}L)"))
+          .otherwise(raise_error(lit(
+            "Eval.psi: negative value — the cent binning contract " +
+              "covers nonnegative 2-dp values only"))).as("bin"),
+        col("a"))
+      .groupBy("bin")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = cnt.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+      .select(
+        when(col("n_a") > 0, col("n_a")).otherwise(raise_error(lit(
+          "Eval.psi: population A is empty"))).as("n_a"),
+        when(col("n_b") > 0, col("n_b")).otherwise(raise_error(lit(
+          "Eval.psi: population B is empty"))).as("n_b"))
+    // densify over every bin, then the 1-row totals zip (p08 class)
+    val dense = tot.select(col("n_a"), col("n_b"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(cnt, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        ((coalesce(col("c_a"), lit(0L)) + lit(alpha)) /
+          (col("n_a") + lit(alpha * bins))).as("p_a"),
+        ((coalesce(col("c_b"), lit(0L)) + lit(alpha)) /
+          (col("n_b") + lit(alpha * bins))).as("p_b"))
+      .withColumn("t_raw",
+        (col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")))
+      // bins-row frame, memoized (the q46 discipline)
+      .localCheckpoint()
+    val binRows = dense.select(lit("bin").as("kind"), col("bin"),
+      col("c_a"), col("c_b"), col("p_a"), col("p_b"),
+      round(col("t_raw"), 6).as("term"))
+    val total = dense.agg(
+        aggregate(array_sort(collect_list(struct(col("bin"),
+          col("t_raw")))), lit(0.0), (a, x) => a + x("t_raw"))
+          .as("psi"),
+        sum("c_a").as("c_a"), sum("c_b").as("c_b"))
+      .select(lit("total").as("kind"), lit(-1L).as("bin"),
+        col("c_a"), col("c_b"), lit(0.0).as("p_a"), lit(0.0).as("p_b"),
+        round(col("psi"), 6).as("term"))
+    binRows.unionByName(total)
+  }
+
   /** Mann–Whitney U two-sample test with tie correction (Mann &
     * Whitney 1947; the rank-based did-the-distribution-shift test
     * next to [[ks2Sample]]'s CDF supremum — more powerful against

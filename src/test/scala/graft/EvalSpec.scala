@@ -429,6 +429,38 @@ class EvalSpec extends AnyFunSuite {
       ex.getMessage.contains("zero rank variance"))
   }
 
+  test("psi: hand-computed bins match the pinned chain; negative " +
+      "values and empty populations raise loudly") {
+    // A = {0.50, 1.50}, B = {0.50, 0.50}, 2 bins of 1.00 ->
+    // counts A: (1,1), B: (2,0); smoothed denom n + 0.5·2 = 3
+    val df = Seq((0.50, true), (1.50, true), (0.50, false),
+      (0.50, false)).toDF("v", "a")
+    val out = graft.operators.Eval.psi(df, col("v"), col("a"),
+      bins = 2, binCents = 100L).orderBy("kind", "bin").collect()
+    val b0 = out(0); val b1 = out(1); val tot = out(2)
+    assert(b0.getAs[Long]("c_a") == 1L && b0.getAs[Long]("c_b") == 2L)
+    assert(b1.getAs[Long]("c_a") == 1L && b1.getAs[Long]("c_b") == 0L)
+    val t0 = (1.5 / 3 - 2.5 / 3) * math.log((1.5 / 3) / (2.5 / 3))
+    val t1 = (1.5 / 3 - 0.5 / 3) * math.log((1.5 / 3) / (0.5 / 3))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(b0.getAs[Double]("term") == r6(t0))
+    assert(b1.getAs[Double]("term") == r6(t1))
+    assert(tot.getAs[Double]("term") == r6(t0 + t1))
+    val neg = Seq((-0.50, true), (0.50, false)).toDF("v", "a")
+    val ex = intercept[Exception] {
+      graft.operators.Eval.psi(neg, col("v"), col("a"), 2, 100L)
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("negative"))
+    val onePop = Seq((0.50, true), (1.50, true)).toDF("v", "a")
+    val ex2 = intercept[Exception] {
+      graft.operators.Eval.psi(onePop, col("v"), col("a"), 2, 100L)
+        .collect()
+    }
+    assert(ex2.getMessage != null && ex2.getMessage.contains("empty"))
+  }
+
   test("st15 streaming bootstrap equals the e08 batch report row-for-" +
       "row on gate data (order-insensitive integer counting in state)") {
     val sf = TestSpark.sf
