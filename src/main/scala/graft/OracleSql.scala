@@ -3074,6 +3074,63 @@ object OracleSql {
       sb.toString
     },
 
+    // g03: TrustRank replayed round-for-round over g01's edge fixture —
+    // teleport + dangling mass to seeds only, the same integer //
+    // arithmetic, rounds unrolled as MATERIALIZED chained CTEs.
+    "g03_trustrank" -> {
+      val u = graft.SparkEntry.g01Unit
+      val num = graft.SparkEntry.g01DampNum
+      val den = graft.SparkEntry.g01DampDen
+      val seed = graft.SparkEntry.g01Seed
+      val iters = graft.SparkEntry.g03Iters
+      val sb = new StringBuilder
+      sb ++= s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS node,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+               THEN 1 ELSE 0 END AS is_seed
+           FROM documents),
+         nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(doc_id) AS BIGINT) AS lo FROM documents),
+         ns AS MATERIALIZED (SELECT CAST(SUM(is_seed) AS BIGINT)
+             AS n_seeds FROM nodes),
+         edges AS MATERIALIZED (SELECT node AS src,
+             lo + (CAST(concat('0x', substr(md5('$seed' ||
+               CAST(j AS VARCHAR) || '|' || CAST(node AS VARCHAR)),
+               1, 15)) AS BIGINT) % n) AS dst
+           FROM nodes, nn, unnest(generate_series(0,
+             ${graft.SparkEntry.g01OutDeg - 1})) AS t(j)),
+         deg AS MATERIALIZED (SELECT src,
+             CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY 1),
+         r0 AS MATERIALIZED (SELECT node, is_seed,
+             CASE WHEN is_seed = 1 THEN $u // (SELECT n_seeds FROM ns)
+               ELSE 0 END AS r
+           FROM nodes)"""
+      for (i <- 1 to iters) {
+        sb ++= s""",
+         c$i AS MATERIALIZED (SELECT e.dst AS node,
+             CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_sum
+           FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY 1),
+         d$i AS MATERIALIZED (SELECT
+             COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dmass
+           FROM r${i - 1} r LEFT JOIN deg dg ON r.node = dg.src
+           WHERE dg.src IS NULL),
+         r$i AS MATERIALIZED (SELECT nd.node, nd.is_seed,
+             (($num * COALESCE(c.in_sum, 0)) // $den) +
+             (CASE WHEN nd.is_seed = 1 THEN
+                ((${den - num} * $u) + ($num * dm.dmass))
+                  // ($den * ns.n_seeds)
+              ELSE 0 END) AS r
+           FROM nodes nd CROSS JOIN ns CROSS JOIN d$i dm
+           LEFT JOIN c$i c ON nd.node = c.node)"""
+      }
+      sb ++= s"""
+         SELECT node, CAST(is_seed AS BIGINT) AS is_seed, r,
+           CAST(r AS DOUBLE) / CAST($u AS DOUBLE) AS rank
+         FROM r$iters ORDER BY node"""
+      sb.toString
+    },
+
     // g02: fixed-point HITS replayed round-for-round over g01's edge
     // fixture — integer L1 normalization, the ·unit products in
     // HUGEINT twinning the gate's decimal(38,0), // the integral

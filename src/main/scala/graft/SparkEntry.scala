@@ -3094,6 +3094,29 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** g03's iteration knob, shared with the oracle SQL generator. */
+  private[graft] val g03Iters = 10
+
+  /** TrustRank — seeded personalized PageRank
+    * (graph/Graph.personalizedPageRank, Gyöngyi et al. 2004) over the
+    * SAME planted crawl graph as g01/g02: trusted seeds = documents
+    * whose source index divides by 3 (7 of the 20 sources), teleport
+    * AND dangling mass flow only to seeds, trust measured as what the
+    * seed set can reach — the spam-demotion / crawl-frontier weight
+    * next to g01's global centrality. Same integer fixed-point
+    * contract; FULL DuckDB oracle unrolls all rounds. */
+  private def g03(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nodes = docs.select(col("doc_id").as("node"), col("source"))
+    val edges = graft.graph.Graph.hashLinks(
+      nodes.select("node"), g01Seed, g01OutDeg)
+    graft.graph.Graph.personalizedPageRank(nodes, edges,
+        seed = substring(col("source"), 4, 10).cast("long") % 3 === 0,
+        iters = g03Iters, dampNum = g01DampNum, dampDen = g01DampDen,
+        unit = g01Unit)
+      .orderBy("node")
+  }
+
   /** e05's top-k knob, shared with the oracle SQL generator. */
   private[graft] val e05TopK = 5
 
@@ -4042,6 +4065,7 @@ object SparkEntry {
     "e11_psi" -> (e11 _),
     "g01_pagerank" -> (g01 _),
     "g02_hits" -> (g02 _),
+    "g03_trustrank" -> (g03 _),
     "k01_sketch_distinct" -> (k01 _),
     "k02_sketch_quantiles" -> (k02 _),
     "k03_ams_f2" -> (k03 _),

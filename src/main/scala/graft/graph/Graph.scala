@@ -133,6 +133,78 @@ object Graph {
         (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
   }
 
+  /** Fixed-point PERSONALIZED PageRank / TrustRank (Gyöngyi, Garcia-
+    * Molina & Pedersen 2004, "Combating Web Spam with TrustRank" —
+    * the seeded variant that answers the curation question [[pageRank]]
+    * cannot: not "what is globally central" but "what is reachable
+    * from sources we TRUST"; the standard crawl-frontier and
+    * spam-demotion weight): identical integer micro-unit machinery,
+    * but the teleport mass — and, per the personalization, the
+    * dangling mass — flows ONLY to the `seed` nodes:
+    *
+    *   r'(v) = (dampNum·Σ_{u→v} r(u) div outdeg(u)) div dampDen
+    *         + [v ∈ S]·(((dampDen−dampNum)·unit + dampNum·D)
+    *                    div (dampDen·|S|))
+    *
+    * with D the dangling-rank total. Every step is div/mod/sum (the
+    * [[pageRank]] order-free contract verbatim); an empty seed set
+    * raises loudly. Output: (node, is_seed, r, rank) — non-seed nodes
+    * unreachable from any seed read exactly 0 (trust does not leak),
+    * the spec-pinned TrustRank property. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seed: org.apache.spark.sql.Column, iters: Int,
+      dampNum: Int = 17, dampDen: Int = 20,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters > 0 && iters <= 50, s"personalizedPageRank: bad iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"personalizedPageRank: damping must be in (0,1)")
+    require(unit >= 1000000L, s"personalizedPageRank: unit too coarse")
+    for (c <- Seq("src", "dst"))
+      require(edges.columns.contains(c),
+        s"personalizedPageRank: edges need '$c'")
+    val nd = nodes.select(col("node").cast("long").as("node"),
+      when(seed.cast("boolean"), 1L).otherwise(0L).as("is_seed"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ewd = e.join(deg, "src").localCheckpoint()
+    val nSeeds = nd.agg(sum("is_seed").as("n_seeds"))
+      .select(when(col("n_seeds") > 0, col("n_seeds"))
+        .otherwise(raise_error(lit(
+          "Graph.personalizedPageRank: empty seed set — trust has " +
+            "nowhere to start"))).as("n_seeds"))
+    // 1-row scalar zip (the p08 declared class); trust starts AT the
+    // seeds: r0 = unit div |S| on seeds, 0 elsewhere
+    var ranks = nd.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("is_seed"), col("n_seeds"),
+        expr(s"case when is_seed = 1 then ${unit}L div n_seeds " +
+          "else 0L end").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ewd.join(ranks.select("node", "r"),
+          ewd("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("in_sum"))
+      val dangling = ranks.select("node", "r")
+        .join(deg.select(col("src").as("node")), Seq("node"),
+          "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
+      ranks = ranks.select("node", "is_seed", "n_seeds")
+        .crossJoin(broadcast(dangling))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("is_seed"), col("n_seeds"),
+          expr(s"((${dampNum}L * coalesce(in_sum, 0L)) div " +
+            s"${dampDen}L) + (case when is_seed = 1 then " +
+            s"((${dampDen - dampNum}L * ${unit}L) + " +
+            s"(${dampNum}L * dmass)) div (${dampDen}L * n_seeds) " +
+            "else 0L end)").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("is_seed"), col("r"),
+      (col("r").cast("double") / lit(unit.toDouble)).as("rank"))
+  }
+
   /** Fixed-point HITS (Kleinberg 1999 — hubs and authorities; the
     * companion link signal to [[pageRank]]: a crawl pipeline seeds new
     * fetches from strong HUBS and weights content by strong

@@ -48,8 +48,17 @@ object GraphProbe {
           unit = graft.SparkEntry.g01Unit)
         .write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
+      graft.graph.Graph.personalizedPageRank(nodes, e,
+          seed = col("node") % 3 === 0,
+          iters = graft.SparkEntry.g03Iters,
+          dampNum = graft.SparkEntry.g01DampNum,
+          dampDen = graft.SparkEntry.g01DampDen,
+          unit = graft.SparkEntry.g01Unit)
+        .write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
       println(f"rep $r n=$n pagerank=${(t1 - t0) / 1e9}%.2f " +
-        f"hits=${(t2 - t1) / 1e9}%.2f")
+        f"hits=${(t2 - t1) / 1e9}%.2f " +
+        f"trustrank=${(t3 - t2) / 1e9}%.2f")
     }
     spark.stop()
   }

@@ -118,6 +118,51 @@ class GraphSpec extends AnyFunSuite {
       s"edgeless graph must raise: ${ex.getMessage}")
   }
 
+  test("personalizedPageRank: trust does not leak — nodes unreachable " +
+      "from the seeds read exactly 0; empty seed set raises") {
+    // 0 <-> 1 cycle, 2 -> 1 from outside; seed = {0}: node 2 has no
+    // in-path from the seed, so its trust is EXACTLY zero
+    val r = Graph.personalizedPageRank(
+        Seq(0L, 1L, 2L).toDF("node"),
+        Seq((0L, 1L), (1L, 0L), (2L, 1L)).toDF("src", "dst"),
+        seed = col("node") === 0L, iters = 10)
+      .orderBy("node").collect()
+    assert(r(2).getLong(2) == 0L, "unreachable node must hold 0 trust")
+    assert(r(0).getLong(2) > 0L && r(1).getLong(2) > 0L)
+    assert(r(0).getAs[Long]("is_seed") == 1L &&
+      r(2).getAs[Long]("is_seed") == 0L)
+    val ex = intercept[Exception] {
+      Graph.personalizedPageRank(Seq(0L, 1L).toDF("node"),
+        Seq((0L, 1L)).toDF("src", "dst"),
+        seed = lit(false), iters = 3).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("empty seed"))
+  }
+
+  test("personalizedPageRank: dangling mass returns to the seeds — " +
+      "the hand-computed 2-node fixed point") {
+    // 0 -> 1 (1 dangling), seed {0}: r0 = 0.15 + 0.85·r1,
+    // r1 = 0.85·r0 -> r0 = 0.15/(1 − 0.7225) ≈ 0.5405, r1 ≈ 0.4595
+    val r = Graph.personalizedPageRank(Seq(0L, 1L).toDF("node"),
+        Seq((0L, 1L)).toDF("src", "dst"),
+        seed = col("node") === 0L, iters = 40)
+      .orderBy("node").collect()
+    assert(math.abs(r(0).getLong(2).toDouble / U - 0.5405) < 0.01)
+    assert(math.abs(r(1).getLong(2).toDouble / U - 0.4595) < 0.01)
+  }
+
+  test("personalizedPageRank is partitioning-invariant (integer sums)") {
+    val nodes = spark.range(0, 60).toDF("node")
+    val edges = Graph.hashLinks(nodes, "spec-tr", 3).localCheckpoint()
+    val a = Graph.personalizedPageRank(nodes.repartition(1),
+        edges.repartition(1), seed = col("node") % 5 === 0, iters = 5)
+      .orderBy("node").collect().toSeq
+    val b = Graph.personalizedPageRank(nodes.repartition(7),
+        edges.repartition(13), seed = col("node") % 5 === 0, iters = 5)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
   test("plan: g01's per-round in-sums map-side combine; no cartesian, " +
       "no window — the only nested loops are the declared 1-row " +
       "scalar zips") {

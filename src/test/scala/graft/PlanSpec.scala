@@ -120,7 +120,10 @@ class PlanSpec extends AnyFunSuite {
       "g01_pagerank",
       // g02 zips the two 1-row L1 normalizers into each HITS round
       // (the same scalar class)
-      "g02_hits")
+      "g02_hits",
+      // g03 zips the 1-row seed-count frame and per-round dangling
+      // mass, g01's class
+      "g03_trustrank")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
