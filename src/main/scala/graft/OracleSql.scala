@@ -1599,6 +1599,49 @@ object OracleSql {
          FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
+    // e12: Cohen's kappa over the same langid prediction as t16 —
+    // exact confusion totals, per-class chance contributions, the
+    // all-integer kappa identity in HUGEINT twinning decimal(38,0).
+    "e12_cohens_kappa" -> {
+      val scoreCols = graft.text.TextOps.profiles
+        .map { case (l, _) => s"${langScore(l)} AS s_$l" }.mkString(",\n")
+      val langs = graft.text.TextOps.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseExpr = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (SELECT lang AS t, $scoreCols
+             FROM documents),
+         cm AS (SELECT $caseExpr AS p, t,
+             CAST(COUNT(*) AS BIGINT) AS n_pt
+           FROM scored GROUP BY 1, 2),
+         cls AS (SELECT DISTINCT label FROM
+           (SELECT p AS label FROM cm UNION ALL SELECT t FROM cm)),
+         pt AS (SELECT p AS label, CAST(SUM(n_pt) AS BIGINT) AS n_pred
+           FROM cm GROUP BY 1),
+         tt AS (SELECT t AS label, CAST(SUM(n_pt) AS BIGINT) AS n_true
+           FROM cm GROUP BY 1),
+         dg AS (SELECT p AS label, n_pt AS n_agree FROM cm WHERE p = t),
+         bc AS (SELECT c.label,
+             COALESCE(pt.n_pred, 0) AS n_pred,
+             COALESCE(tt.n_true, 0) AS n_true,
+             COALESCE(dg.n_agree, 0) AS n_agree,
+             COALESCE(pt.n_pred, 0) * COALESCE(tt.n_true, 0) AS pe
+           FROM cls c LEFT JOIN pt USING (label)
+           LEFT JOIN tt USING (label) LEFT JOIN dg USING (label)),
+         ag AS (SELECT CAST(SUM(n_pred) AS BIGINT) AS n,
+             CAST(SUM(n_agree) AS BIGINT) AS agree,
+             CAST(SUM(CAST(pe AS HUGEINT)) AS HUGEINT) AS pe FROM bc)
+         SELECT kind, label, n_pred, n_true, n_agree, pe, kappa FROM (
+           SELECT 'class' AS kind, label, n_pred, n_true, n_agree, pe,
+             0.0 AS kappa FROM bc
+           UNION ALL
+           SELECT 'total', '', n, n, agree, CAST(pe AS BIGINT),
+             CAST(CAST(n AS HUGEINT)*agree - pe AS DOUBLE) /
+             CAST(CAST(n AS HUGEINT)*n - pe AS DOUBLE)
+           FROM ag)
+         ORDER BY kind, label"""
+    },
+
     "t02_quality" ->
       s"""SELECT doc_id, $qualitySql AS quality
          FROM documents ORDER BY doc_id""",

@@ -3117,6 +3117,17 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Cohen's kappa (operators/Eval.cohensKappa) between t01's n-gram
+    * language prediction and the true lang label — the chance-
+    * corrected agreement score OVER t16's raw confusion matrix
+    * (accuracy flatters the skewed corpus; kappa subtracts what the
+    * marginals agree on by chance): per-class exact totals +
+    * chance contributions, κ all-integer until one division. */
+  private def e12(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cohensKappa(t(s, dir, "documents"),
+        TextOps.langId(col("text")), col("lang"))
+      .orderBy("kind", "label")
+
   /** e05's top-k knob, shared with the oracle SQL generator. */
   private[graft] val e05TopK = 5
 
@@ -4063,6 +4074,7 @@ object SparkEntry {
     "e09_spearman" -> (e09 _),
     "e10_mannwhitney" -> (e10 _),
     "e11_psi" -> (e11 _),
+    "e12_cohens_kappa" -> (e12 _),
     "g01_pagerank" -> (g01 _),
     "g02_hits" -> (g02 _),
     "g03_trustrank" -> (g03 _),

@@ -546,6 +546,70 @@ object Eval {
         (col("num") / (sqrt(col("dx")) * sqrt(col("dy")))).as("rho"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings (Cohen 1960; the did-my-classifier-really-
+    * learn check next to a raw confusion matrix: accuracy flatters a
+    * skewed corpus, kappa subtracts what label marginals agree on by
+    * chance): per-class rows with exact prediction/truth totals, the
+    * diagonal count, and the class's chance-agreement contribution
+    * pe_i = n_pred·n_true, plus one `total` row with
+    *
+    *   κ = (n·Σdiag − Σ pe_i) / (n² − Σ pe_i)
+    *
+    * — ALL integer until the one division (numerator and denominator
+    * carried in decimal(38,0), so the identity survives row counts
+    * past √int64). A degenerate marginal (n² = Σpe: both labelings
+    * constant) raises loudly, the [[chi2FromCells]] rule.
+    *
+    * Scale shape: ONE map-side-combined groupBy to the
+    * |classes|²-bounded confusion frame is the only corpus-sized
+    * stage; totals/joins are class-count work. */
+  def cohensKappa(df: DataFrame, pred: Column,
+      truth: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cm = df.select(pred.cast("string").as("p"),
+        truth.cast("string").as("t"))
+      .where(col("p").isNotNull && col("t").isNotNull)
+      .groupBy("p", "t").agg(count(lit(1)).as("n_pt"))
+      // |classes|²-row frame, memoized (the q46 discipline): every
+      // branch below reads it — the corpus scans once
+      .localCheckpoint()
+    val classes = cm.select(col("p").as("label"))
+      .unionByName(cm.select(col("t").as("label"))).distinct()
+    val pTot = cm.groupBy(col("p").as("label"))
+      .agg(sum("n_pt").as("n_pred"))
+    val tTot = cm.groupBy(col("t").as("label"))
+      .agg(sum("n_pt").as("n_true"))
+    val diag = cm.where(col("p") === col("t"))
+      .select(col("p").as("label"), col("n_pt").as("n_agree"))
+    val byClass = classes
+      .join(pTot, Seq("label"), "left")
+      .join(tTot, Seq("label"), "left")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("pe", col("n_pred") * col("n_true"))
+      .localCheckpoint()
+    val classRows = byClass.select(lit("class").as("kind"),
+      col("label"), col("n_pred"), col("n_true"), col("n_agree"),
+      col("pe"), lit(0.0).as("kappa"))
+    val agg = byClass.agg(sum("n_pred").as("n"),
+      sum("n_agree").as("agree"),
+      sum(col("pe").cast(d38)).as("pe"))
+    val den = (col("n").cast(d38) * col("n") - col("pe"))
+    val total = agg.select(lit("total").as("kind"), lit("").as("label"),
+      col("n").as("n_pred"), col("n").as("n_true"),
+      col("agree").as("n_agree"), col("pe").cast("long").as("pe"),
+      ((col("n").cast(d38) * col("agree") - col("pe")).cast("double") /
+        when(den > 0, den).otherwise(raise_error(lit(
+          "Eval.cohensKappa: degenerate marginals — both labelings " +
+            "are constant, chance agreement is total"))).cast("double"))
+        .as("kappa"))
+    classRows.unionByName(total)
+  }
+
   /** Population Stability Index between two populations' value
     * distributions (the industry-standard model-monitoring drift
     * score — the ML-ops companion to [[chi2Drift]]'s hypothesis test

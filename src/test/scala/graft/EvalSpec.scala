@@ -461,6 +461,34 @@ class EvalSpec extends AnyFunSuite {
     assert(ex2.getMessage != null && ex2.getMessage.contains("empty"))
   }
 
+  test("cohensKappa: hand-computed kappa is exact; constant labelings " +
+      "raise loudly") {
+    // pairs (pred,true): (a,a),(a,b),(b,b),(b,b) ->
+    // n=4, agree=3, pe = 2·1 + 2·3 = 8, kappa = (12−8)/(16−8) = 0.5
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("p", "t")
+    val out = graft.operators.Eval.cohensKappa(df, col("p"), col("t"))
+      .orderBy("kind", "label").collect()
+    val byLabel = out.filter(_.getString(0) == "class")
+      .map(r => r.getString(1) -> r).toMap
+    assert(byLabel("a").getAs[Long]("n_pred") == 2L &&
+      byLabel("a").getAs[Long]("n_true") == 1L &&
+      byLabel("a").getAs[Long]("pe") == 2L)
+    assert(byLabel("b").getAs[Long]("n_agree") == 2L &&
+      byLabel("b").getAs[Long]("pe") == 6L)
+    val tot = out.filter(_.getString(0) == "total").head
+    assert(tot.getAs[Long]("n_agree") == 3L &&
+      tot.getAs[Long]("pe") == 8L)
+    assert(tot.getAs[Double]("kappa") == 0.5)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("p", "t")
+    val ex = intercept[Exception] {
+      graft.operators.Eval.cohensKappa(const, col("p"), col("t"))
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("degenerate marginals"))
+  }
+
   test("st15 streaming bootstrap equals the e08 batch report row-for-" +
       "row on gate data (order-insensitive integer counting in state)") {
     val sf = TestSpark.sf
