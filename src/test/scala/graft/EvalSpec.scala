@@ -352,6 +352,51 @@ class EvalSpec extends AnyFunSuite {
       s"Poisson(1) mean drifted: ${r.getDouble(2)}")
   }
 
+  test("poissonCdf60: the pinned thresholds equal an independent " +
+      "60-digit recomputation of floor(CDF_k(Poisson(1))·2^60)") {
+    // e^{-1} via the alternating series at 60-digit precision, then
+    // cum_k = e^{-1}·Σ_{j≤k} 1/j! — a typo in any pinned constant
+    // would silently skew every bootstrap weight on BOTH engines
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    val mc = new MathContext(60, RoundingMode.HALF_EVEN)
+    var einv = JBD.ZERO; var term = JBD.ONE // (−1)^k / k!
+    for (k <- 0 to 60) {
+      if (k > 0) term = term.divide(new JBD(-k), mc)
+      einv = einv.add(term, mc)
+    }
+    var fact = JBD.ONE; var cum = JBD.ZERO
+    val two60 = new JBD(java.math.BigInteger.ONE.shiftLeft(60))
+    val got = (0 to 6).map { k =>
+      if (k > 0) fact = fact.multiply(new JBD(k), mc)
+      cum = cum.add(einv.divide(fact, mc), mc)
+      cum.multiply(two60, mc).toBigInteger.longValueExact()
+    }
+    assert(got == graft.operators.Eval.poissonCdf60,
+      s"pinned thresholds drifted: $got")
+  }
+
+  test("bootstrapFromReps: a rank past the replicate count raises " +
+      "loudly instead of emitting a null CI row") {
+    val reps = Seq((-1L, 4L, 40L), (0L, 3L, 30L), (1L, 5L, 50L))
+      .toDF("b", "n_eff", "wsum")
+    val ex = intercept[Exception] {
+      graft.operators.Eval.bootstrapFromReps(reps, loRank = 1,
+        hiRank = 3).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("exceeds"))
+  }
+
+  test("psi: values past the top bin edge clamp into the last bin") {
+    // 2 bins of 1.00; 10.00 is far past the edge -> bin 1
+    val df = Seq((0.50, true), (10.00, true), (0.50, false),
+      (1.50, false)).toDF("v", "a")
+    val out = graft.operators.Eval.psi(df, col("v"), col("a"),
+      bins = 2, binCents = 100L).orderBy("kind", "bin").collect()
+    val b1 = out(1)
+    assert(b1.getAs[Long]("bin") == 1L)
+    assert(b1.getAs[Long]("c_a") == 1L && b1.getAs[Long]("c_b") == 1L)
+  }
+
   test("poissonBootstrap: total row is the exact corpus mean, rep " +
       "rows count B, CI picks are real replicates bracketing the " +
       "point estimate on gate data") {
