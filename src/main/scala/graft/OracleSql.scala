@@ -2176,6 +2176,24 @@ object OracleSql {
              AS BIGINT) AS is_current
          FROM v ORDER BY user_id, version""",
 
+    // st09 (r17 promotion): the streamed daily-NDV frame hash-exact
+    // via the exported-estimate route — the drained (series, day,
+    // n_rows, ndv_hll, rsd) frame read from the gate's own ModelStore
+    // export, the batch count n recomputed from raw events in both
+    // engines so the hash additionally certifies stream-window ==
+    // batch count parity (the error contract itself lives in st14).
+    "st09_sketch_stream" ->
+      s"""WITH m AS (SELECT series, day, n_rows, ndv_hll, rsd
+             FROM read_parquet(
+               ${modelGlob("st09", "ndv_stream_profile")})),
+         x AS (SELECT event_type AS series,
+             strftime(date_trunc('day', $tsUs), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT x.series, x.day, m.n_rows, x.n, m.ndv_hll, m.rsd
+         FROM x JOIN m ON x.series = m.series AND x.day = m.day
+         ORDER BY x.series, x.day""",
+
     // st14: the st09 stream's HLL contract from the exported drained
     // estimate frame — k08's route on the streaming axis: exact
     // per-(series, day) NDV recomputed over events, containment
@@ -2357,6 +2375,38 @@ object OracleSql {
     // rebuilt relationally (k shared via SparkEntry.k05K). The rank
     // window runs over the per-source hash frame (bounded per group);
     // the estimator takes the k smallest of each pair's sketch UNION.
+    // k01 (r17 promotion): the HLL profile hash-exact via the
+    // exported-estimate route — ndv_hll/rsd read from the gate's own
+    // ModelStore export (the same bytes Spark re-read), the exact
+    // anchors n_rows/ndv_exact recomputed from raw events, rel_err
+    // re-derived with the gate's 6-dp rounding.
+    "k01_sketch_distinct" ->
+      s"""WITH m AS (SELECT series, ndv_hll, rsd
+             FROM read_parquet(${modelGlob("k01", "hll_profile")})),
+         x AS (SELECT event_type AS series,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact
+           FROM events GROUP BY 1)
+         SELECT x.series, x.n_rows, x.ndv_exact, m.ndv_hll,
+           ROUND(CAST(ABS(m.ndv_hll - x.ndv_exact) AS DOUBLE)
+             / CAST(x.ndv_exact AS DOUBLE), 6) AS rel_err,
+           m.rsd
+         FROM x JOIN m ON x.series = m.series
+         ORDER BY x.series""",
+
+    // k02 (r17 promotion): the GK quantile profile hash-exact via the
+    // exported-estimate route — p50/p90/p99/accuracy from the gate's
+    // export, n_rows (count of non-null value) recomputed from raw.
+    "k02_sketch_quantiles" ->
+      s"""WITH m AS (SELECT series, p50, p90, p99, accuracy
+             FROM read_parquet(${modelGlob("k02", "gk_quantiles")})),
+         x AS (SELECT event_type AS series,
+             CAST(COUNT(value) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1)
+         SELECT x.series, x.n_rows, m.p50, m.p90, m.p99, m.accuracy
+         FROM x JOIN m ON x.series = m.series
+         ORDER BY x.series""",
+
     // k07: the GK rank-window CONTRACT verified in SQL from the gate's
     // exported estimate frame — ranks recomputed exactly over events,
     // containment in the audit's q·n ± (n/accuracy + 1) window as pure

@@ -2519,13 +2519,37 @@ object SparkEntry {
   /** HLL++ cardinality profile over the event stream
     * (operators/Sketches.distinctProfile): per event_type, exact ndv of
     * user_id (the verifiable anchor, dropped at 100 TB) next to the
-    * fixed-memory sketch estimate. Rows-only: no SQL engine reproduces
-    * Spark's HLL registers — the driver audit recomputes the exact
-    * columns in DuckDB and asserts the estimate inside 5·rsd. */
-  private def k01(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sketches.distinctProfile(ev(s, dir),
+    * fixed-memory sketch estimate. Hash-exact since r17 via the
+    * exported-estimate route (k08's mechanics applied to the PROFILE
+    * shape): the production artifact — (series, ndv_hll, rsd), no
+    * exact column — persists via ModelStore and is read back, the
+    * exact anchors (n_rows, ndv_exact) are recomputed from raw events
+    * in BOTH engines, and rel_err derives from the exported estimate
+    * with the identical 6-dp rounding. DuckDB reads the same estimate
+    * bytes, so every column hash-matches; the containment verdict
+    * itself lives in k08 (batch) and the driver's k01_audit, both
+    * still green on this frame. */
+  private def k01(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.operators.Sketches.distinctProfile(ev(s, dir),
         col("event_type"), col("user_id"), rsd = 0.02)
+      .select("series", "n_rows", "ndv_hll", "rsd")
+    val base = gateModelDir(dir, "k01")
+    graft.sim.ModelStore.save(prof.coalesce(1), "hll_profile",
+      s"$base/hll_profile")
+    val m = s.read.parquet(s"$base/hll_profile")
+      .select("series", "ndv_hll", "rsd")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      .join(broadcast(m), "series")
+      .select(col("series"), col("n_rows"), col("ndv_exact"),
+        col("ndv_hll"),
+        round(abs(col("ndv_hll") - col("ndv_exact")).cast("double") /
+          col("ndv_exact").cast("double"), 6).as("rel_err"),
+        col("rsd"))
       .orderBy("series")
+  }
 
   /** AMS F2 sketch next to its exact anchor
     * (operators/Sketches.amsF2): per event_type, the self-join-size
@@ -2597,12 +2621,30 @@ object SparkEntry {
 
   /** GK-summary quantile profile over event values
     * (operators/Sketches.quantileProfile): per event_type, p50/p90/p99
-    * estimates whose ranks the driver audit checks against exact DuckDB
-    * ranks within the published n/accuracy bound. */
-  private def k02(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sketches.quantileProfile(ev(s, dir),
-        col("event_type"), col("value"), accuracy = 10000)
+    * estimates at accuracy 10000. Hash-exact since r17 via the
+    * exported-estimate route (k01's r17 promotion on the quantile
+    * axis): the estimate frame persists via ModelStore and is read
+    * back, n_rows is recomputed from raw events in BOTH engines
+    * (count of non-null value — the one exactly-recomputable column),
+    * and the estimates/accuracy come from the shared export so DuckDB
+    * sees the same bytes. The rank-window CONTRACT on these estimates
+    * stays in k07 and the driver's k02_audit, both green on this
+    * frame. */
+  private def k02(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.operators.Sketches.quantileProfile(ev(s, dir),
+      col("event_type"), col("value"), accuracy = 10000)
+    val base = gateModelDir(dir, "k02")
+    graft.sim.ModelStore.save(prof.coalesce(1), "gk_quantiles",
+      s"$base/gk_quantiles")
+    val m = s.read.parquet(s"$base/gk_quantiles")
+      .select("series", "p50", "p90", "p99", "accuracy")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"))
+      .agg(count(col("value")).as("n_rows"))
+      .join(broadcast(m), "series")
+      .select("series", "n_rows", "p50", "p90", "p99", "accuracy")
       .orderBy("series")
+  }
 
   /** The GK rank-window contract as a FULL SQL gate — the k02 audit's
     * exported-model twin (the exported-model route applied to the
@@ -3568,14 +3610,32 @@ object SparkEntry {
     * is a fixed HLL register array — never the raw user set — so
     * continuous cardinality monitoring holds KB-scale state at any
     * stream rate. Complete mode for the one-shot replay (st01's
-    * reasoning). Rows-only: the estimates aren't SQL-reproducible; the
-    * driver audit (st09_audit) recomputes exact per-day ndv in DuckDB
-    * and bounds every estimate, and the spec pins stream == batch
-    * estimate equality (HLL merges are order-insensitive). */
-  private def st09(s: SparkSession, dir: String): DataFrame =
-    runStreamOnce(s, Streams.dailyNdvStream(streamEvents(s, dir)),
-        org.apache.spark.sql.streaming.OutputMode.Complete)
+    * reasoning). Hash-exact since r17 via the exported-estimate route
+    * (k01's r17 promotion on the streaming axis): the drained
+    * per-(series, day) frame persists via ModelStore, the streamed
+    * window count (n_rows) rides the export while a batch count (n)
+    * is recomputed from raw events in BOTH engines — so the hash
+    * additionally certifies stream-window == batch count parity —
+    * and the HLL estimate/rsd come from the shared bytes. The error
+    * CONTRACT on these estimates stays in st14 and the driver's
+    * st09_audit, both green on this frame; the spec pins stream ==
+    * batch estimate equality (HLL merges are order-insensitive). */
+  private def st09(s: SparkSession, dir: String): DataFrame = {
+    val drained = runStreamOnce(s,
+      Streams.dailyNdvStream(streamEvents(s, dir)),
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val base = gateModelDir(dir, "st09")
+    graft.sim.ModelStore.save(drained.coalesce(1), "ndv_stream_profile",
+      s"$base/ndv_stream_profile")
+    val m = s.read.parquet(s"$base/ndv_stream_profile")
+    ev(s, dir)
+      .groupBy(col("event_type").as("series"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(m), Seq("series", "day"))
+      .select("series", "day", "n_rows", "n", "ndv_hll", "rsd")
       .orderBy("series", "day")
+  }
 
   /** The st09 STREAM's HLL error contract as a FULL SQL gate — k08's
     * exported-estimate route applied on the streaming axis (the last

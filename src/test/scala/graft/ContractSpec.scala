@@ -17,11 +17,12 @@ class ContractSpec extends AnyFunSuite {
     * dictionaries the same way. s13, m08 and d08 flipped too: s13's
     * profile re-derives from the two exported centroid fits, m08's
     * pairing from the exported aHash frame, d08's greedy rule from its
-    * exported k-means fit. What remains is ONLY sketch register state
-    * with no SQL twin: k01/k02/st09.) */
-  private val declaredRowsOnly = Set(
-    "k01_sketch_distinct", "k02_sketch_quantiles",
-    "st09_sketch_stream")
+    * exported k-means fit. r17 drained the last three: k01/k02/st09
+    * now route their sketch estimates through ModelStore exports the
+    * oracle reads back — exact anchors recomputed in both engines,
+    * estimate bytes shared — so the set is EMPTY: every gate carries a
+    * full SQL oracle.) */
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every query has an oracle or is a declared rows-only check") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -368,9 +368,13 @@ class StreamingSpec extends AnyFunSuite {
 
   test("st09 gate (HLL sketch in streaming state) equals the batch " +
       "profile exactly — register merges are order-insensitive") {
-    val streamed =
+    val gate =
       SparkEntry.queries("st09_sketch_stream")(spark, TestSpark.sf)
-        .collect().toSeq.map(_.toSeq)
+    // r17 shape: (series, day, n_rows, n, ndv_hll, rsd) — n_rows is the
+    // STREAMED window count (riding the export), n the batch recount;
+    // their equality is the count-parity half of the gate's hash.
+    val streamed = gate.select("series", "day", "n_rows", "ndv_hll", "rsd")
+      .collect().toSeq.map(_.toSeq)
     val batch = Streams.dailyNdvProfile(
         graft.sources.Tables.events(spark, TestSpark.sf))
       .orderBy("series", "day").collect().toSeq.map(_.toSeq)
@@ -378,6 +382,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream/batch sketch profiles diverge: " +
         s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(gate.filter(col("n_rows") =!= col("n")).count() == 0,
+      "streamed window count diverges from the batch recount")
     // and the estimates are honest: within 5*rsd of exact per window
     val exact = graft.sources.Tables.events(spark, TestSpark.sf)
       .groupBy(col("event_type").as("series"),

@@ -269,9 +269,11 @@ def main(sfdir, outdir):
               ok_ann, f"{n_rows} emitted rows, {inversions or 0} "
               f"true-cosine inversions, {bad_rank or 0} non-contiguous "
               f"ranks, {n_rows - n_scored} dangling neighbor ids")
-    # Sketch audits (k01/k02, rows-only): estimates can't be SQL-oracled,
-    # but their error CONTRACTS can — recompute the exact answers in
-    # DuckDB and assert each estimate inside its published bound.
+    # Sketch audits (k01/k02/st09): since r17 the gates ALSO carry
+    # exported-estimate SQL oracles (hash-exact above); these audits
+    # stay as the independent error-CONTRACT check — recompute the
+    # exact answers in DuckDB and assert each estimate inside its
+    # published bound.
     k01 = f"{outdir}/k01_sketch_distinct"
     if os.path.isdir(k01):
         # exact columns must match DuckDB exactly; HLL within 5*rsd —
