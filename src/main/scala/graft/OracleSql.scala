@@ -3178,7 +3178,8 @@ object OracleSql {
       val iters = graft.SparkEntry.g03Iters
       val sb = new StringBuilder
       sb ++= s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS node,
-             CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+             CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1)
+                 AS BIGINT) % 3 = 0
                THEN 1 ELSE 0 END AS is_seed
            FROM documents),
          nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -3153,7 +3153,13 @@ object SparkEntry {
     val edges = graft.graph.Graph.hashLinks(
       nodes.select("node"), g01Seed, g01OutDeg)
     graft.graph.Graph.personalizedPageRank(nodes, edges,
-        seed = substring(col("source"), 4, 10).cast("long") % 3 === 0,
+        // trailing-digits extraction, mirrored verbatim in the oracle
+        // (ADVICE r16): a non-numeric suffix yields NULL → non-seed in
+        // BOTH engines (Spark's lax cast / DuckDB's TRY_CAST), where
+        // the old substring(_, 4, 10)+CAST pair silently desynced on
+        // suffixes past 10 chars and errored only on the DuckDB side
+        seed = regexp_extract(col("source"), "([0-9]+)$", 1)
+          .cast("long") % 3 === 0,
         iters = g03Iters, dampNum = g01DampNum, dampDen = g01DampDen,
         unit = g01Unit)
       .orderBy("node")

@@ -557,9 +557,13 @@ object Eval {
     *   κ = (n·Σdiag − Σ pe_i) / (n² − Σ pe_i)
     *
     * — ALL integer until the one division (numerator and denominator
-    * carried in decimal(38,0), so the identity survives row counts
-    * past √int64). A degenerate marginal (n² = Σpe: both labelings
-    * constant) raises loudly, the [[chi2FromCells]] rule.
+    * carried in decimal(38,0), with Σpe RE-MULTIPLIED in decimal so
+    * the identity genuinely survives row counts past √int64; the
+    * emitted per-class/total pe COLUMNS stay int64 and are exact only
+    * up to ~3e9-per-class marginals — the bootstrapReps
+    * documented-bound rule, and where the DuckDB twin raises on
+    * BIGINT overflow). A degenerate marginal (n² = Σpe: both
+    * labelings constant) raises loudly, the [[chi2FromCells]] rule.
     *
     * Scale shape: ONE map-side-combined groupBy to the
     * |classes|²-bounded confusion frame is the only corpus-sized
@@ -595,9 +599,16 @@ object Eval {
     val classRows = byClass.select(lit("class").as("kind"),
       col("label"), col("n_pred"), col("n_true"), col("n_agree"),
       col("pe"), lit(0.0).as("kappa"))
+    // Σpe re-multiplies in decimal(38,0) rather than summing the
+    // per-class int64 pe column (ADVICE r16): n_pred·n_true wraps
+    // int64 silently past ~3e9-per-class marginals in non-ANSI Spark,
+    // so the kappa identity must never read the long product. The
+    // EMITTED per-class/total pe columns stay int64 and carry that
+    // ~3e9 per-class bound (the bootstrapReps documented-bound rule;
+    // the DuckDB twin errors on BIGINT overflow at the same point).
     val agg = byClass.agg(sum("n_pred").as("n"),
       sum("n_agree").as("agree"),
-      sum(col("pe").cast(d38)).as("pe"))
+      sum(col("n_pred").cast(d38) * col("n_true")).as("pe"))
     val den = (col("n").cast(d38) * col("n") - col("pe"))
     val total = agg.select(lit("total").as("kind"), lit("").as("label"),
       col("n").as("n_pred"), col("n").as("n_true"),
@@ -697,8 +708,12 @@ object Eval {
     *
     * (numerator and denominator exact decimal(38,0) — t³ passes int64
     * at probe scale), and z = (u2 − mu2) / (2·√Var) as a stated
-    * cast/sqrt/divide chain. All-tied input (zero variance) raises
-    * loudly, the [[chi2FromCells]] rule.
+    * cast/sqrt/divide chain, with the rank-sum fold and the u2 − mu2
+    * difference carried in decimal(38,0) so z stays exact past the
+    * int64 range of the EMITTED u2/mu2 columns (~2e9-per-side
+    * populations — the cohensKappa documented-bound rule). All-tied
+    * input (zero variance) raises loudly, the [[chi2FromCells]]
+    * rule.
     *
     * Scale shape: the corpus collapses to the value-grid counts frame
     * in ONE map-side-combined aggregate (the [[aucState]] posture);
@@ -717,13 +732,20 @@ object Eval {
       sum((col("c_a") + col("c_b")).cast(d38) *
         (col("c_a") + col("c_b")) * (col("c_a") + col("c_b")) -
         (col("c_a") + col("c_b")).cast(d38)).as("t_ties"))
+    // the rank-sum accumulator runs in decimal(38,0), not int64
+    // (ADVICE r16): 2·ΣR₁ ~ n_a·2n wraps a long past ~2e9-per-side
+    // populations; the fold is grid-bounded so decimal costs nothing.
+    // The EMITTED u2/mu2 columns stay int64 with that documented
+    // bound (the cohensKappa pe rule) — but z below derives from the
+    // decimal difference, so the test statistic itself stays exact
+    // past the emitted columns' range.
     val folded = g.select(col("n_a"), col("n_b"), col("t_ties"),
       aggregate(col("grid"),
-        struct(lit(0L).as("cum"), lit(0L).as("two_r")),
+        struct(lit(0L).as("cum"), lit(0L).cast(d38).as("two_r")),
         (acc, x) => {
           val t = x("c_a") + x("c_b")
           struct((acc("cum") + t).as("cum"),
-            (acc("two_r") + x("c_a") *
+            (acc("two_r") + x("c_a").cast(d38) *
               (lit(2L) * acc("cum") + t + lit(1L))).as("two_r"))
         },
         acc => acc("two_r")).as("two_r1"))
@@ -732,20 +754,24 @@ object Eval {
       ((n + 1) * n * (n - 1) - col("t_ties"))
     val varDen = lit(12).cast(d38) * n * (n - 1)
     folded.select(col("n_a"), col("n_b"),
-        (col("two_r1") - col("n_a") * (col("n_a") + lit(1L))).as("u2"),
-        (col("n_a") * col("n_b")).as("mu2"),
+        (col("two_r1") - col("n_a").cast(d38) * (col("n_a") + lit(1L)))
+          .as("u2d"),
+        (col("n_a").cast(d38) * col("n_b")).as("mu2d"),
         col("t_ties").cast("double").as("t_ties"),
         when(varNum > 0, varNum).otherwise(raise_error(lit(
           "Eval.mannWhitney: zero rank variance — every value is " +
             "tied (or a population is empty), the test is undefined")))
           .as("vn"),
         varDen.as("vd"))
-      .select(col("n_a"), col("n_b"), col("u2"), col("mu2"),
-        col("t_ties"),
+      .select(col("n_a"), col("n_b"),
+        col("u2d").cast("long").as("u2"),
+        col("mu2d").cast("long").as("mu2"),
+        col("u2d"), col("mu2d"), col("t_ties"),
         (col("vn").cast("double") / col("vd").cast("double"))
           .as("var_u"))
-      .withColumn("z", (col("u2") - col("mu2")).cast("double") /
+      .withColumn("z", (col("u2d") - col("mu2d")).cast("double") /
         (lit(2.0) * sqrt(col("var_u"))))
+      .drop("u2d", "mu2d")
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
