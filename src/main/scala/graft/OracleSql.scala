@@ -2696,6 +2696,88 @@ object OracleSql {
              AS BIGINT) AS is_current
          FROM v ORDER BY o_custkey, version""",
 
+    // q54: the issue-editor pattern-object builder + automatch
+    // re-derived from the SAME planted fixtures (SparkEntry.issueForms
+    // / issueTriples interpolate as VALUES — the shared-constant
+    // discipline): arg_max = the gate's max_by last-wins, string_agg
+    // ORDER BY = the gate's sorted ';'-join canonical form, and the
+    // corpus melt + all-fields-match counting mirror the gate's joins.
+    "q54_issue_patterns" -> {
+      val formsVals = graft.SparkEntry.issueForms.map { case
+        (id, nm, em, subj, ct, url) =>
+          s"('$id', '$nm', '$em', '$subj', '$ct', '$url')"
+      }.mkString(",\n           ")
+      val tripleVals = graft.SparkEntry.issueTriples.map { case
+        (id, seq, cat, f, v) => s"('$id', $seq, '$cat', '$f', '$v')"
+      }.mkString(",\n           ")
+      s"""WITH forms(sub_id, name, email, report_subject, culprit_type,
+             report_url) AS (VALUES
+           $formsVals),
+         triples(sub_id, seq, category, field, value) AS (VALUES
+           $tripleVals),
+         resolved AS (SELECT sub_id, category, field,
+             arg_max(value, seq) AS value
+           FROM triples GROUP BY 1, 2, 3),
+         kv AS (SELECT sub_id, category,
+             category || 's.' || field || '=' || value AS kv
+           FROM resolved),
+         pat AS (SELECT sub_id,
+             string_agg(kv, ';' ORDER BY kv) AS pattern,
+             CAST(COUNT(DISTINCT category) AS BIGINT) AS n_categories
+           FROM kv GROUP BY 1),
+         valid AS (SELECT sub_id FROM forms
+           WHERE name <> '' AND email <> ''
+             AND report_subject <> '' AND culprit_type <> ''),
+         objects AS (
+           SELECT 'order' AS category, CAST(o_orderkey AS BIGINT)
+               AS obj_id, 'o_orderstatus' AS field,
+               o_orderstatus AS value FROM orders
+           UNION ALL
+           SELECT 'order', CAST(o_orderkey AS BIGINT),
+             'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT 'customer', CAST(c_custkey AS BIGINT),
+             'c_mktsegment', c_mktsegment FROM customer),
+         req AS (SELECT r.* FROM resolved r JOIN valid USING (sub_id)),
+         nreq AS (SELECT sub_id, category,
+             CAST(COUNT(*) AS BIGINT) AS n_req
+           FROM req GROUP BY 1, 2),
+         hits AS (SELECT q.sub_id, q.category, o.obj_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM objects o JOIN req q ON o.category = q.category
+             AND o.field = q.field AND o.value = q.value
+           GROUP BY 1, 2, 3),
+         matched AS (SELECT h.sub_id, h.category,
+             CAST(COUNT(*) AS BIGINT) AS n_match
+           FROM hits h JOIN nreq n ON h.sub_id = n.sub_id
+             AND h.category = n.category AND h.n_hit = n.n_req
+           GROUP BY 1, 2)
+         SELECT kind, sub_id, category, valid, culprit_code,
+           culprit_tool, culprit_harness, n_categories, n_match,
+           pattern
+         FROM (
+           SELECT 'issue' AS kind, f.sub_id, '' AS category,
+             CAST(CASE WHEN name <> '' AND email <> ''
+               AND report_subject <> '' AND culprit_type <> ''
+               THEN 1 ELSE 0 END AS INT) AS valid,
+             CAST(CASE WHEN culprit_type = 'code' THEN 1 ELSE 0 END
+               AS INT) AS culprit_code,
+             CAST(CASE WHEN culprit_type = 'tool' THEN 1 ELSE 0 END
+               AS INT) AS culprit_tool,
+             CAST(CASE WHEN culprit_type = 'harness' THEN 1 ELSE 0 END
+               AS INT) AS culprit_harness,
+             COALESCE(p.n_categories, 0) AS n_categories,
+             CAST(-1 AS BIGINT) AS n_match,
+             COALESCE(p.pattern, '') AS pattern
+           FROM forms f LEFT JOIN pat p USING (sub_id)
+           UNION ALL
+           SELECT 'match', n.sub_id, n.category, CAST(1 AS INT),
+             CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT),
+             CAST(-1 AS BIGINT), COALESCE(m.n_match, 0), ''
+           FROM nreq n LEFT JOIN matched m ON n.sub_id = m.sub_id
+             AND n.category = m.category)
+         ORDER BY kind, sub_id, category""" },
+
     // q53: the spool delivery state machine re-folded per id by a
     // recursive CTE — each recursion step applies ONE op's transition
     // (post create/update/refuse, pick lease, ack seal) with the
