@@ -227,8 +227,12 @@ class PlanSpec extends AnyFunSuite {
       "s12_sq8_recall",
       // st14 broadcasts its exported ndv_stream_profile — a bounded
       // per-(series, day) model frame (k08's hll_profile pattern; k*
-      // gates are outside this sweep's s*/d* prefix net by name)
-      "st14_ndv_contract")
+      // gates are outside this sweep's s*/d* prefix net by name).
+      // st09 joined the same class in r17: its promoted gate reads the
+      // SAME bounded exported profile back and broadcasts it against
+      // the batch recount (|series|·|days| rows — group-cardinality-
+      // bounded, never corpus-proportional)
+      "st14_ndv_contract", "st09_sketch_stream")
     val simQueries = SparkEntry.queries.keys
       .filter(n => n.startsWith("d") || n.startsWith("s"))
       .filterNot(exempt)
