@@ -62,13 +62,18 @@ object Bench {
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
       } catch { case _: Throwable => "" }
     // Dirty-tree flag (ADVICE r13): a bench from an uncommitted tree must
-    // not masquerade as a reading of git_head's code.
+    // not masquerade as a reading of git_head's code. BENCH_LOCAL.json
+    // itself is excluded (ADVICE r16): run N of a clean-tree x3 session
+    // modifies only the record run N-1 wrote, and flagging the record's
+    // own churn as code dirt defeated the provenance it exists to pin.
     val dirty =
       try {
         val p = new ProcessBuilder("git", "status", "--porcelain").start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        p.waitFor() == 0 && out.trim.nonEmpty
+        p.waitFor() == 0 && out.linesIterator
+          .exists(l => l.trim.nonEmpty &&
+            !l.endsWith("BENCH_LOCAL.json"))
       } catch { case _: Throwable => false }
     val control = results.collectFirst {
       case ("q19_star_join_agg", v, _) => v }.getOrElse(-1.0)
