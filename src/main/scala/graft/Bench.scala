@@ -71,9 +71,13 @@ object Bench {
         val p = new ProcessBuilder("git", "status", "--porcelain").start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
+        // porcelain lines are "XY <path>" — compare the exact path so
+        // only the top-level record file is excluded, never e.g. a
+        // stray subdir/BENCH_LOCAL.json (an uncommitted tree must not
+        // masquerade as clean)
         p.waitFor() == 0 && out.linesIterator
           .exists(l => l.trim.nonEmpty &&
-            !l.endsWith("BENCH_LOCAL.json"))
+            l.drop(3).trim != "BENCH_LOCAL.json")
       } catch { case _: Throwable => false }
     val control = results.collectFirst {
       case ("q19_star_join_agg", v, _) => v }.getOrElse(-1.0)

@@ -3692,19 +3692,28 @@ object SparkEntry {
       else Paths.get(System.getProperty("java.io.tmpdir"))
     val ckpt = Files.createTempDirectory(ckptBase, "graft_st_ckpt_")
     val sink = s"st_gate_sink_${stGateRuns.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally {
-      // best-effort cleanup — the replay is done, the state is dead
+    // cleanup wraps from start() onward so an analysis/start failure
+    // cannot leak the RAM-backed dir, closes the walk stream (the fd
+    // discipline), and swallows any NonFatal — Files.walk surfaces
+    // concurrent-delete races as UncheckedIOException, NOT
+    // IOException, and a cleanup hiccup must never mask the replay's
+    // own outcome
+    try {
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
       try {
-        import scala.jdk.CollectionConverters._
-        Files.walk(ckpt).iterator.asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () }
+        val walk = Files.walk(ckpt)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator.asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     val res = s.table(sink)
     s.catalog.dropTempView(sink)
