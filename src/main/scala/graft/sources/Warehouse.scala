@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, pmod}
 
 /** Bucketed warehouse tables: the co-located-join path promised in
   * SURVEY §5. Writing both sides of a recurring fact-fact join bucketed
@@ -156,5 +157,33 @@ object Warehouse {
     if (f.isDirectory)
       Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()
+  }
+
+  /** Salted small-file compaction — the PRODUCTION variant of q49's
+    * one-file-per-partition rewrite (the q49 Scaladoc's stated
+    * parallelism ceiling, made code): a single output file per
+    * partition value means a single writer TASK per partition value,
+    * which is fine until one partition's bytes exceed one task's I/O
+    * budget — a 100 TB day does. This path trades "exactly 1 file per
+    * partition" for "at most `writers` files per partition": the
+    * frame repartitions into `writers` tasks on a row-salt (NOT the
+    * partition column — every task carries every partition value, so
+    * each non-empty task streams one file per partition dir in
+    * parallel — hash collisions between salt residues can leave some
+    * of the `writers` tasks empty, so the bound is AT MOST `writers`
+    * files and writers per partition), and `maxRecordsPerFile` still
+    * caps individual file size. Layout semantics (the partitionBy dirs, row content,
+    * per-partition totals) are IDENTICAL to the single-file rewrite —
+    * only the file-count-per-partition changes from 1 to <= `writers`,
+    * which is why q49's gate keeps the 1-file contract (bit-exact SQL
+    * verifiability) while this is what a real cluster runs. */
+  def compactSalted(df: DataFrame, partitionCol: String,
+                    saltKey: Column, writers: Int,
+                    maxRecordsPerFile: Long, outPath: String): Unit = {
+    require(writers > 0, s"compactSalted: writers=$writers")
+    df.repartition(writers, pmod(saltKey, lit(writers)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol).parquet(outPath)
   }
 }

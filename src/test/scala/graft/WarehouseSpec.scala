@@ -140,6 +140,43 @@ class WarehouseSpec extends AnyFunSuite {
           s"much of u: ${r.getAs[Long]("min_u")}..${r.getAs[Long]("max_u")}")
   }
 
+  test("compactSalted (q49's production variant): bounded parallel " +
+      "files per day, rows and checksums conserved, day layout intact") {
+    val writers = 4
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact_salted_").toString
+    val src = Tables.events(spark, TestSpark.sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Warehouse.compactSalted(src, "day", col("event_id"), writers,
+      maxRecordsPerFile = 1000000L, outPath = out)
+    val back = spark.read.parquet(out)
+      .select(col("day").cast("string").as("day"), col("value"),
+        col("_metadata.file_path").as("__f"))
+      .groupBy("day")
+      .agg(countDistinct(col("__f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    val want = src.groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    assert(back.keySet == want.keySet, "day partition set changed")
+    for ((day, r) <- back) {
+      // sequential event_ids cover every pmod residue on gate days;
+      // hash collisions between residues may merge tasks, so the
+      // contract is 2..writers files — parallel writers engaged, never
+      // more than the cap
+      assert(r.getAs[Long]("n_files") <= writers.toLong &&
+        r.getAs[Long]("n_files") >= 2L,
+        s"$day: ${r.getAs[Long]("n_files")} files, want 2..$writers")
+      assert(r.getAs[Long]("n_rows") == want(day).getAs[Long]("n_rows"),
+        s"$day: rows not conserved")
+      assert(r.getAs[Double]("s") == want(day).getAs[Double]("s"),
+        s"$day: checksum not conserved")
+    }
+  }
+
   test("q49 compaction: one file per day after, strictly fewer than " +
       "before, rows and checksums conserved") {
     val out = SparkEntry.queries("q49_compact")(spark, dir).collect()
