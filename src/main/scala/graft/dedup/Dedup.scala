@@ -1011,41 +1011,10 @@ object Dedup {
                                     tau: Double, iters: Int,
                                     fitFraction: Double)
       : (DataFrame, DataFrame) = {
-    import graft.sim.Ivf
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val fitCorpus =
-      if (fitFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
-    val coarseCentroids = Ivf.fitCentroids(fitCorpus, c1, iters,
-      seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
-    // Lazy checkpoint: the coarse assignment feeds fine seeding, fine
-    // fitting (via the sample re-assignment below when sampling), the
-    // fine assignment, and the pair join — the iterative-frame
-    // discipline, one level up.
-    val coarseCells = Ivf.assign(corpus, coarseCentroids)
-      .select(col("id"), col("v"), col("cluster").as("coarse"))
-      .localCheckpoint(eager = false)
-    val fitCells =
-      if (fitFraction >= 1.0) coarseCells
-      else Ivf.assign(fitCorpus, coarseCentroids)
-        .select(col("id"), col("v"), col("cluster").as("coarse"))
-        // every fine-fit iteration re-executes this frame's lineage
-        // (the sample scan + n·fitFraction·c1·d cosine flops) without
-        // materialization — same discipline as coarseCells above
-        .localCheckpoint(eager = false)
-    // Fine seeds come from the FULL corpus's assignment, so every
-    // occupied coarse cell seeds its fine cells even when the fit
-    // sample missed it entirely (the seedCorpus discipline, grouped).
-    val fine = Ivf.fitCentroidsWithin(fitCells, "coarse", c2, iters,
-      seedCorpus = Some(coarseCells))
-    val fallback = coarseCentroids
-      .join(fine.select(col("coarse")).distinct(),
-        coarseCentroids("cluster") === col("coarse"), "left_anti")
-      .select(col("cluster").as("coarse"), col("cluster"), col("centroid"))
-    val cells = Ivf.assignWithin(coarseCells, "coarse",
-        fine.union(fallback))
-      .select(col("id"), col("v"), col("coarse"), col("cluster"))
-      .localCheckpoint(eager = false)
+    // build half shared with the two-level IVF search path
+    val (_, _, cells) =
+      graft.sim.Ivf.twoLevelCells(corpus, c1, c2, iters, fitFraction)
     val pairs = cells.select(col("coarse"), col("cluster"),
         col("id").as("id_a"), col("v").as("v_a"))
       .join(cells.select(col("coarse"), col("cluster"),

@@ -75,6 +75,43 @@ object CellKnobs {
       math.round(math.sqrt(cells.toDouble) * scale)).toInt)
   }
 
+  /** Derived-cell threshold past which [[Ivf.ivfKnnAuto]] switches to
+    * the two-level build ([[Ivf.ivfKnnTwoLevel]]): the one-shot n·c
+    * assignment is the n^1.5 term the r17 octave measured at 2.2× of
+    * linear per decade, and the two-level n·(c1+c2) build overtakes it
+    * once c ≫ 2√c plus one extra narrow corpus shuffle — measured
+    * crossover on the 20k/200k octave fixtures sits well below √n = 256
+    * (two-level already ~2× faster end-to-end at n = 65k; BENCHLOG r18).
+    * Below the threshold the single broadcast assignment is cheaper than
+    * the added shuffle. */
+  val TwoLevelMinCells: Int = 256
+
+  /** √-split of a single-level cell count across two levels:
+    * c1 = ceil(√c) coarse, c2 = ceil(c/c1) fine-per-coarse, so
+    * c1·c2 ≥ c (cell-size bound preserved) while assignment work per
+    * row is c1 + c2 ≈ 2√c — [[coarseFineForPairs]]' shape applied to
+    * an already-derived cell count (the IVF-search regime, where c
+    * comes from [[cellsFor]]'s √n rule, not a pair-work target). */
+  def coarseFineSplit(cells: Int): (Int, Int) = {
+    require(cells >= 1, s"cells must be >= 1: $cells")
+    val c1 = math.ceil(math.sqrt(cells.toDouble)).toInt
+    val c2 = cells / c1 + (if (cells % c1 == 0) 0 else 1)
+    (c1, math.max(1, c2))
+  }
+
+  /** √-split of the probe width for the two-level probe path
+    * ([[Ivf.ivfKnnTwoLevel]]'s inverted-multi-index shape): nprobe1 =
+    * ceil(√nprobe) coarse cells, nprobe2 = ceil(nprobe/nprobe1) fine
+    * cells in each — nprobe1·nprobe2 ≥ nprobe cells probed, so
+    * per-probe candidate work keeps the single-level n/√c bound while
+    * per-probe CENTROID work falls from c1·c2 to c1 + nprobe1·c2. */
+  def probeSplit(nprobe: Int): (Int, Int) = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val np1 = math.ceil(math.sqrt(nprobe.toDouble)).toInt
+    val np2 = nprobe / np1 + (if (nprobe % np1 == 0) 0 else 1)
+    (np1, math.max(1, np2))
+  }
+
   /** Pair-work-bounded cell count for quadratic within-cell operators:
     * smallest c with expected cell size ≤ targetCell (total verify work
     * = n·targetCell, linear in n), capped at `maxCells` (the centroid

@@ -206,6 +206,128 @@ object Ivf {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Two-level (coarse-then-fine) cell structure — the build half shared
+    * by [[graft.dedup.Dedup.semanticDedupTwoLevel]] and [[ivfKnnTwoLevel]]:
+    * fit `c1` coarse cells with the usual broadcast assignment, then fit
+    * `c2` fine cells INSIDE each coarse cell simultaneously
+    * ([[fitCentroidsWithin]]) and assign each row to a fine cell by
+    * meeting only its own coarse cell's centroids via the coarse-keyed
+    * equi-join — never a broadcast of all c1·c2 centroids, and never the
+    * single-level n·(c1·c2)·d assignment flops: total assignment work is
+    * n·(c1 + c2)·d (n^1.25 at c1 ≈ c2 ≈ n^0.25 vs single-level's n^1.5
+    * at c = √n — the r17 octave's one measured super-linear build term).
+    *
+    * Fine seeds draw from the FULL corpus's coarse assignment, and a
+    * coarse cell whose fine set vanishes (zero FIT rows landed in it)
+    * falls back to the coarse centroid as its single fine cell — no
+    * corpus row is ever silently lost to an uncovered group
+    * ([[assignWithin]]'s inner-join caveat). With c1 = 1 this degenerates
+    * exactly to [[fitCentroids]](c2) + [[assign]] (same seeds, same
+    * iterations — the equivalence specs pin it for both consumers).
+    *
+    * Returns (coarseCentroids (cluster, centroid), fineCentroids
+    * (coarse, cluster, centroid) incl. fallbacks, cells (id, v, coarse,
+    * cluster)). Cell identity is the COMPOSITE (coarse, cluster) key:
+    * fine cluster ids are seed-row ids (globally unique), but the
+    * vanished-group fallback reuses the coarse id as the fine id, and
+    * that id may elsewhere be a legitimate fine seed. */
+  def twoLevelCells(corpus: DataFrame, c1: Int, c2: Int, iters: Int,
+                    fitFraction: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fitCorpus =
+      if (fitFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
+    val coarseCentroids = fitCentroids(fitCorpus, c1, iters,
+      seedCorpus = if (fitFraction >= 1.0) None else Some(corpus))
+    // Lazy checkpoint: the coarse assignment feeds fine seeding, fine
+    // fitting (via the sample re-assignment below when sampling), the
+    // fine assignment, and the caller's consumers — the iterative-frame
+    // discipline, one level up.
+    val coarseCells = assign(corpus, coarseCentroids)
+      .select(col("id"), col("v"), col("cluster").as("coarse"))
+      .localCheckpoint(eager = false)
+    val fitCells =
+      if (fitFraction >= 1.0) coarseCells
+      else assign(fitCorpus, coarseCentroids)
+        .select(col("id"), col("v"), col("cluster").as("coarse"))
+        // every fine-fit iteration re-executes this frame's lineage
+        // (the sample scan + n·fitFraction·c1·d cosine flops) without
+        // materialization — same discipline as coarseCells above
+        .localCheckpoint(eager = false)
+    // Fine seeds come from the FULL corpus's assignment, so every
+    // occupied coarse cell seeds its fine cells even when the fit
+    // sample missed it entirely (the seedCorpus discipline, grouped).
+    val fine = fitCentroidsWithin(fitCells, "coarse", c2, iters,
+      seedCorpus = Some(coarseCells))
+    val fallback = coarseCentroids
+      .join(fine.select(col("coarse")).distinct(),
+        coarseCentroids("cluster") === col("coarse"), "left_anti")
+      .select(col("cluster").as("coarse"), col("cluster"), col("centroid"))
+    // c1·c2 rows, two consumers in the IVF path (row assignment + the
+    // probe-side fine-cell selection) — materialize once
+    val fineAll = fine.union(fallback).localCheckpoint(eager = false)
+    val cells = assignWithin(coarseCells, "coarse", fineAll)
+      .select(col("id"), col("v"), col("coarse"), col("cluster"))
+      .localCheckpoint(eager = false)
+    (coarseCentroids, fineAll, cells)
+  }
+
+  /** Two-level IVF top-k — [[ivfKnn]] past the broadcast/assignment
+    * envelope ([[twoLevelCells]] for the build shape): a probe first
+    * picks its `nprobe1` nearest COARSE cells against the broadcast c1
+    * coarse centroids, then its `nprobe2` nearest FINE cells inside EACH
+    * of those via the coarse-keyed equi-join (the inverted-multi-index
+    * probing shape: nprobe1·nprobe2 cells probed, per-probe centroid
+    * work c1 + nprobe1·c2 instead of c1·c2), and only those cells'
+    * members pay exact cosine — ranked by the bounded top-k aggregate
+    * like every kNN in this file. With c1 = 1, nprobe1 = 1,
+    * nprobe2 = nprobe this is row-identical to [[ivfKnn]](c = c2,
+    * nprobe) (spec-pinned): one coarse cell holds everything and the
+    * fine level IS the single level. */
+  def ivfKnnTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                     probeFilter: Column, k: Int,
+                     c1: Int, c2: Int, nprobe1: Int, nprobe2: Int,
+                     iters: Int = 3, fitFraction: Double = 1.0)
+      : DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (coarseCentroids, fineAll, cellsRaw) =
+      twoLevelCells(corpus, c1, c2, iters, fitFraction)
+    val cells = cellsRaw.select(col("coarse"), col("cluster"),
+      col("id").as("neighbor_id"), col("v").as("v_c"))
+    val probeCoarse = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+      .crossJoin(broadcast(coarseCentroids))
+      .select(col("probe_id"), col("v_p"), col("cluster"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
+      .groupBy("probe_id")
+      .agg(first(col("v_p")).as("v_p"),
+        TopK.topKByScore(col("cos"), col("cluster"), nprobe1).as("cc"))
+      .select(col("probe_id"), col("v_p"),
+        explode(col("cc.id")).as("coarse"))
+    // fine-cell selection: an equi-join on the coarse key — each probe
+    // row meets only its own coarse cell's ~c2 fine centroids, so the
+    // TOTAL fine count c1·c2 never needs to broadcast (assignWithin's
+    // argument, probe-side). TopK per (probe, coarse) group: cell
+    // identity is the composite key, which the group key carries.
+    val probeFine = probeCoarse.join(fineAll, Seq("coarse"))
+      .select(col("probe_id"), col("v_p"), col("coarse"), col("cluster"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
+      .groupBy("probe_id", "coarse")
+      .agg(first(col("v_p")).as("v_p"),
+        TopK.topKByScore(col("cos"), col("cluster"), nprobe2).as("fc"))
+      .select(col("probe_id"), col("v_p"), col("coarse"),
+        explode(col("fc.id")).as("cluster"))
+    val scored = probeFine.join(cells, Seq("coarse", "cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
+    scored.groupBy("probe_id")
+      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** [[ivfKnn]] with (c, nprobe) derived from corpus size
     * ([[CellKnobs]]: c ≈ √n, nprobe growing as √c anchored at the
     * gate's 4-of-16, so per-probe candidate work n/√c SHRINKS as a
@@ -215,6 +337,11 @@ object Ivf {
     * sibling. Pass `corpusRows` when known; None counts once. At large
     * n also lower `fitFraction`: the k-means fit needs a sample, the
     * assignment pass is the only full-corpus scan. */
+  /** Past [[CellKnobs.TwoLevelMinCells]] derived cells the auto path
+    * switches to [[ivfKnnTwoLevel]] with the [[CellKnobs.coarseFineSplit]]
+    * / [[CellKnobs.probeSplit]] knobs — assignment work drops from n·√n
+    * to n·2·n^0.25 flops (the r17 octave's measured 2.2×-of-linear build
+    * term), probed-cell count stays ≈ nprobe. */
   def ivfKnnAuto(emb: DataFrame, idCol: String, vecCol: String,
                  probeFilter: Column, k: Int,
                  corpusRows: Option[Long] = None,
@@ -227,9 +354,17 @@ object Ivf {
     require(n * math.min(1.0, fitFraction) >= c,
       s"fitFraction=$fitFraction samples ~${(n * fitFraction).toLong} " +
         s"rows but sqrt-rule c=$c cells need at least that many fit rows")
-    ivfKnn(emb, idCol, vecCol, probeFilter, k,
-      c = c, nprobe = CellKnobs.nprobeFor(c, probeScale),
-      iters = iters, fitFraction = fitFraction)
+    val nprobe = CellKnobs.nprobeFor(c, probeScale)
+    if (c >= CellKnobs.TwoLevelMinCells) {
+      val (c1, c2) = CellKnobs.coarseFineSplit(c)
+      val (np1, np2) = CellKnobs.probeSplit(nprobe)
+      ivfKnnTwoLevel(emb, idCol, vecCol, probeFilter, k,
+        c1 = c1, c2 = c2, nprobe1 = np1, nprobe2 = np2,
+        iters = iters, fitFraction = fitFraction)
+    } else
+      ivfKnn(emb, idCol, vecCol, probeFilter, k,
+        c = c, nprobe = nprobe,
+        iters = iters, fitFraction = fitFraction)
   }
 
   /** k-means|| initialization (Bahmani et al. 2012, "Scalable
