@@ -79,12 +79,15 @@ object CellKnobs {
     * the two-level build ([[Ivf.ivfKnnTwoLevel]]): the one-shot n·c
     * assignment is the n^1.5 term the r17 octave measured at 2.2× of
     * linear per decade, and the two-level n·(c1+c2) build overtakes it
-    * once c ≫ 2√c plus one extra narrow corpus shuffle — measured
-    * crossover on the 20k/200k octave fixtures sits well below √n = 256
-    * (two-level already ~2× faster end-to-end at n = 65k; BENCHLOG r18).
-    * Below the threshold the single broadcast assignment is cheaper than
-    * the added shuffle. */
-  val TwoLevelMinCells: Int = 256
+    * once c ≫ 2√c plus one extra narrow corpus shuffle. Measured
+    * (tools/ScaleKnobProbe ivfcmp, BENCHLOG r18): two-level 1.9×
+    * faster end-to-end at c = 141 (n = 20k) and also already faster at
+    * c = 45 (n = 2k, probe-floor-dominated). 64 keeps gate-scale corpora
+    * (c ≤ ~22 at the 500-row spec fixtures) on the single level, whose
+    * one-stage broadcast assignment and global-nprobe recall shape the
+    * gates pin, and switches before the flop gap (c vs 2√c + a narrow
+    * shuffle) widens past ~4×. */
+  val TwoLevelMinCells: Int = 64
 
   /** √-split of a single-level cell count across two levels:
     * c1 = ceil(√c) coarse, c2 = ceil(c/c1) fine-per-coarse, so

@@ -21,6 +21,12 @@ object ScaleKnobProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val auto = args.length > 1 && args(1) == "auto"
+    // focused modes (r18): `ivf` re-times ONLY the ivf_auto octave leg
+    // (the two-level rewire check, without paying the ~11min s04 leg);
+    // `ivfcmp` times single-level ivfKnn vs ivfKnnTwoLevel at the SAME
+    // derived (c, nprobe) — the TwoLevelMinCells crossover evidence.
+    val mode = if (args.length > 1) args(1) else ""
+    if (mode == "ivf" || mode == "ivfcmp") { ivfOnly(dir, mode); return }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,6 +94,60 @@ object ScaleKnobProbe {
       f""""nBands":$nBands,"s04_sec":$tGraph%.2f,"d05_sec":$tNear%.2f,""" +
       f""""d05_pairs":$nNear,"ivf_auto_sec":$tIvf%.2f,""" +
       f""""semdedup_auto_sec":$tSem%.2f}""")
+    spark.stop()
+  }
+
+  private def ivfOnly(dir: String, mode: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    import graft.sim.{CellKnobs, Ivf}
+    val probe = col("vec_id") % 20 === 0
+    val fitFraction = math.min(1.0, 20000.0 / n)
+    if (mode == "ivf") {
+      // the exact leg of the r17 ANN octave (BENCHLOG.md:2387), alone
+      val t = timed {
+        Ivf.ivfKnnAuto(emb, "vec_id", "embedding", probeFilter = probe,
+            k = 3, corpusRows = Some(n), fitFraction = fitFraction)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val c = CellKnobs.cellsFor(n)
+      println(f"""{"dir":"$dir","rows":$n,"mode":"ivf","cells":$c,""" +
+        f""""two_level":${c >= CellKnobs.TwoLevelMinCells},""" +
+        f""""ivf_auto_sec":$t%.2f}""")
+    } else {
+      // same derived knobs on BOTH paths: the crossover comparison
+      val c = CellKnobs.cellsFor(n)
+      val nprobe = CellKnobs.nprobeFor(c)
+      val (c1, c2) = CellKnobs.coarseFineSplit(c)
+      val (np1, np2) = CellKnobs.probeSplit(nprobe)
+      val tSingle = timed {
+        Ivf.ivfKnn(emb, "vec_id", "embedding", probeFilter = probe,
+            k = 3, c = c, nprobe = nprobe, fitFraction = fitFraction)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tTwo = timed {
+        Ivf.ivfKnnTwoLevel(emb, "vec_id", "embedding", probeFilter = probe,
+            k = 3, c1 = c1, c2 = c2, nprobe1 = np1, nprobe2 = np2,
+            fitFraction = fitFraction)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"dir":"$dir","rows":$n,"mode":"ivfcmp","cells":$c,""" +
+        f""""c1":$c1,"c2":$c2,"nprobe":$nprobe,"np1":$np1,"np2":$np2,""" +
+        f""""single_sec":$tSingle%.2f,"two_sec":$tTwo%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -147,8 +147,11 @@ class CellKnobsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
       out.length)
-    // and below the threshold the derivation stays single-level
-    assert(CellKnobs.cellsFor(20000) < CellKnobs.TwoLevelMinCells)
+    // and below the threshold the derivation stays single-level (the
+    // 500-row spec fixtures derive c=22, so the recall spec above pins
+    // the single-level path)
+    assert(CellKnobs.cellsFor(2000) < CellKnobs.TwoLevelMinCells)
+    assert(CellKnobs.cellsFor(500) < CellKnobs.TwoLevelMinCells)
   }
 
   test("auto entry points refuse a fit sample too small for the cells") {
