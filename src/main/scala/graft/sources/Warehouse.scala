@@ -153,7 +153,7 @@ object Warehouse {
     ()
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()

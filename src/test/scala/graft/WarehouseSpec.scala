@@ -163,18 +163,24 @@ class WarehouseSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("day") -> r).toMap
     assert(back.keySet == want.keySet, "day partition set changed")
     for ((day, r) <- back) {
-      // sequential event_ids cover every pmod residue on gate days;
-      // hash collisions between residues may merge tasks, so the
-      // contract is 2..writers files — parallel writers engaged, never
-      // more than the cap
-      assert(r.getAs[Long]("n_files") <= writers.toLong &&
-        r.getAs[Long]("n_files") >= 2L,
-        s"$day: ${r.getAs[Long]("n_files")} files, want 2..$writers")
+      // the operator's contract is the UPPER bound only: at most
+      // `writers` files per day (pmod residues can hash-collide onto
+      // one task, and a partitioner change could legitimately yield 1
+      // file for some day — ADVICE r17, so no per-day lower bound)
+      assert(r.getAs[Long]("n_files") <= writers.toLong,
+        s"$day: ${r.getAs[Long]("n_files")} files, want <= $writers")
       assert(r.getAs[Long]("n_rows") == want(day).getAs[Long]("n_rows"),
         s"$day: rows not conserved")
       assert(r.getAs[Double]("s") == want(day).getAs[Double]("s"),
         s"$day: checksum not conserved")
     }
+    // parallel writers ENGAGED is a global property: across all days
+    // the salted layout must produce more files than one-per-day
+    // (sequential event_ids cover every residue, so under any sane
+    // dispersion at least one day splits)
+    assert(back.values.map(_.getAs[Long]("n_files")).sum >
+      back.size.toLong,
+      "salted layout degenerated to one file per day everywhere")
   }
 
   test("q49 compaction: one file per day after, strictly fewer than " +
