@@ -62,22 +62,31 @@ object Bench {
         if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
       } catch { case _: Throwable => "" }
     // Dirty-tree flag (ADVICE r13): a bench from an uncommitted tree must
-    // not masquerade as a reading of git_head's code. BENCH_LOCAL.json
-    // itself is excluded (ADVICE r16): run N of a clean-tree x3 session
-    // modifies only the record run N-1 wrote, and flagging the record's
-    // own churn as code dirt defeated the provenance it exists to pin.
+    // not masquerade as a reading of git_head's code. The records this
+    // repo's OWN measurement tools write at run time are excluded
+    // (ADVICE r16/r17): run N of a clean-code session churns only the
+    // records run N-1 wrote (this file's BENCH_LOCAL.json, and
+    // oracle_check.py's AUDITS_LOCAL.json / GRAFT_AUDITS_OUT=
+    // AUDITS_SF01.json when a verify preceded the bench in the same
+    // session), and flagging record churn as code dirt defeated the
+    // provenance the flag exists to pin. Driver/judge artifacts
+    // (VERDICT.md, BENCH_r*.json, ...) are deliberately NOT excluded —
+    // conservative direction: false-dirty is acceptable, false-clean
+    // never. Keep this list in sync with the writers (here and
+    // tools/oracle_check.py).
+    val runRecords =
+      Set("BENCH_LOCAL.json", "AUDITS_LOCAL.json", "AUDITS_SF01.json")
     val dirty =
       try {
         val p = new ProcessBuilder("git", "status", "--porcelain").start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         // porcelain lines are "XY <path>" — compare the exact path so
-        // only the top-level record file is excluded, never e.g. a
+        // only the top-level record files are excluded, never e.g. a
         // stray subdir/BENCH_LOCAL.json (an uncommitted tree must not
         // masquerade as clean)
         p.waitFor() == 0 && out.linesIterator
-          .exists(l => l.trim.nonEmpty &&
-            l.drop(3).trim != "BENCH_LOCAL.json")
+          .exists(l => l.trim.nonEmpty && !runRecords(l.drop(3).trim))
       } catch { case _: Throwable => false }
     val control = results.collectFirst {
       case ("q19_star_join_agg", v, _) => v }.getOrElse(-1.0)

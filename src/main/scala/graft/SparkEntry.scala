@@ -3681,15 +3681,33 @@ object SparkEntry {
     * contend with the rest of a full-tree run's disk I/O — the
     * BASELINE st15 in-tree caveat this removes (VERDICT r16 item 5).
     * A production continuous query points this at durable storage
-    * instead. */
+    * instead.
+    *
+    * tmpfs is preferred only when it has real headroom: containers
+    * commonly cap /dev/shm at 64 MB, where a stateful replay's
+    * state-store deltas would ENOSPC mid-run while the old disk-backed
+    * default worked (ADVICE r17) — so writability alone is not enough,
+    * and `GRAFT_ST_CKPT_DIR` overrides the whole choice for
+    * environments that know better. */
   private def runStreamOnce(s: SparkSession, out: DataFrame,
                             mode: org.apache.spark.sql.streaming.OutputMode)
       : DataFrame = {
     import java.nio.file.{Files, Paths}
     val shm = Paths.get("/dev/shm")
-    val ckptBase =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else Paths.get(System.getProperty("java.io.tmpdir"))
+    def shmHasHeadroom: Boolean =
+      try Files.getFileStore(shm).getUsableSpace >= (256L << 20)
+      catch { case scala.util.control.NonFatal(_) => false }
+    val ckptBase = sys.env.get("GRAFT_ST_CKPT_DIR") match {
+      case Some(d) =>
+        val p = Paths.get(d)
+        require(Files.isDirectory(p) && Files.isWritable(p),
+          s"GRAFT_ST_CKPT_DIR=$d is not a writable directory")
+        p
+      case None =>
+        if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+            shmHasHeadroom) shm
+        else Paths.get(System.getProperty("java.io.tmpdir"))
+    }
     val ckpt = Files.createTempDirectory(ckptBase, "graft_st_ckpt_")
     val sink = s"st_gate_sink_${stGateRuns.incrementAndGet()}"
     // cleanup wraps from start() onward so an analysis/start failure

@@ -21,7 +21,18 @@ class ContractSpec extends AnyFunSuite {
     * now route their sketch estimates through ModelStore exports the
     * oracle reads back — exact anchors recomputed in both engines,
     * estimate bytes shared — so the set is EMPTY: every gate carries a
-    * full SQL oracle.) */
+    * full SQL oracle.
+    *
+    * Independence caveat (ADVICE r17), so no future reader drops the
+    * audits believing the SQL hash covers everything: for k01/k02/st09
+    * the ESTIMATE columns (ndv_hll, p50/p90/p99) are self-certified —
+    * the oracle reads back the gate's own exported estimate bytes, and
+    * only the exact anchor columns are cross-engine recomputed. The
+    * independent checks on those estimates are the driver-side audits
+    * (tools/oracle_check.py k01_audit/k02_audit/st09_audit: HLL within
+    * 5·rsd of an exact DuckDB recount, quantiles inside the rank
+    * window) plus the in-tree error-contract gates (k07/k08/st14).
+    * Keep those audits alive as long as these gates exist. */
   private val declaredRowsOnly = Set.empty[String]
 
   test("every query has an oracle or is a declared rows-only check") {
