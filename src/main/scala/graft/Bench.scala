@@ -32,16 +32,32 @@ object Bench {
     // fit+export stage that is ORACLE overhead, not operator work, and
     // folding it into one number made r13's totals incomparable with
     // pre-r13 anchors (VERDICT r13 item 2). export_s isolates it.
+    // GRAFT_STREAM_STATE: per-gate max state-store rows (drained from
+    // runStreamOnce's per-sink records after each gate — a gate owns
+    // every sink created during its run), reported as a SECOND JSON
+    // line so the canonical bench line's schema never changes.
+    val wantState = sys.env.contains("GRAFT_STREAM_STATE")
+    val stateRows = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.querySubset.toSeq.sortBy(_._1)
       .map { case (name, fn) =>
       graft.util.GateTimer.reset()
+      if (wantState) SparkEntry.stStateRows.clear()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      if (wantState && !SparkEntry.stStateRows.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        stateRows(name) =
+          SparkEntry.stStateRows.values.asScala.map(_.longValue).max
+      }
       (name, (System.nanoTime() - t0) / 1e9, graft.util.GateTimer.exportSeconds)
     }
+    if (wantState)
+      println(stateRows.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + s"""\":$v""" }
+        .mkString("""{"stream_state_rows":{""", ",", "}}"))
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // only gates that actually exported (others would be noise-y zeros)

@@ -3618,6 +3618,14 @@ object SparkEntry {
 
   private val stGateRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-sink max state-store rows of the most recent replays (sink name
+    * → max over batches of Σ stateOperators.numRowsTotal), filled by
+    * [[runStreamOnce]]; [[graft.Bench]] drains it per gate under
+    * GRAFT_STREAM_STATE to measure the streaming family's bounded-state
+    * claims at each octave. */
+  private[graft] val stStateRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Streaming file source over a testdata table, schema from a
     * metadata-only batch peek. The file source requires a DIRECTORY. A
     * table that is already directory-shaped (a Spark-written or
@@ -3723,6 +3731,16 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // state-size instrumentation (VERDICT r17 item 3): max over the
+      // replay's batches of total state-store rows, keyed by sink —
+      // Bench drains this per gate when GRAFT_STREAM_STATE is set, so
+      // the bounded-state claims in Streams.scala are MEASURED at each
+      // octave, not asserted. recentProgress retains the last ~100
+      // batch progresses — more than any one-shot replay here emits.
+      val maxStateRows = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      stStateRows.put(sink, maxStateRows)
     } finally {
       try {
         val walk = Files.walk(ckpt)
