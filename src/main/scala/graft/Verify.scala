@@ -19,6 +19,15 @@ object Verify {
       // in graft.sources.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // typed-buffer aggregates (datasketches hll_sketch_agg, k09) fall
+      // back to SORT-BASED aggregation past 128 distinct groups per task
+      // by default — k09's per-(series, day) pass holds 210, and at the
+      // probe's third decade the fallback sorted the whole corpus (2.2x
+      // wall, BENCHLOG r18). Raise the threshold: 4096 sketch buffers
+      // (~4-16 KB dense each at lgK<=12) is tens of MB per task, far
+      // under executor memory at 32 partitions.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

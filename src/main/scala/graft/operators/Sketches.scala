@@ -194,7 +194,17 @@ object Sketches {
     * (1.04/√2^lgK) rides the output so the containment audit derives
     * its bound from the knob the sketch ran with ([[distinctProfile]]'s
     * discipline). Both aggregation passes are map-side combined; the
-    * final join is two |series|-row frames. */
+    * final join is two |series|-row frames.
+    *
+    * Deployment note (measured, BENCHLOG r18 third decade): typed-buffer
+    * aggregates run as ObjectHashAggregate, which falls back to
+    * SORT-BASED aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct groups per task — this pass holds
+    * |series|·|subs| groups, and past the default the fallback sorts
+    * the whole corpus (2.2× wall at 100M rows). Sessions that run this
+    * at scale should raise the threshold (Bench/Verify set 4096; the
+    * buffers are KB-sized). */
   def mergeProfile(df: DataFrame, groupCol: Column, subCol: Column,
                    keyCol: Column, lgK: Int = 12): DataFrame = {
     val rows = df.select(groupCol.as("series"), subCol.as("sub"),

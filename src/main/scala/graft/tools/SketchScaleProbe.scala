@@ -32,6 +32,13 @@ object SketchScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // typed-buffer aggregates (datasketches HLL) fall back to
+      // SORT-BASED aggregation past this many distinct groups per task
+      // (default 128) — k09's per-(series, day) pass holds 210 groups,
+      // so at the third decade the fallback sorts the whole corpus.
+      // GRAFT_OHA_FALLBACK=128 reproduces the default for the contrast.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Eval, Sketches}
@@ -55,36 +62,52 @@ object SketchScaleProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // optional leg filter: GRAFT_SKETCH_LEGS=hll,gk,... (default all) —
+    // lets a decade re-read run one leg in a clean session instead of
+    // inheriting the heap/page-cache state of a 10-minute predecessor
+    val legs = sys.env.get("GRAFT_SKETCH_LEGS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("hll", "hll_only", "gk", "merge", "auc", "boot"))
     for (n <- args.map(_.toLong)) {
       val ev = synth(n)
       // untimed warmup at a sliver of n: JIT/codegen land here
       noop(Sketches.distinctProfile(synth(math.max(1000L, n / 1000L)),
         col("event_type"), col("user_id"), rsd = 0.02))
-      // k01/k08 shape: HLL NDV profile (includes the exact anchor
-      // countDistinct exactly as the gates do)
-      val tHll = timed(noop(Sketches.distinctProfile(ev,
-        col("event_type"), col("user_id"), rsd = 0.02)))
-      // k02/k07 shape: GK quantile profile
-      val tGk = timed(noop(Sketches.quantileProfile(ev,
-        col("event_type"), col("value"), accuracy = 10000)))
-      // k09 shape: per-day HLL partials union-merged + direct pass
-      val tMerge = timed(noop(Sketches.mergeProfile(ev,
-        col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
-        col("user_id"), lgK = 12)))
-      // e04 shape: AUC state fold — base state on 3/4 of the corpus,
-      // delta fold of the rest, statistic from the merged state
-      val tAuc = timed(noop(Eval.aucFromState(Eval.aucMergeStates(
-        Eval.aucState(ev.filter(col("id") % 4 =!= 3),
-          pmod(col("user_id"), lit(500L)), col("event_type") === "t0"),
-        Eval.aucState(ev.filter(col("id") % 4 === 3),
-          pmod(col("user_id"), lit(500L)), col("event_type") === "t0")))))
-      // e08 shape: 64-replicate Poisson bootstrap of the mean
-      val tBoot = timed(noop(Eval.poissonBootstrap(ev, col("id"),
-        pmod(col("user_id"), lit(1000L)), replicates = 64,
-        seed = "graft-boot", loRank = 2, hiRank = 63)))
-      println(f"""{"rows":$n,"hll_sec":$tHll%.2f,"gk_sec":$tGk%.2f,""" +
-        f""""merge_sec":$tMerge%.2f,"auc_sec":$tAuc%.2f,""" +
-        f""""boot_sec":$tBoot%.2f}""")
+      def leg(name: String)(f: => Unit): Option[(String, Double)] =
+        if (legs(name)) Some(name -> timed(f)) else None
+      val out = Seq(
+        // k01/k08 shape: HLL NDV profile INCLUDING the exact anchor
+        // countDistinct, exactly as the contract gates run it — the
+        // exact column is the known super-linear term at scale
+        leg("hll")(noop(Sketches.distinctProfile(ev,
+          col("event_type"), col("user_id"), rsd = 0.02))),
+        // the PRODUCTION path: sketch only, no exact anchor — what k01
+        // ships at 100 TB ("the exact ndv column is the one you DROP")
+        leg("hll_only")(noop(ev.groupBy(col("event_type").as("series"))
+          .agg(count(lit(1)).as("n_rows"),
+            approx_count_distinct(col("user_id"), 0.02).as("ndv_hll")))),
+        // k02/k07 shape: GK quantile profile
+        leg("gk")(noop(Sketches.quantileProfile(ev,
+          col("event_type"), col("value"), accuracy = 10000))),
+        // k09 shape: per-day HLL partials union-merged + direct pass
+        leg("merge")(noop(Sketches.mergeProfile(ev,
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          col("user_id"), lgK = 12))),
+        // e04 shape: AUC state fold — base state on 3/4 of the corpus,
+        // delta fold of the rest, statistic from the merged state
+        leg("auc")(noop(Eval.aucFromState(Eval.aucMergeStates(
+          Eval.aucState(ev.filter(col("id") % 4 =!= 3),
+            pmod(col("user_id"), lit(500L)), col("event_type") === "t0"),
+          Eval.aucState(ev.filter(col("id") % 4 === 3),
+            pmod(col("user_id"), lit(500L)),
+            col("event_type") === "t0"))))),
+        // e08 shape: 64-replicate Poisson bootstrap of the mean
+        leg("boot")(noop(Eval.poissonBootstrap(ev, col("id"),
+          pmod(col("user_id"), lit(1000L)), replicates = 64,
+          seed = "graft-boot", loRank = 2, hiRank = 63)))
+      ).flatten
+      println(out.map { case (k, v) => "\"" + k + f"""_sec\":$v%.2f""" }
+        .mkString(s"""{"rows":$n,""", ",", "}"))
     }
     spark.stop()
   }
