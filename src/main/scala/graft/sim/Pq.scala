@@ -343,6 +343,58 @@ object Pq {
     * arriving batch) come from the caller. Both model applications are
     * row-local given the frames, so batch-at-a-time encode/assign agrees
     * bit-for-bit with a one-shot pass, and querying never refits. */
+  /** IVFADC past the single-level envelope — [[ivfPqKnn]] with the
+    * coarse level built by [[Ivf.twoLevelCells]] (assignment
+    * n·(c1+c2)·d flops instead of n·(c1·c2)·d — the same n^1.5 term
+    * retired from [[Ivf.ivfKnnAuto]] in r18, here for the PQ family)
+    * and probed with [[Ivf.ivfKnnTwoLevel]]'s inverted-multi-index
+    * shape (nprobe1 coarse × nprobe2 fine each). The code table keys
+    * on the composite (coarse, cluster) cell and the candidate join
+    * still broadcasts the bounded probe side, so the corpus-sized
+    * codes never shuffle ([[ivfPqKnnFromModel]]'s discipline). With
+    * c1 = 1, nprobe1 = 1, nprobe2 = nprobe this is row-identical to
+    * [[ivfPqKnn]](c = c2, nprobe) — spec-pinned, like its plain-IVF
+    * sibling. */
+  def ivfPqKnnTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                       probeFilter: Column, k: Int,
+                       c1: Int, c2: Int, nprobe1: Int, nprobe2: Int,
+                       m: Int, ksub: Int, iters: Int = 3,
+                       fitFraction: Double = 1.0,
+                       refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (coarseCentroids, fineAll, cellsRaw) =
+      Ivf.twoLevelCells(corpus, c1, c2, iters, fitFraction)
+    val cells = cellsRaw.select(col("id"), col("coarse"), col("cluster"))
+    val codebooks = fitCodebooks(emb, idCol, vecCol, m, ksub, iters,
+      fitFraction)
+    val codes = encode(emb, idCol, vecCol, codebooks, m)
+      .join(cells, Seq("id"))
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
+    val probeCoarse = probes.crossJoin(broadcast(coarseCentroids))
+      .select(col("probe_id"), col("v_p"), col("cluster"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
+      .groupBy("probe_id")
+      .agg(first(col("v_p")).as("v_p"),
+        TopK.topKByScore(col("cos"), col("cluster"), nprobe1).as("cc"))
+      .select(col("probe_id"), col("v_p"),
+        explode(col("cc.id")).as("coarse"))
+    // fine-cell selection meets only the probe's own coarse cells'
+    // fine centroids via the coarse-keyed equi-join — the total fine
+    // count never broadcasts (Ivf.ivfKnnTwoLevel's probe shape)
+    val probeFine = probeCoarse.join(fineAll, Seq("coarse"))
+      .select(col("probe_id"), col("v_p"), col("coarse"), col("cluster"),
+        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
+      .groupBy("probe_id", "coarse")
+      .agg(TopK.topKByScore(col("cos"), col("cluster"), nprobe2).as("fc"))
+      .select(col("probe_id"), col("coarse"),
+        explode(col("fc.id")).as("cluster"))
+      .join(broadcast(probeLuts(probes, codebooks, m)), Seq("probe_id"))
+    val cands = codes.join(broadcast(probeFine), Seq("coarse", "cluster"))
+    adcShortlistRefine(emb, idCol, vecCol, probes, cands, k, m, refine)
+  }
+
   def ivfPqKnnFromModel(emb: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, codebooks: DataFrame,
                         codes: DataFrame, probeFilter: Column, k: Int,

@@ -134,14 +134,28 @@ object PqProbe {
             probeFilter = col("vec_id") < 5, k = 3, m = m, ksub = ksub,
             fitFraction = fitFraction, refine = 8))
         }
+        // the deployment switch, mirroring Ivf.ivfKnnAuto (r18): past
+        // TwoLevelMinCells the coarse level builds two-level, retiring
+        // the n·c one-shot assignment from the IVFADC path too
+        val twoLevel = c >= CellKnobs.TwoLevelMinCells
         val tS08 = timed {
-          noop(Pq.ivfPqKnn(emb, "vec_id", "embedding",
-            probeFilter = col("vec_id") < 5, k = 3, c = c,
-            nprobe = nprobe, m = m, ksub = ksub,
-            fitFraction = fitFraction, refine = 8))
+          if (twoLevel) {
+            val (c1, c2) = CellKnobs.coarseFineSplit(c)
+            val (np1, np2) = CellKnobs.probeSplit(nprobe)
+            noop(Pq.ivfPqKnnTwoLevel(emb, "vec_id", "embedding",
+              probeFilter = col("vec_id") < 5, k = 3,
+              c1 = c1, c2 = c2, nprobe1 = np1, nprobe2 = np2,
+              m = m, ksub = ksub, fitFraction = fitFraction,
+              refine = 8))
+          } else
+            noop(Pq.ivfPqKnn(emb, "vec_id", "embedding",
+              probeFilter = col("vec_id") < 5, k = 3, c = c,
+              nprobe = nprobe, m = m, ksub = ksub,
+              fitFraction = fitFraction, refine = 8))
         }
         println(f"""{"probe":"pq_auto","dir":"$dir","n":$n,"c":$c,""" +
           f""""nprobe":$nprobe,"m":$m,"ksub":$ksub,""" +
+          f""""two_level":$twoLevel,""" +
           f""""fit_fraction":$fitFraction%.3f,""" +
           f""""s07_sec":$tS07%.2f,"s08_sec":$tS08%.2f}""")
 
