@@ -44,7 +44,9 @@ object Bench {
     // GRAFT_STREAM_STATE: per-gate max state-store rows (drained from
     // runStreamOnce's per-sink records after each gate — a gate owns
     // every sink created during its run), reported as a SECOND JSON
-    // line so the canonical bench line's schema never changes.
+    // line AFTER the canonical bench line so the canonical line's
+    // schema never changes and a consumer keying on the first JSON
+    // line still gets the bench object (ADVICE r18).
     val wantState = sys.env.contains("GRAFT_STREAM_STATE")
     val stateRows = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.querySubset.toSeq.sortBy(_._1)
@@ -63,10 +65,6 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, graft.util.GateTimer.exportSeconds)
     }
-    if (wantState)
-      println(stateRows.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + s"""\":$v""" }
-        .mkString("""{"stream_state_rows":{""", ",", "}}"))
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // only gates that actually exported (others would be noise-y zeros)
@@ -118,6 +116,12 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","git_dirty":$dirty,"control_q19_sec":$control%.3f,"queries":$qs,"export_s":$ex,"sf":"$sfDir"}"""
     println(line)
+    // Supplementary line second: line-order consumers (first JSON line)
+    // read the canonical bench object regardless of GRAFT_STREAM_STATE.
+    if (wantState)
+      println(stateRows.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + s"""\":$v""" }
+        .mkString("""{"stream_state_rows":{""", ",", "}}"))
     // Stdout capture windows can clip the (long) JSON line mid-object —
     // the r11 bench artifact lost its whole first family that way. Also
     // persist the full line in-tree so every round has a complete

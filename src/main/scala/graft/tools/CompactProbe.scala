@@ -45,6 +45,10 @@ object CompactProbe {
     }
     val base = java.nio.file.Files
       .createTempDirectory("graft-compact-probe").toString
+    // cleanup must also run on a FAILED leg (ADVICE r18): the fixture is
+    // a full copy of the events corpus, and repeated octave runs that
+    // die mid-leg would otherwise accumulate corpus-sized /tmp garbage
+    try {
     val keyed = graft.sources.Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val smallPath = s"$base/events_small"
@@ -105,7 +109,7 @@ object CompactProbe {
       f""""compact1_total_files":$tot1,"salted_total_files":$totS,""" +
       f""""days":$days1,"salted_days":$daysS,"salted_rows":$rowsS,""" +
       f""""compact1_1day_sec":$t1s%.2f,"salted_1day_sec":$tSs%.2f}""")
-    graft.sources.Warehouse.rmTree(new java.io.File(base))
+    } finally graft.sources.Warehouse.rmTree(new java.io.File(base))
     spark.stop()
   }
 }

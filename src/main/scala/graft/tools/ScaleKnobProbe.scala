@@ -144,9 +144,34 @@ object ScaleKnobProbe {
             fitFraction = fitFraction)
           .write.format("noop").mode("overwrite").save()
       }
+      // Recall columns (ADVICE r18): the crossover evidence must cover
+      // QUALITY, not just wall-clock — the inverted-multi-index probe
+      // constrains fine probes to nprobe1 coarse cells, so two-level
+      // recall at the sizes where ivfKnnAuto actually switches needs
+      // measuring. Ground truth is brute-force cosine on a ~100-probe
+      // subset (stride grows with n, so this leg stays O(100·n·d) at
+      // any decade and never dominates the timed legs above).
+      val stride = math.max(20L, n / 100L)
+      val rProbe = col("vec_id") % stride === 0
+      def top(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = top(graft.sim.Knn.bruteForceKnn(emb, "vec_id",
+        "embedding", probeFilter = rProbe, k = 3))
+      val rSingle = top(Ivf.ivfKnn(emb, "vec_id", "embedding",
+        probeFilter = rProbe, k = 3, c = c, nprobe = nprobe,
+        fitFraction = fitFraction))
+      val rTwo = top(Ivf.ivfKnnTwoLevel(emb, "vec_id", "embedding",
+        probeFilter = rProbe, k = 3, c1 = c1, c2 = c2, nprobe1 = np1,
+        nprobe2 = np2, fitFraction = fitFraction))
+      def recall(a: Set[(Long, Long)]): Double =
+        if (exact.isEmpty) 1.0
+        else (a intersect exact).size.toDouble / exact.size
       println(f"""{"dir":"$dir","rows":$n,"mode":"ivfcmp","cells":$c,""" +
         f""""c1":$c1,"c2":$c2,"nprobe":$nprobe,"np1":$np1,"np2":$np2,""" +
-        f""""single_sec":$tSingle%.2f,"two_sec":$tTwo%.2f}""")
+        f""""single_sec":$tSingle%.2f,"two_sec":$tTwo%.2f,""" +
+        f""""recall_probes":${exact.size / 3},""" +
+        f""""recall_single":${recall(rSingle)}%.3f,""" +
+        f""""recall_two":${recall(rTwo)}%.3f}""")
     }
     spark.stop()
   }

@@ -43,6 +43,11 @@ object StreamEvictionProbe {
     // maxFilesPerTrigger=1 — so batches arrive in event-time day order
     val srcDir = java.nio.file.Files
       .createTempDirectory("graft_evict_src").toAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evict_ck")
+    // the chunk dir is a full copy of the events corpus — failed runs
+    // must clean it up too, or repeated octave sessions fill /tmp
+    // (ADVICE r18); rmTree both on every exit path
+    try {
     for ((day, i) <- days.zipWithIndex) {
       val tmp = java.nio.file.Files.createTempDirectory(srcDir, "w")
       ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day)
@@ -62,7 +67,6 @@ object StreamEvictionProbe {
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
     val joined = graft.streaming.Streams.errorResolutionJoin(stream,
       withinSec = 3600L, fixType = "purchase", wmDelay = Some(wmDelay))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_evict_ck")
     val q = joined.writeStream.format("memory").queryName("evict_probe")
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -82,6 +86,10 @@ object StreamEvictionProbe {
       s""""state_series":${series.map(_._2).mkString("[", ",", "]")},""" +
       s""""state_max":${(0L +: series.map(_._2)).max},""" +
       s""""streamed_pairs":$streamedPairs,"batch_pairs":$batchPairs}""")
+    } finally {
+      graft.sources.Warehouse.rmTree(srcDir.toFile)
+      graft.sources.Warehouse.rmTree(ckpt.toFile)
+    }
     spark.stop()
   }
 }

@@ -136,9 +136,11 @@ class CellKnobsSpec extends AnyFunSuite {
   test("ivfKnnAuto switches to the two-level path past TwoLevelMinCells") {
     import graft.sources.Tables
     val emb = Tables(spark, TestSpark.sf, "embeddings")
-    // corpusRows=70000 derives c=265 >= 256: the auto path must take the
-    // two-level branch and still produce ranked neighbors on the real
-    // corpus (fallback cells make the sparse fit total)
+    // corpusRows=70000 derives c=265 >= TwoLevelMinCells (=64): the auto
+    // path must take the two-level branch and still produce ranked
+    // neighbors on the real corpus (fallback cells make the sparse fit
+    // total); the assert below reads the constant so a threshold change
+    // can't silently strand this spec on the single-level path
     assert(CellKnobs.cellsFor(70000) >= CellKnobs.TwoLevelMinCells)
     val out = Ivf.ivfKnnAuto(emb, "vec_id", "embedding",
         probeFilter = col("vec_id") < 10, k = 3,
