@@ -202,11 +202,16 @@ object Sketches {
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
     * (default 128) distinct groups per task — this pass holds
     * |series|·|subs| groups, and past the default the fallback sorts
-    * the whole corpus (2.2× wall at 100M rows). Sessions that run this
-    * at scale should raise the threshold (Bench/Verify set 4096; the
-    * buffers are KB-sized). */
+    * the whole corpus (2.2× wall at 100M rows). Since r19 the headroom
+    * is a LIBRARY guarantee, not a harness conf:
+    * [[graft.util.OhaHeadroom.ensure]] raises the session threshold to
+    * its 4096 floor at call time (KB-sized sketch buffers — tens of MB
+    * per task at the floor), so a consumer session with the Spark
+    * default has no silent cliff; `spark.graft.ohaAutoRaise=false`
+    * opts out and gets one loud warning instead. */
   def mergeProfile(df: DataFrame, groupCol: Column, subCol: Column,
                    keyCol: Column, lgK: Int = 12): DataFrame = {
+    graft.util.OhaHeadroom.ensure(df.sparkSession)
     val rows = df.select(groupCol.as("series"), subCol.as("sub"),
       keyCol.as("k"))
     val perSub = rows.groupBy("series", "sub")
@@ -372,9 +377,17 @@ object Sketches {
     * n/`accuracy` of the target rank — the contract the driver audit
     * checks against exact DuckDB ranks. Bounded state per (group,
     * sketch) regardless of group size; never Spark's value-buffering
-    * exact `percentile`. */
+    * exact `percentile`.
+    *
+    * `percentile_approx` is a typed-buffer aggregate (the
+    * ObjectHashAggregate class), so this path carries the same silent
+    * sort-fallback cliff as [[mergeProfile]] past the session's
+    * fallback threshold — [[graft.util.OhaHeadroom.ensure]] guards it
+    * the same way. ([[distinctProfile]] needs no guard: HLL++ has a
+    * fixed-width buffer and plans as HashAggregate.) */
   def quantileProfile(df: DataFrame, groupCol: Column, valCol: Column,
                       accuracy: Int = 10000): DataFrame = {
+    graft.util.OhaHeadroom.ensure(df.sparkSession)
     val qs = percentile_approx(valCol,
       array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy))
     df.groupBy(groupCol.as("series"))

@@ -25,21 +25,31 @@ import org.apache.spark.sql.functions._
 object SketchScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: SketchScaleProbe rows [rows...]")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // typed-buffer aggregates (datasketches HLL) fall back to
-      // SORT-BASED aggregation past this many distinct groups per task
-      // (default 128) — k09's per-(series, day) pass holds 210 groups,
-      // so at the third decade the fallback sorts the whole corpus.
-      // GRAFT_OHA_FALLBACK=128 reproduces the default for the contrast.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("GRAFT_OHA_FALLBACK", "4096"))
-      .getOrCreate()
+    // typed-buffer aggregates (datasketches HLL) fall back to
+    // SORT-BASED aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // distinct groups per task (Spark default 128) — k09's per-(series,
+    // day) pass holds 210 groups, so at the third decade the fallback
+    // sorts the whole corpus. Since r19 the library itself raises the
+    // threshold (util.OhaHeadroom in Sketches.mergeProfile /
+    // quantileProfile), so the probe's DEFAULT is a default-conf
+    // session: no explicit threshold — the "no cliff without the
+    // harness conf" check. GRAFT_OHA_FALLBACK=<n> pins the threshold
+    // AND opts out of the auto-raise, so the cliff itself stays
+    // measurable (=128 reproduces the old default-conf behavior).
+    val spark = (sys.env.get("GRAFT_OHA_FALLBACK") match {
+      case Some(n) => builder
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", n)
+        .config(graft.util.OhaHeadroom.OptOutKey, "false")
+      case None => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Eval, Sketches}
 
@@ -68,11 +78,37 @@ object SketchScaleProbe {
     val legs = sys.env.get("GRAFT_SKETCH_LEGS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("hll", "hll_only", "gk", "merge", "auc", "boot"))
+    // merge128: the same merge leg with the threshold PINNED to Spark's
+    // 128 default and the library auto-raise opted out — the sort-
+    // fallback cliff itself, measured in the SAME session as the
+    // guarded leg (cross-session deltas at these wall lengths are
+    // phase-dominated on this box; the r18 s08/s07 instrument). Runs
+    // after `merge` in the leg order, restores the confs either way.
+    def pinned128(f: => Unit): Unit = {
+      val s = spark
+      s.conf.set(graft.util.OhaHeadroom.Key, "128")
+      s.conf.set(graft.util.OhaHeadroom.OptOutKey, "false")
+      try f finally {
+        s.conf.unset(graft.util.OhaHeadroom.Key)
+        s.conf.unset(graft.util.OhaHeadroom.OptOutKey)
+      }
+    }
     for (n <- args.map(_.toLong)) {
       val ev = synth(n)
       // untimed warmup at a sliver of n: JIT/codegen land here
       noop(Sketches.distinctProfile(synth(math.max(1000L, n / 1000L)),
         col("event_type"), col("user_id"), rsd = 0.02))
+      // the merge legs' typed-buffer path (hll_sketch_agg/union) JITs
+      // separately from the warmup above — warm it too, or the FIRST
+      // merge leg in a multi-leg session carries the JIT cost and a
+      // same-session contrast reads backwards (measured: merge 60.1 vs
+      // merge128 51.7 at 100M before this warmup)
+      if (legs.exists(_.startsWith("merge")))
+        // n/50, not n/1000: C2 compilation of the sketch fold needs
+        // real iteration volume or the first timed leg still carries it
+        noop(Sketches.mergeProfile(synth(math.max(1000L, n / 50L)),
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          col("user_id"), lgK = 12))
       def leg(name: String)(f: => Unit): Option[(String, Double)] =
         if (legs(name)) Some(name -> timed(f)) else None
       val out = Seq(
@@ -93,6 +129,19 @@ object SketchScaleProbe {
         leg("merge")(noop(Sketches.mergeProfile(ev,
           col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
           col("user_id"), lgK = 12))),
+        leg("merge128")(pinned128(noop(Sketches.mergeProfile(ev,
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          col("user_id"), lgK = 12)))),
+        // repeats in A,B,A,B order: the drift check — compare pairwise
+        // (merge vs merge128, merge_b vs merge128_b); if the two pairs
+        // disagree wildly the session phase moved and the contrast is
+        // noise, not signal
+        leg("merge_b")(noop(Sketches.mergeProfile(ev,
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          col("user_id"), lgK = 12))),
+        leg("merge128_b")(pinned128(noop(Sketches.mergeProfile(ev,
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+          col("user_id"), lgK = 12)))),
         // e04 shape: AUC state fold — base state on 3/4 of the corpus,
         // delta fold of the rest, statistic from the merged state
         leg("auc")(noop(Eval.aucFromState(Eval.aucMergeStates(
@@ -106,8 +155,43 @@ object SketchScaleProbe {
           pmod(col("user_id"), lit(1000L)), replicates = 64,
           seed = "graft-boot", loRank = 2, hiRank = 63)))
       ).flatten
+      // Fallback-task metric (item 1's phase-independent instrument —
+      // wall-clock contrasts on this box are noise at these lengths):
+      // numTasksFallBacked summed over the ObjectHashAggregates in the
+      // executed plan, for the guarded default-conf path and the
+      // pinned-128 path. The library guarantee is fb=0 on the guarded
+      // leg; the pinned leg proves the metric detects the cliff.
+      def fallbackTasks(df: DataFrame): Long = {
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+          val self = p match {
+            case o: org.apache.spark.sql.execution.aggregate
+                .ObjectHashAggregateExec =>
+              o.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
+            case _ => 0L
+          }
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          self + kids.map(walk).sum
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      val fb =
+        if (legs.exists(_.startsWith("merge"))) {
+          def prof = Sketches.mergeProfile(ev, col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd"), col("user_id"), lgK = 12)
+          val guarded = fallbackTasks(prof)
+          var pinned = -1L
+          pinned128 { pinned = fallbackTasks(prof) }
+          s""","merge_fb_tasks":$guarded,"merge128_fb_tasks":$pinned"""
+        } else ""
       println(out.map { case (k, v) => "\"" + k + f"""_sec\":$v%.2f""" }
-        .mkString(s"""{"rows":$n,""", ",", "}"))
+        .mkString(s"""{"rows":$n,""", ",", fb + "}"))
     }
     spark.stop()
   }
