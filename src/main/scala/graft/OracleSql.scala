@@ -201,23 +201,45 @@ object OracleSql {
   /** Poisson-bootstrap CI — the shared oracle of the e08 batch
     * gate and its st15 streaming twin (the stream-drained reps
     * frame equals the batch build bit-for-bit: integer counting is
-    * order-insensitive and the coins md5-derived).
-    * Re-draws every 60-bit coin against the pinned integer CDF
-    * thresholds (Eval.poissonCdf60, shared constants) and re-picks
-    * the identical (mean, b) order statistics. */
+    * order-insensitive and the coins hash-derived).
+    * Re-draws every 60-bit coin — the xxhash64 chain when the shared
+    * e08XxDraw flag is on (the [[xxHashLongSql]] twin; the md5 digest
+    * otherwise) — against the pinned integer CDF thresholds
+    * (Eval.poissonCdf60, shared constants) and re-picks the identical
+    * (mean, b) order statistics. */
   private lazy val bootstrapCiSql: String = {
       val w = graft.operators.Eval.poissonCdf60
         .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
         .mkString("(", " + ", ")")
       val seed = graft.SparkEntry.e08Seed
-      s"""WITH v AS (SELECT doc_id AS id, $wordCountSql AS v
-             FROM documents),
-         draws AS (SELECT id, v, b,
+      val drawsCte =
+        if (graft.SparkEntry.e08XxDraw) {
+          // the grid with u64 twins of (id, b), then the two long
+          // stages; the masked low-60 coin is hb % 2^60 (= Spark's
+          // bitwiseAND on the non-negative masked value)
+          val grid = s"(SELECT id, v, b, ${toU("id")} AS iu, " +
+            s"CAST(b AS HUGEINT) AS bu FROM v, " +
+            s"unnest(generate_series(0, " +
+            s"${graft.SparkEntry.e08Replicates - 1})) AS t(b))"
+          val h0 = java.lang.Long.toUnsignedString(
+            graft.operators.Eval.xxSeedHash(seed))
+          val idStage = xxHashLongSql(grid,
+            Seq("id", "v", "b", "iu", "bu"), "x", "iu", h0, "hid")
+          val bStage = xxHashLongSql(idStage,
+            Seq("id", "v", "b", "bu", "hid"), "y", "bu", "hid", "hb")
+          s"""draws AS (SELECT id, v, b,
+             CAST(hb % ${BigInt(1) << 60} AS BIGINT) AS u
+           FROM $bStage)"""
+        } else
+          s"""draws AS (SELECT id, v, b,
              CAST(concat('0x', substr(md5('$seed' ||
                CAST(id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
                1, 15)) AS BIGINT) AS u
            FROM v, unnest(generate_series(0,
-             ${graft.SparkEntry.e08Replicates - 1})) AS t(b)),
+             ${graft.SparkEntry.e08Replicates - 1})) AS t(b))"""
+      s"""WITH v AS (SELECT doc_id AS id, $wordCountSql AS v
+             FROM documents),
+         $drawsCte,
          reps AS (SELECT CAST(b AS BIGINT) AS b,
              CAST(SUM($w) AS BIGINT) AS n_eff,
              CAST(SUM($w * v) AS BIGINT) AS wsum
@@ -418,6 +440,57 @@ object OracleSql {
     val u = toU(h)
     toS(s"(($u * (1::HUGEINT << ($s))) % CAST($U64 AS HUGEINT)" +
       s" + ($u // (1::HUGEINT << (64 - ($s)))))")
+  }
+
+  // -- XXH64 hashLong twin (e08/st15's xxhash64 bootstrap coin,
+  // Eval.integerDrawXx): Spark's xxhash64 folds columns left-to-right
+  // as hashLong(colN, … hashLong(col1, hashUTF8String(seed, 42))), so
+  // the oracle interpolates the string stage as a constant
+  // (Eval.xxSeedHash — computed with the engine's OWN XXH64, never
+  // re-implemented) and replays only the long stages in wrapping u64
+  // HUGEINT arithmetic. Every intermediate lives in its own nested
+  // SELECT: DuckDB expands SAME-SELECT alias references textually, so
+  // a flat alias chain blows up ~3^24 — the nesting is what keeps the
+  // expression tree linear in the 24 steps.
+  private val XxP1 = "11400714785074694791"
+  private val XxP2 = "14029467366897019727"
+  private val XxP3 = "1609587929392839161"
+  private val XxP4 = "9650029242287828579"
+  private val XxP5 = "2870177450012600261"
+  /** Wrapping u64 multiply via 32-bit split (u64·u64 overflows
+    * HUGEINT; each split partial stays < 2^97). */
+  private def xxMul(a: String, b: String): String =
+    s"((($a) % 4294967296) * (($b) % 4294967296) + (((($a) % " +
+      s"4294967296) * (($b) // 4294967296) + (($a) // 4294967296) * " +
+      s"(($b) % 4294967296)) % 4294967296) * 4294967296) % $U64"
+  private def xxRotl(x: String, s: Int): String =
+    s"((($x) * ${BigInt(1) << s}) % $U64 + (($x) // ${BigInt(1) << (64 - s)}))"
+  private def xxXor(a: String, b: String): String =
+    toU(s"xor(${toS(a)}, ${toS(b)})")
+  private def xxShr(x: String, s: Int): String =
+    s"(($x) // ${BigInt(1) << s})"
+  /** Nested-subquery chain computing XXH64.hashLong(`inputU`, `seedU`)
+    * into column `out` over `inner`; `keep` columns pass through. */
+  private def xxHashLongSql(inner: String, keep: Seq[String], p: String,
+                            inputU: String, seedU: String,
+                            out: String): String = {
+    val steps = Seq(
+      (s"(($seedU) + $XxP5 + 8) % $U64", s"${p}h1"),
+      (xxMul(inputU, XxP2), s"${p}k1"),
+      (xxRotl(s"${p}k1", 31), s"${p}k2"),
+      (xxMul(s"${p}k2", XxP1), s"${p}k3"),
+      (xxXor(s"${p}h1", s"${p}k3"), s"${p}m1"),
+      (xxRotl(s"${p}m1", 27), s"${p}m2"),
+      (s"(${xxMul(s"${p}m2", XxP1)} + $XxP4) % $U64", s"${p}m3"),
+      (xxXor(s"${p}m3", xxShr(s"${p}m3", 33)), s"${p}f1"),
+      (xxMul(s"${p}f1", XxP2), s"${p}f2"),
+      (xxXor(s"${p}f2", xxShr(s"${p}f2", 29)), s"${p}f3"),
+      (xxMul(s"${p}f3", XxP3), s"${p}f4"),
+      (xxXor(s"${p}f4", xxShr(s"${p}f4", 32)), out))
+    steps.foldLeft((inner, keep)) { case ((q, ks), (expr, alias)) =>
+      (s"(SELECT ${ks.mkString(", ")}, $expr AS $alias FROM $q)",
+        ks :+ alias)
+    }._1
   }
 
   /** Shared MinHash prefix over a gate's exported shingle dictionary

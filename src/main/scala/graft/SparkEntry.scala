@@ -3107,26 +3107,31 @@ object SparkEntry {
       ev(s, dir).filter(col("event_type").isin("click", "error")),
       col("value"), col("event_type") === "click")
 
-  /** e08's knobs, shared with the oracle SQL generator: 64 md5-coin
-    * Poisson replicates, nearest-rank 95% CI = the 2nd / 63rd order
+  /** e08's knobs, shared with the oracle SQL generator: 64 Poisson
+    * replicates, nearest-rank 95% CI = the 2nd / 63rd order
     * statistics of the sorted replicate means (ceil(0.025·64) /
-    * ceil(0.975·64)). */
+    * ceil(0.975·64)). Since r19 the coin is the xxhash64 draw
+    * (Eval.integerDrawXx — one XXH64 chain per (row, replicate)
+    * instead of string-concat + md5; the bootstrap's honest-linear
+    * leg is draw-dominated, so the digest IS the constant factor);
+    * the flag is shared so gate and oracle switch together. */
   private[graft] val e08Replicates = 64
   private[graft] val e08LoRank = 2
   private[graft] val e08HiRank = 63
   private[graft] val e08Seed = "graft-boot"
+  private[graft] val e08XxDraw = true
 
   /** Poisson-bootstrap CI (operators/Eval.poissonBootstrap — the
     * one-scan bootstrap a 100 TB corpus can actually afford): how
     * tight is the corpus mean word count? 64 deterministic Poisson(1)
-    * md5-replicates of the t03 integer token grid, exact int64
+    * xxhash64-replicates of the t03 integer token grid, exact int64
     * partial sums per replicate, nearest-rank 95% CI picked (never
     * interpolated) from the sorted replicate means. */
   private def e08(s: SparkSession, dir: String): DataFrame =
     graft.operators.Eval.poissonBootstrap(t(s, dir, "documents"),
         col("doc_id"), TextOps.wordCount(col("text")),
         replicates = e08Replicates, seed = e08Seed,
-        loRank = e08LoRank, hiRank = e08HiRank)
+        loRank = e08LoRank, hiRank = e08HiRank, xxDraw = e08XxDraw)
       .orderBy("kind", "b")
 
   /** Exact tie-aware Spearman rank correlation
@@ -3717,6 +3722,27 @@ object SparkEntry {
         else Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val ckpt = Files.createTempDirectory(ckptBase, "graft_st_ckpt_")
+    // State-store provider knob (VERDICT r18 item 3): the provider is
+    // result-invariant (it stores the same keyed rows; only the
+    // update-cost class changes — HDFSBackedStateStore rewrites its
+    // in-memory map's delta file per batch, RocksDB absorbs per-row
+    // updates in a native LSM), so gates stay oracle-exact under
+    // either. GRAFT_ST_PROVIDER=rocksdb|hdfs|<fqcn> pins it for a
+    // session; unset leaves Spark's default (HDFS-backed). RocksDB is
+    // the production answer for keyed-state volume — the r18 octave's
+    // one unmitigated streaming cost class (st10's per-row update
+    // churn) is the HDFS provider's, not the operator's.
+    sys.env.get("GRAFT_ST_PROVIDER").map(_.trim).filter(_.nonEmpty)
+      .foreach { p =>
+        val cls = p.toLowerCase match {
+          case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"
+          case "hdfs" => "org.apache.spark.sql.execution.streaming." +
+            "state.HDFSBackedStateStoreProvider"
+          case _ => p
+        }
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      }
     val sink = s"st_gate_sink_${stGateRuns.incrementAndGet()}"
     // cleanup wraps from start() onward so an analysis/start failure
     // cannot leak the RAM-backed dir, closes the walk stream (the fd
@@ -3907,7 +3933,8 @@ object SparkEntry {
       graft.operators.Eval.bootstrapReps(
         streamTable(s, dir, "documents"),
         col("doc_id"), TextOps.wordCount(col("text")),
-        replicates = e08Replicates, seed = e08Seed),
+        replicates = e08Replicates, seed = e08Seed,
+        xxDraw = e08XxDraw),
       org.apache.spark.sql.streaming.OutputMode.Complete)
     graft.operators.Eval.bootstrapFromReps(reps, e08LoRank, e08HiRank)
       .orderBy("kind", "b")

@@ -364,15 +364,56 @@ object Eval {
     1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
     1152825534095764625L)
 
+  /** The threshold fold shared by both coins: weight = how many CDF
+    * thresholds the 60-bit draw `u` clears. Pure per-row integer
+    * comparisons — zero state. */
+  def poissonWeightFromU(u: Column): Column =
+    poissonCdf60.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+
   /** The deterministic capped Poisson(1) draw behind
     * [[poissonBootstrap]]: weight = how many CDF thresholds the
     * row's 60-bit coin clears. Pure per-row integer comparisons —
     * zero state, engine-portable by the md5/hex contract. */
-  def poissonWeight(seed: String, key: Column): Column = {
-    val u = graft.pack.Pack.integerDraw(seed, key)
-    poissonCdf60.map(t => when(u >= t, 1L).otherwise(0L))
-      .reduce(_ + _)
-  }
+  def poissonWeight(seed: String, key: Column): Column =
+    poissonWeightFromU(graft.pack.Pack.integerDraw(seed, key))
+
+  /** The xxhash64 60-bit coin — [[graft.pack.Pack.integerDraw]]'s
+    * cheap sibling for draw grids where the md5 digest IS the work
+    * (the bootstrap explodes the corpus ×B and draws one coin per
+    * (row, replicate): at 64 replicates the md5 leg measured linear
+    * with a draw-dominated constant, BENCHLOG r18). One XXH64 chain
+    * over (seed string, key columns) replaces string-concat + md5 +
+    * hex + conv: `xxhash64(seed, cols…) & (2^60−1)` — the mask keeps
+    * the 60-bit [[Eval.poissonCdf60]] threshold convention unchanged,
+    * and XXH64's finalizer avalanches the low bits, so the masked
+    * coin is as uniform as the digest's.
+    *
+    * Engine contract (the hashGrams precedent, one step further): the
+    * oracle does not re-implement the string hash — Spark's xxhash64
+    * folds columns left-to-right, so the draw is
+    * `hashLong(b, hashLong(id, hashUTF8String(seed, 42)))`, the
+    * string stage is a per-plan CONSTANT ([[xxSeedHash]], interpolated
+    * into the oracle SQL), and DuckDB replays only the two hashLong
+    * stages in wrapping u64 HUGEINT arithmetic (validated
+    * mismatch-free against XXH64 on boundary longs; EvalSpec pins the
+    * Scala twin against the live expression). */
+  def integerDrawXx(seed: String, cols: Column*): Column =
+    xxhash64((lit(seed) +: cols): _*)
+      .bitwiseAND(lit((1L << 60) - 1))
+
+  /** Driver-side constant for the oracle: the xxhash64 expression's
+    * state after folding the seed STRING at Spark's fixed 42 seed —
+    * computed with the engine's own XXH64, so gate and oracle can
+    * never disagree on the byte-hash. */
+  def xxSeedHash(seed: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(seed), 42L)
+
+  /** [[poissonWeight]] on the xxhash64 coin: the production draw for
+    * the bootstrap grid (e08/st15 gates since r19). */
+  def poissonWeightXx(seed: String, id: Column, b: Column): Column =
+    poissonWeightFromU(integerDrawXx(seed, id, b))
 
   /** Poisson-bootstrap confidence interval for a corpus mean (the
     * bootstrap that actually runs at 100 TB — Chamandy et al. 2012,
@@ -403,11 +444,11 @@ object Eval {
     * rather than emitting a NaN mean. */
   def poissonBootstrap(df: DataFrame, id: Column, value: Column,
       replicates: Int, seed: String, loRank: Int,
-      hiRank: Int): DataFrame = {
+      hiRank: Int, xxDraw: Boolean = false): DataFrame = {
     require(hiRank <= replicates,
       s"poissonBootstrap: hiRank $hiRank exceeds $replicates replicates")
     bootstrapFromReps(
-      bootstrapReps(df, id, value, replicates, seed),
+      bootstrapReps(df, id, value, replicates, seed, xxDraw),
       loRank, hiRank)
   }
 
@@ -420,18 +461,24 @@ object Eval {
     * STREAMING query maintains the identical frame in the state store
     * (the chi2Cells discipline) and feeds the same finisher. */
   def bootstrapReps(df: DataFrame, id: Column, value: Column,
-      replicates: Int, seed: String): DataFrame = {
+      replicates: Int, seed: String,
+      xxDraw: Boolean = false): DataFrame = {
     require(replicates > 1,
       s"bootstrapReps: need at least 2 replicates: $replicates")
-    val key = concat(col("id").cast("string"), lit("|"),
-      col("b").cast("string"))
+    // the coin knob: md5 keeps the historical digest convention
+    // (string key "id|b"); xxDraw hashes (seed, id, b) natively —
+    // identical threshold fold, ~4× cheaper per draw, and the grid's
+    // the only place the per-draw constant matters (B coins per row)
+    val w =
+      if (xxDraw) poissonWeightXx(seed, col("id"), col("b"))
+      else poissonWeight(seed, concat(col("id").cast("string"),
+        lit("|"), col("b").cast("string")))
     df.select(id.cast("long").as("id"), value.cast("long").as("v"))
       .where(col("id").isNotNull && col("v").isNotNull)
       .select(col("id"), col("v"),
         explode(sequence(lit(-1L), lit(replicates - 1L))).as("b"))
       .select(col("b"),
-        when(col("b") === -1L, lit(1L))
-          .otherwise(poissonWeight(seed, key)).as("w"),
+        when(col("b") === -1L, lit(1L)).otherwise(w).as("w"),
         col("v"))
       .groupBy("b")
       .agg(sum("w").as("n_eff"), sum(col("w") * col("v")).as("wsum"))

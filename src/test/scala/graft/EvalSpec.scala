@@ -352,6 +352,54 @@ class EvalSpec extends AnyFunSuite {
       s"Poisson(1) mean drifted: ${r.getDouble(2)}")
   }
 
+  test("integerDrawXx: the expression's coin equals a driver-side " +
+      "XXH64 chain replay — the oracle's twin model, pinned") {
+    // Spark's xxhash64 folds children left-to-right: the seed STRING
+    // stage is Eval.xxSeedHash (the engine's own hashUTF8String), then
+    // one hashLong per long column. The DuckDB oracle replays exactly
+    // this chain in u64 HUGEINT arithmetic, so if this pin breaks the
+    // oracle model is wrong — boundary longs included.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seed = "spec-xx"
+    val h0 = Eval.xxSeedHash(seed)
+    val cases = Seq((0L, 0L), (1L, 63L), (123456789012345L, 7L),
+      (Long.MaxValue, 1L), (-17L, 42L))
+    val got = cases.toDF("id", "b")
+      .select(Eval.integerDrawXx(seed, col("id"), col("b")).as("u"))
+      .collect().map(_.getLong(0))
+    val want = cases.map { case (id, b) =>
+      XXH64.hashLong(b, XXH64.hashLong(id, h0)) & ((1L << 60) - 1)
+    }
+    assert(got.toSeq == want, s"xx chain drifted: ${got.toSeq} vs $want")
+    assert(got.forall(u => u >= 0L && u < (1L << 60)))
+  }
+
+  test("poissonWeightXx: fair coin, and the xx and md5 draws agree " +
+      "on the documented Poisson(1) weight distribution") {
+    val n = 20000L
+    def dist(w: org.apache.spark.sql.Column)
+        : (Double, Map[Long, Double]) = {
+      val rows = spark.range(n).toDF("id").select(w.as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toDouble / n).toMap
+      (rows.map { case (k, f) => k * f }.sum, rows)
+    }
+    val (mXx, fXx) = dist(Eval.poissonWeightXx("spec-boot",
+      col("id"), lit(0L)))
+    val (mMd, fMd) = dist(Eval.poissonWeight("spec-boot",
+      concat(col("id").cast("string"), lit("|0"))))
+    assert(math.abs(mXx - 1.0) < 0.03, s"xx coin mean drifted: $mXx")
+    assert(math.abs(mMd - 1.0) < 0.03, s"md5 coin mean drifted: $mMd")
+    // both coins reproduce the capped-Poisson pmf (e^-1/k!) within
+    // ±1.5 points on the mass-bearing weights — the "documented
+    // distribution" both draw kinds must produce
+    val pmf = Map(0L -> 0.3679, 1L -> 0.3679, 2L -> 0.1839,
+      3L -> 0.0613)
+    for ((k, p) <- pmf; f <- Seq(fXx, fMd))
+      assert(math.abs(f.getOrElse(k, 0.0) - p) < 0.015,
+        s"weight $k mass ${f.getOrElse(k, 0.0)} vs pmf $p")
+  }
+
   test("poissonCdf60: the pinned thresholds equal an independent " +
       "60-digit recomputation of floor(CDF_k(Poisson(1))·2^60)") {
     // e^{-1} via the alternating series at 60-digit precision, then
