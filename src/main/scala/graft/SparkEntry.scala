@@ -3722,27 +3722,12 @@ object SparkEntry {
         else Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val ckpt = Files.createTempDirectory(ckptBase, "graft_st_ckpt_")
-    // State-store provider knob (VERDICT r18 item 3): the provider is
-    // result-invariant (it stores the same keyed rows; only the
-    // update-cost class changes — HDFSBackedStateStore rewrites its
-    // in-memory map's delta file per batch, RocksDB absorbs per-row
-    // updates in a native LSM), so gates stay oracle-exact under
-    // either. GRAFT_ST_PROVIDER=rocksdb|hdfs|<fqcn> pins it for a
-    // session; unset leaves Spark's default (HDFS-backed). RocksDB is
-    // the production answer for keyed-state volume — the r18 octave's
-    // one unmitigated streaming cost class (st10's per-row update
-    // churn) is the HDFS provider's, not the operator's.
-    sys.env.get("GRAFT_ST_PROVIDER").map(_.trim).filter(_.nonEmpty)
-      .foreach { p =>
-        val cls = p.toLowerCase match {
-          case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
-            "state.RocksDBStateStoreProvider"
-          case "hdfs" => "org.apache.spark.sql.execution.streaming." +
-            "state.HDFSBackedStateStoreProvider"
-          case _ => p
-        }
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-      }
+    // State-store provider knob (VERDICT r18 item 3):
+    // GRAFT_ST_PROVIDER=rocksdb|hdfs|<fqcn> pins the provider for a
+    // session; unset leaves Spark's default (HDFS-backed). Resolution
+    // + the result-invariance argument live in Streams (shared with
+    // the streaming probes).
+    graft.streaming.Streams.applyStateStoreProviderEnv(s)
     val sink = s"st_gate_sink_${stGateRuns.incrementAndGet()}"
     // cleanup wraps from start() onward so an analysis/start failure
     // cannot leak the RAM-backed dir, closes the walk stream (the fd

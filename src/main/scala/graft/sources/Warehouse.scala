@@ -186,4 +186,38 @@ object Warehouse {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol).parquet(outPath)
   }
+
+  /** Derived writer count for [[compactSalted]] — the LshKnobs
+    * discipline applied to the writer knob, so deployments size it
+    * from the data instead of hand-picking: writers =
+    * ceil(largest-partition bytes / target file bytes), clamped to
+    * [1, maxWriters]. The rationale both ways:
+    *
+    *  - writers BELOW the ratio leave files over the target size and
+    *    leave writer parallelism on the table exactly where the
+    *    single-writer ceiling binds (the operator's reason to exist);
+    *  - writers ABOVE it buy nothing once every file is under target
+    *    (the r18 30-tiny-day reading: salting a partition that fits
+    *    one task is ~1.2× pure overhead) and multiply the small-file
+    *    count the compaction exists to remove — each non-empty task
+    *    streams one file per partition value.
+    *
+    * `maxWriters` caps the shuffle width at the cluster's real writer
+    * budget (executors × cores; the default matches a ~500-task
+    * cluster, far above any local mode). The 512 MB default target
+    * is the standard warehouse file size: big enough that footer/open
+    * overhead amortizes, small enough that a file is a sane task unit
+    * downstream. */
+  def derivedWriters(partitionBytes: Long,
+                     targetFileBytes: Long = 512L << 20,
+                     maxWriters: Int = 512): Int = {
+    require(partitionBytes >= 0,
+      s"derivedWriters: partitionBytes=$partitionBytes")
+    require(targetFileBytes > 0 && maxWriters >= 1,
+      s"derivedWriters: targetFileBytes=$targetFileBytes " +
+        s"maxWriters=$maxWriters")
+    val w = partitionBytes / targetFileBytes +
+      (if (partitionBytes % targetFileBytes == 0) 0L else 1L)
+    math.min(maxWriters.toLong, math.max(1L, w)).toInt
+  }
 }

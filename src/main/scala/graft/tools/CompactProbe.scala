@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
 object CompactProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val writers = if (args.length > 1) args(1).toInt else 32
+    // `curve` mode (VERDICT r18 item 5): the salted single-day rewrite
+    // timed at writers ∈ {1(=compact1), 4, 8, 16, 32} on one fixture —
+    // names the local contention floor vs the task-count win so
+    // Warehouse.derivedWriters' clamp rationale is measured, not
+    // argued. Normal mode: the original two-fixture comparison.
+    val curve = args.length > 1 && args(1) == "curve"
+    val writers = if (args.length > 1 && !curve) args(1).toInt else 32
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,6 +65,45 @@ object CompactProbe {
     }
     val src = spark.read.parquet(smallPath)
     val nRows = src.count()
+
+    if (curve) {
+      val oneDay = src.withColumn("day", lit("2025-01-01"))
+        .localCheckpoint()
+      // untimed warmup rewrite: JIT + committer setup land here, not
+      // on the first curve point
+      graft.sources.Warehouse.compactSalted(
+        oneDay.limit(50000), "day", col("event_id"), 4,
+        Long.MaxValue, s"$base/warm")
+      val t1 = timed {
+        oneDay.repartition(col("day"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", Long.MaxValue)
+          .partitionBy("day").parquet(s"$base/w1")
+      }
+      val points = Seq(4, 8, 16, 32).map { w =>
+        val t = timed {
+          graft.sources.Warehouse.compactSalted(oneDay, "day",
+            col("event_id"), w, Long.MaxValue, s"$base/w$w")
+        }
+        val files = spark.read.parquet(s"$base/w$w")
+          .select(col("_metadata.file_path")).distinct().count()
+        (w, t, files)
+      }
+      val bytes = new java.io.File(s"$base/w1").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      println(f"""{"dir":"$dir","mode":"curve","rows":$nRows,""" +
+        f""""fixture_sec":$tFixture%.2f,"day_bytes":$bytes,""" +
+        f""""derived_writers_512mb":${graft.sources.Warehouse
+          .derivedWriters(bytes)},""" +
+        f""""compact1_sec":$t1%.2f,""" +
+        points.map { case (w, t, f) =>
+          f""""salted_${w}_sec":$t%.2f,"salted_${w}_files":$f"""
+        }.mkString(",") + "}")
+      // the outer finally owns the fixture cleanup
+      spark.stop()
+      return
+    }
 
     def fileStats(path: String): (Long, Long, Long) = {
       val f = spark.read.parquet(path)

@@ -77,7 +77,8 @@ object SketchScaleProbe {
     // inheriting the heap/page-cache state of a 10-minute predecessor
     val legs = sys.env.get("GRAFT_SKETCH_LEGS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("hll", "hll_only", "gk", "merge", "auc", "boot"))
+      .getOrElse(Set("hll", "hll_only", "gk", "merge", "auc", "boot",
+        "boot_xx"))
     // merge128: the same merge leg with the threshold PINNED to Spark's
     // 128 default and the library auto-raise opted out — the sort-
     // fallback cliff itself, measured in the SAME session as the
@@ -150,10 +151,18 @@ object SketchScaleProbe {
           Eval.aucState(ev.filter(col("id") % 4 === 3),
             pmod(col("user_id"), lit(500L)),
             col("event_type") === "t0"))))),
-        // e08 shape: 64-replicate Poisson bootstrap of the mean
+        // e08 shape: 64-replicate Poisson bootstrap of the mean —
+        // md5 coin (the pre-r19 draw; boot leg keeps it so the decade
+        // record stays comparable) vs xxhash64 coin (the production
+        // draw since r19) in the same session: the draw is the leg's
+        // constant factor, so boot/boot_xx is the digest contrast
         leg("boot")(noop(Eval.poissonBootstrap(ev, col("id"),
           pmod(col("user_id"), lit(1000L)), replicates = 64,
-          seed = "graft-boot", loRank = 2, hiRank = 63)))
+          seed = "graft-boot", loRank = 2, hiRank = 63))),
+        leg("boot_xx")(noop(Eval.poissonBootstrap(ev, col("id"),
+          pmod(col("user_id"), lit(1000L)), replicates = 64,
+          seed = "graft-boot", loRank = 2, hiRank = 63,
+          xxDraw = true)))
       ).flatten
       // Fallback-task metric (item 1's phase-independent instrument —
       // wall-clock contrasts on this box are noise at these lengths):

@@ -183,6 +183,47 @@ class WarehouseSpec extends AnyFunSuite {
       "salted layout degenerated to one file per day everywhere")
   }
 
+  test("derivedWriters: ceil(partition bytes / target) clamped to " +
+      "[1, maxWriters] — below-target partitions never salt") {
+    import Warehouse.derivedWriters
+    val mb = 1L << 20
+    // under one target file -> 1 writer (salting buys nothing and
+    // multiplies small files, the r18 tiny-day reading)
+    assert(derivedWriters(0L) == 1)
+    assert(derivedWriters(100 * mb) == 1)
+    assert(derivedWriters(512 * mb) == 1)
+    // the ceiling, exactly
+    assert(derivedWriters(512 * mb + 1) == 2)
+    assert(derivedWriters(5L * 1024 * mb) == 10)
+    // the clamp: a 1 PB partition still caps at the cluster's writer
+    // budget rather than exploding the shuffle width
+    assert(derivedWriters(1L << 50) == 512)
+    assert(derivedWriters(1L << 50, maxWriters = 64) == 64)
+    // custom target: a 10 MB-file regime
+    assert(derivedWriters(95 * mb, targetFileBytes = 10 * mb) == 10)
+    intercept[IllegalArgumentException] { derivedWriters(-1L) }
+    intercept[IllegalArgumentException] {
+      derivedWriters(1L, targetFileBytes = 0L)
+    }
+  }
+
+  test("state-store provider knob resolves short names to Spark's " +
+      "provider classes and passes FQCNs through") {
+    import graft.streaming.Streams.stateStoreProviderClass
+    assert(stateStoreProviderClass("rocksdb") ==
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    assert(stateStoreProviderClass("HDFS") ==
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    assert(stateStoreProviderClass(" my.custom.Provider ") ==
+      "my.custom.Provider")
+    // both resolved classes must actually exist in this Spark — a
+    // rename in a Spark upgrade should fail HERE, not mid-octave
+    for (n <- Seq("rocksdb", "hdfs"))
+      Class.forName(stateStoreProviderClass(n))
+  }
+
   test("q49 compaction: one file per day after, strictly fewer than " +
       "before, rows and checksums conserved") {
     val out = SparkEntry.queries("q49_compact")(spark, dir).collect()
