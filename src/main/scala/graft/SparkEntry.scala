@@ -728,15 +728,17 @@ object SparkEntry {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         f => f.getField("m")).as("centroid"))
       .localCheckpoint(eager = false)
+    // r19: classification is one row-local projection against the
+    // nested centroid row (Ivf.bestCluster — the identical
+    // max_by(struct(cos, -c_label)) rule) instead of a ×#labels
+    // crossJoin re-aggregated per vec: the per-vec exchange is gone and
+    // the confusion matrix aggregates straight off the scan.
     e.select(col("vec_id"), col("label"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"),
-        graft.functions.Vectors.cosineHof(col("embedding"), col("centroid"))
-          .as("cos"))
-      .groupBy("vec_id")
-      .agg(first(col("label")).as("label"),
-        max_by(col("c_label"), struct(col("cos"), -col("c_label")))
-          .as("pred_label"))
+      .crossJoin(broadcast(graft.sim.Ivf.nestedCentroids(
+        cent.select(col("c_label").as("cluster"), col("centroid")))))
+      .select(col("label"),
+        graft.sim.Ivf.bestCluster(col("embedding"), col("cents"),
+          graft.functions.Vectors.cosineHof).as("pred_label"))
       .groupBy("label", "pred_label")
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred_label")
@@ -798,9 +800,12 @@ object SparkEntry {
       "pq_codebooks", s"$base/pq_codebooks")
     val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
     val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
-    val cells = Ivf.assign(corpus, centroids).select(col("id"), col("cluster"))
-    val codes = Pq.encode(e, "vec_id", "embedding", codebooks, annM)
-      .join(cells, Seq("id"))
+    // r19: the celled code table is ONE row-local admission projection
+    // (admitStateless — PqSpec pins it bit-identical to the
+    // encode ⋈ assign composition this replaces), so building the index
+    // no longer shuffles the corpus-sized codes by id at all.
+    val codes = Pq.admitStateless(e, "vec_id", "embedding", centroids,
+      codebooks, annM)
     Pq.ivfPqKnnFromModel(e, "vec_id", "embedding", centroids, codebooks,
         codes, probeFilter = col("vec_id") < annProbeMax, k = annK,
         nprobe = annNprobe, m = annM, refine = annRefine)
@@ -846,14 +851,13 @@ object SparkEntry {
     val centroids = ModelStore.load(s, "ivf_centroids", s"$base/ivf_centroids")
     val codebooks = ModelStore.load(s, "pq_codebooks", s"$base/pq_codebooks")
     // per-batch admission against the loaded models — at production this
-    // runs once per arriving batch and appends to the code table
+    // runs once per arriving batch and appends to the code table.
+    // r19: one row-local admission projection (admitStateless, PqSpec-
+    // pinned identical to the encode ⋈ assign composition) — the
+    // id-keyed join of corpus-sized codes is gone.
     def admit(batch: DataFrame): DataFrame =
-      Pq.encode(batch, "vec_id", "embedding", codebooks, m)
-        .join(
-          Ivf.assign(
-            batch.select(col("vec_id").as("id"), col("embedding").as("v")),
-            centroids).select(col("id"), col("cluster")),
-          Seq("id"))
+      Pq.admitStateless(batch, "vec_id", "embedding", centroids,
+        codebooks, m)
     val codes = admit(fitBatch).union(admit(nextBatch))
     Pq.ivfPqKnnFromModel(e, "vec_id", "embedding", centroids, codebooks,
         codes, probeFilter = col("vec_id") < annProbeMax, k = annK,
@@ -2874,11 +2878,16 @@ object SparkEntry {
       ModelStore.save(Ivf.fitCentroids(corpus, c = annC, iters = 3,
         initCentroids = init), "ivf_centroids", s"$base/$name")
       val cents = ModelStore.load(s, "ivf_centroids", s"$base/$name")
-      val scored = corpus.crossJoin(broadcast(cents))
+      // r19: per-row max cosine as one row-local projection against the
+      // nested centroid row (max over an array is order-exact — the
+      // same double as the old groupBy max) instead of a ×c crossJoin
+      // re-aggregated by id.
+      val scored = corpus
+        .crossJoin(broadcast(Ivf.nestedCentroids(cents)))
         .select(col("id"),
-          graft.functions.Vectors.cosine(col("v"), col("centroid"))
-            .as("cos"))
-        .groupBy("id").agg(max(col("cos")).as("max_cos"))
+          array_max(transform(col("cents"), e =>
+            graft.functions.Vectors.cosine(col("v"),
+              e.getField("centroid")))).as("max_cos"))
       val cost = scored.agg(count(lit(1)).as("n_rows"),
         sum(round(lit(1.0) - col("max_cos"), 6).cast("decimal(28,6)"))
           .cast("double").as("total_cost"))
@@ -3643,7 +3652,10 @@ object SparkEntry {
   private def streamTable(s: SparkSession, dir: String,
                           table: String): DataFrame = {
     val path = s"$dir/$table.parquet"
-    val schema = s.read.parquet(path).schema
+    // r19: the schema peek rides the RAW relation cache (Tables.raw) —
+    // raw because the file source must see the parquet's physical
+    // shape; normalization applies on top of the stream.
+    val schema = graft.sources.Tables.raw(s, dir, table).schema
     val tablePath = java.nio.file.Paths.get(path).toAbsolutePath
     val streamDir =
       if (java.nio.file.Files.isDirectory(tablePath)) tablePath

@@ -732,8 +732,13 @@ object Dedup {
     * each round (the standard Spark iterative-algorithm discipline).
     * Returns (id, cluster) for every vertex appearing in `pairs`.
     */
+  /** Round count of the most recent [[connectedComponents]] call —
+    * probe/spec instrumentation for the r19 pointer-halving term. */
+  private[graft] var lastCcIters: Int = 0
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          halving: Boolean = true): DataFrame = {
     // Materialize the edge list once: every propagation round (and every
     // convergence probe) joins against it, and recomputing the upstream
     // candidate-generation pipeline per round would dominate the loop.
@@ -749,16 +754,35 @@ object Dedup {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"), lit(false).as("own"))
+      // r19 pointer-halving term: each id ALSO adopts its label's label
+      // (label-of-label), so label chains collapse in O(log diameter)
+      // rounds instead of O(diameter) — a label always names a member
+      // of the same component, so the fixpoint (the component MIN) is
+      // unchanged and so is the emitted result; only the round count
+      // drops. Each round that used to pay (plan + codegen + job) ×
+      // diameter now pays it × log — the dominant cost of this loop at
+      // gate scale is per-round DRIVER work, not data.
+      val ptrTerm =
+        if (!halving) Seq.empty
+        else Seq(labels.select(col("id"), col("label").as("mid"))
+          .join(labels.select(col("id").as("mid"),
+            col("label").as("plabel")), Seq("mid"))
+          .select(col("id"), col("plabel").as("label"),
+            lit(false).as("own")))
       // The propagation aggregate computes the new label AND carries the old
       // one (the `own`-tagged row), so the convergence test is a join-free
       // filter over the already-materialized checkpoint — no second join or
       // plan re-execution per round.
-      val next = labels.withColumn("own", lit(true))
-        .union(propagated)
+      val next = (Seq(labels.withColumn("own", lit(true)), propagated) ++
+          ptrTerm)
+        .reduce(_ union _)
         .groupBy("id")
         .agg(min(col("label")).as("label"),
           min(when(col("own"), col("label"))).as("old"))
-        .localCheckpoint()
+        // r19: LAZY — the convergence probe right below is the round's
+        // one action and materializes the checkpoint as it runs: one
+        // job per round, not a checkpoint job plus a probe job.
+        .localCheckpoint(eager = false)
       // old is null only if an id arrived purely via propagation — cannot
       // happen while `labels` seeds every vertex of the symmetrized edge
       // list, but treat it as "changed" so the invariant is not load-bearing.
@@ -767,6 +791,7 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    lastCcIters = iter
     labels.select(col("id"), col("label").as("cluster"))
   }
 

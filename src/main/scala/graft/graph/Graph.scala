@@ -99,9 +99,18 @@ object Graph {
     // rank) only
     val ewd = e.join(deg, "src").localCheckpoint()
     val nTotal = nd.agg(count(lit(1)).as("n_nodes"))
-    // 1-row scalar zip (the p08 declared class)
+    // 1-row scalar zip (the p08 declared class). r19: the DANGLING
+    // membership (out-degree 0) is a fixed node property — computed
+    // once here as a flag riding the rank frame, so each round's
+    // dangling-mass total is a filter+sum over the already-checkpointed
+    // ranks instead of re-deriving deg (a full edge groupBy) and
+    // anti-joining against it EVERY round. Same node set, same integer
+    // sum — bit-identical dmass.
     var ranks = nd.crossJoin(broadcast(nTotal))
+      .join(deg.select(col("src").as("node"), lit(false).as("dang")),
+        Seq("node"), "left")
       .select(col("node"), col("n_nodes"),
+        coalesce(col("dang"), lit(true)).as("dang"),
         expr(s"${unit}L div n_nodes").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -110,15 +119,13 @@ object Graph {
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("in_sum"))
-      val dangling = ranks.select("node", "r")
-        .join(deg.select(col("src").as("node")), Seq("node"),
-          "left_anti")
+      val dangling = ranks.filter(col("dang"))
         .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
       // two 1-row scalar zips (n_nodes already rides the rank frame)
-      ranks = ranks.select("node", "n_nodes")
+      ranks = ranks.select("node", "n_nodes", "dang")
         .crossJoin(broadcast(dangling))
         .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("n_nodes"),
+        .select(col("node"), col("n_nodes"), col("dang"),
           expr(s"((${dampDen - dampNum}L * ${unit}L) div " +
             s"(${dampDen}L * n_nodes)) + ((${dampNum}L * " +
             s"(coalesce(in_sum, 0L) + (dmass div n_nodes))) div " +
@@ -174,9 +181,14 @@ object Graph {
           "Graph.personalizedPageRank: empty seed set — trust has " +
             "nowhere to start"))).as("n_seeds"))
     // 1-row scalar zip (the p08 declared class); trust starts AT the
-    // seeds: r0 = unit div |S| on seeds, 0 elsewhere
+    // seeds: r0 = unit div |S| on seeds, 0 elsewhere. r19: the dangling
+    // flag rides the rank frame ([[pageRank]]'s change) — per-round
+    // dmass is a filter+sum, never a deg re-derivation + anti-join.
     var ranks = nd.crossJoin(broadcast(nSeeds))
+      .join(deg.select(col("src").as("node"), lit(false).as("dang")),
+        Seq("node"), "left")
       .select(col("node"), col("is_seed"), col("n_seeds"),
+        coalesce(col("dang"), lit(true)).as("dang"),
         expr(s"case when is_seed = 1 then ${unit}L div n_seeds " +
           "else 0L end").as("r"))
       .localCheckpoint()
@@ -186,14 +198,12 @@ object Graph {
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("in_sum"))
-      val dangling = ranks.select("node", "r")
-        .join(deg.select(col("src").as("node")), Seq("node"),
-          "left_anti")
+      val dangling = ranks.filter(col("dang"))
         .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
-      ranks = ranks.select("node", "is_seed", "n_seeds")
+      ranks = ranks.select("node", "is_seed", "n_seeds", "dang")
         .crossJoin(broadcast(dangling))
         .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("is_seed"), col("n_seeds"),
+        .select(col("node"), col("is_seed"), col("n_seeds"), col("dang"),
           expr(s"((${dampNum}L * coalesce(in_sum, 0L)) div " +
             s"${dampDen}L) + (case when is_seed = 1 then " +
             s"((${dampDen - dampNum}L * ${unit}L) + " +
@@ -235,7 +245,10 @@ object Graph {
     for (c <- Seq("src", "dst"))
       require(edges.columns.contains(c),
         s"hits: edges need '$c' (has: ${edges.columns.mkString(", ")})")
+    // r19: nd is consumed twice per round (both normalizations join it)
+    // — checkpoint lazily so the node scan runs once, not 2·iters times.
     val nd = nodes.select(col("node").cast("long").as("node"))
+      .localCheckpoint(eager = false)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     val nTotal = nd.agg(count(lit(1)).as("n_nodes"))
@@ -244,7 +257,14 @@ object Graph {
       .select(col("node"), expr(s"${unit}L div n_nodes").as("h"))
       .localCheckpoint()
     var auth: DataFrame = null
-    def normalize(raw: DataFrame, c: String): DataFrame = {
+    // r19: `raw` feeds BOTH the 1-row normalizer and the width-restoring
+    // join — lazily checkpointed so the edge-join + groupBy executes
+    // once per half-round instead of twice. The half-round frames stay
+    // EAGER: a lazy normalize chain defers its broadcast normalizer
+    // builds into nested RDD materialization, which measured SLOWER
+    // than the two plain jobs it fused (r19 probe).
+    def normalize(raw0: DataFrame, c: String): DataFrame = {
+      val raw = raw0.localCheckpoint(eager = false)
       // Σ raw as a loud 1-row normalizer (zero edges -> no signal)
       val s = raw.agg(sum(c).as("s"))
         .select(when(col("s") > 0, col("s")).otherwise(raise_error(lit(

@@ -19,6 +19,60 @@ import graft.functions.{TopK, Vectors}
   */
 object Ivf {
 
+  /** One-row nested form of a centroid frame — `cents` =
+    * array<struct<cluster,centroid>> sorted by cluster id — broadcast
+    * into the row-local assignment/probe projections below. Lazily
+    * checkpointed: every consumer broadcast-builds it, and without
+    * materialization each build would re-execute the centroid lineage
+    * (a whole k-means fit). An EMPTY centroid frame nests to ZERO rows
+    * (the global aggregate's 1-row empty array is filtered), preserving
+    * the join formulation's semantics: no centroids, no assignments. */
+  private[graft] def nestedCentroids(centroids: DataFrame): DataFrame =
+    centroids.groupBy()
+      .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
+        .as("cents"))
+      .where(size(col("cents")) > 0)
+      .localCheckpoint(eager = false)
+
+  /** Per-group nested form — (groupCol, cents) with one sorted
+    * array<struct<cluster,centroid>> per group, for the grouped
+    * assignment/probe equi-joins. A group with no centroids has no row
+    * (the inner-join drop semantics documented on [[assignWithin]]). */
+  private[graft] def nestedCentroidsBy(centroids: DataFrame,
+                                       groupCol: String): DataFrame =
+    centroids.groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("cluster"), col("centroid"))))
+        .as("cents"))
+      .localCheckpoint(eager = false)
+
+  /** Row-local argmax-by-score cluster pick over a nested centroid
+    * array — EXACTLY the join formulation's
+    * `max_by(cluster, struct(score, -cluster))` rule, NaN-sorts-high
+    * included: array_max over struct(score, -cluster, cluster). Same
+    * score expression, same ties-to-lowest-cluster, same result for
+    * EVERY input (AssignEquivalenceSpec pins it row-for-row), but as a
+    * single projection: no ×c row explosion, no per-id re-aggregation
+    * shuffle. */
+  private[graft] def bestCluster(v: Column, cents: Column,
+      score: (Column, Column) => Column): Column =
+    array_max(transform(cents, e =>
+      struct(score(v, e.getField("centroid")).as("s"),
+        (-e.getField("cluster")).as("n"),
+        e.getField("cluster").as("i"))))
+      .getField("i")
+
+  /** Row-local probe-side cell selection — the bounded-TopK path's
+    * exact semantics ([[graft.functions.TopKByScore]]: best `nprobe` by
+    * (score desc, cluster asc), NaN scores EXCLUDED) as one projection:
+    * filter NaN, sort by (-score, cluster), slice, project the ids. */
+  private[graft] def topCells(v: Column, cents: Column, nprobe: Int,
+      score: (Column, Column) => Column = Vectors.cosine): Column =
+    slice(array_sort(filter(transform(cents, e =>
+        struct((-score(v, e.getField("centroid"))).as("s"),
+          e.getField("cluster").as("i"))),
+      p => !isnan(p.getField("s")))), 1, nprobe)
+      .getField("i")
+
   /** Deterministic spherical k-means: init = the `c` lowest-id vectors of
     * `seedCorpus` (default: the fit corpus itself; the seed's id doubles as
     * the cluster key — cluster ids are keys, not ordinals, so no
@@ -52,9 +106,25 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the c centroids, keep the
-    * best cell per row via max_by (ties -> lowest cluster id). */
+  /** Nearest-centroid assignment: broadcast the c centroids AS ONE
+    * NESTED ROW and pick the best cell per row in a single row-local
+    * projection ([[bestCluster]] — max cosine, ties → lowest cluster
+    * id, the same max_by rule as [[assignViaJoin]], pinned
+    * row-identical by AssignEquivalenceSpec). r19: the previous join
+    * formulation ([[assignViaJoin]]) exploded every row ×c and then
+    * re-aggregated by id — a full corpus-sized exchange per call (and
+    * per k-means ITERATION) that carried the vectors; this form has no
+    * shuffle at all, so an assignment pass is exactly one scan at any
+    * scale (guide §2.4: remove shuffles outright). */
   def assign(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(nestedCentroids(centroids)))
+      .select(col("id"), col("v"),
+        bestCluster(col("v"), col("cents"), Vectors.cosine).as("cluster"))
+
+  /** The pre-r19 join formulation of [[assign]] — kept as the reference
+    * implementation for the equivalence spec and A/B probes. */
+  private[graft] def assignViaJoin(df: DataFrame,
+                                   centroids: DataFrame): DataFrame =
     df.crossJoin(broadcast(centroids))
       .select(col("id"), col("v"), col("cluster"),
         Vectors.cosine(col("v"), col("centroid")).as("cos"))
@@ -77,7 +147,32 @@ object Ivf {
     * join — callers needing full coverage must guarantee every occupied
     * group keeps at least one centroid (see
     * [[graft.dedup.Dedup.semanticDedupTwoLevel]]'s fallback union). */
+  /** r19: like [[assign]], the grouped form is row-local past the
+    * equi-join — each df row meets its group's centroids as ONE nested
+    * array row (c2 centroids in one cell, not c2 joined rows), so the
+    * join's output is n rows instead of n·c2 and the per-id
+    * re-aggregation shuffle is gone; the only exchange left is the
+    * group-keyed join itself (absent when `hintBroadcast`).
+    * `hintBroadcast` replaces the callers' broadcast() wrapping (a hint
+    * on the raw centroid frame would not survive the nesting
+    * aggregate): set it when the caller KNOWS the total centroid count
+    * is broadcast-small — e.g. PQ codebooks, m·ksub ≤ a few thousand
+    * rows — decisive when groupCol has FEW distinct values (PQ's m
+    * subspaces would cap shuffle parallelism at m). */
   def assignWithin(df: DataFrame, groupCol: String,
+                   centroids: DataFrame,
+                   score: (Column, Column) => Column = Vectors.cosine,
+                   hintBroadcast: Boolean = false)
+      : DataFrame = {
+    val nested = nestedCentroidsBy(centroids, groupCol)
+    df.join(if (hintBroadcast) broadcast(nested) else nested, Seq(groupCol))
+      .select(col("id"), col(groupCol), col("v"),
+        bestCluster(col("v"), col("cents"), score).as("cluster"))
+  }
+
+  /** The pre-r19 join formulation of [[assignWithin]] — the reference
+    * implementation for the equivalence spec and A/B probes. */
+  private[graft] def assignWithinViaJoin(df: DataFrame, groupCol: String,
                    centroids: DataFrame,
                    score: (Column, Column) => Column = Vectors.cosine)
       : DataFrame =
@@ -128,8 +223,8 @@ object Ivf {
         col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val assigned = assignWithin(corpus, groupCol,
-        if (hintBroadcast) broadcast(centroids) else centroids, score)
+      val assigned = assignWithin(corpus, groupCol, centroids, score,
+        hintBroadcast)
       centroids = assigned
         .select(col(groupCol), col("cluster"),
           posexplode(col("v")).as(Seq("pos", "x")))
@@ -185,16 +280,15 @@ object Ivf {
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cells = assign(corpus, centroids)
       .select(col("id").as("neighbor_id"), col("v").as("v_c"), col("cluster"))
+    // r19: probe-cell selection is one row-local projection against the
+    // nested centroid row ([[topCells]] — the TopK aggregate's exact
+    // NaN-excluding semantics) instead of a ×c crossJoin re-aggregated
+    // per probe: no probe-side shuffle at all.
     val probeCells = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
-      .crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("v_p"), col("cluster"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
-      .groupBy("probe_id")
-      .agg(first(col("v_p")).as("v_p"),
-        TopK.topKByScore(col("cos"), col("cluster"), nprobe).as("cells"))
+      .crossJoin(broadcast(nestedCentroids(centroids)))
       .select(col("probe_id"), col("v_p"),
-        explode(col("cells.id")).as("cluster"))
+        explode(topCells(col("v_p"), col("cents"), nprobe)).as("cluster"))
     val scored = probeCells.join(cells, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -294,29 +388,22 @@ object Ivf {
       twoLevelCells(corpus, c1, c2, iters, fitFraction)
     val cells = cellsRaw.select(col("coarse"), col("cluster"),
       col("id").as("neighbor_id"), col("v").as("v_c"))
+    // r19: both probe-side selections are row-local [[topCells]]
+    // projections (TopK's exact NaN-excluding semantics) — no ×c row
+    // explosion, no per-probe re-aggregation shuffles.
     val probeCoarse = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
-      .crossJoin(broadcast(coarseCentroids))
-      .select(col("probe_id"), col("v_p"), col("cluster"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
-      .groupBy("probe_id")
-      .agg(first(col("v_p")).as("v_p"),
-        TopK.topKByScore(col("cos"), col("cluster"), nprobe1).as("cc"))
+      .crossJoin(broadcast(nestedCentroids(coarseCentroids)))
       .select(col("probe_id"), col("v_p"),
-        explode(col("cc.id")).as("coarse"))
+        explode(topCells(col("v_p"), col("cents"), nprobe1)).as("coarse"))
     // fine-cell selection: an equi-join on the coarse key — each probe
-    // row meets only its own coarse cell's ~c2 fine centroids, so the
-    // TOTAL fine count c1·c2 never needs to broadcast (assignWithin's
-    // argument, probe-side). TopK per (probe, coarse) group: cell
-    // identity is the composite key, which the group key carries.
-    val probeFine = probeCoarse.join(fineAll, Seq("coarse"))
-      .select(col("probe_id"), col("v_p"), col("coarse"), col("cluster"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
-      .groupBy("probe_id", "coarse")
-      .agg(first(col("v_p")).as("v_p"),
-        TopK.topKByScore(col("cos"), col("cluster"), nprobe2).as("fc"))
+    // row meets only its own coarse cell's ~c2 fine centroids (as ONE
+    // nested row), so the TOTAL fine count c1·c2 never needs to
+    // broadcast (assignWithin's argument, probe-side).
+    val probeFine = probeCoarse
+      .join(nestedCentroidsBy(fineAll, "coarse"), Seq("coarse"))
       .select(col("probe_id"), col("v_p"), col("coarse"),
-        explode(col("fc.id")).as("cluster"))
+        explode(topCells(col("v_p"), col("cents"), nprobe2)).as("cluster"))
     val scored = probeFine.join(cells, Seq("coarse", "cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -393,24 +480,38 @@ object Ivf {
       .select(col("id").as("cluster"), col("v").as("centroid"))
       .localCheckpoint()
     for (r <- 0 until rounds) {
-      val scored = corpus.crossJoin(broadcast(cands))
-        .groupBy("id")
-        .agg(first(col("v")).as("v"),
-          max(Vectors.cosine(col("v"), col("centroid"))).as("max_cos"))
+      // r19: the per-row distance-to-nearest-center cost is one
+      // row-local projection (array_max over the nested candidate row —
+      // max is order-exact, so bit-identical to the old groupBy max),
+      // lazily checkpointed because BOTH the cost total and the draw
+      // consume it — the old shape re-executed the whole corpus×cands
+      // pass for the second consumer.
+      val scored = corpus.crossJoin(broadcast(nestedCentroids(
+          cands.select(col("cluster"), col("centroid")))))
+        .select(col("id"), col("v"),
+          array_max(transform(col("cents"), e =>
+            Vectors.cosine(col("v"), e.getField("centroid"))))
+            .as("max_cos"))
         .withColumn("cost", lit(1.0) - col("max_cos"))
-      // exact-decimal cost total: deterministic under any partitioning
+        .localCheckpoint(eager = false)
+      // exact-decimal cost total: deterministic under any partitioning.
+      // r19: rides into the draw as a broadcast 1-row scalar (computed
+      // inside the same round job) instead of a per-round driver
+      // action — the double it yields is the same
+      // Decimal.toDouble the old head()-based literal carried, so the
+      // draw compare is bit-identical; `tot <= 0 → no candidates` is
+      // now the `tot > 0` conjunct of the filter.
       val tot = scored
-        .agg(sum(round(col("cost"), 6).cast("decimal(28,6)")))
-        .head.getDecimal(0).doubleValue()
-      val newCands =
-        if (tot <= 0) scored.limit(0)
-          .select(col("id").as("cluster"), col("v").as("centroid"))
-        else scored
-          .withColumn("u",
-            graft.pack.Pack.integerDraw(s"$seed-$r", col("id"))
-              .cast("double") / lit(1152921504606846976.0))
-          .filter(col("u") < lit(l.toDouble) * col("cost") / lit(tot))
-          .select(col("id").as("cluster"), col("v").as("centroid"))
+        .agg(sum(round(col("cost"), 6).cast("decimal(28,6)"))
+          .cast("double").as("tot"))
+      val newCands = scored
+        .crossJoin(broadcast(tot))
+        .withColumn("u",
+          graft.pack.Pack.integerDraw(s"$seed-$r", col("id"))
+            .cast("double") / lit(1152921504606846976.0))
+        .filter(col("tot") > 0 &&
+          col("u") < lit(l.toDouble) * col("cost") / col("tot"))
+        .select(col("id").as("cluster"), col("v").as("centroid"))
       cands = cands.union(newCands).dropDuplicates("cluster")
         .localCheckpoint()
     }

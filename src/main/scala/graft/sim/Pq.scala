@@ -85,7 +85,12 @@ object Pq {
     val fit =
       if (fitFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, fitFraction, seed = 42L)
-    val raw = Ivf.fitCentroidsWithin(subVectors(fit, m), "sub", ksub,
+    // r19: the exploded subvector frame feeds the seed heap plus every
+    // fit iteration — lazily checkpoint so the scan+explode runs once,
+    // not once per consumer (memory is bounded by the FIT sample, which
+    // production keeps small via fitFraction).
+    val sv = subVectors(fit, m).localCheckpoint(eager = false)
+    val raw = Ivf.fitCentroidsWithin(sv, "sub", ksub,
       iters, score = l2Score,
       // m*ksub centroids of d/m floats always fit a broadcast; a keyed
       // join on `sub` would cap shuffle parallelism at m distinct keys
@@ -101,10 +106,52 @@ object Pq {
 
   /** Encode the corpus: (id, codes) with `codes(s)` = the L2-nearest
     * code of subspace s — the m-byte representation an ADC scan reads
-    * instead of the full vector. */
+    * instead of the full vector.
+    *
+    * r19: fully ROW-LOCAL ([[admitStateless]]'s shape): one projection
+    * against the broadcast one-row nested codebooks — per sub an
+    * argmax of the SAME l2Score with the SAME ties-to-lowest-code rule
+    * the join formulation's max_by applied (array_max over
+    * struct(score, -code, code) — NaN-high included, so row-identical
+    * for EVERY input, AssignEquivalenceSpec). The old shape
+    * ([[encodeViaJoin]]) exploded the corpus ×m, joined ×ksub, and
+    * re-aggregated BY ID TWICE (argmax + code assembly) — two
+    * corpus-sized exchanges per encode that this form deletes
+    * outright. Codes index the densified per-sub arrays (contiguous
+    * from 0, [[fitCodebooks]]), so array position == code. */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
-             codebooks: DataFrame, m: Int): DataFrame =
-    Ivf.assignWithin(
+             codebooks: DataFrame, m: Int): DataFrame = {
+    val v = col("v")
+    val dsub = size(v) / m
+    val codesExpr = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(v, s * dsub + 1, dsub)
+      val cbs = element_at(col("cb"), (s + 1).cast("int"))
+      array_max(zip_with(cbs, sequence(lit(0), size(cbs) - 1),
+        (c, i) => struct(l2Score(sub, c).as("s"), (-i).as("n"),
+          i.as("i"))))
+        .getField("i").cast("int")
+    })
+    emb
+      .select(col(idCol).as("id"),
+        // the same loud guard as [[subVectors]]: a vector length not
+        // divisible by m must fail, not silently truncate tail dims
+        when(size(col(vecCol)) % m === 0, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit(s"PQ: vector length not divisible by m=$m for id "),
+            col(idCol)))).as("v"))
+      .crossJoin(broadcast(nestedCodebooks(codebooks)))
+      .select(col("id"), codesExpr.as("codes"))
+  }
+
+  /** The pre-r19 join formulation of [[encode]] — the reference
+    * implementation for the equivalence spec and A/B probes. (Its
+    * [[subVectors]] id-packing additionally REQUIRES ids in
+    * [0, (Long.Max-(m-1))/m]; the row-local form has no packing and no
+    * such bound.) */
+  private[graft] def encodeViaJoin(emb: DataFrame, idCol: String,
+                                   vecCol: String, codebooks: DataFrame,
+                                   m: Int): DataFrame =
+    Ivf.assignWithinViaJoin(
         subVectors(emb.select(col(idCol).as("id"), col(vecCol).as("v")), m),
         "sub",
         // broadcast for the same reason as the fit: tiny codebook, few
@@ -240,21 +287,19 @@ object Pq {
     * element_at lookups. Returns (probe_id, lut). */
   private def probeLuts(probes: DataFrame, codebooks: DataFrame,
                         m: Int): DataFrame = {
-    val dsub = size(col("v_p")) / m
+    // r19: the whole per-probe table is ONE row-local projection over
+    // the broadcast nested codebooks (code-ordered by construction, so
+    // entry order matches the old array_sort-by-code assembly and the
+    // dot is the identical slice/centroid expression) — the old shape
+    // exploded probes ×(m·ksub) and re-aggregated per probe twice.
+    val v = col("v_p")
+    val dsub = size(v) / m
     probes
-      .crossJoin(broadcast(codebooks))
-      .select(col("probe_id"), col("sub"), col("code"),
-        Vectors.dot(
-          slice(col("v_p"), col("sub") * dsub + 1, dsub),
-          col("centroid")).as("s"))
-      .groupBy("probe_id", "sub")
-      .agg(transform(
-        array_sort(collect_list(struct(col("code"), col("s")))),
-        e => e.getField("s").cast("double")).as("subLut"))
-      .groupBy("probe_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("subLut")))),
-        e => e.getField("subLut")).as("lut"))
+      .crossJoin(broadcast(nestedCodebooks(codebooks)))
+      .select(col("probe_id"),
+        zip_with(col("cb"), sequence(lit(0), size(col("cb")) - 1),
+          (subCb, s) => transform(subCb, c =>
+            Vectors.dot(slice(v, s * dsub + 1, dsub), c))).as("lut"))
   }
 
   /** The shared ADC tail: score candidates (probe_id, id, codes, lut)
@@ -372,24 +417,23 @@ object Pq {
       .join(cells, Seq("id"))
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
-    val probeCoarse = probes.crossJoin(broadcast(coarseCentroids))
-      .select(col("probe_id"), col("v_p"), col("cluster"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
-      .groupBy("probe_id")
-      .agg(first(col("v_p")).as("v_p"),
-        TopK.topKByScore(col("cos"), col("cluster"), nprobe1).as("cc"))
+    // r19: both probe-side selections are row-local Ivf.topCells
+    // projections (TopK's exact NaN-excluding semantics) — no ×c row
+    // explosion, no per-probe re-aggregation shuffles.
+    val probeCoarse = probes
+      .crossJoin(broadcast(Ivf.nestedCentroids(coarseCentroids)))
       .select(col("probe_id"), col("v_p"),
-        explode(col("cc.id")).as("coarse"))
+        explode(Ivf.topCells(col("v_p"), col("cents"), nprobe1))
+          .as("coarse"))
     // fine-cell selection meets only the probe's own coarse cells'
-    // fine centroids via the coarse-keyed equi-join — the total fine
-    // count never broadcasts (Ivf.ivfKnnTwoLevel's probe shape)
-    val probeFine = probeCoarse.join(fineAll, Seq("coarse"))
-      .select(col("probe_id"), col("v_p"), col("coarse"), col("cluster"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"))
-      .groupBy("probe_id", "coarse")
-      .agg(TopK.topKByScore(col("cos"), col("cluster"), nprobe2).as("fc"))
+    // fine centroids (as ONE nested row each) via the coarse-keyed
+    // equi-join — the total fine count never broadcasts
+    // (Ivf.ivfKnnTwoLevel's probe shape)
+    val probeFine = probeCoarse
+      .join(Ivf.nestedCentroidsBy(fineAll, "coarse"), Seq("coarse"))
       .select(col("probe_id"), col("coarse"),
-        explode(col("fc.id")).as("cluster"))
+        explode(Ivf.topCells(col("v_p"), col("cents"), nprobe2))
+          .as("cluster"))
       .join(broadcast(probeLuts(probes, codebooks, m)), Seq("probe_id"))
     val cands = codes.join(broadcast(probeFine), Seq("coarse", "cluster"))
     adcShortlistRefine(emb, idCol, vecCol, probes, cands, k, m, refine)
@@ -402,17 +446,15 @@ object Pq {
     require(refine >= 1, s"refine=$refine must be >= 1")
     val probes = emb.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("v_p"))
-    // nprobe nearest cells per probe (cosine against the c-row
-    // broadcast centroid table — Ivf.ivfKnn's selection), then the
+    // nprobe nearest cells per probe (cosine against the broadcast
+    // nested centroid row — Ivf.ivfKnn's selection, r19 row-local:
+    // Ivf.topCells, TopK's exact NaN-excluding semantics), then the
     // candidate set is an equi-join on the cell key.
     val probeCells = probes
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(Ivf.nestedCentroids(centroids)))
       .select(col("probe_id"),
-        Vectors.cosine(col("v_p"), col("centroid")).as("cos"),
-        col("cluster"))
-      .groupBy("probe_id")
-      .agg(TopK.topKByScore(col("cos"), col("cluster"), nprobe).as("cells"))
-      .select(col("probe_id"), explode(col("cells.id")).as("cluster"))
+        explode(Ivf.topCells(col("v_p"), col("cents"), nprobe))
+          .as("cluster"))
       .join(broadcast(probeLuts(probes, codebooks, m)), Seq("probe_id"))
     // broadcast the bounded probe side so the corpus-sized code table
     // never shuffles (a keyed join on `cluster` would also cap

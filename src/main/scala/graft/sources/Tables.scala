@@ -17,17 +17,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session RELATION cache (r19, guide §6's listing/schema-cache
+    * class): `spark.read.parquet` pays ~100-200 ms of driver-side file
+    * listing + footer schema inference PER CALL (measured,
+    * tools/LoadProbe — ~30 s across a full 182-gate bench run), for a
+    * catalog of ten immutable tables. Caching the ANALYZED RELATION —
+    * a lazy plan, never data; every action still scans the parquet —
+    * makes a repeated load free, exactly like a catalog table. Keyed by
+    * (session, dir, name): testdata dirs are immutable for a session's
+    * lifetime (the generator writes once; warehouse paths do NOT go
+    * through Tables), and the map holds a handful of tiny plan objects
+    * per session. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  /** The RAW (un-normalized) cached relation — the streaming file
+    * source peeks this schema, which must be the parquet's physical
+    * shape, not the normalized one. */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+
   /** Every load dispatches through the table's shape normalizer, so NO
     * call site can see a generator-drifted physical type (the r11
     * lesson: `events.ts` silently became TIMESTAMP_NTZ and every raw
     * consumer threw at analysis time — the engine owns input-shape
     * totality, not the generator). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val r = raw(spark, dir, name)
     name match {
-      case "events" => normalizeTs(raw)
-      case "embeddings" => normalizeEmbedding(raw)
-      case _ => raw
+      case "events" => normalizeTs(r)
+      case "embeddings" => normalizeEmbedding(r)
+      case _ => r
     }
   }
 
