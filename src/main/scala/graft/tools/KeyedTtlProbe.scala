@@ -42,7 +42,10 @@ object KeyedTtlProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val ttlDays = if (args.length > 1) args(1).toInt else 2
-    val wmDelay = if (args.length > 2) args(2) else "2 hours"
+    // '_' stands for ' ' (sbt's batch runMain splits on spaces and
+    // strips quotes, so "2 hours" cannot be passed literally)
+    val wmDelay =
+      if (args.length > 2) args(2).replace('_', ' ') else "2 hours"
     val skipOneShot = args.length > 3 && args(3) == "skipOneShot"
     val ttlMs = ttlDays * 86400L * 1000L
     val spark = SparkSession.builder()
