@@ -73,6 +73,39 @@ object Ivf {
       p => !isnan(p.getField("s")))), 1, nprobe)
       .getField("i")
 
+  /** The fit-mean step shared by [[fitCentroids]] and
+    * [[fitCentroidsWithin]]: per `keys` group, the per-position mean of
+    * the `v` vectors as array<float>. r19: ONE grouped pass via the
+    * [[graft.functions.VectorAvg]] typed aggregate — the exploded
+    * formulation ([[meanByClusterViaExplode]], kept as the reference
+    * implementation for MeanStepEquivalenceSpec) generated n·d rows and
+    * paid two hash aggregates with two exchanges PER ITERATION; the
+    * aggregate's per-position double arithmetic is avg(x)'s exactly
+    * (same row-order accumulation, same null skipping, same count-0 →
+    * null element), and the `size > 0` filter reproduces the exploded
+    * shape's dropping of a group whose every vector is NULL or empty. */
+  private[graft] def meanByCluster(assigned: DataFrame,
+                                   keys: Seq[String]): DataFrame =
+    assigned.groupBy(keys.map(col): _*)
+      .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("m"))
+      .where(size(col("m")) > 0)
+      .select(keys.map(col) :+
+        transform(col("m"), e => e.cast("float")).as("centroid"): _*)
+
+  /** The pre-r19 exploded formulation of [[meanByCluster]] — reference
+    * implementation for the equivalence spec. */
+  private[graft] def meanByClusterViaExplode(assigned: DataFrame,
+                                             keys: Seq[String]): DataFrame =
+    assigned
+      .select(keys.map(col) :+
+        posexplode(col("v")).as(Seq("pos", "x")): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(avg(col("x")).as("m"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("centroid"))
+
   /** Deterministic spherical k-means: init = the `c` lowest-id vectors of
     * `seedCorpus` (default: the fit corpus itself; the seed's id doubles as
     * the cluster key — cluster ids are keys, not ordinals, so no
@@ -93,14 +126,7 @@ object Ivf {
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, centroids)
-      centroids = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(avg(col("x")).as("m"))
-        .groupBy("cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
+      centroids = meanByCluster(assigned, Seq("cluster"))
         .localCheckpoint()
     }
     centroids
@@ -225,15 +251,7 @@ object Ivf {
     for (_ <- 0 until iters) {
       val assigned = assignWithin(corpus, groupCol, centroids, score,
         hintBroadcast)
-      centroids = assigned
-        .select(col(groupCol), col("cluster"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(groupCol, "cluster", "pos")
-        .agg(avg(col("x")).as("m"))
-        .groupBy(groupCol, "cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
+      centroids = meanByCluster(assigned, Seq(groupCol, "cluster"))
         .localCheckpoint()
     }
     centroids
