@@ -358,4 +358,12 @@ object TopK {
   def topKByScoreStr(score: Column, id: Column, k: Int): Column =
     B.column(TopKByScoreStr(B.expression(struct(score, id)), k)
       .toAggregateExpression())
+
+  /** Estimated [[TopKBuffer]] heap footprint (k doubles + k longs +
+    * object headers) — the `bufferBytes` input to
+    * [[graft.util.OhaHeadroom.ensureSmallBuffer]], which every per-KEY
+    * top-k consumer (group domain scaling with data: probes, groups)
+    * must call so a default-conf session never silently sort-falls-back
+    * and sorts the scored candidate stream. */
+  def heapBytes(k: Int): Long = 16L * k + 64L
 }

@@ -116,6 +116,9 @@ object Sketches {
   def bottomKOverlap(df: DataFrame, groupCol: Column, elemCol: Column,
       k: Int): DataFrame = {
     import graft.functions.TopK
+    // per-group KMV heaps are k hash strings (tens of KB at k≈1024) —
+    // the blanket Floor contract, same as mergeProfile (r19)
+    graft.util.OhaHeadroom.ensure(df.sparkSession)
     // one scan + one shuffle: dedup elements across the corpus by hash,
     // collecting the set of groups each element occurs in
     val byElem = df.select(groupCol.as("g"), md5(elemCol).as("hv"))

@@ -162,6 +162,10 @@ object Pack {
   def sampleKPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
                       k: Int, seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // per-GROUP heap with a data-scaled group domain — guarantee OHA
+    // hash-aggregation headroom (r19; see OhaHeadroom.ensureSmallBuffer)
+    graft.util.OhaHeadroom.ensureSmallBuffer(df.sparkSession,
+      graft.functions.TopK.heapBytes(k))
     df.select(groupCol.as("grp"), keyCol.as("id"),
         (-uniformDraw(seed, keyCol)).as("neg_u"))
       .groupBy("grp")

@@ -311,11 +311,9 @@ object Ivf {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
-    scored.groupBy("probe_id")
-      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
-      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
+    // Knn.rankTopK = the identical bounded top-k tail, plus the OHA
+    // headroom guarantee for the probe-scaled group domain (r19)
+    Knn.rankTopK(scored, k)
   }
 
   /** Two-level (coarse-then-fine) cell structure — the build half shared
@@ -426,11 +424,9 @@ object Ivf {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         Vectors.cosine(col("v_p"), col("v_c")).as("cos"))
-    scored.groupBy("probe_id")
-      .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
-      .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(col("probe_id"), col("nn.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
+    // Knn.rankTopK = the identical bounded top-k tail, plus the OHA
+    // headroom guarantee for the probe-scaled group domain (r19)
+    Knn.rankTopK(scored, k)
   }
 
   /** [[ivfKnn]] with (c, nprobe) derived from corpus size

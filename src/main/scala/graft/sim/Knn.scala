@@ -25,12 +25,19 @@ object Knn {
 
   /** (probe_id, neighbor_id, rank) from scored candidate rows
     * (probe_id, neighbor_id, cos): rank 1..k by cos desc, id asc. */
-  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    // the per-PROBE group domain scales with the probe set — guarantee
+    // OHA hash-aggregation headroom so a default-conf session never
+    // sort-falls-back over the scored candidate stream (r19, the k09
+    // cliff's ANN sibling; see OhaHeadroom.ensureSmallBuffer)
+    graft.util.OhaHeadroom.ensureSmallBuffer(scored.sparkSession,
+      graft.functions.TopK.heapBytes(k))
     scored.groupBy("probe_id")
       .agg(TopK.topKByScore(col("cos"), col("neighbor_id"), k).as("nn"))
       .select(col("probe_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(col("probe_id"), col("nn.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Brute-force top-k cosine neighbors for each probe row.
     * Output: (probe_id, neighbor_id, rank), rank 1..k by cosine desc with

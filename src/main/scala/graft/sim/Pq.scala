@@ -312,6 +312,12 @@ object Pq {
                                  vecCol: String, probes: DataFrame,
                                  cands: DataFrame, k: Int, m: Int,
                                  refine: Int): DataFrame = {
+    // both per-probe aggregates below (refine·k shortlist, then final k)
+    // have probe-scaled group domains — guarantee OHA hash-aggregation
+    // headroom budgeted for the LARGER (refine·k) heap (r19; see
+    // OhaHeadroom.ensureSmallBuffer)
+    graft.util.OhaHeadroom.ensureSmallBuffer(cands.sparkSession,
+      graft.functions.TopK.heapBytes(refine * k))
     val scored = cands
       .select(col("probe_id"), col("id"),
         aggregate(

@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * TwoLevelMinCells crossover evidence at whatever decade the size
   * puts it (expect the single leg to be ~n^1.5-painful at 2M; run it
   * deliberately or derive the ratio from the measured per-decade
-  * exponents).
+  * exponents). mode `fixp` pins the probe COUNT at ~1000 instead of
+  * the default corpus FRACTION (n/20): the default leg composes the
+  * n^1.25 build with the documented O(n^1.75) bulk-probe term
+  * (probes × per-probe n^0.75 — [[CellKnobs]]' stated bulk-kNN shape),
+  * so past ~1M rows the probe term dominates the reading; the fixp leg
+  * is the BUILD exponent isolated (1000 probes' work is n^0.75,
+  * negligible at every decade).
   *
   * Synthesized corpus shape: 1024 deterministic cluster centers in
   * d=64, each row = its center (component range ±0.8, drawn from
@@ -60,7 +66,13 @@ object IvfScaleProbe {
       df.write.format("noop").mode("overwrite").save()
 
     val emb = synth(n).localCheckpoint()
-    val probe = col("vec_id") % 20 === 0
+    // fixpcmp = fixp's pinned probe count + cmp's single-level leg (the
+    // crossover evidence with the build term isolated)
+    val fixedProbes = mode == "fixp" || mode == "fixpcmp"
+    val wantSingle = mode == "cmp" || mode == "fixpcmp"
+    val probe =
+      if (fixedProbes) col("vec_id") % math.max(20L, n / 1000L) === 0
+      else col("vec_id") % 20 === 0
     val fitFraction = math.min(1.0, 20000.0 / n)
     // untimed warmup on a sliver: JIT/codegen of the cosine kernels,
     // TopK aggregate and the k-means fit land here
@@ -78,7 +90,7 @@ object IvfScaleProbe {
         fitFraction = fitFraction))
     }
     val tSingle =
-      if (mode == "cmp") timed {
+      if (wantSingle) timed {
         noop(Ivf.ivfKnn(emb, "vec_id", "embedding", probeFilter = probe,
           k = 3, c = c, nprobe = nprobe, fitFraction = fitFraction))
       } else -1.0
@@ -98,7 +110,7 @@ object IvfScaleProbe {
       if (exact.isEmpty) 1.0
       else (a intersect exact).size.toDouble / exact.size
     val rSingle =
-      if (mode == "cmp")
+      if (wantSingle)
         recall(top(Ivf.ivfKnn(emb, "vec_id", "embedding",
           probeFilter = rProbe, k = 3, c = c, nprobe = nprobe,
           fitFraction = fitFraction)))

@@ -119,6 +119,72 @@ class OhaHeadroomSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureSmallBuffer derives the budget floor from the buffer size") {
+    withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
+      val heap = graft.functions.TopK.heapBytes(3) // 112 B
+      val expect = (OhaHeadroom.TargetTaskBytes /
+        (heap + OhaHeadroom.EntryOverheadBytes)).toInt
+      assert(expect > OhaHeadroom.Floor && expect < OhaHeadroom.MaxFloor)
+      assert(OhaHeadroom.ensureSmallBuffer(spark, heap) == expect)
+      assert(spark.conf.get(OhaHeadroom.Key).toInt == expect)
+      // a LARGE buffer clamps down to the blanket Floor — but the
+      // session keeps the higher threshold it already has
+      assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) == expect)
+    }
+    withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
+      // large buffer from a default session: Floor binds
+      assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) ==
+        OhaHeadroom.Floor)
+    }
+  }
+
+  /** 2000 probes' candidate rows landing in ONE task — far past both
+    * Spark's default threshold (128) and OhaHeadroom.Floor (4096 would
+    * still cover this; the point is the default-conf session). Scores
+    * derive from the ids so ranking is deterministic. */
+  private def knnScoredFrame(): DataFrame =
+    spark.range(200000).repartition(1).select(
+      pmod(col("id"), lit(2000L)).as("probe_id"),
+      (col("id") * 7919L % 100000L).as("neighbor_id"),
+      (pmod(col("id") * 31L, lit(997L)) / 997.0).as("cos"))
+
+  test("the kNN top-k tail falls back when forced (contrast)") {
+    withConfs("spark.sql.adaptive.enabled" -> Some("false"),
+        OhaHeadroom.Key -> Some("130"),
+        OhaHeadroom.OptOutKey -> Some("false")) {
+      val n = fallbackTasks(graft.sim.Knn.rankTopK(knnScoredFrame(), 3))
+      assert(n > 0, "expected the 2000-probes-in-one-task frame to " +
+        s"fall back at threshold 130, metric read $n")
+    }
+  }
+
+  test("the kNN top-k tail has no sort fallback in a default-conf session") {
+    withConfs("spark.sql.adaptive.enabled" -> Some("false"),
+        OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
+      val n = fallbackTasks(graft.sim.Knn.rankTopK(knnScoredFrame(), 3))
+      assert(n == 0, s"guarded rankTopK fell back on $n tasks in a " +
+        "default-conf session — the r19 ANN headroom guarantee regressed")
+      assert(spark.conf.get(OhaHeadroom.Key).toInt > OhaHeadroom.Floor)
+    }
+  }
+
+  test("kNN guarded results equal the forced-fallback results") {
+    def run(): Seq[(Long, Long, Int)] =
+      graft.sim.Knn.rankTopK(knnScoredFrame(), 3)
+        .orderBy("probe_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    var fast: Seq[(Long, Long, Int)] = Nil
+    var slow: Seq[(Long, Long, Int)] = Nil
+    withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
+      fast = run()
+    }
+    withConfs(OhaHeadroom.Key -> Some("130"),
+        OhaHeadroom.OptOutKey -> Some("false")) {
+      slow = run()
+    }
+    assert(fast == slow)
+  }
+
   test("guarded results equal the unguarded (fallback) results") {
     // the fallback is a performance cliff, never a correctness change —
     // pin that so the guard can never be "fixing" wrong results
