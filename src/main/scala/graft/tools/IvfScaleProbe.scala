@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object IvfScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: IvfScaleProbe rows [auto|cmp]")
+    require(args.nonEmpty,
+      "usage: IvfScaleProbe rows [auto|cmp|fixp|fixpcmp]")
     val n = args(0).toLong
     val mode = if (args.length > 1) args(1) else "auto"
     val spark = SparkSession.builder()
