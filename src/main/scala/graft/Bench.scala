@@ -113,8 +113,11 @@ object Bench {
       } catch { case _: Throwable => false }
     val control = results.collectFirst {
       case ("q19_star_join_agg", v, _) => v }.getOrElse(-1.0)
+    // SPARK_GRAFT_CPUS is numeric under the driver contract, but emit
+    // valid JSON even for e.g. "*" (quote non-numeric values)
+    val cpusJson = if (cpus.matches("[0-9]+")) cpus else "\"" + cpus + "\""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","git_dirty":$dirty,"control_q19_sec":$control%.3f,"queries":$qs,"export_s":$ex,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","git_head":"$sha","git_dirty":$dirty,"control_q19_sec":$control%.3f,"cpus":$cpusJson,"queries":$qs,"export_s":$ex,"sf":"$sfDir"}"""
     println(line)
     // Supplementary line second: line-order consumers (first JSON line)
     // read the canonical bench object regardless of GRAFT_STREAM_STATE.
@@ -122,6 +125,15 @@ object Bench {
       println(stateRows.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + s"""\":$v""" }
         .mkString("""{"stream_state_rows":{""", ",", "}}"))
+    // Compact summary LAST (VERDICT r19 item 2): the canonical line is
+    // ~5.7 KB with 182 queries, so a bounded stdout tail window (the
+    // driver keeps 2000 chars) clips it mid-object and has parsed no
+    // bench JSON since ~r15. This line is <200 bytes and printed last,
+    // so any tail window that sees the end of stdout can parse at least
+    // the totals. Additive only: first-JSON-line consumers still get the
+    // canonical object above, and the persisted BENCH_LOCAL.json below
+    // still carries the full per-query map.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","control_q19_sec":$control%.3f,"cpus":$cpusJson,"n":${results.size},"git_head":"$sha","git_dirty":$dirty,"sf":"$sfDir","summary":true}""")
     // Stdout capture windows can clip the (long) JSON line mid-object —
     // the r11 bench artifact lost its whole first family that way. Also
     // persist the full line in-tree so every round has a complete

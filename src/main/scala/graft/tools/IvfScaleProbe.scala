@@ -76,9 +76,14 @@ object IvfScaleProbe {
       else col("vec_id") % 20 === 0
     val fitFraction = math.min(1.0, 20000.0 / n)
     // untimed warmup on a sliver: JIT/codegen of the cosine kernels,
-    // TopK aggregate and the k-means fit land here
+    // TopK aggregate and the k-means fit land here. Warmup-specific
+    // probe filter (ADVICE r19): the fixp modes' full-size modulus
+    // (n/1000, e.g. 2000 at n=2M) would leave only vec_id 0 qualifying
+    // in the 2000-row warmup corpus, so the probe-side kernels would
+    // warm up on a single probe and leak JIT cost into the timed leg.
     noop(Ivf.ivfKnnAuto(synth(2000L).localCheckpoint(), "vec_id",
-      "embedding", probeFilter = probe, k = 3, corpusRows = Some(2000L)))
+      "embedding", probeFilter = col("vec_id") % 20 === 0, k = 3,
+      corpusRows = Some(2000L)))
 
     val c = CellKnobs.cellsFor(n)
     val nprobe = CellKnobs.nprobeFor(c)

@@ -59,6 +59,7 @@ class OhaHeadroomSpec extends AnyFunSuite {
   }
 
   test("ensure raises a default-conf session to the floor, idempotently") {
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
       assert(spark.conf.get(OhaHeadroom.Key, "128").toInt == 128)
       assert(OhaHeadroom.ensure(spark) == OhaHeadroom.Floor)
@@ -67,7 +68,8 @@ class OhaHeadroomSpec extends AnyFunSuite {
     }
   }
 
-  test("ensure never lowers an already-sufficient threshold") {
+  test("ensure never lowers an externally-set sufficient threshold") {
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> Some("8192"),
         OhaHeadroom.OptOutKey -> None) {
       assert(OhaHeadroom.ensure(spark) == 8192)
@@ -76,6 +78,7 @@ class OhaHeadroomSpec extends AnyFunSuite {
   }
 
   test("ensure respects the opt-out and leaves the conf untouched") {
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> Some("64"),
         OhaHeadroom.OptOutKey -> Some("false")) {
       assert(OhaHeadroom.ensure(spark) == 64)
@@ -120,6 +123,7 @@ class OhaHeadroomSpec extends AnyFunSuite {
   }
 
   test("ensureSmallBuffer derives the budget floor from the buffer size") {
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
       val heap = graft.functions.TopK.heapBytes(3) // 112 B
       val expect = (OhaHeadroom.TargetTaskBytes /
@@ -127,14 +131,48 @@ class OhaHeadroomSpec extends AnyFunSuite {
       assert(expect > OhaHeadroom.Floor && expect < OhaHeadroom.MaxFloor)
       assert(OhaHeadroom.ensureSmallBuffer(spark, heap) == expect)
       assert(spark.conf.get(OhaHeadroom.Key).toInt == expect)
-      // a LARGE buffer clamps down to the blanket Floor — but the
-      // session keeps the higher threshold it already has
-      assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) == expect)
+      // a LARGER buffer registering later recomputes the guard's own
+      // raise DOWN to the new budget (ADVICE r19: holding `expect`
+      // 1 MB buffers would be hundreds of GB of per-task hash state)
+      assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) ==
+        OhaHeadroom.Floor)
+      assert(spark.conf.get(OhaHeadroom.Key).toInt == OhaHeadroom.Floor)
+      // and the tiny buffer re-registering cannot raise it back: the
+      // session's largest-known buffer stays 1 MB
+      assert(OhaHeadroom.ensureSmallBuffer(spark, heap) ==
+        OhaHeadroom.Floor)
     }
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
       // large buffer from a default session: Floor binds
       assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) ==
         OhaHeadroom.Floor)
+    }
+  }
+
+  test("a blanket ensure caps an earlier tiny-buffer raise (ADVICE r19)") {
+    OhaHeadroom.resetSessionState(spark)
+    withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
+      val heap = graft.functions.TopK.heapBytes(3)
+      val raised = OhaHeadroom.ensureSmallBuffer(spark, heap)
+      assert(raised > OhaHeadroom.Floor)
+      // a KMV/GK-class blanket consumer in the SAME session must not
+      // inherit the ~280k-group threshold (~multi-GB at ~33 KB/buffer)
+      assert(OhaHeadroom.ensure(spark) == OhaHeadroom.Floor)
+      assert(spark.conf.get(OhaHeadroom.Key).toInt == OhaHeadroom.Floor)
+    }
+  }
+
+  test("an externally-set threshold is never recomputed down") {
+    OhaHeadroom.resetSessionState(spark)
+    withConfs(OhaHeadroom.Key -> Some("300000"),
+        OhaHeadroom.OptOutKey -> None) {
+      // the session owner pinned 300k themselves; registering a large
+      // buffer warns nothing away — the guard only recomputes raises it
+      // made itself
+      assert(OhaHeadroom.ensure(spark) == 300000)
+      assert(OhaHeadroom.ensureSmallBuffer(spark, 1 << 20) == 300000)
+      assert(spark.conf.get(OhaHeadroom.Key) == "300000")
     }
   }
 
@@ -159,6 +197,7 @@ class OhaHeadroomSpec extends AnyFunSuite {
   }
 
   test("the kNN top-k tail has no sort fallback in a default-conf session") {
+    OhaHeadroom.resetSessionState(spark)
     withConfs("spark.sql.adaptive.enabled" -> Some("false"),
         OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
       val n = fallbackTasks(graft.sim.Knn.rankTopK(knnScoredFrame(), 3))
@@ -175,6 +214,7 @@ class OhaHeadroomSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     var fast: Seq[(Long, Long, Int)] = Nil
     var slow: Seq[(Long, Long, Int)] = Nil
+    OhaHeadroom.resetSessionState(spark)
     withConfs(OhaHeadroom.Key -> None, OhaHeadroom.OptOutKey -> None) {
       fast = run()
     }
