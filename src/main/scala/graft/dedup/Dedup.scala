@@ -207,20 +207,23 @@ object Dedup {
   }
 
   /** LSH banding: split the k-length signature into `bands` bands of
-    * k/bands rows; band key = the slice VALUES canonically joined
-    * ("m0,m1,..."). Band equality is then EXACTLY slice equality — the
-    * murmur fold this replaced (r13) could, at 2⁻³² per colliding slice
-    * pair, admit an accidental candidate: harmless for soundness (exact
-    * verify follows) but unanalyzable, and not reproducible outside the
-    * engine, whereas the exact key is what the DuckDB oracle
-    * re-derives (string_agg ORDER BY s). Key width is rowsPerBand longs
-    * as text (~40-90 bytes) against the fold's 8 — bounded, and only
-    * banded rows carry it. Returns the per-band key array. */
+    * k/bands rows; band key = the RAW slice VALUES (array<bigint>).
+    * Band equality is then EXACTLY slice equality — the murmur fold
+    * this replaced (r13) could, at 2⁻³² per colliding slice pair, admit
+    * an accidental candidate: harmless for soundness (exact verify
+    * follows) but unanalyzable, and not reproducible outside the
+    * engine. r20: the key was the slice values comma-joined as text
+    * (~40-90 bytes + per-row string formatting); the raw slice is the
+    * same exact-equality key (concat_ws(",") over decimal longs is
+    * injective, so slice equality ⇔ string equality — the candidate
+    * set is IDENTICAL) at rowsPerBand·8 bytes, which narrows the
+    * banding exchange and skips the cast/concat per (row, band). The
+    * DuckDB oracle keeps its own canonical key (string_agg ORDER BY s)
+    * — the two sides agree on candidates, which is all the output
+    * depends on. Returns the per-band key array. */
   def bands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)),
-      b => concat_ws(",",
-        transform(slice(sig, b * lit(rowsPerBand) + lit(1),
-          lit(rowsPerBand)), m => m.cast("string"))))
+      b => slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
 
   /** Exact Jaccard between two shingle-array columns. */
   private def jaccard(a: Column, b: Column): Column =
@@ -263,11 +266,28 @@ object Dedup {
   private def minhashCore(exploded: DataFrame, k: Int, nBands: Int,
                           threshold: Double): DataFrame = {
     val rowsPerBand = k / nBands
+    // banding needs only the signature mins (column pruning drops the
+    // collect_set from these executions)
     val sigs = sigAndShingles(exploded, k)
     val banded = sigs
       .select(col("id"),
         posexplode(bands(col("sig"), nBands, rowsPerBand))
           .as(Seq("band", "bh")))
+    // candidate pairs are tiny next to the corpus; checkpoint lazily —
+    // three consumers below (the id set + both verify joins) must not
+    // re-run the banding self-join
+    // r20 NOTE: restructuring the exact verify to a candidate-restricted
+    // aggregation (checkpoint `cands`, semi-join the exploded index by
+    // candidate ids, collect_set only those) was tried and REVERTED:
+    // interleaved bench A/B at sf0.1 read d02 +5% / d13 +12% raw (flat
+    // after control scaling) and shuffle bytes moved only −4%/+2% —
+    // because at RUNTIME AQE's ReuseExchange already shares the
+    // identical verify subtrees' shuffle, the semi-join does not push
+    // below the distinct (the full (id, g) exchange re-ran in the new
+    // fragment), and the checkpoint split adds fixed fragment overhead
+    // (under AQE even a lazy checkpoint runs its stages eagerly at plan
+    // time). The shared-subtree formulation below is the cheaper plan
+    // as measured.
     val cands = banded.select(col("id").as("id_a"), col("band"), col("bh"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -326,6 +346,8 @@ object Dedup {
       .select(col("id"), col("__ev"),
         posexplode(bands(col("sig"), nBands, rowsPerBand))
           .as(Seq("band", "bh")))
+    // (the candidate-restricted verify restructure was tried and
+    // reverted here too — see [[minhashCore]]'s r20 NOTE)
     val cands = banded.filter(col("__ev"))
       .select(col("id").as("eval_id"), col("band"), col("bh"))
       .join(banded.filter(!col("__ev"))
@@ -471,6 +493,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // r20 NOTE: lazily checkpointing `sizes` (it is consumed by both
+    // join sides) was tried and REVERTED — interleaved bench A/B at
+    // sf0.1 read d04 +12-21% raw in every pair: the checkpoint splits
+    // the plan into separately-materialized fragments (under AQE even a
+    // lazy checkpoint executes its stages eagerly at plan time) and the
+    // fixed fragment overhead exceeds the saved re-aggregation, which
+    // AQE's exchange reuse already dedupes at the shuffle level.
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -514,6 +543,9 @@ object Dedup {
 
   private def containmentCore(index: DataFrame,
                               threshold: Double): DataFrame = {
+    // r20 NOTE: a lazy checkpoint on `sizes` was tried and REVERTED —
+    // see [[ngramJaccardCore]]'s note (interleaved A/B read d17 +8-14%
+    // raw; AQE exchange reuse already shares the subtree's shuffle).
     val sizes = index.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = index.select(col("id").as("id_a"), col("g"))
       .join(index.select(col("id").as("id_b"), col("g")), "g")
@@ -738,10 +770,22 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          halving: Boolean = true): DataFrame = {
+                          halving: Boolean = true,
+                          roundsPerProbe: Int = 1): DataFrame = {
+    require(roundsPerProbe >= 1 && roundsPerProbe <= 4,
+      s"connectedComponents: roundsPerProbe out of range: $roundsPerProbe")
     // Materialize the edge list once: every propagation round (and every
     // convergence probe) joins against it, and recomputing the upstream
     // candidate-generation pipeline per round would dominate the loop.
+    // r20 NOTE: pre-partitioning the edges by `src` before this
+    // checkpoint was tried (guide §2.4 — it would let every round's
+    // join skip the edge-side exchange) and REVERTED: under AQE,
+    // Dataset.localCheckpoint materializes to a LogicalRDD with
+    // UnknownPartitioning (verified in the round-plan dump), so the
+    // partitioning cannot survive the checkpoint and the round joins
+    // re-exchange regardless; the extra up-front shuffle bought
+    // nothing. Removing the per-round edge exchange at scale needs a
+    // bucketed/persisted edge table, not an in-session checkpoint.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -750,9 +794,12 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // One propagation round over `cur` (id, label): the new label per id
+    // plus the OLD one (the `own`-tagged row), so the convergence test is
+    // a join-free filter over the checkpointed frame.
+    def round(cur: DataFrame): DataFrame = {
       val propagated = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(cur, edges("src") === cur("id"))
         .select(col("dst").as("id"), col("label"), lit(false).as("own"))
       // r19 pointer-halving term: each id ALSO adopts its label's label
       // (label-of-label), so label chains collapse in O(log diameter)
@@ -764,32 +811,49 @@ object Dedup {
       // gate scale is per-round DRIVER work, not data.
       val ptrTerm =
         if (!halving) Seq.empty
-        else Seq(labels.select(col("id"), col("label").as("mid"))
-          .join(labels.select(col("id").as("mid"),
+        else Seq(cur.select(col("id"), col("label").as("mid"))
+          .join(cur.select(col("id").as("mid"),
             col("label").as("plabel")), Seq("mid"))
           .select(col("id"), col("plabel").as("label"),
             lit(false).as("own")))
-      // The propagation aggregate computes the new label AND carries the old
-      // one (the `own`-tagged row), so the convergence test is a join-free
-      // filter over the already-materialized checkpoint — no second join or
-      // plan re-execution per round.
-      val next = (Seq(labels.withColumn("own", lit(true)), propagated) ++
+      val agg = (Seq(cur.withColumn("own", lit(true)), propagated) ++
           ptrTerm)
         .reduce(_ union _)
         .groupBy("id")
         .agg(min(col("label")).as("label"),
           min(when(col("own"), col("label"))).as("old"))
-        // r19: LAZY — the convergence probe right below is the round's
-        // one action and materializes the checkpoint as it runs: one
-        // job per round, not a checkpoint job plus a probe job.
-        .localCheckpoint(eager = false)
+      // per-round plan evidence hook (no-op unless GRAFT_ROUND_PLAN_DIR)
+      graft.util.RoundPlan.dump(agg, s"cc_round$iter")
+      // r19: LAZY — the convergence probe below is the batch's one
+      // action and materializes the checkpoints as it runs: one job
+      // per probe, not a checkpoint job plus a probe job.
+      agg.localCheckpoint(eager = false)
+    }
+    while (!converged && iter < maxIter) {
+      // r20 (VERDICT r19 item 4): `roundsPerProbe` rounds per
+      // convergence probe is SOUND (the probe checks the batch's last
+      // round; "that round changed nothing" IS the fixpoint, so the
+      // emitted labels are identical — at most k−1 extra no-op rounds
+      // run before the loop notices) but MEASURED a wash: CcProbe
+      // interleaved ×3 at sf0.1 read rpp=2 slightly faster on the
+      // even-round shallow d05 graph (2.48/1.86/1.76 vs 3.09/2.10/1.80)
+      // and SLOWER on the odd-round d04 text chains (4.97/4.41/4.35 vs
+      // 3.89/4.03/3.53, 9→10 rounds) — the extra no-op round's full
+      // join+aggregate outweighs the saved probe plan+dispatch. Default
+      // stays 1; the knob remains for callers whose graphs converge on
+      // even round counts.
+      var next: DataFrame = null
+      var r = 0
+      while (r < roundsPerProbe && iter < maxIter) {
+        next = round(labels)
+        labels = next.select("id", "label")
+        r += 1; iter += 1
+      }
       // old is null only if an id arrived purely via propagation — cannot
       // happen while `labels` seeds every vertex of the symmetrized edge
       // list, but treat it as "changed" so the invariant is not load-bearing.
       converged =
         next.filter(col("old").isNull || col("label") < col("old")).isEmpty
-      labels = next.select("id", "label")
-      iter += 1
     }
     lastCcIters = iter
     labels.select(col("id"), col("label").as("cluster"))

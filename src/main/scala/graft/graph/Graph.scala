@@ -113,7 +113,7 @@ object Graph {
         coalesce(col("dang"), lit(true)).as("dang"),
         expr(s"${unit}L div n_nodes").as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ewd.join(ranks.select("node", "r"),
           ewd("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
@@ -122,7 +122,7 @@ object Graph {
       val dangling = ranks.filter(col("dang"))
         .agg(coalesce(sum("r"), lit(0L)).as("dmass"))
       // two 1-row scalar zips (n_nodes already rides the rank frame)
-      ranks = ranks.select("node", "n_nodes", "dang")
+      val next = ranks.select("node", "n_nodes", "dang")
         .crossJoin(broadcast(dangling))
         .join(contribs, Seq("node"), "left")
         .select(col("node"), col("n_nodes"), col("dang"),
@@ -130,7 +130,12 @@ object Graph {
             s"(${dampDen}L * n_nodes)) + ((${dampNum}L * " +
             s"(coalesce(in_sum, 0L) + (dmass div n_nodes))) div " +
             s"${dampDen}L)").as("r"))
-        .localCheckpoint()
+      // per-round plan evidence (VERDICT r19 items 4/8): the loop sits
+      // behind localCheckpoint, so only this pre-checkpoint dump can
+      // show that the r19 dangling-flag round carries NO out-degree
+      // aggregate / anti-join. No-op unless GRAFT_ROUND_PLAN_DIR.
+      graft.util.RoundPlan.dump(next, s"pagerank_round$i")
+      ranks = next.localCheckpoint()
     }
     val indeg = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))
@@ -270,12 +275,14 @@ object Graph {
         .select(when(col("s") > 0, col("s")).otherwise(raise_error(lit(
           s"Graph.hits: the $c mass is zero — the graph has no " +
             "edges to rank"))).as("s"))
-      nd.join(raw, Seq("node"), "left")
+      val normed = nd.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(s))
         .select(col("node"),
           expr(s"(cast(coalesce($c, 0L) as decimal(38,0)) * " +
             s"${unit}L) div s").as(c))
-        .localCheckpoint()
+      // per-half-round plan evidence (no-op unless GRAFT_ROUND_PLAN_DIR)
+      graft.util.RoundPlan.dump(normed, s"hits_halfround_$c")
+      normed.localCheckpoint()
     }
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub, e("src") === hub("node"))

@@ -35,13 +35,16 @@ object CcProbe {
       "d04_pairs" -> (() => Dedup.ngramJaccardPairsAuto(docs, "doc_id",
         "text", n = 3, probeFilter = col("doc_id") % 10 === 0,
         threshold = 0.02)))
+    // r20: sweep (halving, roundsPerProbe) interleaved — (true, 1) is
+    // the r19 shipped shape, (true, 2) the batched-probe candidate,
+    // (false, 1) the r18 baseline kept for the d06 halving re-check.
     for ((name, mk) <- sources; rep <- 0 until reps;
-         halving <- Seq(false, true)) {
+         (halving, rpp) <- Seq((false, 1), (true, 1), (true, 2))) {
       val t0 = System.nanoTime()
       val n = Dedup.connectedComponents(mk(), "id_a", "id_b",
-        halving = halving).count()
+        halving = halving, roundsPerProbe = rpp).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[ccprobe] $name rep=$rep halving=$halving " +
+      println(f"[ccprobe] $name rep=$rep halving=$halving rpp=$rpp " +
         f"wall=$dt%.2f rounds=${Dedup.lastCcIters} rows=$n")
     }
     spark.stop()

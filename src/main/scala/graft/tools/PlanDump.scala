@@ -43,6 +43,7 @@ object PlanDump {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -56,6 +57,13 @@ object PlanDump {
           tasks.incrementAndGet()
           if (t.taskInfo != null)
             taskMs.addAndGet(t.taskInfo.duration)
+          // r20: shuffle bytes WRITTEN — a plan property, near-
+          // deterministic run to run (the ShuffleBytesSpec instrument),
+          // so flat-wall optimizations that narrow exchanges are still
+          // visible here
+          if (t.taskMetrics != null)
+            shufBytes.addAndGet(
+              t.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
       })
 
@@ -74,6 +82,11 @@ object PlanDump {
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val lines = (0 until reps).map { _ =>
         val p0 = System.nanoTime()
+        // shuffle-byte window opens BEFORE construction: gates whose
+        // operators materialize lazy checkpoints at plan time (AQE runs
+        // a checkpoint's stages eagerly at toRdd) shuffle during
+        // construction, and those bytes belong to the gate
+        val b0 = shufBytes.get
         // fresh frame per rep: gates with model exports / stream sinks
         // re-run their full lifecycle like Bench does
         val d = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -83,9 +96,12 @@ object PlanDump {
         val t0 = tasks.get; val m0 = taskMs.get
         d.write.format("noop").mode("overwrite").save()
         val e1 = System.nanoTime()
+        // listener bus is async; give the byte counter a beat to drain
+        Thread.sleep(300)
         f"wall=${(e1 - p0) / 1e9}%.2f plan=${(p1 - p0) / 1e9}%.2f " +
           f"jobs=${jobs.get - j0} stages=${stages.get - s0} " +
-          f"tasks=${tasks.get - t0} task_s=${(taskMs.get - m0) / 1e3}%.1f"
+          f"tasks=${tasks.get - t0} task_s=${(taskMs.get - m0) / 1e3}%.1f " +
+          f"shuf_kb=${(shufBytes.get - b0) / 1024}"
       }
       println(s"$name: ${lines.mkString(" | ")}")
     }
